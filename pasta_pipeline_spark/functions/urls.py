@@ -1,0 +1,62 @@
+"""URL handling — P2/P7/F8/F9 in SURVEY.md §2.
+
+Parity sources:
+- scalarization + brace strip: /root/reference/dags/processors/db_loader.py:57-78
+- cleaning + validation:       /root/reference/dags/processors/telegraph_processor.py:96-125
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def scalarize_link(links: Column | str) -> Column:
+    """First element of a link array, trimmed, ``{…}``-stripped,
+    empty→NULL — the load-time scalarization P2 (db_loader.py:57-78).
+
+    Null-safe: null/empty arrays → NULL.
+    """
+    c = F.col(links) if isinstance(links, str) else links
+    first = F.element_at(c, 1)
+    return clean_link(first)
+
+
+def clean_link(link: Column | str) -> Column:
+    """Trim; strip one surrounding ``{…}`` pair; ''/'{}' → NULL.
+
+    Parity: db_loader.py:71-78 and telegraph_processor.py:101-103.
+    """
+    c = F.col(link) if isinstance(link, str) else link
+    t = F.trim(c)
+    unbraced = F.when(
+        t.startswith("{") & t.endswith("}") & (F.length(t) >= 2),
+        t.substr(F.lit(2), F.length(t) - 2),
+    ).otherwise(t)
+    return F.when(unbraced.isNull() | (unbraced == "") | (unbraced == "{}"), None).otherwise(
+        unbraced
+    )
+
+
+def is_valid_telegraph_url(url: Column | str) -> Column:
+    """scheme == https AND host == telegra.ph AND path length > 1.
+
+    Parity: validate_telegraph_url (telegraph_processor.py:117-125),
+    via native ``parse_url`` instead of Python urlparse.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    proto = F.parse_url(c, F.lit("PROTOCOL"))
+    host = F.parse_url(c, F.lit("HOST"))
+    path = F.parse_url(c, F.lit("PATH"))
+    return (
+        c.isNotNull()
+        & (proto == "https")
+        & (host == "telegra.ph")
+        & (F.length(F.coalesce(path, F.lit(""))) > 1)
+    )
+
+
+def url_decode(col: Column | str) -> Column:
+    """Percent-decode (F9, telegraph_processor.py:208-213)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.url_decode(c)

@@ -1,0 +1,144 @@
+"""Merge / upsert — the engine's one genuinely custom operator.
+
+Re-expresses the reference's ``INSERT … ON CONFLICT … DO UPDATE``
+sinks (SURVEY.md §2.1 S7/S8/S9):
+
+- S7 messages upsert  — /root/reference/dags/processors/db_loader.py:166-181
+- S8 content upsert   — /root/reference/dags/processors/telegraph_processor.py:269-286
+- S9 status upsert    — /root/reference/dags/processors/telegraph_processor.py:301-321
+  (the one non-last-writer-wins path: ``retry_count`` *accumulates*)
+
+Strategy: union + window-dedup. The incoming batch gets priority over
+the existing table; within each side, the newest ``order_col`` wins;
+ties break on the key for determinism (a documented deviation — the
+reference's row-at-a-time loop is last-executed-wins, i.e.
+nondeterministic under concurrency).
+
+Scale notes (100 TB posture):
+- one shuffle on the key, no driver state;
+- for hot keys, AQE skew-join/aggregation handles imbalance;
+- on a real deployment over Delta/Iceberg this operator swaps for
+  ``MERGE INTO`` with identical semantics (kept behind this API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRIO = "__merge_priority"
+_RN = "__merge_rn"
+
+
+def _align(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Project ``df`` to ``columns``, adding missing ones as NULL."""
+    cols = []
+    for name in columns:
+        if name in df.columns:
+            cols.append(F.col(name))
+        else:
+            cols.append(F.lit(None).alias(name))
+    return df.select(*cols)
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    order_col: str | None = None,
+    set_on_update: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Last-writer-wins upsert of ``updates`` into ``target``.
+
+    - rows whose key exists only in ``target`` are kept unchanged;
+    - rows whose key exists in ``updates`` take the update's values for
+      every non-key column (matching the ``EXCLUDED.*`` set list at
+      db_loader.py:171-180);
+    - ``set_on_update`` columns are stamped on the surviving row when
+      it came from ``updates`` (e.g. ``processed_at = run_ts``,
+      matching ``processed_at = CURRENT_TIMESTAMP`` at db_loader.py:180);
+    - duplicate keys *within* ``updates`` resolve by ``order_col``
+      descending (newest wins), then key, so the result is
+      deterministic and the operator idempotent.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    columns = target.columns
+    upd = _align(updates, columns).withColumn(_PRIO, F.lit(1))
+    tgt = _align(target, columns).withColumn(_PRIO, F.lit(0))
+    unioned = upd.unionByName(tgt)
+
+    order = [F.desc(_PRIO)]
+    if order_col is not None:
+        order.append(F.desc_nulls_last(order_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    merged = (
+        unioned.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+    if set_on_update:
+        for name, expr in set_on_update.items():
+            merged = merged.withColumn(
+                name, F.when(F.col(_PRIO) == 1, expr).otherwise(F.col(name))
+            )
+    return merged.drop(_PRIO)
+
+
+def upsert_accumulate(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    accumulate: dict[str, str] | None = None,
+    set_always: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Read-modify-write upsert — the S9 status path
+    (telegraph_processor.py:308-315): most columns take the update's
+    value, but ``accumulate`` columns combine old and new:
+
+    - ``accumulate={"retry_count": "increment"}`` →
+      ``coalesce(old.retry_count, 0) + 1`` (insert starts at 1 — the
+      reference inserts ``retry_count=1`` on first failure, :310);
+    - ``accumulate={"views": "add"}`` → ``coalesce(old,0) + coalesce(new,0)``.
+
+    Implemented as a full outer join on the key: one shuffle, no
+    window needed, both sides stream.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    accumulate = accumulate or {}
+    columns = target.columns
+    upd = _align(updates, columns)
+
+    t = target.alias("t")
+    u = upd.alias("u")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(u, cond, "full_outer")
+
+    has_update = F.col(f"u.{keys[0]}").isNotNull()
+    out_cols = []
+    for name in columns:
+        tcol, ucol = F.col(f"t.{name}"), F.col(f"u.{name}")
+        if name in keys:
+            out = F.coalesce(ucol, tcol)
+        elif name in accumulate:
+            mode = accumulate[name]
+            if mode == "increment":
+                out = F.when(has_update, F.coalesce(tcol, F.lit(0)) + F.lit(1)).otherwise(tcol)
+            elif mode == "add":
+                out = F.when(
+                    has_update, F.coalesce(tcol, F.lit(0)) + F.coalesce(ucol, F.lit(0))
+                ).otherwise(tcol)
+            else:
+                raise ValueError(f"unknown accumulate mode {mode!r} for {name}")
+        else:
+            out = F.when(has_update, ucol).otherwise(tcol)
+        out_cols.append(out.alias(name))
+    merged = joined.select(*out_cols, has_update.alias("__has_update"))
+    if set_always:
+        for name, expr in set_always.items():
+            merged = merged.withColumn(
+                name, F.when(F.col("__has_update"), expr).otherwise(F.col(name))
+            )
+    return merged.drop("__has_update")

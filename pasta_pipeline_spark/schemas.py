@@ -1,0 +1,158 @@
+"""Explicit StructType schemas for the engine's tables.
+
+Reference DDL provenance (SURVEY.md §1):
+- ``telegram_messages``  — /root/reference/dags/processors/db_loader.py:23-36
+- ``telegraph_content``  — /root/reference/dags/processors/telegraph_processor.py:30-45
+
+Postgres types map to Spark per SURVEY.md §1.2; the two serialized
+columns become native types: ``hashtags TEXT[]`` → ``array<string>``
+(the PG-array-literal serialization at db_loader.py:81-95 disappears)
+and ``reactions JSONB`` → ``map<string,int>`` (the json.dumps at
+db_loader.py:98-114 disappears).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# Reference-shaped tables
+# ---------------------------------------------------------------------------
+
+#: Raw scrape artifact — the shape of one `format_message` dict
+#: (message_scraper.py:24-50) before load-time scalarization.
+RAW_MESSAGE_SCHEMA = StructType(
+    [
+        StructField("message_id", LongType(), False),
+        StructField("date", TimestampType(), True),
+        StructField("text", StringType(), True),
+        StructField("views", IntegerType(), True),
+        StructField("forwards", IntegerType(), True),
+        StructField("hashtags", ArrayType(StringType()), True),
+        # full extraction list; load scalarizes to first element (P2)
+        StructField("telegraph_links", ArrayType(StringType()), True),
+        StructField("reactions", MapType(StringType(), IntegerType()), True),
+        StructField("scraped_at", TimestampType(), True),
+    ]
+)
+
+#: Loaded messages table — DDL parity with db_loader.py:23-36.
+MESSAGE_SCHEMA = StructType(
+    [
+        StructField("message_id", LongType(), False),
+        StructField("date", TimestampType(), True),
+        StructField("text", StringType(), True),
+        StructField("views", IntegerType(), True),
+        StructField("forwards", IntegerType(), True),
+        StructField("hashtags", ArrayType(StringType()), True),
+        StructField("telegraph_link", StringType(), True),
+        StructField("reactions", MapType(StringType(), IntegerType()), True),
+        StructField("scraped_at", TimestampType(), True),
+        StructField("processed_at", TimestampType(), True),
+    ]
+)
+
+#: Crawled content table — DDL parity with telegraph_processor.py:30-45.
+CONTENT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("title", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("description_hash", StringType(), True),
+        StructField("date_published", TimestampType(), True),
+        StructField("word_count", IntegerType(), True),
+        StructField("status", StringType(), True),
+        StructField("retry_count", IntegerType(), True),
+        StructField("processed_at", TimestampType(), True),
+        StructField("last_checked", TimestampType(), True),
+    ]
+)
+
+#: Full status-code set emitted by the fetch state machine
+#: (telegraph_processor.py:167-188, 240-254).
+FETCH_STATUSES = (
+    "success",
+    "not_found",
+    "server_error",
+    "http_error",
+    "timeout",
+    "client_error",
+    "error",
+    "content_too_large",
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal column conventions (extension surface)
+# ---------------------------------------------------------------------------
+
+#: An opaque media payload plus typed metadata. Decode/feature-extract
+#: stages key off ``media_type`` ('image' | 'audio' | 'video').
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Driver testdata tables (TESTDATA.md / FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one driver testdata table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as a nanos-since-epoch long and is converted here to a
+    microsecond timestamp — the same truncation DuckDB applies when it
+    narrows nanos to its native micros.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        # runtime-settable; required even when the caller's session was
+        # built without pasta_pipeline_spark.session.get_spark
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark, sf_dir: str) -> dict:
+    """Read every testdata table; keys match TESTDATA_TABLES."""
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}

@@ -1,0 +1,39 @@
+"""File snapshot sinks and scans — S3/S4/S5 in SURVEY.md §2.1.
+
+Parity sources:
+- CSV/JSON snapshot writes: /root/reference/dags/processors/message_scraper.py:113-128
+- JSON scan with NaN→None:  /root/reference/dags/processors/db_loader.py:132-133
+
+The reference writes one artifact file per run and re-reads it with
+pandas inference. The engine writes distributed (one file per
+partition) and reads back with an explicit schema — inference at 100 TB
+is both slow (extra pass) and fragile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def snapshot_path(base_dir: str, channel: str, time_range: str, ts: str, ext: str) -> str:
+    """Filename templating (F15, message_scraper.py:113-118)."""
+    return f"{base_dir}/{channel}_{time_range}_{ts}.{ext}"
+
+
+def write_csv_snapshot(df: DataFrame, path: str) -> None:
+    """S3 — per-run CSV snapshot (header, UTF-8). Arrays/maps are not
+    CSV-representable; callers export them via to_json columns first."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_json_snapshot(df: DataFrame, path: str) -> None:
+    """S4 — JSON-lines snapshot, non-ASCII preserved (Spark writes
+    UTF-8 without escaping by default, matching ensure_ascii=False)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json_snapshot(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S5 — snapshot scan with explicit schema (replacing pandas
+    read_json inference + NaN scrubbing; Spark nulls are native)."""
+    return spark.read.schema(schema).json(path)

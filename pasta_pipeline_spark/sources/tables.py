@@ -1,0 +1,89 @@
+"""Parquet-backed mutable tables with atomic overwrite.
+
+The reference's two Postgres tables (SURVEY.md §1.1) become
+directory-per-table Parquet with a crash-safe swap protocol — the
+"upsert atomicity without Delta" hard part (SURVEY.md §7):
+
+    table/
+      _CURRENT            # pointer file: name of the live version dir
+      v-<uuid>/           # immutable parquet snapshot
+      v-<uuid>/           # previous snapshot (kept until next write)
+
+A write lands in a fresh version dir first, then the pointer flips via
+write-temp + os.replace (atomic on POSIX). Readers resolve the pointer
+then read an immutable dir, so a crash mid-write never corrupts the
+live table and a crash mid-flip leaves the old pointer intact.
+
+On a real deployment this class swaps for Delta/Iceberg tables (ACID
+commit protocol, MERGE INTO, time travel); the API is kept minimal so
+that swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_POINTER = "_CURRENT"
+
+
+class TableStore:
+    """Versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: StructType | None = None):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+
+    # -- resolution ---------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, _POINTER)
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path(), encoding="utf-8") as f:
+                v = f.read().strip()
+            return v or None
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    # -- read ----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Live snapshot; empty (schema'd) DataFrame if never written."""
+        v = self.current_version()
+        if v is None:
+            if self.schema is None:
+                raise FileNotFoundError(f"table {self.path} does not exist and no schema given")
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(os.path.join(self.path, v))
+
+    # -- write ---------------------------------------------------------
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Write a new immutable version, then atomically flip the
+        pointer. Old version is removed after the flip (best-effort)."""
+        old = self.current_version()
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.path, version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_path())  # atomic flip
+
+        if old is not None:
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
