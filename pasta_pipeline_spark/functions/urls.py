@@ -18,7 +18,9 @@ def scalarize_link(links: Column | str) -> Column:
     Null-safe: null/empty arrays → NULL.
     """
     c = F.col(links) if isinstance(links, str) else links
-    first = F.element_at(c, 1)
+    # F.get is null-safe on empty arrays (element_at raises under the
+    # ANSI mode that Spark 4 defaults to)
+    first = F.get(c, 0)
     return clean_link(first)
 
 

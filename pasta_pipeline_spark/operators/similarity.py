@@ -1,0 +1,150 @@
+"""Embedding similarity search (SURVEY.md §7 M6).
+
+Brute-force cosine top-k as the exact baseline, plus a sign-LSH
+(random-hyperplane) bucketed variant as the scale path.
+
+Numeric discipline: elements are cast float→double *before* any
+arithmetic and accumulated left-to-right (``F.aggregate`` folds
+sequentially), which makes the result bit-identical to DuckDB's
+``list_dot_product`` over ``DOUBLE[]`` — verified empirically — so the
+exact paths are oracle-checkable with no tolerance games.
+
+Scale notes (100 TB posture):
+- brute-force top-k for Q queries is a broadcast of the Q×d query
+  matrix + one scan: fine for small Q at any corpus size (compiles to
+  TakeOrderedAndProject per query via window top-k);
+- the LSH path shuffles on bucket id; multiprobe widens recall without
+  rescanning. IVF (k-means cells) would slot in the same API but needs
+  a training step — LSH is stateless and deterministic, the right
+  first rung.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two array<float|double>."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k by cosine against a single-row query DataFrame.
+    Returns (vec_id, sim) with deterministic id tiebreak."""
+    j = embeddings.crossJoin(F.broadcast(query))
+    sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
+    return (
+        j.select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact k-NN join: for every query row, its k nearest corpus
+    vectors by cosine. Broadcast the (small) query side; rank with a
+    per-query window — one scan of the corpus regardless of |Q|."""
+    j = embeddings.crossJoin(F.broadcast(queries))
+    sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
+    ranked = j.select(F.col(query_id_col), F.col(id_col), sim).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).drop("rank")
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplane) bucketing — the approximate scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1):
+    splitmix64-mixed (plane, dim) index — no RNG state, reproducible
+    across runs and languages."""
+    comps = []
+    for d in range(dim):
+        z = (plane_idx * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (
+            1 << 64
+        )
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        z ^= z >> 31
+        comps.append((z % 2000001) / 1000000.0 - 1.0)
+    return comps
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, num_planes: int = 12, out_col: str = "bucket"
+) -> DataFrame:
+    """Append a sign-LSH bucket id: bit p = sign(<vec, plane_p>)."""
+    bucket = None
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), p)
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the
+    query's LSH bucket plus all 1-bit-flip neighbor buckets
+    (multiprobe). Recall is tunable via num_planes / probe radius;
+    results are deterministic. No oracle — inherently approximate."""
+    emb_b = with_lsh_bucket(embeddings, vec_col, dim, num_planes)
+    q_b = with_lsh_bucket(query, query_vec_col, dim, num_planes, out_col="qbucket")
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q_probed = q_b.select(
+        F.col(query_vec_col), F.explode(probes).alias("bucket")
+    )
+    cand = emb_b.join(F.broadcast(q_probed), "bucket")
+    sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
+    return (
+        cand.select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

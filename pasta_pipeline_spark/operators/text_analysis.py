@@ -1,0 +1,109 @@
+"""Text analysis — the LLM-data-pipeline extension surface (SURVEY.md §7 M6).
+
+Generalizes the reference's per-document derivations (word_count A5,
+content hashes F4/F5 — telegraph_processor.py:128-146) into the
+text-quality toolkit a training-data pipeline needs: language ID,
+quality scoring, tokenization stats, fingerprinting.
+
+Everything is a native Column expression — no UDFs, codegen-friendly,
+and each has an exact DuckDB-SQL twin so the whole module is
+oracle-checkable. All ratios derive from integer counts, so doubles
+are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.functions.text import tokenize_ws
+
+#: BPE-ish lexical split: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny deterministic stopword profiles for the n-gram/stopword
+#: language heuristic. Intentionally small and frozen — the point is a
+#: deterministic, cheap, SQL-expressible heuristic, not fastText.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "en", "por", "para"),
+}
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count (Python split semantics)."""
+    from pasta_pipeline_spark.functions.text import word_count
+
+    return word_count(text)
+
+
+def token_count_lexical(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation
+    marks. A cheap, deterministic proxy for subword token budgets."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)), F.lit(0)
+    ).cast("long")
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    """Count of tokens (duplicates included) in the ``lang`` profile."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def detect_language(text: Column | str) -> Column:
+    """Deterministic language heuristic:
+
+    1. any Cyrillic letter → 'ru'; any CJK ideograph → 'zh';
+    2. else argmax of stopword-profile hit counts (ties break in
+       profile order en > de > fr > es);
+    3. no hits at all → 'und'.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize_ws(c, lowercase=True)
+    cyr = F.coalesce(F.length(F.regexp_extract(c, "([Ѐ-ӿ])", 1)), F.lit(0)) > 0
+    cjk = F.coalesce(F.length(F.regexp_extract(c, "([一-鿿])", 1)), F.lit(0)) > 0
+    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(cyr, F.lit("ru")).when(cjk, F.lit("zh")).when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order == tie priority
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+
+    - length component: min(n_tokens / 64, 1)      (too-short penalty)
+    - alpha ratio: alpha chars / non-space chars    (symbol-soup penalty)
+    - stopword component: min(4 * en_hits / n_tokens, 1)
+      (natural-language-ness)
+    - mean-token-length component: 1 if mean in [3, 12], else 0
+      (gibberish / minified-code penalty)
+
+    score = (length + alpha + stopword + token_len) / 4. All inputs are
+    integer counts, so the double math is cross-engine exact.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize_ws(c, lowercase=True)
+    n_tok = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-zА-Яа-я一-鿿]+", ""))
+    en_hits = stopword_hits(toks, "en")
+
+    length_c = F.least(n_tok.cast("double") / 64.0, F.lit(1.0))
+    alpha_c = F.when(n_nonspace > 0, n_alpha.cast("double") / n_nonspace.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    stop_c = F.when(
+        n_tok > 0, F.least(4.0 * en_hits.cast("double") / n_tok.cast("double"), F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(n_tok > 0, n_nonspace.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    len_c = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (length_c + alpha_c + stop_c + len_c) / F.lit(4.0)
+    return F.when(c.isNull() | (F.trim(c) == ""), F.lit(0.0)).otherwise(score)

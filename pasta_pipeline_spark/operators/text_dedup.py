@@ -1,0 +1,329 @@
+"""Near-duplicate detection — the dedup ladder (SURVEY.md §7 M6).
+
+Generalizes the reference's single-tier ``content_hash`` dedup
+(telegraph_processor.py:128-132 + duplicate_remover.py:74-95) into the
+dedup family a training-data pipeline needs:
+
+  tier 0  exact          md5 hash-groupBy
+  tier 1  fingerprint    md5 of case/whitespace-normalized text
+  tier 2  SimHash        64-bit (60 used) weighted token signature,
+                         Hamming-ball pairing via chunk pigeonhole
+  tier 3  n-gram Jaccard exact shingle-set similarity (the verifier)
+  tier 4  MinHash-LSH    signature bands → candidate buckets →
+                         exact-Jaccard verification
+
+Scale design (100 TB posture):
+- every tier is explode → shuffle-on-key → aggregate; no driver state,
+  no collect, no cross join anywhere;
+- LSH candidate generation shuffles on (band, signature) — output is
+  near-linear in corpus size for realistic duplicate rates, vs the
+  O(n²) naive pair join;
+- token hashing uses md5-hex→int60 (cross-engine exact, so tiers 0-3
+  are DuckDB-oracle-checkable); MinHash permutations use xxhash64
+  (JVM-side, fastest) since LSH is verified by tier-3 anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.functions.text import tokenize_ws
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of ``text``; documents shorter than
+    ``n`` tokens contribute their whole text as one shingle so they
+    remain comparable."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize_ws(c, lowercase=True)
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(size >= n, grams).otherwise(whole))
+
+
+def _hash60(col: Column) -> Column:
+    """Cross-engine-exact 60-bit token hash: first 15 hex chars of md5,
+    parsed as an unsigned integer. DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# tier 0/1 — exact & fingerprint
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (text_hash, n_copies, keep_id) — keep_id
+    is the smallest id (deterministic survivor)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def fingerprint_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Same, over the whitespace/case-normalized fingerprint."""
+    from pasta_pipeline_spark.functions.hashing import content_fingerprint
+
+    return (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# tier 3 — exact n-gram Jaccard (also the LSH verifier)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    explode → self-equi-join on shingle → per-pair intersection count →
+    |A∪B| = |A| + |B| - |A∩B|. Only pairs sharing ≥1 shingle are ever
+    materialized, so cost tracks true overlap, not n².
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tier 2 — SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars — cross-engine parseable
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 ⇒ ≥1 of 4 chunks equal
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document: tokens (with multiplicity) hash to
+    60-bit values; each bit position accumulates +1/-1; the sign vector
+    is the signature. Returns (doc, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize_ws(text_col)).alias("tok")
+    )
+    h = toks.select("doc", _hash60(F.col("tok")).alias("h"))
+    bit_sums = h.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs (doc_a < doc_b) with SimHash Hamming distance <= k.
+
+    Exact for k <= SIMHASH_CHUNKS-1 by pigeonhole: candidates must
+    share at least one 15-bit chunk, so we bucket-join on (chunk_idx,
+    chunk_value) and verify with bit_count(xor) — no n² scan.
+    """
+    if max_hamming >= SIMHASH_CHUNKS:
+        raise ValueError("pigeonhole bucketing requires max_hamming < SIMHASH_CHUNKS")
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * _CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# tier 4 — MinHash-LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_exprs(num_hashes: int) -> list[Column]:
+    """k permutation hashes h_i(s) = (a_i * x + b_i) mod M31 over the
+    31-bit base hash x = xxhash64(shingle) & 0x7FFFFFFF, with (a_i,
+    b_i) derived deterministically from the index. The 31-bit domain
+    keeps every intermediate < 2^62, so the arithmetic can never
+    overflow a signed long — required under Spark 4's default ANSI
+    mode, where silent wraparound is an error."""
+    exprs = []
+    x = F.col("xh").bitwiseAND(F.lit(0x7FFFFFFF))
+    for i in range(num_hashes):
+        # deterministic 'random' multipliers/offsets per index
+        a = (0x9E3779B9 * (i + 1)) % _MERSENNE31 | 1
+        b = (0xBF58476D * (i + 7)) % _MERSENNE31
+        exprs.append(
+            F.min(
+                F.pmod(
+                    F.lit(a).cast("long") * x + F.lit(b).cast("long"),
+                    F.lit(_MERSENNE31).cast("long"),
+                )
+            ).alias(f"mh{i}")
+        )
+    return exprs
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(doc, mh0..mh{k-1}) MinHash signature from n-token shingles."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    xh = sh.select("doc", F.xxhash64(F.col("sh")).alias("xh"))
+    return xh.groupBy("doc").agg(*_minhash_exprs(num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact
+    Jaccard (tier 3) so the output contains no false positives:
+
+    1. signature: k min-hashes over shingles (one shuffle);
+    2. banding: hash each band of k/bands values → explode →
+       bucket-join on (band, band_hash) → candidate pairs;
+    3. verification: exact shingle-Jaccard on candidates only, filter
+       by threshold.
+
+    The band count tunes the S-curve: 64 hashes / 16 bands ≈ catches
+    J >= ~0.5 with high probability. False negatives are possible
+    (inherent to LSH); the oracle-checked contract is therefore
+    "every returned pair truly has J >= threshold".
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidates
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh"))
+    sb = sh.select(F.col("doc").alias("doc_b2"), F.col("sh").alias("sh2"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

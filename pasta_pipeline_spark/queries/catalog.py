@@ -545,3 +545,446 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.session_window("ts", "30 minutes").alias("w")
     ).agg(F.count(F.lit(1)).alias("n"))
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: text analysis (SURVEY.md §7 M6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_hashes",
+    """
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR text = '' THEN '' ELSE md5(text) END AS content_hash
+    FROM documents
+    """,
+    doc="F4 content hashing (telegraph_processor.py:128-132) over documents; "
+    "null/empty → '' like the reference.",
+)
+def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.hashing import md5_or_empty
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", md5_or_empty("text").alias("content_hash"))
+
+
+@register(
+    "doc_word_count",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words
+    FROM documents
+    """,
+    doc="F6/A5 word count (telegraph_processor.py:142-146): Python str.split() "
+    "semantics — whitespace runs, no empty tokens.",
+)
+def q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.text import word_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", word_count("text").cast("long").alias("n_words"))
+
+
+@register(
+    "extract_pattern_tokens",
+    """
+    SELECT doc_id,
+           CAST(COALESCE(len(list_distinct(regexp_extract_all(text, '(s[a-z]+)', 1))), 0) AS BIGINT) AS n_matches,
+           list_extract(regexp_extract_all(text, '(s[a-z]+)', 1), 1) AS first_match
+    FROM documents
+    """,
+    doc="F1/F2 extraction machinery (utils.py:4-33) exercised on real data: "
+    "regexp_extract_all group capture + order-preserving dedup + first match.",
+)
+def q_extract_pattern_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all(F.col("text"), F.lit("(s[a-z]+)"), 1)
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.size(F.array_distinct(matches)), F.lit(0)).cast("long").alias("n_matches"),
+        F.get(matches, 0).alias("first_match"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="Normalized document fingerprint (extension tier 1 of the dedup ladder): "
+    "md5 over lowercased, whitespace-normalized token join.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.hashing import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", content_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "lang_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Grouped text-corpus statistics (per-language/source profile).",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+_LANG_ID_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id, text,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS h_en,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS h_de,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS h_fr,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('el','la','los','las','es','un','una','en','por','para'))) AS h_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                ELSE 'und' END AS detected_lang
+    FROM scored
+"""
+
+
+@register(
+    "lang_id",
+    _LANG_ID_ORACLE,
+    doc="Deterministic language-ID heuristic (extension): script detection "
+    "(Cyrillic/CJK regex) + stopword-profile argmax with fixed tie order.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("detected_lang"))
+
+
+_QUALITY_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+             length(regexp_replace(text, '[^A-Za-zА-Яа-я一-鿿]+', '', 'g')) AS n_alpha,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS h_en
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0 ELSE
+             (least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+              + (CASE WHEN n_nonspace > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_nonspace AS DOUBLE) ELSE 0.0 END)
+              + (CASE WHEN n_tok > 0 THEN least(4.0 * CAST(h_en AS DOUBLE) / CAST(n_tok AS DOUBLE), 1.0) ELSE 0.0 END)
+              + (CASE WHEN n_tok > 0
+                       AND CAST(n_nonspace AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 3.0
+                       AND CAST(n_nonspace AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 12.0
+                      THEN 1.0 ELSE 0.0 END)
+             ) / 4.0
+           END AS score
+    FROM base
+"""
+
+
+@register(
+    "quality_score",
+    _QUALITY_ORACLE,
+    doc="Deterministic document-quality heuristic (extension): length, alpha "
+    "ratio, stopword ratio, mean-token-length components — all derived from "
+    "integer counts so the double math is cross-engine exact.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("score"))
+
+
+@register(
+    "token_count_lexical",
+    """
+    SELECT doc_id,
+           CAST(COALESCE(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS BIGINT) AS n_lexical
+    FROM documents
+    """,
+    doc="BPE-ish lexical token count (extension): letter runs + digit runs + "
+    "punctuation marks, a deterministic subword-budget proxy.",
+)
+def q_token_count_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import token_count_lexical
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_lexical("text").alias("n_lexical"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: dedup ladder (SURVEY.md §7 M6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Dedup tier 0 — exact hash-groupBy (content_hash generalized, "
+    "duplicate_remover.py:74-95): survivor = smallest doc_id.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fingerprint,
+           count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Dedup tier 1 — whitespace/case-normalized fingerprint groups.",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import fingerprint_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_duplicate_groups(docs, "doc_id", "text")
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="Dedup tier 3 — exact 3-gram shingle-set Jaccard >= 0.5 via explode + "
+    "self-equi-join on shingle (cost tracks true overlap, not n²); docs shorter "
+    "than 3 tokens contribute their whole text as one shingle.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+      GROUP BY doc_id, b
+    ), sig AS (
+      SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register(
+    "simhash_pairs",
+    _SIMHASH_ORACLE,
+    doc="Dedup tier 2 — 60-bit SimHash (md5-derived token hashes, cross-engine "
+    "exact), pairs within Hamming distance 3. Spark prunes candidates by 15-bit "
+    "chunk pigeonhole (no n² scan); the oracle brute-forces — identical result "
+    "set because hamming<=3 implies a shared chunk.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "minhash_lsh_pairs",
+    None,  # LSH has inherent false negatives — no exact SQL twin; the returned
+    # pairs are exact-Jaccard-verified, and tier-3 (ngram_jaccard_pairs) is the
+    # oracle-checked superset.
+    doc="Dedup tier 4 — MinHash (64 perms) banded LSH (16 bands) candidate "
+    "generation + exact-Jaccard verification at >= 0.5.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: embedding similarity search (SURVEY.md §7 M6)
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "cosine_topk",
+    _COSINE_TOPK_ORACLE,
+    doc="Similarity search — exact brute-force cosine top-10 for the lowest "
+    "vec_id's embedding. Bit-identical across engines: float→double casts "
+    "before arithmetic + sequential fold (matches DuckDB list_dot_product).",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return cosine_topk(emb, query, k=10)
+
+
+_KNN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      ORDER BY vec_id LIMIT 5
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT qid, vec_id, sim FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register(
+    "knn_join",
+    _KNN_ORACLE,
+    doc="Similarity search — exact 5-NN join for the 5 lowest vec_ids: one "
+    "corpus scan with the query side broadcast, per-query window ranking.",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    return knn_join(emb, queries, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by construction — recall < 1 vs the exact oracle
+    doc="Similarity search — sign-LSH (6 deterministic hyperplanes → 64 "
+    "buckets) ANN top-10 with 1-bit multiprobe; the 100 TB scale path (bucket "
+    "join instead of full scan). Plane count scales with corpus size in a real "
+    "deployment.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    dim = 64
+    return ann_topk_lsh(emb, query, dim=dim, k=10, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: multimodal column plumbing (SURVEY.md §7 M6)
+# ---------------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+    SELECT doc_id AS media_id,
+           'text' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS INT) AS width,
+           CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS INT) AS height
+    FROM documents
+"""
+
+
+@register(
+    "media_features",
+    _MEDIA_ORACLE,
+    doc="Multimodal plumbing — binary payload column (documents.text encoded to "
+    "bytes) through the Arrow-batched mapInPandas decode stub: byte length, "
+    "content md5, deterministic pseudo-dimensions. The Python stage is real; "
+    "the codec is stubbed (no image libs in this container).",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_media_features(media, decode="stub")
