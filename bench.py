@@ -1,0 +1,81 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side row materialization cost), after one small untimed warmup
+to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline queries: one per operator family that matters at scale.
+BENCH_QUERIES = [
+    "pricing_summary",         # scan + group-agg (codegen, partial agg)
+    "join_agg_nation_revenue", # multi-join + broadcast dims
+    "work_selection",          # distinct + anti-join + top-k
+    "merge_upsert",            # union + window dedup (the custom operator)
+    "keep_latest_dedup",       # window dedup
+    "tumbling_window",         # event-time windows
+    "orphan_rewrite",          # rewrite-on-join
+    "dedup_exact",             # hash-groupBy dedup
+    "ngram_jaccard_pairs",     # shingle explode + self-join
+    "minhash_lsh_pairs",       # MinHash-LSH + verification
+    "simhash_pairs",           # SimHash + chunk bucketing
+    "cosine_topk",             # brute-force similarity
+    "knn_join",                # k-NN join
+    "lang_id",                 # text analysis expressions
+    "media_features",          # Arrow-batched Python stage
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pasta_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("pasta-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # untimed warmup: small query to absorb JVM + codegen startup
+    qs["top_orders"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

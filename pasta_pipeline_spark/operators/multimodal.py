@@ -83,10 +83,14 @@ def extract_media_features(
     if decode not in ("stub", "real"):
         raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
 
-    src = df.select(
-        F.col(id_col).alias("media_id"),
-        F.col(type_col).alias("media_type"),
-        F.col(payload_col).alias("payload"),
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("media_id"),
+            F.col(type_col).alias("media_type"),
+            F.col(payload_col).alias("payload"),
+        )
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -52,7 +52,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against a single-row query DataFrame.
     Returns (vec_id, sim) with deterministic id tiebreak."""
-    j = embeddings.crossJoin(F.broadcast(query))
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    j = ensure_parallelism(embeddings).crossJoin(F.broadcast(query))
     sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
     return (
         j.select(F.col(id_col), sim)
@@ -73,7 +75,9 @@ def knn_join(
     """Exact k-NN join: for every query row, its k nearest corpus
     vectors by cosine. Broadcast the (small) query side; rank with a
     per-query window — one scan of the corpus regardless of |Q|."""
-    j = embeddings.crossJoin(F.broadcast(queries))
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    j = ensure_parallelism(embeddings).crossJoin(F.broadcast(queries))
     sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
     ranked = j.select(F.col(query_id_col), F.col(id_col), sim).withColumn(
         "rank",

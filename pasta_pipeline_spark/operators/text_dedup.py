@@ -25,7 +25,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pasta_pipeline_spark.functions.text import tokenize_ws
@@ -89,9 +89,10 @@ def fingerprint_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> D
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("sh")
-    )
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    return src.select("doc", F.explode(shingles(F.col(text_col), n)).alias("sh"))
 
 
 def jaccard_pairs(
@@ -106,12 +107,28 @@ def jaccard_pairs(
     explode → self-equi-join on shingle → per-pair intersection count →
     |A∪B| = |A| + |B| - |A∩B|. Only pairs sharing ≥1 shingle are ever
     materialized, so cost tracks true overlap, not n².
+
+    Scale optimization (exactness-preserving): shingles occurring in a
+    single document cannot form a pair, so they are pruned before the
+    self-join. On realistic corpora most shingles are unique — this
+    cuts the join input by an order of magnitude; the window count and
+    the join shuffle on the same key, so Catalyst reuses the exchange.
+
+    The shingle table feeds the size aggregate, both join sides and the
+    prune — it is persisted (memory-and-disk) so the tokenize + shingle
+    expressions run once, not four times.
     """
-    sh = _shingle_table(df, id_col, text_col, n)
+    sh = _shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    w = Window.partitionBy("sh")
+    sh_shared = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") > 1)
+        .drop("__df")
+    )
+    a = sh_shared.alias("a")
+    b = sh_shared.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -146,9 +163,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document: tokens (with multiplicity) hash to
     60-bit values; each bit position accumulates +1/-1; the sign vector
     is the signature. Returns (doc, simhash)."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize_ws(text_col)).alias("tok")
-    )
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    toks = src.select("doc", F.explode(tokenize_ws(F.col(text_col))).alias("tok"))
     h = toks.select("doc", _hash60(F.col("tok")).alias("h"))
     bit_sums = h.groupBy("doc").agg(
         *[
@@ -282,7 +300,9 @@ def minhash_lsh_pairs(
     "every returned pair truly has J >= threshold".
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    xh = sh.select("doc", F.xxhash64(F.col("sh")).alias("xh"))
+    sigs = xh.groupBy("doc").agg(*_minhash_exprs(num_hashes))
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -306,14 +326,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    sh = _shingle_table(df, id_col, text_col, n)
+    # exact-Jaccard verification restricted to candidates. The pair
+    # set (and therefore the pairs×shingles intermediate) is tiny
+    # relative to the corpus, so the big (persisted) shingle table is
+    # never shuffled: it joins against broadcast sides only.
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh"))
     sb = sh.select(F.col("doc").alias("doc_b2"), F.col("sh").alias("sh2"))
+    inter = sa.join(F.broadcast(cand), "doc_a")  # shingles of each pair's A side
     common = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh2")))
+        sb.join(
+            F.broadcast(inter),
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh2")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
