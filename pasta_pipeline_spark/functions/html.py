@@ -77,16 +77,22 @@ def _extract_title(html: str) -> str | None:
 
 
 def _extract_description(html: str) -> str | None:
-    """twitter:description content; mrakopedia wiki-URL prefix stripped
-    after percent-decoding the page name (telegraph_processor.py:203-213)."""
+    """twitter:description content; when it starts with the mrakopedia
+    wiki prefix, the reference strips ``https://mrakopedia.net/wiki/ +
+    unquote(first whitespace token after /wiki/)`` characters and keeps
+    the remainder (telegraph_processor.py:203-213 — note the reference
+    computes the strip length from the *decoded* page name; replicated
+    verbatim for parity, quirk included)."""
     desc = _meta_content(_RE_TWITTER_DESC, html)
     if desc is None:
         return None
     desc = desc.strip()
     if desc.startswith(_MRAKOPEDIA_PREFIX):
-        page = unquote(desc[len(_MRAKOPEDIA_PREFIX):])
-        # the reference strips the URL prefix, leaving the page name
-        desc = page.replace("_", " ").strip()
+        try:
+            pasta_name = unquote(desc.split("/wiki/")[1].split()[0])
+            desc = desc[len(f"{_MRAKOPEDIA_PREFIX}{pasta_name}"):].strip()
+        except Exception:
+            pass
     return desc
 
 

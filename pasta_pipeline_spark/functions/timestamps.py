@@ -22,9 +22,11 @@ def parse_iso8601(col: Column | str) -> Column:
     reference's warn-and-None behavior (telegraph_processor.py:216-224).
     """
     c = F.col(col) if isinstance(col, str) else col
-    # Spark's to_timestamp handles 'Z' and offsets natively; the
-    # reference's .replace('Z', '+00:00') fix-up is unnecessary here.
-    return F.to_timestamp(c)
+    # try_to_timestamp: handles 'Z' and offsets natively (the
+    # reference's .replace('Z', '+00:00') fix-up is unnecessary) and
+    # returns NULL on parse failure even under Spark 4's default ANSI
+    # mode, matching the reference's warn-and-None behavior.
+    return F.try_to_timestamp(c)
 
 
 def age_predicate(ts: Column | str, days: int, now: Column | None = None) -> Column:

@@ -47,9 +47,12 @@ def is_valid_telegraph_url(url: Column | str) -> Column:
     via native ``parse_url`` instead of Python urlparse.
     """
     c = F.col(url) if isinstance(url, str) else url
-    proto = F.parse_url(c, F.lit("PROTOCOL"))
-    host = F.parse_url(c, F.lit("HOST"))
-    path = F.parse_url(c, F.lit("PATH"))
+    # try_parse_url: malformed URLs yield NULL (plain parse_url raises
+    # under Spark 4's default ANSI mode, where the reference's
+    # try/except-False behavior maps to null-is-false)
+    proto = F.try_parse_url(c, F.lit("PROTOCOL"))
+    host = F.try_parse_url(c, F.lit("HOST"))
+    path = F.try_parse_url(c, F.lit("PATH"))
     return (
         c.isNotNull()
         & (proto == "https")

@@ -100,12 +100,18 @@ def upsert_accumulate(
       reference inserts ``retry_count=1`` on first failure, :310);
     - ``accumulate={"views": "add"}`` → ``coalesce(old,0) + coalesce(new,0)``.
 
+    Columns the update batch does not carry keep the target's value on
+    conflict (matching the reference's partial SET list — the S9 upsert
+    only touches status/retry_count/last_checked, never the parsed
+    content columns).
+
     Implemented as a full outer join on the key: one shuffle, no
     window needed, both sides stream.
     """
     keys = [key] if isinstance(key, str) else list(key)
     accumulate = accumulate or {}
     columns = target.columns
+    carried = set(updates.columns)  # columns the batch actually provides
     upd = _align(updates, columns)
 
     t = target.alias("t")
@@ -132,8 +138,10 @@ def upsert_accumulate(
                 ).otherwise(tcol)
             else:
                 raise ValueError(f"unknown accumulate mode {mode!r} for {name}")
-        else:
+        elif name in carried:
             out = F.when(has_update, ucol).otherwise(tcol)
+        else:
+            out = tcol  # not in the batch's SET list — keep old value
         out_cols.append(out.alias(name))
     merged = joined.select(*out_cols, has_update.alias("__has_update"))
     if set_always:

@@ -190,12 +190,21 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with SimHash Hamming distance <= k.
 
-    Exact for k <= SIMHASH_CHUNKS-1 by pigeonhole: candidates must
-    share at least one 15-bit chunk, so we bucket-join on (chunk_idx,
-    chunk_value) and verify with bit_count(xor) — no n² scan.
+    Exact by pigeonhole: the 60-bit signature splits into k+1 disjoint
+    chunks, so any pair within Hamming distance k must agree on at
+    least one chunk — candidates bucket-join on (chunk_idx,
+    chunk_value) and verify with bit_count(xor); no n² scan. Larger k
+    means fewer bits per chunk and more candidates (the usual
+    recall/cost dial).
     """
-    if max_hamming >= SIMHASH_CHUNKS:
-        raise ValueError("pigeonhole bucketing requires max_hamming < SIMHASH_CHUNKS")
+    n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    base = SIMHASH_BITS // n_chunks
+    # chunk i covers [start_i, start_i + width_i); remainder bits widen
+    # the leading chunks by one
+    widths = [base + (1 if i < SIMHASH_BITS % n_chunks else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         "doc",
@@ -205,11 +214,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("simhash"), i * _CHUNK_BITS)
-                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                        F.shiftright(F.col("simhash"), starts[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("cv"),
                     )
-                    for i in range(SIMHASH_CHUNKS)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

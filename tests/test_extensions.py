@@ -1,0 +1,112 @@
+"""Extension operator tests: dedup ladder on crafted near-duplicates,
+similarity search sanity, text analysis, multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles here"),
+    (4, "THE QUICK  brown fox jumps over the lazy dog again and again today"),  # case/ws variant of 1
+    (5, "short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_fingerprint_collapses_case_and_whitespace(spark, docs):
+    from pasta_pipeline_spark.operators.text_dedup import fingerprint_duplicate_groups
+
+    groups = {r["keep_id"]: r["n_copies"] for r in fingerprint_duplicate_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1 and 4 share a fingerprint
+
+
+def test_jaccard_finds_near_dup_pair(spark, docs):
+    from pasta_pipeline_spark.operators.text_dedup import jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical after normalization
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_and_minhash_agree_on_near_dups(spark, docs):
+    from pasta_pipeline_spark.operators.text_dedup import minhash_lsh_pairs, simhash_pairs
+
+    sim = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    mh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 4) in sim and (1, 4) in mh
+    assert (1, 2) in mh
+
+
+def test_cosine_topk_self_first(spark):
+    from pasta_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id = 1").select(F.col("embedding").alias("qv"))
+    got = [r["vec_id"] for r in cosine_topk(emb, q, k=2).collect()]
+    assert got == [1, 2]
+
+
+def test_lang_id_profiles(spark):
+    from pasta_pipeline_spark.operators.text_analysis import detect_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "der Hund ist nicht das Problem und die Katze"),
+            (3, "Привет мир это тест"),
+            (4, "zxqw qwkj poiu"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", detect_language("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "ru", 4: "und"}
+
+
+def test_quality_score_ordering(spark):
+    from pasta_pipeline_spark.operators.text_analysis import quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs into the field " * 5),
+            (2, "@@@ ### $$$ %%% ^^^"),
+            (3, ""),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert got[1] > 0.7
+    assert got[2] < 0.4
+    assert got[3] == 0.0
+
+
+def test_media_stub_and_frame_sampling(spark):
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_stub,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"fakepng"), 3500), (2, "video", bytearray(b"fakemp4"), 2500)],
+        "media_id long, media_type string, payload binary, duration_ms int",
+    )
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats[1]["n_bytes"] == 7 and len(feats[1]["content_md5"]) == 32
+    assert 1 <= feats[1]["width"] <= 1920
+
+    frames = frame_sample_stub(media, every_ms=1000).collect()
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(per_media[1]) == [0, 1000, 2000, 3000]
+    assert sorted(per_media[2]) == [0, 1000, 2000]

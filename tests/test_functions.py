@@ -1,0 +1,150 @@
+"""Unit tests for the scalar function layer (SURVEY.md §5.2) —
+edge-case parity with the reference helpers they re-express."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.functions.hashing import md5_or_empty
+from pasta_pipeline_spark.functions.text import (
+    extract_hashtags,
+    extract_telegraph_links,
+    word_count,
+)
+from pasta_pipeline_spark.functions.timestamps import parse_iso8601
+from pasta_pipeline_spark.functions.urls import (
+    clean_link,
+    is_valid_telegraph_url,
+    scalarize_link,
+)
+
+
+def _one(spark, value, expr):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr(F.col("v")).alias("out")).collect()[0]["out"]
+
+
+class TestExtractTelegraphLinks:
+    """Parity: /root/reference/dags/utils/utils.py:4-17."""
+
+    def test_basic_and_trailing_punct(self, spark):
+        text = 'see https://telegra.ph/Foo-01-02, and https://telegra.ph/Bar-03-04."'
+        assert _one(spark, text, extract_telegraph_links) == [
+            "https://telegra.ph/Foo-01-02",
+            "https://telegra.ph/Bar-03-04",
+        ]
+
+    def test_order_preserving_dedup(self, spark):
+        text = "https://telegra.ph/A https://telegra.ph/B https://telegra.ph/A"
+        assert _one(spark, text, extract_telegraph_links) == [
+            "https://telegra.ph/A",
+            "https://telegra.ph/B",
+        ]
+
+    def test_dedup_after_cleaning(self, spark):
+        # distinct raw matches that clean to the same link collapse
+        text = "https://telegra.ph/A... https://telegra.ph/A"
+        assert _one(spark, text, extract_telegraph_links) == ["https://telegra.ph/A"]
+
+    def test_stop_chars_terminate_match(self, spark):
+        text = "(https://telegra.ph/X) [https://telegra.ph/Y] {https://telegra.ph/Z}"
+        assert _one(spark, text, extract_telegraph_links) == [
+            "https://telegra.ph/X",
+            "https://telegra.ph/Y",
+            "https://telegra.ph/Z",
+        ]
+
+    def test_null_and_empty(self, spark):
+        assert _one(spark, None, extract_telegraph_links) == []
+        assert _one(spark, "", extract_telegraph_links) == []
+        assert _one(spark, "no links here", extract_telegraph_links) == []
+
+
+class TestExtractHashtags:
+    """Parity: /root/reference/dags/utils/utils.py:20-33."""
+
+    def test_lowercase_and_dedup(self, spark):
+        assert _one(spark, "#Foo #BAR #foo", extract_hashtags) == ["foo", "bar"]
+
+    def test_cyrillic(self, spark):
+        assert _one(spark, "#Привет #мир #ПрИвЕт", extract_hashtags) == ["привет", "мир"]
+
+    def test_digits_underscore_boundaries(self, spark):
+        assert _one(spark, "#tag_1 #2nd!stop", extract_hashtags) == ["tag_1", "2nd"]
+
+    def test_null(self, spark):
+        assert _one(spark, None, extract_hashtags) == []
+
+
+class TestWordCount:
+    """Parity: telegraph_processor.py:142-146 (Python str.split)."""
+
+    def test_basic(self, spark):
+        assert _one(spark, "a b  c\n d\te", word_count) == 5
+
+    def test_whitespace_only_and_empty(self, spark):
+        assert _one(spark, "   ", word_count) == 0
+        assert _one(spark, "", word_count) == 0
+        assert _one(spark, None, word_count) == 0
+
+    def test_counts_markup_tokens(self, spark):
+        # A5: the reference counts raw-HTML tokens, tags included
+        assert _one(spark, "<p>hello world</p>", word_count) == 2
+
+
+class TestLinkCleaning:
+    """Parity: db_loader.py:57-78 (P2) + telegraph_processor.py:101-103."""
+
+    def test_brace_strip(self, spark):
+        assert _one(spark, "{https://telegra.ph/A}", clean_link) == "https://telegra.ph/A"
+
+    def test_trim_and_empty(self, spark):
+        assert _one(spark, "  x  ", clean_link) == "x"
+        assert _one(spark, "", clean_link) is None
+        assert _one(spark, "{}", clean_link) is None
+        assert _one(spark, None, clean_link) is None
+
+    def test_scalarize_takes_first(self, spark):
+        df = spark.createDataFrame(
+            [(["{https://telegra.ph/A}", "https://telegra.ph/B"],), ([],), (None,)],
+            "v array<string>",
+        )
+        out = [r["out"] for r in df.select(scalarize_link(F.col("v")).alias("out")).collect()]
+        assert out == ["https://telegra.ph/A", None, None]
+
+
+class TestUrlValidation:
+    """Parity: validate_telegraph_url (telegraph_processor.py:117-125)."""
+
+    def test_cases(self, spark):
+        cases = {
+            "https://telegra.ph/Foo-01-02": True,
+            "http://telegra.ph/Foo": False,        # wrong scheme
+            "https://example.com/Foo": False,      # wrong host
+            "https://telegra.ph/": False,          # path too short
+            "https://telegra.ph": False,
+            "not a url": False,
+        }
+        for url, expected in cases.items():
+            got = _one(spark, url, lambda c: is_valid_telegraph_url(c))
+            assert bool(got) == expected, url
+
+
+class TestHashing:
+    def test_md5_or_empty(self, spark):
+        import hashlib
+
+        assert _one(spark, "hello", md5_or_empty) == hashlib.md5(b"hello").hexdigest()
+        assert _one(spark, "", md5_or_empty) == ""
+        assert _one(spark, None, md5_or_empty) == ""
+
+
+class TestTimestamps:
+    def test_iso8601_z(self, spark):
+        got = _one(spark, "2024-03-01T12:30:00Z", parse_iso8601)
+        assert got == datetime(2024, 3, 1, 12, 30)
+
+    def test_parse_failure_is_null(self, spark):
+        assert _one(spark, "not-a-date", parse_iso8601) is None

@@ -1,0 +1,119 @@
+"""Structured Streaming surface tests — windows over a streaming
+source and the idempotent foreachBatch merge sink."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pasta_pipeline_spark.sources.tables import TableStore
+from pasta_pipeline_spark.streaming.sink import foreach_batch_merge
+from pasta_pipeline_spark.streaming.windows import session_counts, tumbling_counts
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_tumbling_counts_batch_form(spark):
+    df = _events_df(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 10, 5), 1.0),
+            (1, datetime(2024, 1, 1, 10, 55), 2.0),
+            (1, datetime(2024, 1, 1, 11, 5), 3.0),
+        ],
+    )
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(df, width="1 hour").collect()
+    }
+    assert got == {
+        datetime(2024, 1, 1, 10): (2, 3.0),
+        datetime(2024, 1, 1, 11): (1, 3.0),
+    }
+
+
+def test_session_counts_gap_merge(spark):
+    df = _events_df(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 1.0),
+            (1, datetime(2024, 1, 1, 10, 10), 1.0),   # same session
+            (1, datetime(2024, 1, 1, 11, 0), 1.0),    # gap > 30m → new session
+            (2, datetime(2024, 1, 1, 10, 0), 1.0),
+        ],
+    )
+    rows = session_counts(df, gap="30 minutes").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_streaming_window_with_watermark(spark, tmp_path):
+    """Real streaming execution: file source → watermarked tumbling
+    window → memory sink (availableNow)."""
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    _events_df(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 10, 5), 1.0),
+            (1, datetime(2024, 1, 1, 10, 35), 2.0),
+            (2, datetime(2024, 1, 1, 11, 1), 3.0),
+        ],
+    ).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src_dir))
+    windowed = tumbling_counts(stream, width="1 hour", watermark="1 hour")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got == {datetime(2024, 1, 1, 10): 2, datetime(2024, 1, 1, 11): 1}
+
+
+def test_foreach_batch_merge_is_idempotent(spark, tmp_path):
+    """At-least-once stream → exactly-once-effective table state
+    (SURVEY.md §2.9): replaying the same source through a fresh stream
+    leaves the table unchanged."""
+    src_dir = tmp_path / "merge_src"
+    src_dir.mkdir()
+    _events_df(
+        spark,
+        [(1, datetime(2024, 1, 1), 1.0), (2, datetime(2024, 1, 2), 2.0)],
+    ).write.mode("overwrite").parquet(str(src_dir))
+
+    store = TableStore(spark, str(tmp_path / "table"))
+    store.overwrite(
+        _events_df(spark, [(1, datetime(2023, 12, 1), 0.5)])
+    )
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(src_dir))
+        q = foreach_batch_merge(
+            stream, store, key="user_id", order_col="ts", checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(60)
+
+    run("ckpt_a")
+    state1 = sorted((r["user_id"], r["value"]) for r in store.read().collect())
+    assert state1 == [(1, 1.0), (2, 2.0)]  # update won over the older row
+
+    run("ckpt_b")  # full replay through a fresh checkpoint
+    state2 = sorted((r["user_id"], r["value"]) for r in store.read().collect())
+    assert state2 == state1
