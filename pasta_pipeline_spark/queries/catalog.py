@@ -988,3 +988,67 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return extract_media_features(media, decode="stub")
+
+
+@register(
+    "latest_events_topk",
+    """
+    SELECT event_id, user_id, ts
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1000
+    """,
+    doc="L2/L3 — the reference's scrape order: newest-first capped at 1000 "
+    "(message_scraper.py:87-100); compiles to TakeOrderedAndProject (per-"
+    "partition heap + driver merge of k rows, no global sort).",
+)
+def q_latest_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.topk import top_k
+
+    events = _t(spark, sf_dir, "events")
+    return top_k(events, [F.desc("ts"), F.desc("event_id")], 1000).select(
+        "event_id", "user_id", "ts"
+    )
+
+
+@register(
+    "retention_filter",
+    """
+    SELECT event_id
+    FROM events
+    WHERE NOT (ts < (SELECT max(ts) FROM events) - INTERVAL 14 DAY
+               AND event_type <> 'purchase')
+    """,
+    doc="P9 retention delete (duplicate_remover.py:205-211): drop rows older "
+    "than the retention window unless protected by status — expressed as the "
+    "surviving set; 'now' frozen to max(ts) for determinism.",
+)
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    head = events.agg(F.max("ts").alias("__head"))
+    doomed = (
+        F.col("ts") < F.col("__head") - F.expr("INTERVAL 14 DAYS")
+    ) & (F.col("event_type") != "purchase")
+    return (
+        events.crossJoin(F.broadcast(head))
+        .filter(~F.coalesce(doomed, F.lit(False)))
+        .select("event_id")
+    )
+
+
+@register(
+    "status_breakdown",
+    """
+    SELECT event_type AS status, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY status
+    """,
+    doc="P8 status predicates + per-status grouped counts (the stats surface, "
+    "duplicate_remover.py:259-266 / SURVEY.md §2.4).",
+)
+def q_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("event_type").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

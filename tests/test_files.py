@@ -1,0 +1,62 @@
+"""CSV/JSON snapshot sink + scan roundtrip (S3/S4/S5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pasta_pipeline_spark.schemas import RAW_MESSAGE_SCHEMA
+from pasta_pipeline_spark.sources.files import (
+    read_json_snapshot,
+    snapshot_path,
+    write_csv_snapshot,
+    write_json_snapshot,
+)
+
+
+def _raw(spark):
+    rows = [
+        (
+            1,
+            datetime(2024, 5, 1),
+            "приветствие #тег",  # non-ASCII must survive the JSON roundtrip
+            5,
+            1,
+            ["тег"],
+            ["https://telegra.ph/A"],
+            {"👍": 3},
+            datetime(2024, 5, 2),
+        )
+    ]
+    return spark.createDataFrame(rows, RAW_MESSAGE_SCHEMA)
+
+
+def test_json_snapshot_roundtrip_preserves_unicode_and_types(spark, tmp_path):
+    df = _raw(spark)
+    path = str(tmp_path / "snap_json")
+    write_json_snapshot(df, path)
+    back = read_json_snapshot(spark, path, RAW_MESSAGE_SCHEMA)
+    row = back.collect()[0]
+    assert row["text"] == "приветствие #тег"
+    assert row["hashtags"] == ["тег"]
+    assert row["reactions"] == {"👍": 3}
+    assert row["date"] == datetime(2024, 5, 1)
+    assert back.schema == RAW_MESSAGE_SCHEMA
+
+
+def test_csv_snapshot_writes_scalar_columns(spark, tmp_path):
+    # CSV can't carry arrays/maps — export scalars (the reference's CSV
+    # snapshot carries the pandas repr; we export clean scalar columns)
+    df = _raw(spark).select("message_id", "date", "text", "views")
+    path = str(tmp_path / "snap_csv")
+    write_csv_snapshot(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 1
+    assert back.columns == ["message_id", "date", "text", "views"]
+
+
+def test_snapshot_path_templating(spark):
+    # F15 parity (message_scraper.py:113-118)
+    assert (
+        snapshot_path("/out", "mychan", "7d", "20240601T120000", "csv")
+        == "/out/mychan_7d_20240601T120000.csv"
+    )
