@@ -62,20 +62,21 @@ def word_count(text: Column | str) -> Column:
     fill at :229 — the reference counts tokens of the *raw HTML*,
     markup included; callers choose what column to count).
     """
-    c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
-    return F.when(
-        c.isNull() | (trimmed == ""), F.lit(0)
-    ).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("int")
+    return F.size(tokenize_ws(text, lowercase=False)).cast("int")
 
 
 def tokenize_ws(text: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokenization to array<string> (Python split
     semantics: no empty tokens). Shared by the text-analysis and
-    near-dup extension operators."""
+    near-dup extension operators.
+
+    Implementation note: split + drop-empties, NOT trim-then-split —
+    ``F.trim`` strips only ASCII spaces, so a trailing ``\\n`` would
+    leave a phantom empty token (caught by the reference-differential
+    parity tests). DuckDB-oracle twin:
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``.
+    """
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
-    toks = F.when(c.isNull() | (trimmed == ""), F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
     return F.transform(toks, F.lower) if lowercase else toks

@@ -573,8 +573,7 @@ def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_word_count",
     """
     SELECT doc_id,
-           CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words
+           CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), y -> y <> '')), 0) AS BIGINT) AS n_words
     FROM documents
     """,
     doc="F6/A5 word count (telegraph_processor.py:142-146): Python str.split() "
@@ -612,7 +611,7 @@ def q_extract_pattern_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     """
     SELECT doc_id,
-           md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fingerprint
+           md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''), ' ')) AS fingerprint
     FROM documents
     """,
     doc="Normalized document fingerprint (extension tier 1 of the dedup ladder): "
@@ -648,13 +647,13 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANG_ID_ORACLE = """
     WITH scored AS (
       SELECT doc_id, text,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''),
                  x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS h_en,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''),
                  x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS h_de,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''),
                  x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS h_fr,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''),
                  x -> x IN ('el','la','los','las','es','un','una','en','por','para'))) AS h_es
       FROM documents
     )
@@ -687,10 +686,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_ORACLE = """
     WITH base AS (
       SELECT doc_id, text,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '')) AS n_tok,
              length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
              length(regexp_replace(text, '[^A-Za-zА-Яа-я一-鿿]+', '', 'g')) AS n_alpha,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''),
                  x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS h_en
       FROM documents
     )
@@ -764,7 +763,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fingerprint",
     """
-    SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fingerprint,
+    SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''), ' ')) AS fingerprint,
            count(*) AS n_copies, min(doc_id) AS keep_id
     FROM documents GROUP BY 1
     """,
@@ -779,7 +778,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
              CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -817,7 +816,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '')) AS tok
       FROM documents
     ), h AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks

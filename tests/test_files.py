@@ -40,7 +40,10 @@ def test_json_snapshot_roundtrip_preserves_unicode_and_types(spark, tmp_path):
     assert row["hashtags"] == ["тег"]
     assert row["reactions"] == {"👍": 3}
     assert row["date"] == datetime(2024, 5, 1)
-    assert back.schema == RAW_MESSAGE_SCHEMA
+    # JSON sources mark every column nullable — compare names + types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in RAW_MESSAGE_SCHEMA.fields
+    ]
 
 
 def test_csv_snapshot_writes_scalar_columns(spark, tmp_path):
