@@ -1051,3 +1051,78 @@ def q_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+@register(
+    "salted_group_agg",
+    """
+    SELECT user_id, count(*) AS n_events,
+           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Skew-resilient two-phase salted aggregation (SURVEY.md §4 posture): "
+    "group by (key, salt) then recombine by key — bit-identical to a plain "
+    "GROUP BY for decomposable aggregates, which is exactly what the oracle "
+    "checks.",
+)
+def q_salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    pre = events.select(
+        "user_id", F.floor(F.col("value") * 10000).cast("long").alias("value_fp")
+    )
+    out = salted_agg(
+        pre,
+        keys=["user_id"],
+        aggs={"n_events": ("count", ""), "total_fp": ("sum", "value_fp")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id", "n_events", (F.col("total_fp") / 10000.0).alias("total_value")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o_orderkey, o_orderdate,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping-priority query: selective dimension filter, "
+    "two joins, grouped revenue, global top-k — the canonical join+agg+topk "
+    "benchmark shape.",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    seg = customer.agg(F.min("c_mktsegment").alias("seg"))
+    cust = customer.join(F.broadcast(seg), customer["c_mktsegment"] == F.col("seg")).select(
+        "c_custkey"
+    )
+    disc_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        orders.where(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.where(
+                F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum(disc_fp) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )

@@ -117,3 +117,53 @@ def test_foreach_batch_merge_is_idempotent(spark, tmp_path):
     run("ckpt_b")  # full replay through a fresh checkpoint
     state2 = sorted((r["user_id"], r["value"]) for r in store.read().collect())
     assert state2 == state1
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: keyed state survives across micro-batches
+    and across stream restarts (checkpointed)."""
+    from pasta_pipeline_spark.streaming.stateful import running_user_totals
+
+    src_dir = tmp_path / "stateful_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "stateful_ckpt")
+    # the memory sink cannot recover from a checkpoint — compose with
+    # the engine's own idempotent merge sink instead (also the more
+    # realistic pairing: stateful op → keyed table)
+    store = TableStore(spark, str(tmp_path / "totals_table"))
+    store.overwrite(
+        spark.createDataFrame([], "user_id long, n_events long, total_value double")
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(src_dir))
+        totals = running_user_totals(stream)
+        q = foreach_batch_merge(
+            totals, store, key="user_id", order_col="n_events", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    _events_df(
+        spark, [(1, datetime(2024, 1, 1), 10.0), (1, datetime(2024, 1, 2), 5.0), (2, datetime(2024, 1, 1), 1.0)]
+    ).write.mode("append").parquet(str(src_dir))
+    run_once()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in store.read().collect()
+    }
+    assert got[1] == (2, 15.0) and got[2] == (1, 1.0)
+
+    # new file arrives; restart from the same checkpoint — keyed state
+    # is restored and only the new file is processed
+    _events_df(spark, [(1, datetime(2024, 1, 3), 2.5)]).write.mode("append").parquet(
+        str(src_dir)
+    )
+    run_once()
+    got2 = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in store.read().collect()
+    }
+    assert got2[1] == (3, 17.5)  # 2 prior events + 1 new, state restored
+    assert got2[2] == (1, 1.0)
