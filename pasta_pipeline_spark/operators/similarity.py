@@ -152,3 +152,73 @@ def ann_topk_lsh(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int | None = None,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector tier of the
+    dedup ladder): all (id_a < id_b) with cosine >= threshold.
+
+    Exact mode self-joins the corpus (right for corpora that fit a
+    broadcast or where exactness is required — it is the oracle for
+    the LSH mode). ``use_lsh=True`` restricts candidates to sign-LSH
+    bucket collisions first — the scale path: near-linear for high
+    thresholds, with the usual LSH false-negative trade-off.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    src = ensure_parallelism(embeddings.select(F.col(id_col), F.col(vec_col)))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("use_lsh=True requires dim")
+        src = with_lsh_bucket(src, vec_col, dim, num_planes)
+    a = src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col("bucket").alias("ba")] if use_lsh else []),
+    )
+    b = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col("bucket").alias("bb")] if use_lsh else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if use_lsh:
+        cond = cond & (F.col("ba") == F.col("bb"))
+    pairs = a.join(b, cond)
+    sim = cosine(F.col("va"), F.col("vb")).alias("sim")
+    return (
+        pairs.select("id_a", "id_b", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension):
+    posexplode → per-(label, pos) mean. Row form (not reassembled
+    arrays) keeps the result order-insensitive-hash friendly and the
+    shuffle one-phase; `F.array_agg` over a sorted window would
+    reassemble if a vector column is needed downstream.
+
+    Sums go through the fixed-point bridge so the means are
+    cross-engine exact (see queries/catalog.py module docstring).
+    """
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    fp = F.floor(F.col("v").cast("double") * 10000000).cast("long")
+    return (
+        exploded.groupBy("label", "pos")
+        .agg((F.sum(fp) / 10000000.0 / F.count(F.lit(1))).alias("centroid"))
+    )

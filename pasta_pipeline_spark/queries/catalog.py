@@ -1126,3 +1126,69 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+_COSINE_DUP_ORACLE = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+"""
+
+
+@register(
+    "cosine_dup_pairs",
+    _COSINE_DUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs (vector tier of the dedup ladder): "
+    "exact all-pairs at cosine >= 0.4, bit-identical across engines. The "
+    "use_lsh=True variant of the same operator is the 100 TB path.",
+)
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH exploded AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS pos1, embedding
+      FROM embeddings
+    )
+    SELECT label, pos1 - 1 AS pos,
+           SUM(CAST(FLOOR(embedding[pos1]::DOUBLE * 10000000) AS BIGINT)) / 10000000.0 / count(*) AS centroid
+    FROM exploded GROUP BY label, pos1
+    """,
+    doc="Per-label centroid, one row per (label, dimension) via posexplode + "
+    "fixed-point mean — grouped vector aggregation without UDFs.",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@register(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           SUM(json_extract(props, '$.k')::INT) AS sum_k,
+           count(json_extract(props, '$.k')) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON column surface (the reactions-JSONB analog, SURVEY.md §1.2): "
+    "path extraction from the events.props JSON string + grouped aggregation.",
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
