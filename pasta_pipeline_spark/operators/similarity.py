@@ -222,3 +222,77 @@ def label_centroids(
         exploded.groupBy("label", "pos")
         .agg((F.sum(fp) / 10000000.0 / F.count(F.lit(1))).alias("centroid"))
     )
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine).
+    ``centroids`` is a small (cell_id, cv) DataFrame — broadcast; the
+    corpus is scanned once and ranked per-vector with a window."""
+    j = embeddings.crossJoin(F.broadcast(centroids))
+    sim = cosine(F.col(vec_col), F.col("cv")).alias("csim")
+    ranked = j.select(F.col(id_col), F.col(vec_col), F.col("cell_id"), sim).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell_id"))
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(id_col, vec_col, "cell_id")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF-flavored ANN: training-free deterministic seeding (the
+    ``n_cells`` lowest-id vectors act as centroids), one-scan cell
+    assignment, then exact cosine ranking restricted to the query's
+    ``n_probe`` nearest cells.
+
+    At scale the assignment table is computed once and persisted
+    alongside the corpus (a partition column — cell-pruned scans);
+    queries touch n_probe/n_cells of the data. A k-means trainer can
+    replace the seeding without changing this query path.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    w = Window.orderBy(F.asc(id_col))
+    centroids = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    assigned = assign_ivf_cells(
+        ensure_parallelism(embeddings), centroids, id_col, vec_col
+    )
+    qcells = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(query_vec_col),
+            F.col("cell_id"),
+            cosine(F.col(query_vec_col), F.col("cv")).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select(query_vec_col, "cell_id")
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell_id")
+    sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
+    return (
+        cand.select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1192,3 +1192,52 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
     )
+
+
+_ZSCORE_ORACLE = """
+    WITH ex AS (
+      SELECT label, vec_id, CAST(pos1 - 1 AS INT) AS pos,
+             CAST(FLOOR(embedding[pos1]::DOUBLE * 10000000) AS BIGINT) AS fp
+      FROM (SELECT label, vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos1
+            FROM embeddings)
+    ), st AS (
+      SELECT label, pos, SUM(fp) AS sfp, SUM(fp * fp) AS sfp2, count(*) AS n
+      FROM ex GROUP BY label, pos
+    )
+    SELECT ex.vec_id, ex.label, ex.pos,
+           (ex.fp / 10000000.0 - sfp / 10000000.0 / n)
+             / sqrt(greatest(sfp2 / 100000000000000.0 / n
+                             - (sfp / 10000000.0 / n) * (sfp / 10000000.0 / n), 0.0)) AS z
+    FROM ex JOIN st ON ex.label = st.label AND ex.pos = st.pos
+"""
+
+
+@register(
+    "zscore_normalize",
+    _ZSCORE_ORACLE,
+    doc="Per-group normalization via grouped-map applyInPandas (one Arrow "
+    "frame per label group): z-score each embedding dimension within its "
+    "label. Means/variances come from exact int64 fixed-point sums inside "
+    "the pandas worker, so the doubles match the SQL oracle bit-for-bit.",
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.normalize import zscore_by_label
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return zscore_by_label(emb)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate (probes a subset of cells) — no exact SQL twin
+    doc="IVF-flavored ANN top-10: deterministic seed centroids, one-scan "
+    "cell assignment, n_probe-cell search — the partition-pruned scale "
+    "path; k-means training slots in without changing the query.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return ivf_topk(emb, query, k=10, n_cells=16, n_probe=4)
