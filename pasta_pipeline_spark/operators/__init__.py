@@ -15,6 +15,33 @@ from pasta_pipeline_spark.operators.antijoin import (
     select_unprocessed_links,
 )
 from pasta_pipeline_spark.operators.topk import top_k
+from pasta_pipeline_spark.operators.dedup import dedup_content
+from pasta_pipeline_spark.operators.skew import salted_agg
+from pasta_pipeline_spark.operators.text_dedup import (
+    exact_duplicate_groups,
+    fingerprint_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from pasta_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    cosine_dup_pairs,
+    knn_join,
+    ann_topk_lsh,
+    ivf_topk,
+    label_centroids,
+)
+from pasta_pipeline_spark.operators.text_analysis import (
+    detect_language,
+    quality_score,
+    token_count_lexical,
+)
+from pasta_pipeline_spark.operators.normalize import zscore_by_label
+from pasta_pipeline_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_stub,
+)
 
 __all__ = [
     "merge_upsert",
@@ -22,9 +49,28 @@ __all__ = [
     "keep_latest",
     "keep_first",
     "dedup_exact",
+    "dedup_content",
     "anti_join",
     "semi_join",
     "null_out_orphans",
     "select_unprocessed_links",
     "top_k",
+    "salted_agg",
+    "exact_duplicate_groups",
+    "fingerprint_duplicate_groups",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "cosine_dup_pairs",
+    "knn_join",
+    "ann_topk_lsh",
+    "ivf_topk",
+    "label_centroids",
+    "detect_language",
+    "quality_score",
+    "token_count_lexical",
+    "zscore_by_label",
+    "extract_media_features",
+    "frame_sample_stub",
 ]

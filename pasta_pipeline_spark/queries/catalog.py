@@ -1241,3 +1241,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
     return ivf_topk(emb, query, k=10, n_cells=16, n_probe=4)
+
+
+@register(
+    "brand_revenue",
+    """
+    SELECT p_brand,
+           count(*) AS n_items,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           SUM(CAST(FLOOR(p_retailprice * 10000) AS BIGINT)) / 10000.0 AS retail_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact-to-dimension join + grouped revenue per brand (part dimension "
+    "broadcast; completes scan coverage of the part table).",
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    retail_fp = F.floor(F.col("p_retailprice") * 10000).cast("long")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(disc_fp) / 10000.0).alias("revenue"),
+            (F.sum(retail_fp) / 10000.0).alias("retail_value"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_balance",
+    """
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           SUM(CAST(FLOOR(s_acctbal * 10000) AS BIGINT)) / 10000.0 AS total_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Supplier-dimension rollup by nation (completes scan coverage of the "
+    "supplier table; both sides broadcast-small).",
+)
+def q_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    bal_fp = F.floor(F.col("s_acctbal") * 10000).cast("long")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.sum(bal_fp) / 10000.0).alias("total_balance"),
+        )
+    )
