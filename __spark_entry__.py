@@ -12,9 +12,17 @@ surface), each with a DuckDB oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# importable regardless of the caller's cwd (the driver may load this
+# module by file path)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pasta_pipeline_spark.queries import oracle_queries, spark_queries
 
