@@ -25,7 +25,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pasta_pipeline_spark.functions.text import tokenize_ws
@@ -116,34 +116,53 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
-    explode → self-equi-join on shingle → per-pair intersection count →
+    Pair generation is inverted-index style: group docs per shingle,
+    emit each group's ordered combinations, count per pair —
     |A∪B| = |A| + |B| - |A∩B|. Only pairs sharing ≥1 shingle are ever
-    materialized, so cost tracks true overlap, not n².
+    materialized (df=1 shingles vanish in the size>1 filter), so cost
+    tracks true overlap, not n²; and there is no self-join of the full
+    shingle table — one groupBy(shingle) + one groupBy(pair).
 
-    Scale optimization (exactness-preserving): shingles occurring in a
-    single document cannot form a pair, so they are pruned before the
-    self-join. On realistic corpora most shingles are unique — this
-    cuts the join input by an order of magnitude; the window count and
-    the join shuffle on the same key, so Catalyst reuses the exchange.
+    Skew safety: a pathologically hot shingle (boilerplate shared by
+    10⁵ docs) would explode df²/2 combinations inside one row, so doc
+    lists longer than ``hot_df_cap`` take the classic self-equi-join
+    path instead (distributes the quadratic work across the cluster).
+    Exact either way; the cap only picks the physical strategy.
 
-    The shingle table feeds the size aggregate, both join sides and the
-    prune — it is persisted (memory-and-disk) so the tokenize + shingle
-    expressions run once, not four times.
+    The shingle table is persisted — it feeds the size aggregate and
+    the pair generator, so tokenize+shingle expressions run once.
     """
+    hot_df_cap = 1024
     sh = _shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    w = Window.partitionBy("sh")
-    sh_shared = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(w))
-        .filter(F.col("__df") > 1)
-        .drop("__df")
+    lists = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .where(F.size("docs") > 1)
     )
-    a = sh_shared.alias("a")
-    b = sh_shared.alias("b")
+    small_pairs = (
+        lists.where(F.size("docs") <= hot_df_cap)
+        .select(
+            F.expr(
+                "explode(flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))) AS p"
+            )
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    hot = lists.where(F.size("docs") > hot_df_cap).select(
+        "sh", F.explode("docs").alias("doc")
+    )
+    ha, hb = hot.alias("a"), hot.alias("b")
+    hot_pairs = ha.join(
+        hb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        small_pairs.unionByName(hot_pairs)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
