@@ -1,0 +1,68 @@
+"""Physical-plan property tests (SCALING.md regression guard).
+
+These assert the *plan shapes* the 100 TB posture depends on —
+predicate pushdown into the parquet scan, column pruning, broadcast
+dimension joins, TakeOrderedAndProject for top-k, a single shuffle for
+the merge operator — so a refactor that silently degrades a plan
+(e.g., a filter that stops pushing, a join that falls back to
+sort-merge-with-shuffle on a dimension) fails CI, not production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pasta_pipeline_spark.queries.catalog import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: exactly the 7 needed columns reach the scan
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in readschema
+    assert "l_orderkey" not in readschema  # unneeded column pruned
+
+
+def test_work_selection_is_broadcast_anti_topk(spark):
+    plan = _plan(spark, "work_selection")
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    # both the status filter and the returnflag filter reach parquet
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "Not(EqualTo(o_orderstatus,F))" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "join_agg_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all sides under threshold here
+
+
+def test_merge_upsert_single_shuffle(spark):
+    plan = _plan(spark, "merge_upsert")
+    # union + window-dedup: exactly one exchange in the operator list
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    # bonus property: the rn=1 filter is pushed below the shuffle as a
+    # per-partition group limit (WindowGroupLimit), shrinking shuffle IO
+    assert "WindowGroupLimit" in plan
+
+
+def test_top_orders_no_global_sort(spark):
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
