@@ -853,11 +853,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_pairs",
-    None,  # LSH has inherent false negatives — no exact SQL twin; the returned
-    # pairs are exact-Jaccard-verified, and tier-3 (ngram_jaccard_pairs) is the
-    # oracle-checked superset.
+    _JACCARD_ORACLE,  # LSH can miss pairs in general (inherent false
+    # negatives), but with 64 perms / 16 bands at J>=0.5 its recall on this
+    # corpus is exactly 1.0 and the operator is fully deterministic — so its
+    # output provably equals the exact tier-3 answer, which this oracle is.
+    # Verified at sf0.001 and sf0.01 (pairs and jaccard values identical).
     doc="Dedup tier 4 — MinHash (64 perms) banded LSH (16 bands) candidate "
-    "generation + exact-Jaccard verification at >= 0.5.",
+    "generation + exact-Jaccard verification at >= 0.5; output matches the "
+    "exact n-gram oracle on this corpus (recall 1.0, deterministic).",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_dedup import minhash_lsh_pairs

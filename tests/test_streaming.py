@@ -167,3 +167,53 @@ def test_stateful_running_totals(spark, tmp_path):
     }
     assert got2[1] == (3, 17.5)  # 2 prior events + 1 new, state restored
     assert got2[2] == (1, 1.0)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: with a 1-hour watermark, an event arriving
+    after the watermark has passed its window is dropped (the streaming
+    restatement of the reference's lookback cut, SURVEY.md §2.9).
+    The watermark is persisted in the checkpoint, so two availableNow
+    runs over the same checkpoint give a deterministic on-time → late
+    ordering (a single run may batch all files together and never
+    advance the watermark between them)."""
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    store = TableStore(spark, str(tmp_path / "late_table"))
+    store.overwrite(
+        spark.createDataFrame(
+            [], "window_start timestamp, window_end timestamp, n_events long, sum_value double"
+        )
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(src_dir))
+        windowed = tumbling_counts(stream, width="1 hour", watermark="1 hour")
+        q = foreach_batch_merge(
+            windowed, store, key="window_start", order_col="n_events",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # run 1: on-time events up to 12:00 → checkpointed watermark = 11:00
+    _events_df(
+        spark,
+        [(1, datetime(2024, 1, 1, 11, 55), 1.0), (1, datetime(2024, 1, 1, 12, 0), 1.0)],
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_once()
+
+    # run 2: an event at 09:10 — far below the restored 11:00 watermark
+    _events_df(spark, [(1, datetime(2024, 1, 1, 9, 10), 99.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    run_once()
+
+    got = {r["window_start"]: r["n_events"] for r in store.read().collect()}
+    # the late 09:10 event was dropped: no 09:00 window ever emitted
+    assert datetime(2024, 1, 1, 9) not in got
+    # the on-time windows are present and unpolluted
+    assert got[datetime(2024, 1, 1, 11)] == 1
+    assert got[datetime(2024, 1, 1, 12)] == 1
