@@ -30,3 +30,23 @@ def content_fingerprint(text: Column | str) -> Column:
     toks = tokenize_ws(text, lowercase=True)
     normalized = F.array_join(toks, " ")
     return F.md5(normalized)
+
+
+def rolling_hash(text: Column | str, base: int = 1_000_003, mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``h = fold(tokens, 0, (acc, t) -> (acc*B + h28(t)) mod M)`` with
+    md5-derived 28-bit token hashes.
+
+    The streaming-friendly fingerprint tier: incremental (a new chunk
+    folds onto the previous hash without re-reading the document) and
+    cheap to compare. All arithmetic stays under 2^52, so it is exact
+    in int64 — and expressible identically in the DuckDB oracle via
+    ``list_reduce`` (see queries/catalog.py).
+    """
+    toks = tokenize_ws(text, lowercase=True)
+    h28 = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.transform(toks, h28),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + x) % F.lit(mod),
+    )

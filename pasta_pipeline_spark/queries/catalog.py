@@ -1301,3 +1301,60 @@ def q_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bal_fp) / 10000.0).alias("total_balance"),
         )
     )
+
+
+@register(
+    "doc_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''),
+                              t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rhash
+    FROM documents
+    """,
+    doc="Order-sensitive polynomial rolling-hash fingerprint over the token "
+    "stream (incremental-update-friendly; the streaming fingerprint tier), "
+    "exact int64 arithmetic in both engines.",
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.hashing import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+@register(
+    "url_validation",
+    """
+    SELECT doc_id, url,
+           (url LIKE 'https://telegra.ph/%' AND length(url) > length('https://telegra.ph/')) AS is_valid
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'https://telegra.ph/' || source || '-' || doc_id
+                  WHEN doc_id % 3 = 1 THEN 'https://example.com/' || doc_id
+                  ELSE 'http://telegra.ph/' || doc_id END AS url
+      FROM documents
+    )
+    """,
+    doc="P7/F8 URL validation (telegraph_processor.py:117-125) over constructed "
+    "URLs: scheme https + host telegra.ph + non-trivial path. The Spark side "
+    "uses try_parse_url components; the oracle the equivalent string predicate "
+    "(identical on well-formed inputs by construction).",
+)
+def q_url_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import is_valid_telegraph_url
+
+    docs = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://telegra.ph/"), F.col("source"), F.lit("-"), F.col("doc_id")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("https://example.com/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("http://telegra.ph/"), F.col("doc_id")))
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), is_valid_telegraph_url(url).alias("is_valid")
+    )
