@@ -393,3 +393,71 @@ def minhash_lsh_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment — pairs → connected components → survivors
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Assign every document to its duplicate cluster: the transitive
+    closure of the near-dup pair graph, labeled by the smallest doc id
+    in the component (the deterministic survivor). Documents with no
+    near-dup pair form singleton clusters.
+
+    Algorithm: iterative min-label propagation (the join-based core of
+    large-star/small-star connected components). Each round every node
+    takes the min of its own label and its neighbors' labels; rounds
+    repeat until a fixpoint. Convergence needs at most the component
+    diameter rounds — near-dup components are tiny in practice, so
+    this is 2-4 rounds of broadcast-sized joins; at 100 TB scale the
+    same loop runs with the edge list repartitioned on node and the
+    label frame checkpointed per round to keep lineage flat.
+
+    Returns (doc_id, cluster_id, is_survivor).
+    """
+    ids = all_ids.select(F.col(id_col).alias("node")).distinct()
+    # undirected edge list, both directions
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = ids.select("node", F.col("node").alias("lbl")).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_survivor"),
+    )

@@ -1358,3 +1358,38 @@ def q_url_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", url.alias("url"), is_valid_telegraph_url(url).alias("is_valid")
     )
+
+
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE pairs AS (
+""" + _JACCARD_ORACLE.replace("documents", "documents", 1) + """
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), cc(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_survivor
+    FROM cc GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "near-dup pair graph (3-gram Jaccard >= 0.5), labeled by the smallest "
+    "member id = the deterministic survivor. Spark runs iterative min-label "
+    "propagation (join-based CC, the 100 TB-scale form); the oracle computes "
+    "the same closure with a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return duplicate_clusters(docs, pairs)

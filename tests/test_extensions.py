@@ -110,3 +110,26 @@ def test_media_stub_and_frame_sampling(spark):
         per_media.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert sorted(per_media[1]) == [0, 1000, 2000, 3000]
     assert sorted(per_media[2]) == [0, 1000, 2000]
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A-B and B-C pairs must merge into one cluster labeled by the
+    smallest id, with everything else a singleton survivor."""
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3, 0.9), (3, 4, 0.8), (5, 6, 0.7)], "doc_a long, doc_b long, jaccard double"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in duplicate_clusters(ids, pairs).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (2, True),
+        3: (2, False),
+        4: (2, False),   # transitively merged via 3
+        5: (5, True),
+        6: (5, False),
+    }
