@@ -1393,3 +1393,72 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return duplicate_clusters(docs, pairs)
+
+
+@register(
+    "cheapest_part_per_type",
+    """
+    SELECT p.p_partkey, p.p_type, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+    ORDER BY p.p_partkey
+    """,
+    doc="TPC-H Q2-shaped correlated-min: parts priced at their type's minimum. "
+    "Spark expresses the correlated scalar subquery as a window min — one "
+    "shuffle instead of a rewritten join.",
+)
+def q_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("__min_price", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("__min_price"))
+        .select("p_partkey", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "late_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_late
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped exists-aggregate: orders with any lineitem shipped "
+    "60+ days after the order date, counted per priority — semi-join feeding "
+    "an aggregation.",
+)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    late = orders.join(lineitem, cond, "left_semi")
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+@register(
+    "supplier_count_per_brand",
+    """
+    SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q16-shaped distinct-count per group: supplier diversity per "
+    "brand — grouped COUNT(DISTINCT) over a dimension join (two-phase "
+    "aggregation under the hood).",
+)
+def q_supplier_count_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
