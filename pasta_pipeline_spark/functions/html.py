@@ -121,6 +121,10 @@ def with_html_fields(df: DataFrame, html_col: str = "content") -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
     @pandas_udf(HTML_FIELDS_SCHEMA)
     def _extract(html: pd.Series) -> pd.DataFrame:
         titles, descs, pubs = [], [], []

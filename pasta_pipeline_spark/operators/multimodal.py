@@ -83,8 +83,9 @@ def extract_media_features(
     if decode not in ("stub", "real"):
         raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
 
-    from pasta_pipeline_spark.operators.util import ensure_parallelism
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers, ensure_parallelism
 
+    ensure_package_on_workers(df.sparkSession)
     src = ensure_parallelism(
         df.select(
             F.col(id_col).alias("media_id"),
@@ -116,6 +117,9 @@ def frame_sample_stub(
     row per sampled frame timestamp (real decode stubbed; the frame
     payload is a deterministic md5 of (bytes, ts)). Demonstrates the
     1→N mapInPandas shape a real sampler uses."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
     src = df.select(
         F.col(id_col).alias("media_id"),
         F.col(payload_col).alias("payload"),

@@ -71,8 +71,9 @@ def zscore_by_label(
 ) -> DataFrame:
     """Standardize every embedding dimension within its label group.
     Output: one row per (vec_id, pos) with the z-scored value."""
-    from pasta_pipeline_spark.operators.util import ensure_parallelism
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers, ensure_parallelism
 
+    ensure_package_on_workers(embeddings.sparkSession)
     src = ensure_parallelism(
         embeddings.select(
             F.col(id_col).alias("vec_id"),

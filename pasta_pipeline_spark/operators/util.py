@@ -2,7 +2,38 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship pasta_pipeline_spark to Python workers via addPyFile.
+
+    Cloudpickle serializes module-level functions by reference, so any
+    pandas-UDF / mapInPandas / applyInPandas stage requires the worker
+    interpreter to import this package. When the driver imported us by
+    file path (sys.path mutation), workers inherit no such path and
+    fail with ModuleNotFoundError — caught by running the driver
+    contract from a foreign cwd. Zipping the package once per
+    SparkContext and registering it with addPyFile makes workers
+    self-sufficient regardless of how the driver found us.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pasta_pkg_shipped", False):
+        return
+    import pasta_pipeline_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(pasta_pipeline_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"pasta_pipeline_spark_pyfiles_{os.getpid()}"
+    )
+    archive = shutil.make_archive(base, "zip", root_dir=root, base_dir="pasta_pipeline_spark")
+    sc.addPyFile(archive)
+    sc._pasta_pkg_shipped = True
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

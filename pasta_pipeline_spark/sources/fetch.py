@@ -106,8 +106,9 @@ def fetch_links(
     across workers; within a partition URLs fetch sequentially with the
     reference's rate limiting.
     """
-    from pasta_pipeline_spark.operators.util import ensure_parallelism
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers, ensure_parallelism
 
+    ensure_package_on_workers(links.sparkSession)
     src = links.select(F.col(url_col).alias("url")).where(F.col("url").isNotNull())
     src = (
         src.repartition(parallelism) if parallelism else ensure_parallelism(src)

@@ -63,6 +63,9 @@ def running_user_totals(
     """Streaming per-key running totals with keyed state. Emits the
     updated total for every key seen in each micro-batch (update
     mode)."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
     return events.groupBy(key_col).applyInPandasWithState(
         _update_totals,
         outputStructType=OUTPUT_SCHEMA,
