@@ -37,3 +37,36 @@ def read_json_snapshot(spark: SparkSession, path: str, schema: StructType) -> Da
     """S5 — snapshot scan with explicit schema (replacing pandas
     read_json inference + NaN scrubbing; Spark nulls are native)."""
     return spark.read.schema(schema).json(path)
+
+
+def write_orc_snapshot(df: DataFrame, path: str) -> None:
+    """ORC sink — second columnar format (native Spark support), for
+    interop with ORC-based warehouses."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_csv_with_error_channel(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """P10 — error-row handling as a side channel instead of a silent
+    drop (SURVEY.md §2.2: the reference logs-and-skips malformed rows,
+    message_scraper.py:88-90 / db_loader.py:197-200). Permissive-mode
+    CSV scan where rows that fail the schema land with their raw text
+    in ``_corrupt_record`` and nulls elsewhere; downstream filters
+    route them to a quarantine table rather than losing them."""
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

@@ -87,3 +87,26 @@ class TableStore:
 
         if old is not None:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+
+    def compact(self, target_partitions: int) -> None:
+        """Small-file compaction: rewrite the live version into
+        ``target_partitions`` files. Streaming merges and incremental
+        runs accrete one file per shuffle partition per run; periodic
+        compaction keeps scan task counts and footer overhead bounded
+        (at real scale: the table format's OPTIMIZE)."""
+        self.overwrite(self.read().coalesce(target_partitions))
+
+
+def write_bucketed_table(
+    df, name: str, bucket_col: str, num_buckets: int = 16, sort_col: str | None = None
+) -> None:
+    """Bucketed managed table — the co-located-join layout (SURVEY.md
+    §4: the replacement for the reference's B-tree indexes on join
+    keys). Two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle: each task reads matching bucket
+    files from both sides. ``sortBy`` additionally pre-sorts within
+    buckets so sort-merge joins skip their sort."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)

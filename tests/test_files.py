@@ -63,3 +63,36 @@ def test_snapshot_path_templating(spark):
         snapshot_path("/out", "mychan", "7d", "20240601T120000", "csv")
         == "/out/mychan_7d_20240601T120000.csv"
     )
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from pasta_pipeline_spark.sources.files import read_orc_snapshot, write_orc_snapshot
+
+    df = _raw(spark).select("message_id", "text", "hashtags", "reactions")
+    path = str(tmp_path / "snap_orc")
+    write_orc_snapshot(df, path)
+    row = read_orc_snapshot(spark, path).collect()[0]
+    assert row["text"] == "приветствие #тег" and row["reactions"] == {"👍": 3}
+
+
+def test_csv_corrupt_record_side_channel(spark, tmp_path):
+    """P10: malformed rows are quarantined, not silently dropped."""
+    from pasta_pipeline_spark.sources.files import read_csv_with_error_channel
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    p = tmp_path / "in.csv"
+    p.write_text("message_id,views,text\n1,10,ok row\nnot-a-number,zzz,bad row\n3,30,another\n")
+    schema = StructType(
+        [
+            StructField("message_id", LongType(), True),
+            StructField("views", IntegerType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    df = read_csv_with_error_channel(spark, str(p), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["message_id"] for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "not-a-number" in bad.collect()[0]["_corrupt_record"]

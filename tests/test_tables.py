@@ -41,3 +41,40 @@ def test_overwrite_derived_from_own_read(spark, tmp_table_dir):
     doubled = store.read().selectExpr("id * 2 AS id")
     store.overwrite(doubled)
     assert sorted(r["id"] for r in store.read().collect()) == list(range(0, 20, 2))
+
+
+def test_compact_reduces_file_count(spark, tmp_table_dir):
+    store = TableStore(spark, f"{tmp_table_dir}/t")
+    store.overwrite(spark.range(1000).repartition(16))
+    v_files = lambda: len(  # noqa: E731
+        [f for f in os.listdir(os.path.join(store.path, store.current_version()))
+         if f.endswith(".parquet")]
+    )
+    assert v_files() == 16
+    store.compact(2)
+    assert v_files() == 2
+    assert store.read().count() == 1000
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_table_dir):
+    """Co-located join: two tables bucketed on the key join without an
+    Exchange (SURVEY.md §4 — the B-tree-index replacement)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.sources.tables import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    right = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    write_bucketed_table(left, "b_left", "k", num_buckets=8, sort_col="k")
+    write_bucketed_table(right, "b_right", "k", num_buckets=8, sort_col="k")
+
+    joined = spark.table("b_left").join(spark.table("b_right"), "k")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)) == 0
+    assert joined.count() == 500
