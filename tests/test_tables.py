@@ -65,8 +65,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_table_dir):
 
     from pasta_pipeline_spark.sources.tables import write_bucketed_table
 
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_left")
     spark.sql("DROP TABLE IF EXISTS b_right")
+    # a previous session may have left the managed-table dirs behind
+    # (DROP in a fresh session doesn't know them) — clear the locations
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_left", "b_right"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
     right = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
     write_bucketed_table(left, "b_left", "k", num_buckets=8, sort_col="k")
