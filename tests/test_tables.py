@@ -85,3 +85,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_table_dir):
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)) == 0
     assert joined.count() == 500
+
+
+def test_partitioned_layout_prunes(spark, tmp_table_dir):
+    """Date-partitioned table layout — the replacement for the
+    reference's B-tree index on `date` (SURVEY.md §4): a date-equality
+    filter reads only the matching partition directory."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, f"{tmp_table_dir}/t")
+    df = spark.createDataFrame(
+        [(i, date(2024, 1, 1 + i % 3), float(i)) for i in range(300)],
+        "id long, day date, value double",
+    )
+    store.overwrite(df, partition_by=["day"])
+
+    scan = store.read().where(F.col("day") == date(2024, 1, 2))
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert scan.count() == 100
+    # physical layout: one dir per day under the live version
+    import os as _os
+
+    vdir = _os.path.join(store.path, store.current_version())
+    assert sorted(d for d in _os.listdir(vdir) if d.startswith("day=")) == [
+        "day=2024-01-01", "day=2024-01-02", "day=2024-01-03",
+    ]
