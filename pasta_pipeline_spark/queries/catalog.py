@@ -1462,3 +1462,79 @@ def q_supplier_count_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+@register(
+    "user_event_history",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS history
+    FROM events GROUP BY user_id
+    """,
+    doc="collect_list aggregation surface: per-user event-type multiset, "
+    "sorted and joined to a scalar so the comparison is deterministic and "
+    "hash-friendly (array-typed outputs render differently across engines).",
+)
+def q_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("history")
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot surface: per-user counts spread across a fixed event-type "
+    "column set (explicit value list keeps the output schema deterministic; "
+    "Spark compiles pivot to the same conditional-aggregate form the oracle "
+    "spells out).",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+    return out
+
+
+@register(
+    "set_ops_active_users",
+    """
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-01-15 00:00:00'
+      INTERSECT
+      SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    """,
+    doc="Set-operation surface (SURVEY.md §2.7): users active in both halves "
+    "of the month (INTERSECT) minus those who errored in the first two days "
+    "(EXCEPT).",
+)
+def q_set_ops_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    first_half = events.where(F.col("ts") < cut).select("user_id")
+    second_half = events.where(F.col("ts") >= cut).select("user_id")
+    erroring = events.where(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).select("user_id")
+    return first_half.intersect(second_half).exceptAll(erroring.distinct())
