@@ -1538,3 +1538,47 @@ def q_set_ops_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
     ).select("user_id")
     return first_half.intersect(second_half).exceptAll(erroring.distinct())
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-sets surface: ROLLUP subtotals + grand total (NULL group "
+    "markers are standard in both engines); fixed-point-bridged sums.",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _xsum(F.col("l_extendedprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 20 AND b.doc_id < 20
+      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+    doc="Edit-distance fuzzy matching (the character-level dedup tier): "
+    "pairwise Levenshtein over 40-char prefixes of a bounded doc subset — "
+    "the verification primitive for short-field dedup (titles, names).",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20).select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein("pa", "pb")
+    return pairs.select("doc_a", "doc_b", dist.alias("dist")).where(F.col("dist") <= 20)
