@@ -51,6 +51,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
     def run(name: str) -> float:
         # best-of-2: first execution pays per-plan JIT/codegen and page
         # -cache warmup that a long-running cluster never sees per
@@ -58,8 +60,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            release_cached_deps(df)
         return best
 
     # untimed warmups at the smallest sf: absorb JVM/JIT + codegen

@@ -50,6 +50,26 @@ def _dedup(
     return df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
 
 
+def _tie_order(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | list[str] | None,
+    direction,
+) -> list[Column]:
+    """Secondary sort terms. Explicit ``tiebreak`` columns win;
+    otherwise fall back to a struct of every orderable non-key,
+    non-order column — ordering by the partition key itself would be a
+    no-op inside its own window, so it cannot serve as a tiebreak."""
+    from pasta_pipeline_spark.operators.util import orderable_tiebreak
+
+    if tiebreak is not None:
+        ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+        return [direction(t) for t in ties]
+    struct = orderable_tiebreak(df, exclude=[*keys, order_col])
+    return [direction(struct)] if struct is not None else []
+
+
 def keep_latest(
     df: DataFrame,
     key: str | list[str],
@@ -57,10 +77,16 @@ def keep_latest(
     tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """One row per key, newest ``order_col`` (W1 keep-latest;
-    duplicate_remover.py:31-36 window, README.md:170 policy)."""
+    duplicate_remover.py:31-36 window, README.md:170 policy).
+
+    Default tiebreak: a struct of all remaining orderable columns —
+    same-key same-``order_col`` rows resolve to the column-wise
+    greatest row, so the survivor is deterministic (rows that still tie
+    are identical in every orderable column)."""
     keys = [key] if isinstance(key, str) else list(key)
-    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or keys)
-    order = [F.desc_nulls_last(order_col)] + [F.desc(t) for t in ties]
+    order = [F.desc_nulls_last(order_col)] + _tie_order(
+        df, keys, order_col, tiebreak, F.desc
+    )
     return _dedup(df, keys, order)
 
 
@@ -77,10 +103,14 @@ def keep_first(
     ``exempt`` rows bypass dedup entirely and are all preserved —
     the reference exempts null/empty content_hash rows
     (duplicate_remover.py:82-83).
+
+    Default tiebreak mirrors :func:`keep_latest` (struct of remaining
+    orderable columns, ascending).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or keys)
-    order = [F.asc_nulls_last(order_col)] + [F.asc(t) for t in ties]
+    order = [F.asc_nulls_last(order_col)] + _tie_order(
+        df, keys, order_col, tiebreak, F.asc
+    )
     return _dedup(df, keys, order, exempt=exempt)
 
 

@@ -8,6 +8,15 @@ returned DataFrames atomically (plans/pipeline.py owns the table swap).
 
 Deleted-row counts are computed as count_before - count_after, matching
 the reference's ``cur.rowcount`` collection.
+
+Documented deviation (step order): the reference nulls orphan links
+*before* the failed-link and retention deletes (duplicate_remover.py:
+327-329); we run the orphan rewrite *last*, against the final content
+set. Links pointing at rows deleted in the current run are therefore
+nulled one run earlier here, and ``cleaned_links`` counts those extra
+rewrites — strictly more consistent output (no link ever survives a
+run pointing at a row that run deleted), but a different per-run stats
+split than the reference would report.
 """
 
 from __future__ import annotations

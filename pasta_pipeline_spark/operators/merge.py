@@ -58,9 +58,13 @@ def merge_upsert(
       it came from ``updates`` (e.g. ``processed_at = run_ts``,
       matching ``processed_at = CURRENT_TIMESTAMP`` at db_loader.py:180);
     - duplicate keys *within* ``updates`` resolve by ``order_col``
-      descending (newest wins), then key, so the result is
-      deterministic and the operator idempotent.
+      descending (newest wins), then by a struct of the remaining
+      orderable columns, so the result is deterministic (rows that
+      still tie are identical in every orderable column) and the
+      operator idempotent.
     """
+    from pasta_pipeline_spark.operators.util import orderable_tiebreak
+
     keys = [key] if isinstance(key, str) else list(key)
     columns = target.columns
     upd = _align(updates, columns).withColumn(_PRIO, F.lit(1))
@@ -70,6 +74,11 @@ def merge_upsert(
     order = [F.desc(_PRIO)]
     if order_col is not None:
         order.append(F.desc_nulls_last(order_col))
+    tie = orderable_tiebreak(
+        unioned, exclude=[*keys, _PRIO, *( [order_col] if order_col else [] )]
+    )
+    if tie is not None:
+        order.append(F.desc(tie))
     w = Window.partitionBy(*keys).orderBy(*order)
     merged = (
         unioned.withColumn(_RN, F.row_number().over(w))
@@ -105,14 +114,37 @@ def upsert_accumulate(
     only touches status/retry_count/last_checked, never the parsed
     content columns).
 
-    Implemented as a full outer join on the key: one shuffle, no
-    window needed, both sides stream.
+    Duplicate keys *within* the batch collapse before the join (the
+    reference's row-at-a-time ON CONFLICT applies them sequentially, so
+    a full-outer join would otherwise fan out into duplicate result
+    rows): ``increment`` columns advance by the number of batch rows,
+    ``add`` columns by their sum — exactly the sequential outcome — and
+    other carried columns take the per-key greatest value (the
+    reference's arrival order is connection-dependent, so "last wins"
+    is not reproducible; greatest is the deterministic stand-in).
+
+    Implemented as per-key pre-aggregation of the batch + a full outer
+    join on the key: two shuffles on the same key (one exchange reused),
+    no window, both sides stream.
     """
     keys = [key] if isinstance(key, str) else list(key)
     accumulate = accumulate or {}
     columns = target.columns
     carried = set(updates.columns)  # columns the batch actually provides
-    upd = _align(updates, columns)
+
+    # collapse duplicate keys in the batch to sequential-apply semantics
+    n_rows = "__upd_n_rows"
+    aggs = [F.count(F.lit(1)).alias(n_rows)]
+    for name in columns:
+        if name in keys or name not in carried:
+            continue
+        if accumulate.get(name) == "increment":
+            continue  # value unused; the row count drives the increment
+        if accumulate.get(name) == "add":
+            aggs.append(F.sum(name).alias(name))
+        else:
+            aggs.append(F.max(name).alias(name))
+    upd = _align(updates.groupBy(*keys).agg(*aggs), columns + [n_rows])
 
     t = target.alias("t")
     u = upd.alias("u")
@@ -131,7 +163,9 @@ def upsert_accumulate(
         elif name in accumulate:
             mode = accumulate[name]
             if mode == "increment":
-                out = F.when(has_update, F.coalesce(tcol, F.lit(0)) + F.lit(1)).otherwise(tcol)
+                out = F.when(
+                    has_update, F.coalesce(tcol, F.lit(0)) + F.col(f"u.{n_rows}")
+                ).otherwise(tcol)
             elif mode == "add":
                 out = F.when(
                     has_update, F.coalesce(tcol, F.lit(0)) + F.coalesce(ucol, F.lit(0))

@@ -107,35 +107,15 @@ def _shingle_table(
     return src.select("doc", F.explode(grams).alias("sh"))
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.6,
-) -> DataFrame:
-    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
-
-    Pair generation is inverted-index style: group docs per shingle,
-    emit each group's ordered combinations, count per pair —
-    |A∪B| = |A| + |B| - |A∩B|. Only pairs sharing ≥1 shingle are ever
-    materialized (df=1 shingles vanish in the size>1 filter), so cost
-    tracks true overlap, not n²; and there is no self-join of the full
-    shingle table — one groupBy(shingle) + one groupBy(pair).
-
-    Skew safety: a pathologically hot shingle (boilerplate shared by
-    10⁵ docs) would explode df²/2 combinations inside one row, so doc
-    lists longer than ``hot_df_cap`` take the classic self-equi-join
-    path instead (distributes the quadratic work across the cluster).
-    Exact either way; the cap only picks the physical strategy.
-
-    The shingle table is persisted — it feeds the size aggregate and
-    the pair generator, so tokenize+shingle expressions run once.
-    """
-    hot_df_cap = 1024
-    sh = _shingle_table(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-
+def _candidate_pairs(sh: DataFrame, hot_df_cap: int = 1024) -> DataFrame:
+    """Inverted-index candidate generation over a (doc, sh) key table:
+    one output row (doc_a < doc_b) per shared key — multiplicity
+    preserved (``groupBy(pair).count()`` gives intersection sizes;
+    ``.distinct()`` gives set semantics). Only pairs sharing ≥1 key are
+    ever materialized; keys hotter than ``hot_df_cap`` docs switch from
+    in-row combination explosion to a distributed self-equi-join so a
+    boilerplate key cannot blow up a single task (exact either way —
+    the cap only picks the physical strategy)."""
     lists = (
         sh.groupBy("sh")
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
@@ -159,9 +139,44 @@ def jaccard_pairs(
     hot_pairs = ha.join(
         hb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc"))
     ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    return small_pairs.unionByName(hot_pairs)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Pair generation is inverted-index style: group docs per shingle,
+    emit each group's ordered combinations, count per pair —
+    |A∪B| = |A| + |B| - |A∩B|. Only pairs sharing ≥1 shingle are ever
+    materialized (df=1 shingles vanish in the size>1 filter), so cost
+    tracks true overlap, not n²; and there is no self-join of the full
+    shingle table — one groupBy(shingle) + one groupBy(pair).
+
+    Skew safety: a pathologically hot shingle (boilerplate shared by
+    10⁵ docs) would explode df²/2 combinations inside one row, so doc
+    lists longer than ``hot_df_cap`` take the classic self-equi-join
+    path instead (distributes the quadratic work across the cluster).
+    Exact either way; the cap only picks the physical strategy.
+
+    The shingle table is persisted — it feeds the size aggregate and
+    the pair generator, so tokenize+shingle expressions run once. The
+    cache is attached to the returned frame; release it after
+    materializing with ``util.release_cached_deps(result)``.
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    hot_df_cap = 1024
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
     common = (
-        small_pairs.unionByName(hot_pairs)
+        _candidate_pairs(sh, hot_df_cap)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -176,9 +191,75 @@ def jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    return attach_cached_deps(
+        jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard"),
+        [sh],
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 40,
+    max_dist: int = 15,
+    n_chunks: int = 5,
+    hot_df_cap: int = 1024,
+) -> DataFrame:
+    """Character-level fuzzy matching (the short-field tier of the
+    dedup ladder — titles, names, near-identical openings): all pairs
+    (doc_a < doc_b) with ``levenshtein(prefix_a, prefix_b) <=
+    max_dist`` over the lowercased ``prefix_len``-char text prefix.
+
+    Pair generation is block-gated, like every other tier — no full
+    cross join: the prefix splits into ``n_chunks`` fixed-position
+    slices and candidates must agree exactly on at least one
+    (slice_idx, slice_text) block, generated through the same
+    inverted-index machinery as the Jaccard tier (hot blocks fall back
+    to a distributed self-equi-join). By pigeonhole this recalls every
+    pair within ``n_chunks - 1`` *substitutions*; insertions/deletions
+    shift downstream slices, so indel-heavy pairs can be missed
+    (PassJoin-style shifted-segment probing is the exact upgrade path).
+    Every emitted pair is verified with the exact Levenshtein, so the
+    checked contract — like the LSH tiers — is zero false positives.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    width = -(-prefix_len // n_chunks)  # ceil: slices cover the whole prefix
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("pfx"),
+        )
+    ).persist()
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring(F.col("pfx"), i * width + 1, width).alias("s"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    blocks = src.select(
+        "doc", F.explode(F.filter(slices, lambda c: c["s"] != "")).alias("c")
+    ).select(
+        "doc",
+        F.concat(F.col("c.i").cast("string"), F.lit(":"), F.col("c.s")).alias("sh"),
+    )
+    cand = _candidate_pairs(blocks, hot_df_cap).distinct()
+    pa = src.select(F.col("doc").alias("doc_a"), F.col("pfx").alias("pa"))
+    pb = src.select(F.col("doc").alias("doc_b"), F.col("pfx").alias("pb"))
+    out = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .where(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    return attach_cached_deps(out, [src])
 
 
 # ---------------------------------------------------------------------------
@@ -339,6 +420,8 @@ def minhash_lsh_pairs(
     (inherent to LSH); the oracle-checked contract is therefore
     "every returned pair truly has J >= threshold".
     """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
     rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n).persist()
     # sh is already the 64-bit shingle hash (hashed shingle table)
@@ -367,17 +450,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates. The pair
-    # set (and therefore the pairs×shingles intermediate) is tiny
-    # relative to the corpus, so the big (persisted) shingle table is
-    # never shuffled: it joins against broadcast sides only.
+    # exact-Jaccard verification restricted to candidates. No broadcast
+    # hints here: a boilerplate-heavy corpus grows the candidate set
+    # with corpus size, so an unconditional F.broadcast(cand) is a
+    # driver-OOM risk at scale. Plain equi-joins let AQE pick broadcast
+    # when the runtime size is actually small and fall back to a
+    # shuffle join when it is not.
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh"))
     sb = sh.select(F.col("doc").alias("doc_b2"), F.col("sh").alias("sh2"))
-    inter = sa.join(F.broadcast(cand), "doc_a")  # shingles of each pair's A side
+    inter = sa.join(cand, "doc_a")  # shingles of each pair's A side
     common = (
         sb.join(
-            F.broadcast(inter),
+            inter,
             (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh2")),
         )
         .groupBy("doc_a", "doc_b")
@@ -392,7 +477,10 @@ def minhash_lsh_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return attach_cached_deps(
+        jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard"),
+        [sh],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -405,6 +493,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Assign every document to its duplicate cluster: the transitive
     closure of the near-dup pair graph, labeled by the smallest doc id
@@ -416,9 +505,18 @@ def duplicate_clusters(
     takes the min of its own label and its neighbors' labels; rounds
     repeat until a fixpoint. Convergence needs at most the component
     diameter rounds — near-dup components are tiny in practice, so
-    this is 2-4 rounds of broadcast-sized joins; at 100 TB scale the
-    same loop runs with the edge list repartitioned on node and the
-    label frame checkpointed per round to keep lineage flat.
+    this is 2-4 rounds of broadcast-sized joins.
+
+    ``checkpoint_every=N`` truncates the label frame's lineage with an
+    eager localCheckpoint every N rounds: without it each round's plan
+    nests the previous round's joins, and a long chain (big diameters
+    at 100 TB) blows up analysis time and task serialization. Default
+    off locally (tiny graphs converge in 2-4 rounds); set 1-5 at scale
+    (a cluster deployment would use reliable ``checkpoint()`` with a
+    checkpoint dir instead — same call site).
+
+    The returned frame is materialized (the fixpoint loop already ran
+    the plan); no intermediate caches survive the call.
 
     Returns (doc_id, cluster_id, is_survivor).
     """
@@ -430,20 +528,22 @@ def duplicate_clusters(
     ).persist()
 
     labels = ids.select("node", F.col("node").alias("lbl")).persist()
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
         )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -455,9 +555,11 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    result = labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_survivor"),
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return result

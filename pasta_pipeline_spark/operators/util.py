@@ -36,6 +36,60 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     sc._pasta_pkg_shipped = True
 
 
+def attach_cached_deps(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Record persisted intermediates the result plan depends on.
+
+    Operators that cache an intermediate (e.g. a shingle table feeding
+    several branches of one plan) cannot unpersist it before the caller
+    materializes the result — so they attach it here, and the caller
+    releases it with :func:`release_cached_deps` once the result has
+    been collected/written. Runners in this repo (bench.py,
+    tools/check_oracle.py) do this after every query; long-lived
+    sessions that skip it accumulate executor storage."""
+    result._pasta_cached_deps = list(deps)  # type: ignore[attr-defined]
+    return result
+
+
+def release_cached_deps(df: DataFrame) -> None:
+    """Unpersist intermediates attached by :func:`attach_cached_deps`
+    (no-op for frames without any)."""
+    for dep in getattr(df, "_pasta_cached_deps", []):
+        dep.unpersist()
+
+
+def orderable_tiebreak(df: DataFrame, exclude: list[str]):
+    """A deterministic tiebreak column for key-partitioned windows: a
+    struct of every orderable column outside ``exclude``. Ordering by
+    the partition key inside its own window is a no-op, so windows that
+    claim a deterministic secondary sort order by this instead — two
+    rows that still tie are identical in every orderable column, making
+    any survivor choice the same row. Returns None when nothing
+    orderable remains (all-excluded or map-typed frames).
+
+    Map columns are not comparable in Spark and are skipped (so a frame
+    whose only varying column is a map keeps nondeterministic ties —
+    callers that need strict determinism should exclude maps upstream).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, AtomicType, MapType, StructType
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return isinstance(dt, AtomicType)
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in exclude and orderable(f.dataType)
+    ]
+    return F.struct(*[F.col(c) for c in cols]) if cols else None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input arrives with fewer
     partitions than the session's parallelism.

@@ -628,19 +628,25 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_stats",
     """
     SELECT lang, source, count(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) * 10000 // count(*) AS BIGINT) / 10000.0 AS avg_chars
     FROM documents
     GROUP BY lang, source
     """,
-    doc="Grouped text-corpus statistics (per-language/source profile).",
+    doc="Grouped text-corpus statistics (per-language/source profile). "
+    "total_chars is cast to BIGINT in the oracle (DuckDB SUM(INT) yields "
+    "HUGEINT, which pandas renders as float64); avg_chars goes through the "
+    "int64 fixed-point bridge so both engines divide the same int64 by "
+    "10000.0 — bitwise-identical doubles (NOTES.md playbook #1).",
 )
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.expr("(sum(n_chars) * 10000L) div count(1)") / F.lit(10000.0)).alias(
+            "avg_chars"
+        ),
     )
 
 
@@ -940,13 +946,61 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, queries, k=5)
 
 
+def _cosine_sql(vec: str, q: str) -> str:
+    """DuckDB cosine twin of similarity.cosine (list_dot_product folds
+    sequentially like F.aggregate, so the doubles are bit-identical)."""
+    return (
+        f"list_dot_product({vec}, {q}) / "
+        f"(sqrt(list_dot_product({vec}, {vec})) * sqrt(list_dot_product({q}, {q})))"
+    )
+
+
+def _ann_lsh_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
+    """Exact DuckDB twin of q_ann_lsh_topk: the hyperplanes are
+    deterministic (splitmix64-mixed indices, similarity._hyperplane), so
+    the 'approximate' path is reproducible — inline the plane constants
+    as a VALUES list (same technique as _LANG_ID_ORACLE) and replay the
+    bucket assignment + 1-bit multiprobe + exact rerank in SQL."""
+    from pasta_pipeline_spark.operators.similarity import _hyperplane
+
+    plane_rows = ",\n        ".join(
+        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
+        for p in range(num_planes)
+    )
+    probes = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(num_planes)]
+    )
+    return f"""
+    WITH planes(pidx, pv) AS (VALUES
+        {plane_rows}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+    eb AS (
+      SELECT vec_id, embedding,
+             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    ),
+    qb AS (
+      SELECT qv,
+             CAST(SUM(CASE WHEN list_dot_product(qv, pv) >= 0
+                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS qbucket
+      FROM q CROSS JOIN planes GROUP BY qv
+    ),
+    probed AS (SELECT qv, unnest([{probes}]) AS bucket FROM qb)
+    SELECT vec_id, {_cosine_sql('embedding::DOUBLE[]', 'qv')} AS sim
+    FROM eb JOIN probed USING (bucket)
+    ORDER BY sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,  # approximate by construction — recall < 1 vs the exact oracle
+    _ann_lsh_oracle(),
     doc="Similarity search — sign-LSH (6 deterministic hyperplanes → 64 "
     "buckets) ANN top-10 with 1-bit multiprobe; the 100 TB scale path (bucket "
     "join instead of full scan). Plane count scales with corpus size in a real "
-    "deployment.",
+    "deployment. The planes are deterministic, so the oracle replays the "
+    "identical bucket assignment in DuckDB with inlined plane constants.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import ann_topk_lsh
@@ -1131,30 +1185,50 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSINE_DUP_ORACLE = """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
-"""
+def _cosine_dup_lsh_oracle(dim: int = 64, num_planes: int = 4, threshold: float = 0.4) -> str:
+    """Exact DuckDB twin of the LSH-bucketed near-dup path: the exact
+    all-pairs join *restricted to sign-LSH bucket collisions*, with the
+    deterministic plane constants inlined. The bucket restriction makes
+    the 'approximate' result exactly reproducible, so the hash check
+    covers both the bucketing and the cosine arithmetic."""
+    from pasta_pipeline_spark.operators.similarity import _hyperplane
+
+    plane_rows = ",\n        ".join(
+        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
+        for p in range(num_planes)
+    )
+    cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    return f"""
+    WITH planes(pidx, pv) AS (VALUES
+        {plane_rows}),
+    eb AS (
+      SELECT vec_id, embedding,
+             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
 
 
 @register(
     "cosine_dup_pairs",
-    _COSINE_DUP_ORACLE,
-    doc="Embedding-cosine near-dup pairs (vector tier of the dedup ladder): "
-    "exact all-pairs at cosine >= 0.4, bit-identical across engines. The "
-    "use_lsh=True variant of the same operator is the 100 TB path.",
+    _cosine_dup_lsh_oracle(),
+    doc="Embedding-cosine near-dup pairs (vector tier of the dedup ladder), "
+    "LSH-bucketed scale path: sign-LSH bucket collision (4 deterministic "
+    "planes) gates the pair join — near-linear at 100 TB instead of the "
+    "O(n²) exact self-join. The oracle replays the identical bucketing in "
+    "DuckDB, so every emitted pair is hash-checked end to end; the "
+    "use_lsh=False exact mode of the same operator is the small-corpus / "
+    "verification baseline.",
 )
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import cosine_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_dup_pairs(emb, threshold=0.4)
+    return cosine_dup_pairs(emb, threshold=0.4, use_lsh=True, dim=64, num_planes=4)
 
 
 @register(
@@ -1182,12 +1256,15 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_agg",
     """
     SELECT event_type,
-           SUM(json_extract(props, '$.k')::INT) AS sum_k,
-           count(json_extract(props, '$.k')) AS n_with_k
+           CAST(SUM(try_cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           count(try_cast(json_extract_string(props, '$.k') AS INT)) AS n_with_k
     FROM events GROUP BY event_type
     """,
     doc="JSON column surface (the reactions-JSONB analog, SURVEY.md §1.2): "
-    "path extraction from the events.props JSON string + grouped aggregation.",
+    "path extraction from the events.props JSON string + grouped aggregation. "
+    "Oracle uses json_extract_string (unquoted, like Spark get_json_object) "
+    "with try_cast, and casts SUM to BIGINT (DuckDB HUGEINT renders as "
+    "float64 through pandas, breaking the value hash).",
 )
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
@@ -1231,12 +1308,48 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_by_label(emb)
 
 
+def _ann_ivf_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """Exact DuckDB twin of q_ann_ivf_topk: seeding, cell assignment and
+    probing are all deterministic, so the whole IVF pipeline replays in
+    SQL — lowest-id seed centroids, argmax-cosine assignment (cell_id
+    tiebreak), n_probe nearest cells, exact rerank."""
+    cos_cv = _cosine_sql("e.embedding::DOUBLE[]", "c.cv")
+    cos_qc = _cosine_sql("q.qv", "c.cv")
+    cos_final = _cosine_sql("cand.embedding::DOUBLE[]", "q.qv")
+    return f"""
+    WITH cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell_id,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT {n_cells})
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_cv} DESC, c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    qcells AS (
+      SELECT cell_id FROM (
+        SELECT c.cell_id, {cos_qc} AS csim FROM q CROSS JOIN cent c
+      ) ORDER BY csim DESC, cell_id ASC LIMIT {n_probe}
+    ),
+    cand AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN qcells USING (cell_id))
+    SELECT cand.vec_id, {cos_final} AS sim
+    FROM cand CROSS JOIN q
+    ORDER BY sim DESC, cand.vec_id ASC LIMIT {k}
+    """
+
+
 @register(
     "ann_ivf_topk",
-    None,  # approximate (probes a subset of cells) — no exact SQL twin
+    _ann_ivf_oracle(),
     doc="IVF-flavored ANN top-10: deterministic seed centroids, one-scan "
     "cell assignment, n_probe-cell search — the partition-pruned scale "
-    "path; k-means training slots in without changing the query.",
+    "path; k-means training slots in without changing the query. Fully "
+    "deterministic, so the oracle replays seed/assign/probe/rerank in SQL.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import ivf_topk
@@ -1389,10 +1502,15 @@ _CLUSTERS_ORACLE = """
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters, jaccard_pairs
+    from pasta_pipeline_spark.operators.util import release_cached_deps
 
     docs = _t(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return duplicate_clusters(docs, pairs)
+    out = duplicate_clusters(docs, pairs)
+    # duplicate_clusters materialized the pair plan in its fixpoint
+    # loop, so the shingle cache jaccard_pairs attached can go now
+    release_cached_deps(pairs)
+    return out
 
 
 @register(
@@ -1563,22 +1681,29 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "edit_distance_pairs",
     """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
-    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-    WHERE a.doc_id < 20 AND b.doc_id < 20
-      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    WITH src AS (SELECT doc_id AS doc, lower(substr(text, 1, 40)) AS pfx FROM documents),
+    blocks AS (
+      SELECT doc, CAST(i AS VARCHAR) || ':' || substr(pfx, i*8+1, 8) AS bk
+      FROM src CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) g
+      WHERE substr(pfx, i*8+1, 8) <> ''
+    ),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.doc < b.doc)
+    SELECT c.doc_a, c.doc_b, levenshtein(sa.pfx, sb.pfx) AS dist
+    FROM cand c JOIN src sa ON c.doc_a = sa.doc JOIN src sb ON c.doc_b = sb.doc
+    WHERE levenshtein(sa.pfx, sb.pfx) <= 15
     """,
-    doc="Edit-distance fuzzy matching (the character-level dedup tier): "
-    "pairwise Levenshtein over 40-char prefixes of a bounded doc subset — "
-    "the verification primitive for short-field dedup (titles, names).",
+    doc="Edit-distance fuzzy matching (character-level dedup tier) over the "
+    "whole corpus — block-gated, no id cap, no cross join: candidates must "
+    "share one of 5 fixed-position 8-char slices of the lowercased 40-char "
+    "prefix (inverted-index generation, hot-block fallback), then exact "
+    "Levenshtein verifies. Recall is pigeonhole-exact for <= 4 "
+    "substitutions; the oracle replays the identical blocking.",
 )
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20).select(
-        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    from pasta_pipeline_spark.operators.text_dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, "doc_id", "text", prefix_len=40, max_dist=15, n_chunks=5
     )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
-    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-    dist = F.levenshtein("pa", "pb")
-    return pairs.select("doc_a", "doc_b", dist.alias("dist")).where(F.col("dist") <= 20)

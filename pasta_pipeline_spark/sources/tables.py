@@ -70,7 +70,15 @@ class TableStore:
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Write a new immutable version, then atomically flip the
-        pointer. Old version is removed after the flip (best-effort)."""
+        pointer.
+
+        The version just superseded is *kept* until the next write (as
+        the module docstring promises): a concurrent reader that
+        resolved the pointer pre-flip still reads a complete snapshot.
+        Garbage collection happens here instead — after the flip, every
+        version dir other than the new live one and its immediate
+        predecessor is removed, which also reclaims dirs leaked by a
+        crash between the parquet write and the pointer flip."""
         old = self.current_version()
         version = f"v-{uuid.uuid4().hex[:12]}"
         target = os.path.join(self.path, version)
@@ -85,8 +93,10 @@ class TableStore:
             f.write(version)
         os.replace(tmp, self._pointer_path())  # atomic flip
 
-        if old is not None:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+        keep = {version, old}
+        for entry in os.listdir(self.path):
+            if entry.startswith("v-") and entry not in keep:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
     def compact(self, target_partitions: int) -> None:
         """Small-file compaction: rewrite the live version into

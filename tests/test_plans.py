@@ -66,3 +66,22 @@ def test_top_orders_no_global_sort(spark):
     plan = _plan(spark, "top_orders")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_minhash_verification_no_unconditional_broadcast(spark):
+    """The LSH candidate set grows with corpus size on boilerplate-heavy
+    data, so the verification joins must NOT carry a broadcast hint —
+    AQE may still pick broadcast at runtime when the set is actually
+    small, but a hard F.broadcast(cand) is a driver-OOM at 100 TB."""
+    df = REGISTRY["minhash_lsh_pairs"].spark_fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "unconditional broadcast hint in minhash plan"
+
+
+def test_cosine_dup_pairs_is_bucket_gated(spark):
+    """The registered near-dup query must be the LSH-bucketed form:
+    the pair join carries the bucket-equality key (a hash-partitionable
+    equi-join), not a pure inequality theta-join (O(n²) cartesian)."""
+    plan = _plan(spark, "cosine_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -27,9 +27,30 @@ def test_overwrite_swaps_versions_atomically(spark, tmp_table_dir):
     v2 = store.current_version()
     assert v1 != v2
     assert store.read().count() == 7
-    # old version dir is gone, only the live one remains
-    dirs = [d for d in os.listdir(store.path) if d.startswith("v-")]
-    assert dirs == [v2]
+    # the superseded version survives one write (concurrent readers
+    # that resolved the pointer pre-flip still see a full snapshot)
+    dirs = set(d for d in os.listdir(store.path) if d.startswith("v-"))
+    assert dirs == {v1, v2}
+
+    store.overwrite(spark.range(9))
+    v3 = store.current_version()
+    # v1 (two writes stale) is garbage-collected; v2 kept as previous
+    dirs = set(d for d in os.listdir(store.path) if d.startswith("v-"))
+    assert dirs == {v2, v3}
+
+
+def test_overwrite_gc_reclaims_leaked_versions(spark, tmp_table_dir):
+    """A crash between the parquet write and the pointer flip leaves an
+    unreferenced v-* dir; the next successful write reclaims it."""
+    store = TableStore(spark, f"{tmp_table_dir}/t")
+    store.overwrite(spark.range(5))
+    v1 = store.current_version()
+    # simulate the crash leak: a version dir no pointer references
+    leaked = os.path.join(store.path, "v-deadbeef0000")
+    os.makedirs(leaked)
+    store.overwrite(spark.range(6))
+    dirs = set(d for d in os.listdir(store.path) if d.startswith("v-"))
+    assert dirs == {v1, store.current_version()}
 
 
 def test_overwrite_derived_from_own_read(spark, tmp_table_dir):

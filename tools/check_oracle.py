@@ -24,8 +24,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style stable float rendering: 12 significant digits
-        return f"{v:.12g}"
+        # full-precision rendering: any last-bit double divergence between
+        # the engines must show up here (the driver hashes raw values, so a
+        # lenient rendering would hide real mismatches)
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -48,6 +50,7 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
+    from pasta_pipeline_spark.operators.util import release_cached_deps
     from pasta_pipeline_spark.session import get_spark
 
     spark = get_spark("oracle-check", shuffle_partitions=8)
@@ -68,6 +71,7 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            release_cached_deps(sdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -78,6 +82,16 @@ def main():
         try:
             orel = con.sql(oracles[name])
             ocols = [c.lower() for c in orel.columns]
+            # dtype audit: HUGEINT (DuckDB's SUM-over-INT result) and JSON
+            # round-trip unpredictably through pandas/arrow on the driver
+            # side (HUGEINT -> float64 renders 99111.0 vs Spark's 99111),
+            # so any oracle emitting them is a latent hash mismatch even
+            # when fetchall() values agree. Fail fast on the type.
+            risky = [
+                (c, str(t))
+                for c, t in zip(orel.columns, orel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT", "JSON")
+            ]
             orows = orel.fetchall()
         except Exception as e:
             failures.append(name)
@@ -85,6 +99,8 @@ def main():
             continue
         scols_l = [c.lower() for c in scols]
         problems = []
+        if risky:
+            problems.append(f"driver-fragile oracle dtypes: {risky} (cast to BIGINT/VARCHAR)")
         if sorted(scols_l) != sorted(ocols):
             problems.append(f"cols spark={scols_l} duck={ocols}")
         if len(srows) != len(orows):
