@@ -244,6 +244,60 @@ def assign_ivf_cells(
     return ranked.filter(F.col("rk") == 1).select(id_col, vec_col, "cell_id")
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means trainer for IVF cells — pure DataFrame ops,
+    fully deterministic (no RNG): seeds are the ``n_cells`` lowest-id
+    vectors; each iteration assigns every vector to its nearest
+    centroid by cosine (one corpus scan, centroids broadcast) and
+    recomputes per-cell dimension means via posexplode. Cells that
+    lose every member keep their previous centroid.
+
+    The k×d centroid matrix is localCheckpointed per round — it is the
+    algorithm's shared state (exactly as in MLlib KMeans) and stays a
+    broadcast-sized DataFrame; all per-vector work is distributed. At
+    100 TB, train on a deterministic sample (e.g. ``vec_id % m == 0``)
+    — centroid quality converges long before the full corpus is seen.
+
+    Returns (cell_id, cv: array<double>).
+    """
+    w = Window.orderBy(F.asc(id_col))
+    cent = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = assign_ivf_cells(embeddings, cent, id_col, vec_col)
+        means = (
+            assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        )
+        new_cent = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        cent = (
+            cent.alias("o")
+            .join(new_cent.alias("n"), "cell_id", "left")
+            .select(
+                "cell_id", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -253,28 +307,36 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
+    train_iterations: int = 0,
 ) -> DataFrame:
-    """IVF-flavored ANN: training-free deterministic seeding (the
-    ``n_cells`` lowest-id vectors act as centroids), one-scan cell
-    assignment, then exact cosine ranking restricted to the query's
-    ``n_probe`` nearest cells.
+    """IVF-flavored ANN: deterministic seeding (the ``n_cells``
+    lowest-id vectors act as centroids) — or, with
+    ``train_iterations > 0``, Lloyd's-trained cells from
+    :func:`train_ivf_centroids` — one-scan cell assignment, then exact
+    cosine ranking restricted to the query's ``n_probe`` nearest cells.
 
     At scale the assignment table is computed once and persisted
     alongside the corpus (a partition column — cell-pruned scans);
-    queries touch n_probe/n_cells of the data. A k-means trainer can
-    replace the seeding without changing this query path.
+    queries touch n_probe/n_cells of the data. Training improves
+    recall (balanced cells ⇒ the true neighbors concentrate in the
+    probed cells) without changing the query path.
     """
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
-    w = Window.orderBy(F.asc(id_col))
-    centroids = (
-        embeddings.orderBy(F.asc(id_col))
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell_id"),
-            F.col(vec_col).alias("cv"),
+    if train_iterations > 0:
+        centroids = train_ivf_centroids(
+            embeddings, n_cells, train_iterations, id_col, vec_col
         )
-    )
+    else:
+        w = Window.orderBy(F.asc(id_col))
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                (F.row_number().over(w) - 1).alias("cell_id"),
+                F.col(vec_col).alias("cv"),
+            )
+        )
     assigned = assign_ivf_cells(
         ensure_parallelism(embeddings), centroids, id_col, vec_col
     )
