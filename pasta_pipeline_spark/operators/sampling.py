@@ -1,0 +1,116 @@
+"""Deterministic corpus sampling & sequence packing (training-data
+pipeline extension surface, SURVEY.md §7 M6).
+
+Two operators a 100 TB training-data pipeline runs constantly:
+
+- :func:`stratified_sample` — reproducible per-stratum downsampling
+  (domain mixing weights) with **no RNG**: membership is a pure
+  function of the row id, so the sample is stable across runs, Spark
+  versions, partitionings and engines (exactly SQL-expressible —
+  oracle-checkable, unlike ``DataFrame.sample``'s
+  partition-index-seeded Bernoulli draw).
+- :func:`pack_sequences` — concat-and-chunk sequence packing: documents
+  are laid out in a deterministic order per partition-key and chunk
+  boundaries fall every ``budget`` tokens; each document gets its
+  context-window bin (= start offset // budget) and a flag for
+  straddling a boundary. This is the standard "pack then split at
+  block boundaries" layout used to build fixed-length training
+  batches.
+
+Scale posture: the sample filter is scan-local (no shuffle, pushes
+nothing but survives column pruning); packing is one window shuffle on
+the partition key — at 100 TB the partition key is the shard/domain
+column, so no global ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Sampling-threshold resolution: fractions quantize to 1/10000.
+SAMPLE_DENOMINATOR = 10000
+
+
+def sample_bucket(id_col: Column | str, denominator: int = SAMPLE_DENOMINATOR) -> Column:
+    """Deterministic bucket in [0, denominator) from the row id:
+    md5-hex→int60 of the id rendered as a string (cross-engine exact;
+    DuckDB twin ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1,
+    15))::BIGINT % denominator``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+    return h.cast("long") % denominator
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: float | dict[str, float],
+    strata_col: str | None = None,
+    default_fraction: float = 0.0,
+    denominator: int = SAMPLE_DENOMINATOR,
+) -> DataFrame:
+    """Keep each row iff ``sample_bucket(id) < fraction * denominator``
+    for its stratum — a deterministic, join-free Bernoulli-style sample
+    whose membership never changes between runs.
+
+    ``fractions`` is either a single float (uniform sample) or a
+    ``{stratum_value: fraction}`` dict keyed by ``strata_col`` values
+    (strata not listed fall back to ``default_fraction`` — the usual
+    "keep 100% of rare domains, x% of the crawl" mixing shape).
+    """
+    bucket = sample_bucket(id_col, denominator)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions require strata_col")
+        thr: Column = F.lit(int(default_fraction * denominator))
+        expr = None
+        for value, frac in fractions.items():
+            cond = F.col(strata_col) == value
+            branch = F.lit(int(frac * denominator))
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        thr = expr.otherwise(thr) if expr is not None else thr
+    else:
+        thr = F.lit(int(fractions * denominator))
+    return df.where(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing assignment: within each
+    ``partition_col`` group (ordered by ``id_col``), documents occupy
+    consecutive token ranges; chunk boundaries fall every ``budget``
+    tokens. Appends:
+
+    - ``start_offset`` — the document's first token position in the
+      concatenated stream (exclusive running sum);
+    - ``bin`` — ``start_offset // budget``, the context-window index
+      the document starts in;
+    - ``crosses_boundary`` — true when the document's token span
+      straddles a chunk boundary (its tail lands in a later window —
+      the rows a loss-masking or re-packing pass needs to see).
+
+    Exact integer window arithmetic — bit-identical across engines.
+    One shuffle (the window partition); empty-token documents occupy
+    zero width and never "cross".
+    """
+    part = [partition_col] if partition_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    bin_ = F.floor(start / budget).cast("long")
+    end_bin = F.floor((start + F.greatest(n, F.lit(1)) - 1) / budget).cast("long")
+    return (
+        df.withColumn("start_offset", start)
+        .withColumn("bin", bin_)
+        .withColumn("crosses_boundary", (n > 0) & (end_bin > bin_))
+    )

@@ -66,6 +66,17 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _tp(spark, sf_dir, name):
+    """Like _t, but guarantees session-level parallelism: the per-row
+    compute-heavy queries (HOF/regex expression chains over documents)
+    would otherwise run as wide as the parquet row-group count — one
+    task for the single-row-group local test files. No-op when the
+    input already has enough partitions (the real-scale case)."""
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(load_table(spark, sf_dir, name))
+
+
 #: Fixed-point sum scale — see module docstring.
 _XS = 10000
 
@@ -565,7 +576,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.functions.hashing import md5_or_empty
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", md5_or_empty("text").alias("content_hash"))
 
 
@@ -582,7 +593,7 @@ def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.functions.text import word_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", word_count("text").cast("long").alias("n_words"))
 
 
@@ -598,7 +609,7 @@ def q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regexp_extract_all group capture + order-preserving dedup + first match.",
 )
 def q_extract_pattern_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     matches = F.regexp_extract_all(F.col("text"), F.lit("(s[a-z]+)"), 1)
     return docs.select(
         "doc_id",
@@ -620,7 +631,7 @@ def q_extract_pattern_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.functions.hashing import content_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", content_fingerprint("text").alias("fingerprint"))
 
 
@@ -685,7 +696,7 @@ _LANG_ID_ORACLE = """
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_analysis import detect_language
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", detect_language("text").alias("detected_lang"))
 
 
@@ -724,7 +735,7 @@ _QUALITY_ORACLE = """
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_analysis import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score("text").alias("score"))
 
 
@@ -741,7 +752,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_analysis import token_count_lexical
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count_lexical("text").alias("n_lexical"))
 
 
@@ -1037,7 +1048,7 @@ _MEDIA_ORACLE = """
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.multimodal import extract_media_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("media_type"),
@@ -1434,7 +1445,7 @@ def q_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.functions.hashing import rolling_hash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_hash("text").alias("rhash"))
 
 
@@ -1707,3 +1718,139 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         docs, "doc_id", "text", prefix_len=40, max_dist=15, n_chunks=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: deterministic sampling, packing, sessions, funnels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000 ELSE 2000 END
+    """,
+    doc="Deterministic stratified corpus sampling (domain-mixing weights): "
+    "keep 50% of en, 100% of zh, 20% of everything else — membership is a "
+    "pure md5 function of doc_id, so the sample is reproducible across "
+    "runs, partitionings and engines (no RNG, no shuffle; unlike "
+    "DataFrame.sample's partition-seeded draw, this is oracle-checkable).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        id_col="doc_id",
+        fractions={"en": 0.5, "zh": 1.0},
+        strata_col="lang",
+        default_fraction=0.2,
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), y -> y <> '')), 0) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, lang, start_offset,
+           CAST(FLOOR(start_offset / 512) AS BIGINT) AS bin,
+           (n > 0 AND FLOOR((start_offset + GREATEST(n, 1) - 1) / 512) > FLOOR(start_offset / 512)) AS crosses_boundary
+    FROM s
+    """,
+    doc="Concat-and-chunk sequence packing for training batches: documents "
+    "laid out per-lang in doc_id order, context-window boundaries every 512 "
+    "tokens; each doc gets its window index (start_offset // 512) and a "
+    "boundary-straddle flag. One window shuffle; exact integer arithmetic.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.text import word_count
+    from pasta_pipeline_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", word_count("text").cast("long").alias("n_words")
+    )
+    return pack_sequences(
+        docs, id_col="doc_id", tokens_col="n_words", budget=512, partition_col="lang"
+    ).select("doc_id", "lang", "start_offset", "bin", "crosses_boundary")
+
+
+@register(
+    "session_stats",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+    ), lagged AS (
+      SELECT user_id, event_id, sec,
+             LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+      FROM e
+    ), marked AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ), assigned AS (
+      SELECT user_id, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(sec) AS start_sec,
+           max(sec) AS end_sec,
+           max(sec) - min(sec) AS duration_sec
+    FROM assigned GROUP BY user_id, session_seq
+    """,
+    doc="Batch gap-based sessionization (30-min gap) + per-session rollup: "
+    "lag + running-sum session assignment (the batch analog of the "
+    "streaming session_window), epoch-second integer arithmetic, one "
+    "window shuffle on the user key.",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    return session_stats(
+        events, user_col="user_id", ts_col="sec",
+        order_tiebreak="event_id", gap_minutes=30,
+    )
+
+
+@register(
+    "funnel_steps",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_step1,
+           (SELECT count(*) FROM s2) AS n_step2,
+           (SELECT count(*) FROM s3) AS n_step3
+    """,
+    doc="Ordered funnel completion (signup → view → purchase): a user "
+    "advances only with an event strictly after their previous step's "
+    "completion time (min-ts chaining). Level frames shrink per step; "
+    "equi-joins AQE can broadcast once levels get small.",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sessions import funnel_counts
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_counts(events, ["signup", "view", "purchase"])
