@@ -1854,3 +1854,80 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return funnel_counts(events, ["signup", "view", "purchase"])
+
+
+@register(
+    "price_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Grouped exact percentiles: Spark `percentile` and DuckDB "
+    "`quantile_cont` share the SQL-standard interpolation (pos = p*(n-1), "
+    "linear between neighbors), verified bit-identical — no fixed-point "
+    "bridge needed. Exact percentile is a full sort per group; at 100 TB "
+    "swap in approx_percentile (t-digest) where tolerance allows.",
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    )
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 2^2 rollup combinations in one pass — "
+    "completes the ROLLUP/grouping-sets family): per flag x status revenue "
+    "plus both marginals and the grand total, fixed-point sums.",
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_fp = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(disc_fp) / 10000.0).alias("revenue"),
+    )
+
+
+@register(
+    "rank_windows",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           percent_rank()    OVER w            AS prnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    doc="Ranking-window family (rank / dense_rank / ntile / percent_rank) "
+    "per customer by order value — deterministic total order via the "
+    "o_orderkey tiebreak; percent_rank's (rank-1)/(n-1) double is "
+    "cross-engine exact.",
+)
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+    )

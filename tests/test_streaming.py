@@ -221,17 +221,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark ingest dedup: a re-delivered
-    message_id within the horizon reaches the sink once; state is
-    keyed + watermark-bounded (the streaming form of W1)."""
+    message_id within the horizon reaches the sink ONCE; state is
+    keyed + watermark-bounded (the streaming form of W1).
+
+    The guarantee under test is one-surviving-row-per-key — Spark keeps
+    whichever duplicate it *receives* first, and receipt order inside a
+    microbatch is partition-order-dependent, so the test asserts the
+    count and the value's membership in the delivered set, not which
+    duplicate won. The sink is an append-only collector (not the
+    keep-latest merge, which would mask a failed dedup)."""
     from pasta_pipeline_spark.streaming.dedup import dedup_stream
 
     src_dir = tmp_path / "dedup_src"
     src_dir.mkdir()
     ckpt = str(tmp_path / "dedup_ckpt")
-    store = TableStore(spark, str(tmp_path / "dedup_table"))
-    store.overwrite(
-        spark.createDataFrame([], "user_id long, ts timestamp, value double")
-    )
 
     rows = [
         (1, datetime(2024, 1, 1, 10, 0), 1.0),
@@ -245,15 +248,25 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         "user_id long, ts timestamp, value double"
     ).parquet(str(src_dir))
     deduped = dedup_stream(stream, ["user_id"], ts_col="ts", watermark="1 hour")
-    q = foreach_batch_merge(
-        deduped, store, key="user_id", order_col="ts", checkpoint_dir=ckpt
+
+    seen: list = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda batch, _id: seen.extend(batch.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
     )
     q.awaitTermination(120)
 
-    got = {r["user_id"]: r["value"] for r in store.read().collect()}
-    assert set(got) == {1, 2}
-    assert got[1] == 1.0  # the first delivery won; the 10:30 re-send was dropped
-    assert got[2] == 2.0
+    by_key: dict = {}
+    for r in seen:
+        by_key.setdefault(r["user_id"], []).append(r["value"])
+    assert set(by_key) == {1, 2}
+    assert len(by_key[1]) == 1  # three deliveries of key 1 → exactly one survives
+    assert by_key[1][0] in (1.0, 9.0)  # one of the actually-delivered payloads
+    assert by_key[2] == [2.0]
 
 
 def test_stream_dedup_batch_fallback(spark):
