@@ -1931,3 +1931,107 @@ def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("prnk"),
     )
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_s,
+           CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS view_ts_s,
+           v.value AS view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join (operators/asof.py): each purchase picks up the user's "
+    "latest view at-or-before it — DuckDB ASOF LEFT JOIN is the oracle. The "
+    "right side is pre-deduped per (user, ts) so the matched row is unique; "
+    "matched doubles pass through unhashed arithmetic.",
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.asof import asof_join
+    from pasta_pipeline_spark.operators.dedup import keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "value", "event_id")
+        .transform(lambda df: keep_latest(df, ["user_id", "ts"], "event_id"))
+        .select("user_id", "ts", "value")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        suffix="_view",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("ts_view").cast("long").alias("view_ts_s"),
+        F.col("value_view").alias("view_value"),
+    )
+
+
+@register(
+    "range_join_windows",
+    """
+    WITH e AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'error' AND user_id <= 15
+    ), p AS (
+      SELECT ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_s,
+           CAST(count(p.ts) AS BIGINT) AS n_purchases
+    FROM e LEFT JOIN p
+      ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 15 MINUTE
+    GROUP BY e.event_id, e.ts
+    """,
+    doc="Bucketized range join (operators/rangejoin.py): purchases falling "
+    "inside each error's 15-minute incident window, keyless (the hard case "
+    "— with no equi-key a naive BETWEEN join is a nested loop). The bin "
+    "equi-join plan is asserted cartesian-free in test_asof_range.py; the "
+    "DuckDB oracle runs the inequality join directly.",
+)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.rangejoin import interval_point_counts
+
+    ev = _t(spark, sf_dir, "events")
+    errors = (
+        ev.filter((F.col("event_type") == "error") & (F.col("user_id") <= 15))
+        .select("event_id", "ts")
+        .withColumn("w_end", F.col("ts") + F.expr("INTERVAL 15 MINUTES"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts")
+    )
+    counted = interval_point_counts(
+        errors,
+        purchases,
+        interval_id="event_id",
+        start_col="ts",
+        end_col="w_end",
+        ts_col="p_ts",
+        bin_seconds=900,
+        count_alias="n_purchases",
+    )
+    return counted.select(
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+    )
