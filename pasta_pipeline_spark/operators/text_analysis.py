@@ -107,3 +107,58 @@ def quality_score(text: Column | str) -> Column:
     len_c = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     score = (length_c + alpha_c + stop_c + len_c) / F.lit(4.0)
     return F.when(c.isNull() | (F.trim(c) == ""), F.lit(0.0)).otherwise(score)
+
+
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 10000,
+):
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = in-doc term count, df = number of docs containing the term,
+    idf = ln(N/df) with N = total docs (no smoothing — documented
+    contract, matching the textbook formula). The score is surfaced
+    through the fixed-point bridge (``FLOOR(score*scale)`` → int64) and
+    ranked with a (score_fp DESC, term ASC) total order, so the top-k
+    set is deterministic and cross-engine hash-stable; ties at the same
+    fixed-point score resolve alphabetically.
+
+    Shuffle profile: one on (doc, term) for tf, one on term for df,
+    a term-keyed join of the two (partial aggregation keeps hot
+    stopword terms map-side), a broadcast of the single-row N, and a
+    per-doc window for the top-k — no collect, no UDF.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize_ws(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_fp",
+            F.floor(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")) * F.lit(scale)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_fp"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_fp",
+        )
+    )

@@ -1,0 +1,78 @@
+"""Time-series regularization — gap-fill / resample with LOCF.
+
+The reference's stream is irregular (Telegram messages arrive when
+they arrive); any per-channel rate dashboard or training-data
+temporal-mix report needs the regularized form: one row per (key,
+time slot) on a fixed grid, empty slots present with a gap marker and
+the last observation carried forward.
+
+Spark-first shape: per-key bounds (one agg) → ``sequence()`` +
+``explode`` manufactures each key's grid *from two values*, never by
+joining against a materialized calendar table — the grid costs
+O(slots) rows but O(keys) shuffle; the per-slot aggregate is the usual
+partial-agg groupBy; LOCF is one window pass
+(``last(ignorenulls=True)``). Three shuffles total, all on the key,
+so AQE coalesces them; no UDF, no driver loop.
+
+Skew note (100 TB): a key spanning years at minute granularity
+explodes to ~500k grid rows — still one task's worth of window scan.
+If a single key's grid outgrows a task, slice the grid generation by
+(key, year) and run LOCF per slice with a boundary-carry join — same
+trick as every other mega-key window in SCALING.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_fp_agg,
+    slot: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Regularize ``events`` onto a per-key ``slot``-spaced grid
+    spanning that key's [min, max] observation range.
+
+    ``value_fp_agg`` is an aggregate Column over the events of one slot
+    (use the fixed-point bridge for doubles). Output per (key, slot):
+    ``n_events`` (0 for gaps), ``is_gap``, the slot aggregate
+    (NULL in gaps), and ``<agg>_locf`` — the last non-gap aggregate at
+    or before the slot (NULL until the key's first observation, which
+    cannot occur inside the grid since it starts at the first
+    observation).
+    """
+    slotted = events.withColumn("__slot", F.date_trunc(trunc_unit, F.col(ts_col)))
+
+    bounds = slotted.groupBy(key_col).agg(
+        F.min("__slot").alias("__h0"), F.max("__slot").alias("__h1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__h0"), F.col("__h1"), F.expr(f"INTERVAL {slot}"))
+        ).alias("__slot"),
+    )
+
+    agg = slotted.groupBy(key_col, "__slot").agg(
+        F.count(F.lit(1)).alias("n_events"), value_fp_agg.alias("__v")
+    )
+
+    out = grid.join(agg, [key_col, "__slot"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("__slot").alias("slot"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.col("__v").alias("slot_value"),
+        F.last("__v", ignorenulls=True).over(w).alias("slot_value_locf"),
+    )

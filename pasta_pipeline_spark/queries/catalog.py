@@ -2035,3 +2035,192 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("ts_s"),
         F.col("n_purchases").cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), y -> y <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, n, 48)) AS start_token
+      FROM d
+    )
+    SELECT doc_id,
+           CAST((start_token - 1) / 48 AS BIGINT) AS chunk_idx,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(len(toks[start_token : start_token + 63]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start_token : start_token + 63], ' ') AS chunk_text
+    FROM s
+    """,
+    doc="Overlapping token-window chunking for LLM training "
+    "(operators/chunking.py): 64-token chunks every 48 tokens, all array "
+    "expressions in one scan — sequence starts, posexplode, slice; no UDF, "
+    "no shuffle. The oracle mirrors it with generate_series + inclusive "
+    "list slicing.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = _tp(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_size=64, stride=48
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000) AS BIGINT) AS score_fp
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_fp
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Top-5 TF-IDF terms per document (operators/text_analysis.py): "
+    "textbook tf*ln(N/df), fixed-point-bridged score, (score, term) total "
+    "order for a deterministic top-k. ln() verified bit-identical between "
+    "the JVM and DuckDB on this domain.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = _tp(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
+
+
+@register(
+    "quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN mx > 0 THEN 127.0 / mx END AS scale
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * COALESCE(scale, 0.0)) AS INTEGER) AS q,
+           CAST(FLOOR(scale * 10000) AS BIGINT) AS scale_fp
+    FROM s, unnest(generate_series(1, len(embedding))) t(i)
+    """,
+    doc="Symmetric int8 scalar quantization (operators/similarity.py): "
+    "scale = 127/max|v|, round-half-away (verified identical in both "
+    "engines on doubles), posexploded to exact-integer rows; the scale "
+    "crosses the fixed-point bridge.",
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb, id_col="vec_id", vec_col="embedding")
+
+
+@register(
+    "resample_locf",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS slot FROM b
+    ), agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS slot,
+             count(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS vfp
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           CAST(epoch(g.slot) AS BIGINT) AS slot_s,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           (a.n IS NULL) AS is_gap,
+           a.vfp AS slot_value,
+           CAST(last_value(a.vfp IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS slot_value_locf
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.slot = a.slot
+    """,
+    doc="Gap-fill / resample to an hourly per-user grid with "
+    "last-observation-carried-forward (operators/timeseries.py): "
+    "sequence()+explode manufactures each key's grid from its own bounds, "
+    "one window pass fills gaps; fixed-point slot sums.",
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_locf(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_fp_agg=F.sum(F.floor(F.col("value") * 10000).cast("long")),
+        slot="1 hour",
+        trunc_unit="hour",
+    )
+    return out.select(
+        "user_id",
+        F.col("slot").cast("long").alias("slot_s"),
+        "n_events",
+        "is_gap",
+        "slot_value",
+        "slot_value_locf",
+    )
+
+
+@register(
+    "price_histogram",
+    """
+    WITH h AS (
+      SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+             count(*) AS n,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n, cents,
+           CAST(SUM(n) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+    FROM h
+    """,
+    doc="Fixed-width histogram + cumulative distribution of lineitem "
+    "prices: bucket = FLOOR(price/5000) (identical IEEE ops both engines; "
+    "DuckDB 1.0 has no width_bucket, so the shared arithmetic IS the "
+    "contract), fixed-point cents sums, running count over the global "
+    "bucket order (a handful of rows — the one window where a global "
+    "ORDER BY is fine).",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return h.select(
+        "bucket", "n", "cents", F.sum("n").over(w).cast("long").alias("cum_n")
+    )

@@ -1,0 +1,117 @@
+"""Round-2 extension operators: TF-IDF top-k, int8 quantization,
+gap-fill/LOCF resampling — semantics on hand-computed fixtures (the
+catalog oracle checks cross-engine equality; these pin the intended
+math)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_tfidf_top_terms_math(spark):
+    from pasta_pipeline_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: apple tf=2 df=1 → 2*ln(3); banana tf=1 df=2 → ln(1.5)
+    top = by_doc[1][0]
+    assert (top["term"], top["tf"], top["df"]) == ("apple", 2, 1)
+    assert top["score_fp"] == math.floor(2 * math.log(3.0) * 10000)
+    assert by_doc[1][1]["term"] == "banana"
+    # doc 3: only one distinct term
+    assert [r["term"] for r in by_doc[3]] == ["cherry"]
+    # ranks are 1-based and dense per doc
+    assert [r["rnk"] for r in sorted(by_doc[1], key=lambda r: r["rnk"])] == [1, 2]
+
+
+def test_quantize_int8_roundtrip_and_edges(spark):
+    from pasta_pipeline_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0]),          # zero vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantize_embeddings_int8(emb).collect()
+    v1 = {r["pos"]: r for r in rows if r["vec_id"] == 1}
+    # scale = 127/2 = 63.5 → q = round(v*63.5)
+    assert [v1[p]["q"] for p in (0, 1, 2)] == [64, -127, 32]
+    assert v1[0]["scale_fp"] == math.floor(63.5 * 10000)
+    # max-magnitude component always lands within int8
+    assert all(-127 <= r["q"] <= 127 for r in rows)
+    # zero vector → all-zero q, NULL scale
+    v2 = [r for r in rows if r["vec_id"] == 2]
+    assert all(r["q"] == 0 and r["scale_fp"] is None for r in v2)
+    # dequantization error bound: |v - q/scale| <= 0.5/scale
+    scale = 63.5
+    for p, v in [(0, 1.0), (1, -2.0), (2, 0.5)]:
+        assert abs(v - v1[p]["q"] / scale) <= 0.5 / scale + 1e-12
+
+
+def test_resample_locf_gaps(spark):
+    from pasta_pipeline_spark.operators.timeseries import resample_locf
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 1.0),
+            (1, datetime(2024, 1, 1, 0, 50), 2.0),
+            # hours 1-2 silent
+            (1, datetime(2024, 1, 1, 3, 5), 7.0),
+            (2, datetime(2024, 1, 1, 5, 0), 9.0),  # single-hour key
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_locf(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_fp_agg=F.sum(F.floor(F.col("value") * 10000).cast("long")),
+    ).collect()
+    g1 = {r["slot"].hour: r for r in out if r["user_id"] == 1}
+    # grid spans the key's own bounds: hours 0..3 inclusive
+    assert sorted(g1) == [0, 1, 2, 3]
+    assert (g1[0]["n_events"], g1[0]["is_gap"], g1[0]["slot_value"]) == (2, False, 30000)
+    assert (g1[1]["n_events"], g1[1]["is_gap"], g1[1]["slot_value"]) == (0, True, None)
+    # LOCF carries hour 0's aggregate through the silent hours
+    assert g1[1]["slot_value_locf"] == 30000
+    assert g1[2]["slot_value_locf"] == 30000
+    assert g1[3]["slot_value_locf"] == 70000
+    # single-observation key: a one-row grid
+    g2 = [r for r in out if r["user_id"] == 2]
+    assert len(g2) == 1 and g2[0]["n_events"] == 1 and not g2[0]["is_gap"]
+
+
+def test_resample_locf_plan_no_calendar_join(spark):
+    """The grid must come from sequence()+explode of per-key bounds —
+    no cartesian/nested-loop join against a calendar."""
+    from pasta_pipeline_spark.operators.timeseries import resample_locf
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    out = resample_locf(
+        ev, "user_id", "ts", F.sum(F.floor(F.col("value") * 10000).cast("long"))
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -121,3 +121,47 @@ def test_funnel_requires_strict_order(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
     out = funnel_counts(df, ["signup", "view", "purchase"], ts_col="ts").collect()[0]
     assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (3, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_shapes(spark):
+    from pasta_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # 7 tokens
+            (2, "x y"),                    # shorter than one chunk
+            (3, ""),                       # no tokens → no chunks
+            (4, "   \n\t "),               # whitespace only → no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=4, stride=3)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: starts at 1, 4, 7 (start <= n); last chunk is short
+    assert rows[(1, 0)] == (1, 4, "a b c d")
+    assert rows[(1, 1)] == (4, 4, "d e f g")
+    assert rows[(1, 2)] == (7, 1, "g")
+    assert rows[(2, 0)] == (1, 2, "x y")
+    assert {k[0] for k in rows} == {1, 2}
+
+
+def test_chunk_documents_no_overlap_default_covers_exactly(spark):
+    from pasta_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, " ".join(str(i) for i in range(12)))],
+                                 "doc_id long, text string")
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=4).collect()
+    # 12 tokens, size=stride=4 → 3 full chunks, every token exactly once
+    assert [r["n_tokens"] for r in sorted(out, key=lambda r: r["chunk_idx"])] == [4, 4, 4]
+    all_tokens = " ".join(
+        r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_idx"])
+    ).split()
+    assert all_tokens == [str(i) for i in range(12)]
