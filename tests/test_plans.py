@@ -85,3 +85,42 @@ def test_cosine_dup_pairs_is_bucket_gated(spark):
     plan = _plan(spark, "cosine_dup_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_semi_join(spark):
+    """Runtime bloom-filter join pruning (SCALING.md): Spark injects a
+    bloom filter built from the small filtered side into the big side's
+    scan for shuffle joins. Default-on, but gated by a 10 GB
+    application-side scan threshold — invisible at local scale, active
+    exactly where it matters at 100 TB. This test lowers the gates to
+    prove the semi-join work-selection shape is inject-eligible (no
+    disqualifying plan pattern), then restores them."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        sel = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+        j = orders.join(sel, orders.o_orderkey == sel.l_orderkey, "left_semi")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, "bloom filter not injected on semi-join"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
