@@ -2224,3 +2224,48 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "bucket", "n", "cents", F.sum("n").over(w).cast("long").alias("cum_n")
     )
+
+
+@register(
+    "pagerank_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS l, l_suppkey * 2 + 1 AS r FROM lineitem
+    ), edges AS (
+      SELECT l AS src, r AS dst FROM pairs
+      UNION ALL
+      SELECT r AS src, l AS dst FROM pairs
+    ), deg AS (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS r FROM edges
+    ), it1 AS (
+      SELECT e.dst AS id,
+             CAST(150000 + (85 * CAST(SUM(x.r // d.outdeg) AS BIGINT)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN r0 x ON e.src = x.id JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), it2 AS (
+      SELECT e.dst AS id,
+             CAST(150000 + (85 * CAST(SUM(x.r // d.outdeg) AS BIGINT)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it1 x ON e.src = x.id JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), it3 AS (
+      SELECT e.dst AS id,
+             CAST(150000 + (85 * CAST(SUM(x.r // d.outdeg) AS BIGINT)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it2 x ON e.src = x.id JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT id, r AS rank_fp FROM it3
+    """,
+    doc="Fixed-point PageRank, 3 iterations, over the part↔supplier "
+    "co-occurrence graph (operators/graph.py): iterative join+groupBy "
+    "rounds in pure int64 arithmetic — bit-identical across engines and "
+    "partitionings, so even an iterative algorithm carries an exact "
+    "oracle (three chained CTEs).",
+)
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.graph import bipartite_edges, pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = bipartite_edges(li, "l_partkey", "l_suppkey")
+    return pagerank_fixed(edges, iterations=3)

@@ -115,3 +115,53 @@ def test_resample_locf_plan_no_calendar_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _py_pagerank(edges, iterations, scale=1_000_000, d_num=85, d_den=100):
+    """Reference implementation of the exact integer contract."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    ranks = {s: scale for s, _ in edges}
+    base = (scale * (d_den - d_num)) // d_den
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for s, d in edges:
+            acc[d] += ranks.get(s, scale) // outdeg[s]
+        ranks = {n: base + (d_num * total) // d_den for n, total in acc.items()}
+    return ranks
+
+
+def test_pagerank_fixed_matches_reference_math(spark):
+    from pasta_pipeline_spark.operators.graph import pagerank_fixed
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank_fp"] for r in pagerank_fixed(df, iterations=2).collect()}
+    assert got == _py_pagerank(edges, 2)
+    # symmetric triangle → equal centrality
+    assert len(set(got.values())) == 1
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from pasta_pipeline_spark.operators.graph import pagerank_fixed
+
+    # star: hub 0 <-> leaves 1..4
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank_fp"] for r in pagerank_fixed(df, iterations=3).collect()}
+    assert got == _py_pagerank(edges, 3)
+    assert got[0] > max(got[i] for i in range(1, 5))
+
+
+def test_bipartite_edges_closed(spark):
+    from pasta_pipeline_spark.operators.graph import bipartite_edges
+
+    df = spark.createDataFrame([(10, 7), (10, 8), (11, 7)], "p long, s long")
+    e = bipartite_edges(df, "p", "s")
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    # both directions, namespaced; every dst also appears as a src
+    assert (20, 15) in rows and (15, 20) in rows
+    assert {d for _, d in rows} <= {s for s, _ in rows}
