@@ -162,3 +162,104 @@ def tfidf_top_terms(
             "score_fp",
         )
     )
+
+
+def repetition_metrics(
+    docs, id_col: str = "doc_id", text_col: str = "text", scale: int = 10000
+):
+    """Gopher-style within-document repetition filters: the fraction of
+    token bigrams taken by the single most frequent bigram
+    (``top2_frac_fp``) and the duplicate-bigram fraction
+    (``dup2_frac_fp`` = 1 - distinct/total). High values mark
+    boilerplate/generated text for the quality gate, complementing the
+    across-corpus dedup ladder in operators/text_dedup.py.
+
+    All ratios are exact integer arithmetic on counts
+    (``(scale*x) div total``) — hash-stable across engines. Documents
+    with fewer than two tokens have no bigrams and are excluded
+    (documented contract).
+
+    Shuffle profile: explode → groupBy(doc, bigram) → groupBy(doc);
+    both aggregations partial map-side, keys are (doc, gram) — no hot
+    keys beyond a single document's own mass.
+    """
+    toks = tokenize_ws(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    b = (
+        docs.withColumn("__n", n)
+        .filter(F.col("__n") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("g"))
+    )
+    counts = b.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.count(F.lit(1)).alias("dist"),
+    )
+    return m.select(
+        F.col(id_col),
+        F.col("total").cast("long").alias("n_bigrams"),
+        F.expr(f"({scale} * top) div total").cast("long").alias("top2_frac_fp"),
+        F.expr(f"({scale} * (total - dist)) div total")
+        .cast("long")
+        .alias("dup2_frac_fp"),
+    )
+
+
+def contamination_check(
+    corpus,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    scale: int = 10000,
+):
+    """Benchmark-contamination scan: for every corpus document, how
+    many of its distinct ``n``-token shingles appear anywhere in the
+    ``benchmark`` set (the eval-set-leakage check every training-data
+    pipeline runs before a model ever sees the corpus).
+
+    Returns (id, n_grams, n_contaminated, contam_frac_fp) for every
+    corpus doc — zero rows included, so the clean majority is
+    auditable, not silently absent.
+
+    Scale shape: both sides explode to (doc, shingle) with
+    ``array_distinct`` applied in-array (no per-doc dedup shuffle); the
+    benchmark gram set is typically small → AQE broadcasts it; the
+    corpus side never self-joins. Cost is linear in corpus shingle
+    mass.
+    """
+    from pasta_pipeline_spark.operators.text_dedup import shingles
+
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    b_grams = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    sizes = c_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        c_grams.join(b_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr(f"({scale} * coalesce(n_contaminated, 0)) div n_grams")
+            .cast("long")
+            .alias("contam_frac_fp"),
+        )
+    )

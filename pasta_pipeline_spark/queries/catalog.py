@@ -2269,3 +2269,86 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = bipartite_edges(li, "l_partkey", "l_suppkey")
     return pagerank_fixed(edges, iterations=3)
+
+
+@register(
+    "repetition_metrics",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS tk
+      FROM documents
+    ), b AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM t WHERE len(tk) >= 2)
+    ), c AS (
+      SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY doc_id, g
+    ), m AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(MAX(cnt) AS BIGINT) AS top,
+             CAST(count(*) AS BIGINT) AS dist
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, total AS n_bigrams,
+           CAST((10000 * top) // total AS BIGINT) AS top2_frac_fp,
+           CAST((10000 * (total - dist)) // total AS BIGINT) AS dup2_frac_fp
+    FROM m
+    """,
+    doc="Gopher-style repetition filters (operators/text_analysis.py): "
+    "top-bigram fraction and duplicate-bigram fraction per document, exact "
+    "integer ratios — the within-document complement of the dedup ladder.",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import repetition_metrics
+
+    docs = _tp(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+@register(
+    "contamination_check",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             CASE WHEN len(t) >= 5
+                  THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                  ELSE array_to_string(t, ' ') END AS g
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+            FROM toks)
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE source = 'src0'
+    ), corpus AS (
+      SELECT doc_id, g FROM sh WHERE source <> 'src0'
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM corpus GROUP BY doc_id
+    ), hits AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM corpus c JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST((10000 * COALESCE(h.n_contaminated, 0)) // s.n_grams AS BIGINT) AS contam_frac_fp
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    doc="Benchmark-contamination scan (operators/text_analysis.py): distinct "
+    "5-token shingles of each corpus doc (source<>'src0') probed against the "
+    "'benchmark' set (source='src0') — the eval-leakage check a training "
+    "pipeline runs before ingest. Zero-hit docs stay in the output.",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import contamination_check
+
+    docs = _tp(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )

@@ -165,3 +165,47 @@ def test_bipartite_edges_closed(spark):
     # both directions, namespaced; every dst also appears as a src
     assert (20, 15) in rows and (15, 20) in rows
     assert {d for _, d in rows} <= {s for s, _ in rows}
+
+
+def test_repetition_metrics_math(spark):
+    from pasta_pipeline_spark.operators.text_analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # bigrams: ab,ba,ab,ba,ab → top=3/5, dist=2
+            (2, "x y z w"),         # all distinct: top=1/3, dup=0
+            (3, "solo"),            # <2 tokens → excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 5
+    assert got[1]["top2_frac_fp"] == (10000 * 3) // 5
+    assert got[1]["dup2_frac_fp"] == (10000 * 3) // 5   # 5 total - 2 distinct
+    assert got[2]["top2_frac_fp"] == 10000 // 3
+    assert got[2]["dup2_frac_fp"] == 0
+
+
+def test_contamination_check_hits_and_zeroes(spark):
+    from pasta_pipeline_spark.operators.text_analysis import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over suffix"),  # shares 5-grams
+            (2, "completely different words here entirely now"),   # clean
+            (3, "tiny doc"),                                       # whole-text shingle, no match
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_check(corpus, bench, n=5).collect()}
+    assert set(got) == {1, 2, 3}                 # clean docs stay in the output
+    # "the quick brown fox jumps" and "quick brown fox jumps over" match
+    assert got[1]["n_contaminated"] == 2
+    assert got[1]["contam_frac_fp"] == (10000 * 2) // got[1]["n_grams"]
+    assert got[2]["n_contaminated"] == 0
+    assert got[3]["n_contaminated"] == 0
