@@ -383,3 +383,75 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     }
     assert got2[2] == (2, 5.0)  # restored state + the new event
     assert got2[1] == (2, 15.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range bound
+    (streaming/joins.py): purchases join the click by the same user
+    within the 30-minute lookback; the engine accepts the plan (it
+    rejects unbounded stream-stream joins) and emits exactly the
+    in-range pairs."""
+    from pasta_pipeline_spark.streaming.joins import stream_interval_join
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+
+    _events_df(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 0.0),   # click 10:00
+            (2, datetime(2024, 1, 1, 10, 0), 0.0),
+        ],
+    ).coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    _events_df(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 10, 20), 5.0),  # 20 min after click → in range
+            (2, datetime(2024, 1, 1, 11, 0), 7.0),   # 60 min after → out of range
+        ],
+    ).coalesce(1).write.mode("append").parquet(str(buys_dir))
+
+    schema = "user_id long, ts timestamp, value double"
+    clicks = spark.readStream.schema(schema).parquet(str(clicks_dir))
+    buys = spark.readStream.schema(schema).parquet(str(buys_dir))
+
+    joined = stream_interval_join(
+        buys,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lookback="30 minutes",
+        watermark_left="1 hour",
+        watermark_right="2 hours",
+    )
+
+    seen: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _id: seen.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert [(r["user_id"], r["value"], r["value_r"]) for r in seen] == [(1, 5.0, 0.0)]
+
+
+def test_stream_interval_join_batch_form_matches(spark):
+    """The same builder on batch frames (watermarks no-op) — the
+    oracle surface for the streaming form."""
+    from pasta_pipeline_spark.streaming.joins import stream_interval_join
+
+    clicks = _events_df(spark, [(1, datetime(2024, 1, 1, 10, 0), 0.0)])
+    buys = _events_df(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 10, 20), 5.0),
+            (1, datetime(2024, 1, 1, 11, 20), 9.0),
+        ],
+    )
+    out = stream_interval_join(
+        buys, clicks, "user_id", "ts", "ts", "30 minutes", "1 hour", "1 hour"
+    )
+    assert [(r["value"], r["value_r"]) for r in out.collect()] == [(5.0, 0.0)]
