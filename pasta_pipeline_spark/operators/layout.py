@@ -1,0 +1,89 @@
+"""Physical layout operators — Z-order clustering and small-file
+compaction.
+
+At 100 TB the scan cost of every query in this engine is set by
+*layout*: which rows share a file (data-skipping via min/max stats)
+and how many files there are (task scheduling + open() overhead). The
+reference never thinks about this (Postgres owns its heap); a Spark
+engine must.
+
+- ``zvalue2`` interleaves the bits of two integer columns into one
+  long whose ordering is the Z-space-filling curve: rows close in
+  (a, b) land close in z, so range-partitioning + sorting by z gives
+  files whose min/max footprints are tight in BOTH dimensions —
+  multi-column data skipping from a single sort key. Pure bit
+  expressions (shift/and/or), whole-stage codegen, no UDF — and
+  exactly reproducible in any engine with integer bit ops, so it
+  carries a real DuckDB oracle.
+- ``zorder_layout`` applies it: range-repartition by z (contiguous,
+  balanced ranges via sampling) then sort within partitions — the
+  standard open-table-format OPTIMIZE ZORDER shape.
+- ``compaction_partitions`` sizes a rewrite of a small-file table:
+  target file count = ceil(bytes / target_file_bytes) — the weekly
+  maintenance job's layout step (SURVEY O6 extension).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue2(a: Column | str, b: Column | str, bits: int = 21) -> Column:
+    """Interleave the low ``bits`` of non-negative integer columns
+    ``a`` (even positions) and ``b`` (odd positions) into one long.
+    2*bits must stay < 63; values are masked to ``bits`` so oversized
+    inputs wrap into the curve rather than overflowing the sign bit.
+    """
+    if 2 * bits >= 63:
+        raise ValueError("2*bits must be < 63")
+    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda x, y: x.bitwiseOR(y), terms).alias("z")
+
+
+def zvalue2_sql(a: str, b: str, bits: int = 21) -> str:
+    """The identical computation as engine-portable SQL text (DuckDB
+    oracle twin of :func:`zvalue2` — generated, not hand-kept, so the
+    two cannot drift)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_partitions: int,
+    bits: int = 21,
+) -> DataFrame:
+    """Cluster ``df`` for two-dimensional data skipping: range-
+    partition on the Z-value (Spark samples the distribution for
+    balanced contiguous ranges) and sort within each partition.
+    Writing the result gives files whose (col_a, col_b) min/max
+    envelopes are tight — the OPTIMIZE ZORDER shape without a table
+    format."""
+    with_z = df.withColumn("__z", zvalue2(col_a, col_b, bits))
+    return (
+        with_z.repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def compaction_partitions(total_bytes: int, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """File count for a compaction rewrite: enough files to keep each
+    near ``target_file_bytes``, never zero."""
+    if total_bytes <= 0:
+        return 1
+    return max(1, math.ceil(total_bytes / target_file_bytes))

@@ -2352,3 +2352,32 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         n=5,
     )
+
+
+def _zorder_oracle() -> str:
+    from pasta_pipeline_spark.operators.layout import zvalue2_sql
+
+    return f"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST({zvalue2_sql("l_partkey", "l_suppkey")} AS BIGINT) AS z
+    FROM lineitem
+    """
+
+
+@register(
+    "zorder_values",
+    _zorder_oracle(),
+    doc="Z-order clustering key (operators/layout.py): bit-interleave of "
+    "(l_partkey, l_suppkey) — the sort key whose range-partitioned layout "
+    "gives two-dimensional data skipping. The oracle SQL is GENERATED from "
+    "the same bit recipe (zvalue2_sql), so engine and oracle cannot drift.",
+)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.layout import zvalue2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zvalue2("l_partkey", "l_suppkey").cast("long").alias("z"),
+    )

@@ -209,3 +209,97 @@ def test_contamination_check_hits_and_zeroes(spark):
     assert got[1]["contam_frac_fp"] == (10000 * 2) // got[1]["n_grams"]
     assert got[2]["n_contaminated"] == 0
     assert got[3]["n_contaminated"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches: verified by error bound against exact aggregates
+# (hash equality is the wrong contract for engine-specific sketches)
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_within_rsd(spark):
+    from pasta_pipeline_spark.operators.sketches import approx_distinct
+    from pasta_pipeline_spark.schemas import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = approx_distinct(orders, "o_custkey", rsd=0.02).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05  # 2% rsd → 5% is a safe gate
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    from pasta_pipeline_spark.operators.sketches import approx_quantiles
+    from pasta_pipeline_spark.schemas import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = approx_quantiles(li, "l_extendedprice", [0.5], accuracy=10000).collect()[0][
+        "quantiles"
+    ][0]
+    # rank error <= n/accuracy: the approximate median's rank must sit
+    # within that band of the true median rank
+    n = li.count()
+    rank = li.filter(F.col("l_extendedprice") <= got).count()
+    assert abs(rank - n / 2) <= n / 10000 + 1
+
+
+def test_frequent_items_exact_threshold(spark):
+    from pasta_pipeline_spark.operators.sketches import frequent_items
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "v string"
+    )
+    got = [(r["value"], r["cnt"]) for r in frequent_items(df, "v", min_count=3).collect()]
+    assert got == [("a", 5), ("b", 3)]
+
+
+def test_zvalue2_locality_and_bounds(spark):
+    from pasta_pipeline_spark.operators.layout import zvalue2
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3), (1024, 1024)],
+        "a long, b long",
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.select("a", "b", zvalue2("a", "b")).collect()}
+    # hand-interleave: a even bits, b odd bits
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(2, 0)] == 4
+    assert got[(3, 3)] == 15
+    assert got[(1024, 1024)] == (1 << 20) | (1 << 21)
+    assert all(z >= 0 for z in got.values())
+
+
+def test_zorder_layout_partitions_are_contiguous_z_ranges(spark):
+    from pasta_pipeline_spark.operators.layout import zorder_layout, zvalue2
+
+    df = spark.createDataFrame(
+        [(i % 37, (i * 7) % 41) for i in range(2000)], "a long, b long"
+    )
+    out = zorder_layout(df, "a", "b", n_partitions=4)
+    # re-derive z per partition; ranges must not overlap across partitions
+    parts = (
+        out.withColumn("z", zvalue2("a", "b"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(parts) > 1
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev["hi"] <= cur["lo"], "z-ranges overlap across partitions"
+
+
+def test_compaction_partitions():
+    from pasta_pipeline_spark.operators.layout import compaction_partitions
+
+    mb = 1024 * 1024
+    assert compaction_partitions(0) == 1
+    assert compaction_partitions(1) == 1
+    assert compaction_partitions(128 * mb) == 1
+    assert compaction_partitions(128 * mb + 1) == 2
+    assert compaction_partitions(10_000 * mb, 512 * mb) == 20
