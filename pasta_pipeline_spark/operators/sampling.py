@@ -114,3 +114,56 @@ def pack_sequences(
         .withColumn("bin", bin_)
         .withColumn("crosses_boundary", (n > 0) & (end_bin > bin_))
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_total: int,
+    sqrt_fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source mixing (T=2 ⇒ weights ∝ √n): draw a
+    deterministic sample whose per-source allocation follows
+    ``m_s = (target_total * √n_s) / Σ√n_t`` — the standard rebalancing
+    that up-weights rare sources relative to raw proportional sampling
+    (multilingual / multi-domain training mixes).
+
+    Exactness contract: √n is IEEE-correctly-rounded in both engines,
+    so ``floor(√n * scale)`` is a reproducible int64; every weight
+    thereafter is INTEGER arithmetic (``(target * sqrt_fp) div Σ``),
+    never a float sum whose order could differ. Row selection is
+    rank-by-md5 within source (row_number ≤ m_s) — exact sample sizes,
+    no RNG, no threshold-float boundary.
+
+    Scale: one count per source (tiny), broadcast of the per-source
+    quota table, one window shuffle on source for the md5 rank. A
+    mega-source's rank window is the usual hot-key; at 100 TB
+    pre-filter with ``stratified_sample`` at ~2× the target fraction,
+    then rank the survivors.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.withColumn(
+        "__sqrt_fp", F.floor(F.sqrt(F.col("__n")) * sqrt_fp_scale).cast("long")
+    )
+    total = counts.agg(F.sum("__sqrt_fp").alias("__tot"))
+    quota = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__m",
+            F.least(
+                F.col("__n"),
+                F.expr(f"({target_total} * __sqrt_fp) div __tot"),
+            ),
+        )
+        .select(source_col, "__m")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    ranked = df.withColumn("__rnk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), source_col)
+        .filter(F.col("__rnk") <= F.col("__m"))
+        .drop("__rnk", "__m")
+    )

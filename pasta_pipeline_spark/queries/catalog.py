@@ -2381,3 +2381,39 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         zvalue2("l_partkey", "l_suppkey").cast("long").alias("z"),
     )
+
+
+@register(
+    "temperature_sample",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n,
+             CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_fp
+      FROM c
+    ), t AS (
+      SELECT CAST(SUM(sqrt_fp) AS BIGINT) AS tot FROM s
+    ), quota AS (
+      SELECT source, LEAST(n, (200 * sqrt_fp) // tot) AS m FROM s CROSS JOIN t
+    ), ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.lang
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rnk <= q.m
+    """,
+    doc="Temperature-based source mixing (operators/sampling.py): per-source "
+    "quotas ∝ √n via integer arithmetic on fixed-point √n (√ is correctly "
+    "rounded in both engines; no float sums anywhere), rows chosen by "
+    "md5-rank within source — exact quota sizes, no RNG.",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return temperature_sample(docs, id_col="doc_id", source_col="source", target_total=200)

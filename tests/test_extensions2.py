@@ -303,3 +303,24 @@ def test_compaction_partitions():
     assert compaction_partitions(128 * mb) == 1
     assert compaction_partitions(128 * mb + 1) == 2
     assert compaction_partitions(10_000 * mb, 512 * mb) == 20
+
+
+def test_temperature_sample_quotas(spark):
+    from pasta_pipeline_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "rare") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source", target_total=100)
+    got = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]] += 1
+    # sqrt weighting: big gets 100*30/(30+10)=75, rare 100*10/40=25 —
+    # vs proportional 90/10: the rare source is upweighted 2.5×
+    assert got == {"big": 75, "rare": 25}
+    # determinism: same input → identical sample membership
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, "doc_id", "source", target_total=100).collect()
+    )
+    assert ids1 == ids2
