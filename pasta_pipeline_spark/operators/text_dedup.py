@@ -563,3 +563,103 @@ def duplicate_clusters(
     labels.unpersist()
     edges.unpersist()
     return result
+
+
+def edit_distance_pairs_shifted(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 40,
+    tau: int = 2,
+) -> DataFrame:
+    """PassJoin-style edit-distance self-join — COMPLETE for
+    insertions/deletions, unlike the fixed-position blocking of
+    :func:`edit_distance_pairs` (which this upgrades, per its
+    docstring): every pair with ``levenshtein(prefix_a, prefix_b) <=
+    tau`` over the lowercased ``prefix_len``-char prefix is returned,
+    with no cross join.
+
+    Scheme (Li, Deng, Feng — PassJoin, SIGMOD'11 family): each string
+    indexes its ``tau+1`` even segments at fixed positions; by
+    pigeonhole, any string within ``tau`` edits contains at least one
+    segment VERBATIM, displaced by at most ``tau`` positions. The
+    probe side therefore emits, for every indexable length ``l`` in
+    ``[n - tau, n + tau]``, each segment-shaped substring within the
+    ±tau shift window; candidates equi-join on (indexed length,
+    segment index, content) and the exact Levenshtein verifies — so
+    the result is exact end to end, and the DuckDB oracle can be the
+    GROUND TRUTH all-pairs filter rather than a replay of the
+    blocking.
+
+    Cost: index side k=tau+1 rows/string; probe side <=
+    (2tau+1)^2 * k substrings/string (dedup'd) — constants, not a
+    function of corpus size; one shuffle on the block key. Strings
+    shorter than ``tau+1`` chars are excluded (no non-empty segments).
+    """
+    k = tau + 1
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("s"),
+        )
+        .withColumn("n", F.length("s"))
+        .filter(F.col("n") >= k)
+    )
+
+    # --- index side: k even segments at canonical positions -------------
+    idx = base.select(
+        F.col("doc"), F.col("s"), F.col("n"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    )
+    idx = (
+        idx.withColumn("st", F.expr(f"(i * n) div {k} + 1"))
+        .withColumn("ln", F.expr(f"((i + 1) * n) div {k} - (i * n) div {k}"))
+        .select(
+            F.col("doc").alias("doc_a"),
+            F.col("s").alias("sa"),
+            F.col("n").alias("l"),
+            "i",
+            F.col("s").substr(F.col("st").cast("int"), F.col("ln").cast("int")).alias("seg"),
+        )
+    )
+
+    # --- probe side: segment-shaped substrings in the ±tau window -------
+    pr = base.select(
+        F.col("doc"), F.col("s"), F.col("n"),
+        F.explode(F.sequence(F.col("n") - tau, F.col("n") + tau)).alias("l"),
+    ).filter(F.col("l") >= k)
+    pr = pr.select(
+        "doc", "s", "n", "l",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    )
+    pr = (
+        pr.withColumn("st0", F.expr(f"(i * l) div {k} + 1"))
+        .withColumn("ln", F.expr(f"((i + 1) * l) div {k} - (i * l) div {k}"))
+        .withColumn("lo", F.greatest(F.lit(1), F.col("st0") - tau))
+        .withColumn("hi", F.least(F.col("n") - F.col("ln") + 1, F.col("st0") + tau))
+        .filter(F.col("lo") <= F.col("hi"))
+        .select(
+            "doc", "s", "l", "i", "ln",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("p"),
+        )
+        .select(
+            F.col("doc").alias("doc_b"),
+            F.col("s").alias("sb"),
+            "l",
+            "i",
+            F.col("s").substr(F.col("p").cast("int"), F.col("ln").cast("int")).alias("seg"),
+        )
+        .distinct()
+    )
+
+    cand = (
+        idx.join(pr, ["l", "i", "seg"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= tau)
+        .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -2417,3 +2417,32 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return temperature_sample(docs, id_col="doc_id", source_col="source", target_total=200)
+
+
+@register(
+    "edit_distance_shift_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(substr(text, 1, 40)) AS p
+      FROM documents
+      WHERE length(lower(substr(text, 1, 40))) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.p) - length(b.p)) <= 2
+     AND levenshtein(a.p, b.p) <= 2
+    """,
+    doc="PassJoin-style shifted-segment edit-distance join "
+    "(text_dedup.edit_distance_pairs_shifted): complete for <=2 edits "
+    "INCLUDING indels, so the oracle is the ground-truth all-pairs filter "
+    "— the engine's blocking must find every true pair, not just replay "
+    "itself. (The DuckDB side may brute-force at sf0.01; the Spark side "
+    "never does.)",
+)
+def q_edit_distance_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import edit_distance_pairs_shifted
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs_shifted(docs, "doc_id", "text", prefix_len=40, tau=2)

@@ -324,3 +324,49 @@ def test_temperature_sample_quotas(spark):
         for r in temperature_sample(df, "doc_id", "source", target_total=100).collect()
     )
     assert ids1 == ids2
+
+
+def test_edit_distance_shifted_catches_indels(spark):
+    """A single deletion at the front shifts every downstream slice, so
+    fixed-position blocking misses it; PassJoin shifted probing must
+    not."""
+    from pasta_pipeline_spark.operators.text_dedup import (
+        edit_distance_pairs_shifted,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789abcd"),
+            (2, "bcdefghijklmnopqrstuvwxyz0123456789abcd"),   # del 'a' → dist 1
+            (3, "Xabcdefghijklmnopqrstuvwxyz0123456789abc"),  # ins 'X' → dist ≤ 2
+            (4, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  # unrelated
+            (5, "ab"),                                        # shorter than k → excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in edit_distance_pairs_shifted(docs, "doc_id", "text", tau=2).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2  # one insertion + trailing char drop (40-char window)
+    # (2,3) is distance 3 (two front inserts + trailing delete) → excluded at tau=2
+    assert (2, 3) not in got
+    assert all(4 not in pair and 5 not in pair for pair in got)
+
+
+def test_edit_distance_shifted_no_cartesian(spark):
+    from pasta_pipeline_spark.operators.text_dedup import (
+        edit_distance_pairs_shifted,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"string number {i} with some shared words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = edit_distance_pairs_shifted(docs, "doc_id", "text", tau=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
