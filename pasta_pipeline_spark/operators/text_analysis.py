@@ -263,3 +263,56 @@ def contamination_check(
             .alias("contam_frac_fp"),
         )
     )
+
+
+def char_entropy(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ln_scale: int = 1_000_000_000,
+):
+    """Character-distribution Shannon entropy per document (nats,
+    fixed-point) — the cheap perplexity proxy in the quality gate: very
+    low entropy flags repeated-character/boilerplate junk, very high
+    flags binary-ish noise.
+
+    Exactness: H = ln(n) - (Σ cnt·ln cnt)/n needs double ln's, and a
+    double SUM over characters would be order-dependent. Contract:
+    ``lnfp(x) = FLOOR(ln(x)·ln_scale)`` (ln is correctly rounded in
+    both engines → identical int64), then
+    ``H_fp = (n·lnfp(n) − Σ cnt·lnfp(cnt)) div n`` — all sums int64,
+    order-free. Bounds: cnt·lnfp(cnt) < 1e4·1e10 per char class, safe
+    in int64 for documents to ~1e8 chars.
+
+    Shape: explode to one row per character position (substr(i,1) —
+    engine-portable, unlike empty-pattern splits), two partial-agg
+    groupBys. Empty documents are excluded.
+    """
+    c = F.col(text_col)
+    chars = (
+        docs.filter(F.length(c) > 0)
+        .select(
+            F.col(id_col),
+            c.alias("__t"),
+            F.explode(F.sequence(F.lit(1), F.length(c))).alias("__i"),
+        )
+        .select(
+            F.col(id_col), F.col("__t").substr(F.col("__i"), F.lit(1)).alias("ch")
+        )
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def lnfp(col):
+        return F.floor(F.log(col.cast("double")) * ln_scale).cast("long")
+
+    m = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * lnfp(F.col("cnt"))).cast("long").alias("s"),
+    ).withColumn("lnn", lnfp(F.col("n")))
+    return m.select(
+        F.col(id_col),
+        F.col("n").alias("n_chars_seen"),
+        F.expr("(n * lnn - s) div n").alias("entropy_fp"),
+    )
+
+

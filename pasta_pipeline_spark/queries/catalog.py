@@ -2446,3 +2446,123 @@ def q_edit_distance_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return edit_distance_pairs_shifted(docs, "doc_id", "text", prefix_len=40, tau=2)
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+             AS revenue,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analog (shipping priority): 3-way join with selective "
+    "filters on every input — customer dim broadcasts, both date filters "
+    "push to the parquet scans, fixed-point revenue, deterministic top-10.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15 00:00:00"
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_fp) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the
+            # NTZ→timestamp hop is identity, then epoch seconds
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "above_avg_orders",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS price_fp,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                  OVER (PARTITION BY o_custkey) AS BIGINT) AS sum_fp,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_fp
+    FROM w
+    WHERE n > 1 AND price_fp * n > sum_fp
+    """,
+    doc="Correlated 'above this customer's average' filter, decorrelated "
+    "into one window pass (the subquery a SQL user would write as "
+    "o_totalprice > (SELECT avg ... WHERE same custkey)); the comparison "
+    "is cross-multiplied into exact integer arithmetic — no division.",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    price_fp = F.floor(F.col("o_totalprice") * 10000).cast("long")
+    return (
+        orders.withColumn("price_fp", price_fp)
+        .withColumn("sum_fp", F.sum("price_fp").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .where((F.col("n") > 1) & (F.col("price_fp") * F.col("n") > F.col("sum_fp")))
+        .select("o_orderkey", "o_custkey", "price_fp")
+    )
+
+
+@register(
+    "char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS c
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+            FROM documents WHERE length(text) > 0)
+    ), cc AS (
+      SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+    ), m AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000000) AS BIGINT)) AS BIGINT) AS s
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_seen,
+           CAST((n * CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) - s) // n AS BIGINT)
+             AS entropy_fp
+    FROM m
+    """,
+    doc="Character-entropy quality proxy (operators/text_analysis.py): "
+    "H = ln(n) - sum(cnt*ln cnt)/n in nats via fixed-point ln (1e9 scale) "
+    "so every sum is order-free int64; substr(i,1) explode is the "
+    "engine-portable char split.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import char_entropy
+
+    docs = _tp(spark, sf_dir, "documents")
+    return char_entropy(docs)

@@ -370,3 +370,32 @@ def test_edit_distance_shifted_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_entropy_ordering_and_exact_value(spark):
+    import math
+
+    from pasta_pipeline_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),    # zero entropy
+            (2, "abababab"),    # 1 bit = ln 2 nats
+            (3, "abcdefgh"),    # ln 8 nats (max for 8 chars)
+            (4, ""),            # excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    S = 1_000_000_000
+    assert got[1]["entropy_fp"] == 0
+    # exact contract: (n*lnfp(n) - sum cnt*lnfp(cnt)) div n
+    def lnfp(x):
+        return math.floor(math.log(x) * S)
+    assert got[2]["entropy_fp"] == (8 * lnfp(8) - 2 * 4 * lnfp(4)) // 8
+    assert got[3]["entropy_fp"] == (8 * lnfp(8) - 8 * lnfp(1)) // 8
+    # monotone: uniform > alternating > constant
+    assert got[3]["entropy_fp"] > got[2]["entropy_fp"] > got[1]["entropy_fp"]
+    # and the fixed-point value is within 2/n of true entropy
+    assert abs(got[2]["entropy_fp"] / S - math.log(2)) < 1e-8
