@@ -151,3 +151,48 @@ def frame_sample_stub(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema)
+
+
+#: Aspect-bucket ladder: (label, upper bound on 100*w/h, exclusive).
+#: Integer thresholds are the midpoint-ish cuts between the canonical
+#: training ratios 1:2, 3:4, 1:1, 4:3, 2:1.
+ASPECT_LADDER = (
+    ("tall_1_2", 62),
+    ("portrait_3_4", 87),
+    ("square_1_1", 116),
+    ("landscape_4_3", 166),
+    ("wide_2_1", None),
+)
+
+
+def aspect_bucket(width_col, height_col):
+    """Aspect-ratio bucket label from integer dimensions — the batch-
+    grouping key image-training pipelines use so one batch shares a
+    resize target. Contract is pure integer arithmetic:
+    ``ap = (100 * width) div height`` compared against fixed ladder
+    cuts — no float ratios, so the assignment is engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    ap = F.expr(f"(100 * {width_col}) div {height_col}")
+    expr = None
+    branches = []
+    for label, cut in ASPECT_LADDER:
+        if cut is not None:
+            branches.append((ap < cut, label))
+    expr = F.when(branches[0][0], branches[0][1])
+    for cond, label in branches[1:]:
+        expr = expr.when(cond, label)
+    return expr.otherwise(ASPECT_LADDER[-1][0])
+
+
+def aspect_bucket_sql(width_col: str, height_col: str) -> str:
+    """Generated SQL twin of :func:`aspect_bucket` (same ladder, same
+    integer arithmetic — cannot drift)."""
+    ap = f"((100 * {width_col}) // {height_col})"
+    cases = " ".join(
+        f"WHEN {ap} < {cut} THEN '{label}'"
+        for label, cut in ASPECT_LADDER
+        if cut is not None
+    )
+    return f"CASE {cases} ELSE '{ASPECT_LADDER[-1][0]}' END"

@@ -2566,3 +2566,57 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return char_entropy(docs)
+
+
+def _aspect_oracle() -> str:
+    from pasta_pipeline_spark.operators.multimodal import aspect_bucket_sql
+
+    return f"""
+    WITH m AS (
+      SELECT CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS BIGINT) AS width,
+             CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS BIGINT) AS height
+      FROM documents
+    )
+    SELECT {aspect_bucket_sql("width", "height")} AS bucket,
+           count(*) AS n_media,
+           CAST(MIN((100 * width) // height) AS BIGINT) AS min_ap,
+           CAST(MAX((100 * width) // height) AS BIGINT) AS max_ap
+    FROM m
+    GROUP BY 1
+    """
+
+
+@register(
+    "aspect_buckets",
+    _aspect_oracle(),
+    doc="Aspect-ratio bucketing for image-batch training "
+    "(operators/multimodal.py): the mapInPandas decode stage feeds integer "
+    "dimensions; buckets assign via (100*w) div h against fixed ladder cuts "
+    "— pure integer arithmetic, SQL twin generated from the same ladder.",
+)
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        aspect_bucket,
+        extract_media_features,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = extract_media_features(media, decode="stub").select(
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+    ap = F.expr("(100 * width) div height")
+    return (
+        feats.withColumn("bucket", aspect_bucket("width", "height"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min(ap).cast("long").alias("min_ap"),
+            F.max(ap).cast("long").alias("max_ap"),
+        )
+    )

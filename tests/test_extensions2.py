@@ -399,3 +399,21 @@ def test_char_entropy_ordering_and_exact_value(spark):
     assert got[3]["entropy_fp"] > got[2]["entropy_fp"] > got[1]["entropy_fp"]
     # and the fixed-point value is within 2/n of true entropy
     assert abs(got[2]["entropy_fp"] / S - math.log(2)) < 1e-8
+
+
+def test_aspect_bucket_ladder(spark):
+    from pasta_pipeline_spark.operators.multimodal import aspect_bucket
+
+    df = spark.createDataFrame(
+        [(100, 200), (300, 400), (100, 100), (400, 300), (200, 100), (1000, 100)],
+        "width long, height long",
+    )
+    got = [r["b"] for r in df.select(aspect_bucket("width", "height").alias("b")).collect()]
+    assert got == [
+        "tall_1_2",       # ap=50
+        "portrait_3_4",   # ap=75
+        "square_1_1",     # ap=100
+        "landscape_4_3",  # ap=133
+        "wide_2_1",       # ap=200
+        "wide_2_1",       # ap=1000 clamps into the last bucket
+    ]

@@ -124,3 +124,13 @@ def test_runtime_bloom_filter_fires_on_shuffle_semi_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_shipping_priority_broadcasts_and_pushes_filters(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter at the scan
+    assert "l_shipdate" in [l for l in plan.splitlines() if "PushedFilters" in l][0] or any(
+        "GreaterThan(l_shipdate" in l for l in plan.splitlines()
+    )
