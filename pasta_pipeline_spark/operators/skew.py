@@ -64,3 +64,41 @@ def salted_agg(
         _COMBINE[kind](out).alias(out) for out, (kind, _) in aggs.items()
     ]
     return phase1.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small
+    side across every salt bucket, join on (keys…, salt).
+
+    A hot join key (the reference analog: one channel contributing
+    most messages) lands all its rows on one sort-merge task; salting
+    spreads it over ``salt_buckets`` tasks at the cost of replicating
+    the SMALL side S times — the right trade exactly when small is
+    broadcast-ish but the join must shuffle anyway (e.g. the big side
+    is already hash-partitioned, or small exceeds the broadcast
+    threshold). AQE's skew-join split is the first line of defense;
+    this is the explicit form for when AQE can't help (skewed
+    AGGREGATE after the join, or a non-splittable downstream stage).
+
+    The salt on the big side is ``pmod(hash(all columns), S)`` —
+    deterministic per row (retry-stable), uniform as long as non-key
+    attributes vary. Result is row-identical to the plain join, so the
+    operator is oracle-checkable. Only inner/left joins make sense
+    (right/full would multiply unmatched small rows); enforced.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn(
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    replicated = small.withColumn(
+        _SALT,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_big.join(replicated, [*on, _SALT], how).drop(_SALT)

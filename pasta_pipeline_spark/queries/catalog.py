@@ -2620,3 +2620,34 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(ap).cast("long").alias("max_ap"),
         )
     )
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           SUM(CAST(FLOOR(l.l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS gross
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Skew-proof salted join (operators/skew.py): big side salted via "
+    "pmod(hash(row), 16), small dim replicated per salt, join on "
+    "(key, salt) — row-identical to the plain join (the oracle), so the "
+    "skew escape hatch is itself correctness-gated.",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.select(F.col("l_partkey").alias("p_partkey"), "l_extendedprice"),
+        part,
+        on=["p_partkey"],
+        salt_buckets=16,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _xsum(F.col("l_extendedprice")).alias("gross"),
+    )

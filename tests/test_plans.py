@@ -134,3 +134,45 @@ def test_shipping_priority_broadcasts_and_pushes_filters(spark):
     assert "l_shipdate" in [l for l in plan.splitlines() if "PushedFilters" in l][0] or any(
         "GreaterThan(l_shipdate" in l for l in plan.splitlines()
     )
+
+
+def test_ivf_cells_as_partition_column_prune_scans(spark, tmp_path):
+    """The IVF scale story (SCALING.md): cell_id becomes a partition
+    column, so an n_probe query physically reads only its probed
+    cells' files — partition pruning does the ANN candidate cut at the
+    storage layer. This writes the assigned corpus partitioned by
+    cell_id and asserts (a) the filter shows up as a PartitionFilter,
+    (b) only the probed cells' files are scanned."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import (
+        assign_ivf_cells,
+        train_ivf_centroids,
+    )
+    from pasta_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=8, iterations=1)
+    assigned = assign_ivf_cells(emb, cents)
+
+    out = str(tmp_path / "ivf_parts")
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(out)
+
+    reread = spark.read.parquet(out)
+    n_cells_on_disk = reread.select("cell_id").distinct().count()
+    probed = reread.filter(F.col("cell_id").isin(0, 1))
+
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "cell_id" in plan
+
+    # physical proof: rows can only come from files execution actually
+    # read (inputFiles() lists the pre-pruning relation, so it can't
+    # prove anything) — every touched file lives under a probed cell dir
+    touched = {
+        r[0].rsplit("/", 2)[1]
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {"cell_id=0", "cell_id=1"}
+    assert n_cells_on_disk > 2
