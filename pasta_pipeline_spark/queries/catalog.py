@@ -2651,3 +2651,91 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         _xsum(F.col("l_extendedprice")).alias("gross"),
     )
+
+
+@register(
+    "training_corpus",
+    """
+    WITH wc AS (
+      SELECT doc_id, source, text,
+             COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), y -> y <> '')), 0) AS n_words
+      FROM documents WHERE source <> 'src0'
+    ), tk AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS tk
+      FROM documents WHERE source <> 'src0'
+    ), bg AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM tk WHERE len(tk) >= 2)
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g
+    ), rep AS (
+      SELECT doc_id,
+             CAST((10000 * (SUM(cnt) - count(*))) // SUM(cnt) AS BIGINT) AS dup2
+      FROM bgc GROUP BY doc_id
+    ), quality AS (
+      SELECT w.doc_id, w.source, w.text, CAST(w.n_words AS BIGINT) AS n_words
+      FROM wc w LEFT JOIN rep r ON w.doc_id = r.doc_id
+      WHERE w.n_words >= 20 AND COALESCE(r.dup2, 0) <= 6000
+    ), dedup AS (
+      SELECT doc_id, source, text, n_words FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), ctk AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t
+      FROM dedup
+    ), csh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                  ELSE array_to_string(t, ' ') END AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM ctk)
+    ), btk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t
+      FROM documents WHERE source = 'src0'
+    ), bsh AS (
+      SELECT DISTINCT
+             CASE WHEN len(t) >= 5
+                  THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                  ELSE array_to_string(t, ' ') END AS g
+      FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM btk)
+    ), hits AS (
+      SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.g = b.g
+    ), clean AS (
+      SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    ), cs AS (
+      SELECT source, count(*) AS n FROM clean GROUP BY source
+    ), sq AS (
+      SELECT source, n, CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sfp FROM cs
+    ), tt AS (
+      SELECT CAST(SUM(sfp) AS BIGINT) AS tot FROM sq
+    ), quota AS (
+      SELECT source, LEAST(n, (150 * sfp) // tot) AS m FROM sq CROSS JOIN tt
+    ), ranked AS (
+      SELECT doc_id, source, n_words,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM clean
+    )
+    SELECT r.doc_id, r.source, r.n_words
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rnk <= q.m
+    """,
+    doc="END-TO-END training-data preparation (plans/training_data.py): "
+    "quality gate (length + repetition) → exact keep-first dedup → "
+    "benchmark decontamination → √n temperature mixing, as ONE lazy plan "
+    "with ONE DuckDB oracle — the whole pipeline is correctness-gated, "
+    "not just its stages.",
+)
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.plans.training_data import prepare_training_corpus
+
+    docs = _tp(spark, sf_dir, "documents")
+    return prepare_training_corpus(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        min_words=20,
+        max_dup2_frac_fp=6000,
+        target_total=150,
+    )

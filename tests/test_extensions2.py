@@ -417,3 +417,37 @@ def test_aspect_bucket_ladder(spark):
         "wide_2_1",       # ap=200
         "wide_2_1",       # ap=1000 clamps into the last bucket
     ]
+
+
+def test_prepare_training_corpus_stages(spark):
+    """Each stage of the end-to-end prep plan removes exactly the docs
+    it should: short → quality gate, repeated → repetition gate,
+    identical → dedup, benchmark-overlapping → decontamination; the
+    survivors get temperature-mixed."""
+    from pasta_pipeline_spark.plans.training_data import prepare_training_corpus
+
+    long_text = " ".join(f"w{i}" for i in range(30))          # 30 distinct words
+    repeated = "spam ham " * 15                                # dup2 ≈ 9655 > 6000
+    leaked = "the secret benchmark sentence is hidden here " + " ".join(
+        f"x{i}" for i in range(25)
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, long_text, "a"),
+            (2, "too short", "a"),            # < 20 words
+            (3, repeated.strip(), "a"),       # repetition-dominated
+            (4, long_text, "b"),              # exact dup of 1 → keep-first drops it
+            (5, leaked, "b"),                 # contaminated
+            (6, " ".join(f"y{i}" for i in range(40)), "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark sentence is hidden here")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(corpus, bench, target_total=10).collect()
+    survivors = sorted(r["doc_id"] for r in out)
+    assert survivors == [1, 6]
+    assert {r["source"] for r in out} == {"a", "b"}
+    assert {r["n_words"] for r in out} == {30, 40}
