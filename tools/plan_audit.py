@@ -1,0 +1,107 @@
+"""Physical-plan audit across the whole query catalog.
+
+For every registered query, compile the physical plan at a given sf
+dir and report the scale-relevant shape: number of exchanges
+(shuffles), broadcast joins/exchanges, sort-merge joins, nested-loop/
+cartesian joins (almost always a bug at 100 TB), and pushdown
+counts. (Codegen spans are invisible in AQE's pre-execution formatted
+plan, so they are deliberately not reported.) One JSON line per query + a summary; exits non-zero
+if any plan contains a cartesian product or broadcast nested-loop
+join, so this doubles as a CI sweep.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit_plan(plan: str) -> dict:
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, flags=re.MULTILINE)
+    return {
+        "exchanges": sum(1 for o in ops if o == "Exchange"),
+        "broadcast_joins": sum(1 for o in ops if o == "BroadcastHashJoin"),
+        "smj": sum(1 for o in ops if o == "SortMergeJoin"),
+        "bnlj": sum(1 for o in ops if o == "BroadcastNestedLoopJoin"),
+        "cartesian": sum(1 for o in ops if o == "CartesianProduct"),
+        "pushed_filters": plan.count("PushedFilters: ["),
+    }
+
+
+#: Queries whose BroadcastNestedLoopJoin is the benign scalar-handoff
+#: pattern: `crossJoin(broadcast(<single-row aggregate>))` — a frozen
+#: run_ts watermark, a corpus-total N, a funnel level count, or a
+#: query-vector matrix. A 1-row broadcast build side costs O(1) per
+#: probe row at any scale; it is NOT the quadratic nested loop the
+#: audit exists to catch. Every entry here must be that shape
+#: (`BroadcastNestedLoopJoin Cross BuildRight` over an Aggregate with
+#: no grouping keys); anything else stays flagged.
+SCALAR_CROSSJOIN_OK = {
+    "incremental_scan": "frozen run_ts watermark (1-row max(ts))",
+    "retention_filter": "frozen run_ts watermark (1-row max(ts))",
+    "cosine_topk": "broadcast 1-row query vector",
+    "knn_join": "broadcast Q-row query matrix (Q small by contract)",
+    "ann_ivf_topk": "broadcast 1-row query vector",
+    "funnel_steps": "1-row per-level counts",
+    "temperature_sample": "1-row sum of per-source sqrt quotas",
+    "tfidf_top_terms": "1-row corpus total N",
+    "training_corpus": "1-row totals inside temperature mixing",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pasta_pipeline_spark.queries.catalog import REGISTRY
+    from pasta_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    bad = []
+    for name, spec in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        try:
+            df = spec.spark_fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"query": name, "error": str(e)[:200]}))
+            bad.append(name)
+            continue
+        row = {"query": name, **audit_plan(plan)}
+        if row["cartesian"]:
+            bad.append(name)
+            row["FLAG"] = "cartesian product"
+        elif row["bnlj"]:
+            if name in SCALAR_CROSSJOIN_OK and "Cross BuildRight" in plan:
+                row["bnlj_ok"] = SCALAR_CROSSJOIN_OK[name]
+            else:
+                bad.append(name)
+                row["FLAG"] = "nested-loop join (not a known scalar handoff)"
+        print(json.dumps(row))
+
+    print(
+        json.dumps(
+            {
+                "summary": "plan_audit",
+                "queries": len(REGISTRY) if not only else len(only),
+                "flagged": bad,
+            }
+        )
+    )
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
