@@ -48,6 +48,14 @@ def pagerank_fixed(
     in-edge, after ``iterations`` rounds from a uniform ``scale``
     start. Damping d = d_num/d_den; teleport term
     ``base = (scale * (d_den - d_num)) div d_den``.
+
+    Contract detail for asymmetric graphs: after round 1 the rank set
+    is the in-edge-receiving nodes; a node with out-edges but NO
+    in-edges therefore contributes only in round 1 and nothing after —
+    its mass decays out instead of being re-teleported. On a closed
+    symmetric edge set (``bipartite_edges``) the distinction is moot;
+    callers with source-only nodes who want them to keep contributing
+    should add self-loops.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")

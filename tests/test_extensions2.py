@@ -118,7 +118,10 @@ def test_resample_locf_plan_no_calendar_join(spark):
 
 
 def _py_pagerank(edges, iterations, scale=1_000_000, d_num=85, d_den=100):
-    """Reference implementation of the exact integer contract."""
+    """Reference implementation of the exact integer contract.
+    Matches the operator's documented asymmetric-graph semantics: a
+    node absent from the current rank set (no in-edges) contributes
+    nothing in later rounds — no default-to-initial fallback."""
     from collections import defaultdict
 
     outdeg = defaultdict(int)
@@ -129,9 +132,27 @@ def _py_pagerank(edges, iterations, scale=1_000_000, d_num=85, d_den=100):
     for _ in range(iterations):
         acc = defaultdict(int)
         for s, d in edges:
-            acc[d] += ranks.get(s, scale) // outdeg[s]
+            if s in ranks:
+                acc[d] += ranks[s] // outdeg[s]
         ranks = {n: base + (d_num * total) // d_den for n, total in acc.items()}
     return ranks
+
+
+def test_pagerank_source_only_node_decays(spark):
+    """Asymmetric contract pinned: a source-only node (out-edges, no
+    in-edges) feeds round 1 and then stops contributing."""
+    from pasta_pipeline_spark.operators.graph import pagerank_fixed
+
+    # 0 → 1, 1 ↔ 2 : node 0 never receives an edge
+    edges = [(0, 1), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r["id"]: r["rank_fp"]
+            for r in pagerank_fixed(df, iterations=iters).collect()
+        }
+        assert got == _py_pagerank(edges, iters)
+        assert 0 not in got  # source-only node has no rank row
 
 
 def test_pagerank_fixed_matches_reference_math(spark):
