@@ -2739,3 +2739,44 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dup2_frac_fp=6000,
         target_total=150,
     )
+
+
+@register(
+    "constraint_checks",
+    """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS positive_price,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS valid_status,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS custkey_not_null
+      FROM orders
+    ), dups AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_violations
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    )
+    SELECT 'positive_price' AS rule, positive_price AS n_violations, n_rows FROM base
+    UNION ALL
+    SELECT 'valid_status', valid_status, n_rows FROM base
+    UNION ALL
+    SELECT 'custkey_not_null', custkey_not_null, n_rows FROM base
+    UNION ALL
+    SELECT 'unique_orderkey', d.n_violations, b.n_rows FROM dups d CROSS JOIN base b
+    """,
+    doc="Declarative constraint checking (operators/quality_checks.py): the "
+    "lake-side replacement for the reference's Postgres DDL constraints — "
+    "all CHECK rules fold into one scan, uniqueness is its own shuffle, "
+    "output is one (rule, n_violations, n_rows) row per rule.",
+)
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_checks import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        rules={
+            "positive_price": F.col("o_totalprice") > 0,
+            "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+        },
+        unique_keys={"unique_orderkey": ["o_orderkey"]},
+    )

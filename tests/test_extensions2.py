@@ -472,3 +472,44 @@ def test_prepare_training_corpus_stages(spark):
     assert survivors == [1, 6]
     assert {r["source"] for r in out} == {"a", "b"}
     assert {r["n_words"] for r in out} == {30, 40}
+
+
+def test_check_constraints_and_quarantine(spark):
+    from pasta_pipeline_spark.operators.quality_checks import (
+        check_constraints,
+        extract_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O"),
+            (2, -5.0, "O"),     # bad price
+            (3, 7.0, "X"),      # bad status
+            (3, 2.0, "O"),      # duplicate key (both rows count)
+            (4, None, "O"),     # NULL price → violation (CHECK semantics)
+        ],
+        "k long, price double, status string",
+    )
+    rules = {
+        "positive_price": F.col("price") > 0,
+        "valid_status": F.col("status").isin("O", "F"),
+    }
+    got = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in check_constraints(df, rules, unique_keys={"unique_k": ["k"]}).collect()
+    }
+    assert got == {
+        "positive_price": (2, 5),   # -5.0 and NULL
+        "valid_status": (1, 5),
+        "unique_k": (2, 5),         # both rows of the duplicated key
+    }
+
+    quarantined = {
+        r["k"]: sorted(r["failed_rules"])
+        for r in extract_violations(df, rules).collect()
+    }
+    assert quarantined == {
+        2: ["positive_price"],
+        3: ["valid_status"],
+        4: ["positive_price"],
+    }

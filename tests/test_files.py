@@ -96,3 +96,26 @@ def test_csv_corrupt_record_side_channel(spark, tmp_path):
     assert sorted(r["message_id"] for r in good.collect()) == [1, 3]
     assert bad.count() == 1
     assert "not-a-number" in bad.collect()[0]["_corrupt_record"]
+
+
+def test_parquet_schema_drift_merge_and_fill(spark, tmp_path):
+    """Schema evolution at the lake layer (a 100 TB reality the
+    reference's fixed Postgres DDL never faces): a late batch adds a
+    column; mergeSchema unions the schemas and back-fills NULL; an
+    explicit read schema makes absent columns NULL rather than
+    erroring (the S5 explicit-schema contract under drift)."""
+    d = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    got = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    explicit = spark.read.schema("id long, score double, missing string").parquet(d)
+    rows = {r["id"]: (r["score"], r["missing"]) for r in explicit.collect()}
+    assert rows == {1: (None, None), 2: (9.5, None)}
