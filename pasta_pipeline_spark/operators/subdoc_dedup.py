@@ -1,0 +1,173 @@
+"""Sub-document deduplication — line-level and content-defined-chunk
+granularity.
+
+The document-level dedup ladder (``operators/text_dedup.py``) keeps or
+drops WHOLE documents. Web-scale training corpora additionally need
+removal of duplicated content *inside* otherwise-unique documents:
+navigation boilerplate, license headers, quoted reply chains. Two
+standard granularities, both re-expressed as pure DataFrame plans:
+
+- **Line-level dedup** (CCNet / RefinedWeb style): count every line's
+  global frequency across the corpus; rewrite each document keeping
+  only lines whose frequency is at or below a threshold. One shuffle
+  on the line hash (frequency count), one joinback, one shuffle on the
+  document id (reassembly) — linear in corpus line mass, no driver
+  state, no cross join.
+- **Content-defined chunking** (CDC — the rolling-boundary trick from
+  dedup storage systems, here at token granularity): a chunk boundary
+  falls after every token whose 60-bit hash is ``0 mod avg_tokens``.
+  Boundaries depend only on local content, so an insertion early in a
+  document re-synchronizes at the next boundary and all later chunks
+  hash identically — which is exactly what makes chunk-hash dedup
+  robust to small edits where fixed-width windows are not (verified by
+  the shift-resync pytest).
+
+Cross-engine exactness: line/token hashing is md5-based (playbook #6),
+chunk ids are int64 window cumsums, and reassembly orders by the
+explode position — every step has a bit-identical DuckDB twin, so both
+operators are full value-hash oracle-checked, not rows-only.
+
+Reference scope note: the reference engine has no sub-document dedup
+(its single tier is the whole-content md5 at
+telegraph_processor.py:128-132); this module is part of the SURVEY
+§2.12 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.functions.text import tokenize_ws
+from pasta_pipeline_spark.operators.text_dedup import _hash60
+
+
+def segment_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", delimiter: str = "\n"
+) -> DataFrame:
+    """Explode documents into ``(id, pos, line)`` rows. ``delimiter``
+    must be a regex-free literal (it is passed to ``F.split`` on the
+    Spark side and to ``string_split`` in oracles). Trailing empty
+    segments are kept (split limit -1), matching DuckDB
+    ``string_split``; null texts produce no rows."""
+    c = F.col(text_col)
+    return docs.where(c.isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(c, delimiter, -1)).alias("pos", "line"),
+    )
+
+
+def remove_duplicated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    max_freq: int = 1,
+    keep_blank: bool = True,
+) -> DataFrame:
+    """Corpus-level line dedup: drop every line whose global occurrence
+    count exceeds ``max_freq``; reassemble each document from its kept
+    lines in original order.
+
+    Returns one row per input document (null-text docs excluded):
+    ``(id, text_kept, n_lines, n_removed)`` — a document whose lines
+    are all removed survives with ``text_kept = ''``, so the corpus
+    row count is stable (downstream length filters decide its fate,
+    not this operator).
+
+    ``keep_blank=True`` exempts whitespace-only lines: they are
+    formatting, not content, and removing them because blank lines are
+    globally common would glue paragraphs together.
+
+    Scale shape: frequency groupBy shuffles 16-byte md5 line keys (not
+    line text); the joinback is AQE-broadcast-eligible when the over-
+    threshold set is small; reassembly is a single groupBy on the doc
+    id with an in-array sort — no window over a global order anywhere.
+    """
+    lines = segment_lines(docs, id_col, text_col, delimiter)
+    lines = lines.withColumn("__lh", F.md5(F.col("line")))
+    freq = lines.groupBy("__lh").agg(F.count(F.lit(1)).alias("__freq"))
+    kept = F.col("__freq") <= F.lit(max_freq)
+    if keep_blank:
+        kept = kept | (F.trim(F.col("line")) == "")
+    flagged = lines.join(freq, "__lh").withColumn("__kept", kept)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~F.col("__kept")).cast("long")).cast("long").alias("n_removed"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__kept"), F.struct(F.col("pos"), F.col("line")))
+                )
+            ).alias("__ks"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__ks"), lambda s: s.getField("line")), delimiter
+            ).alias("text_kept"),
+            "n_lines",
+            "n_removed",
+        )
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_tokens: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a boundary closes
+    the current chunk AFTER every token whose ``_hash60`` is
+    ``0 mod avg_tokens`` (expected chunk length = ``avg_tokens``).
+    Returns one row per chunk:
+    ``(id, chunk_id, n_tokens, chunk_hash, n_copies)`` where
+    ``n_copies`` is the corpus-wide occurrence count of the chunk text
+    (``> 1`` → shared content, the dedup signal).
+
+    Scale shape: the boundary cumsum window and the chunk groupBy both
+    partition by the document id — one sort shuffle, then the chunk-
+    hash count shuffles 32-byte md5 keys. Everything else is in-row.
+    Chunk ids are exclusive prefix sums (int64), deterministic given
+    the text alone — two identical documents always produce identical
+    ``(chunk_id, chunk_hash)`` sequences.
+    """
+    c = F.col(text_col)
+    toks = docs.where(c.isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(tokenize_ws(c, lowercase=False)).alias("pos", "tok"),
+    )
+    boundary = (_hash60(F.col("tok")) % F.lit(avg_tokens) == 0).cast("long")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = toks.withColumn("__b", boundary).withColumn(
+        "chunk_id", (F.sum("__b").over(w) - F.col("__b")).cast("long")
+    )
+    chunks = (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                        ),
+                        lambda s: s.getField("tok"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    copies = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return chunks.join(copies, "chunk_hash").select(
+        F.col(id_col), "chunk_id", "n_tokens", "chunk_hash", "n_copies"
+    )

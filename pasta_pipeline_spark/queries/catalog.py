@@ -2780,3 +2780,86 @@ def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys={"unique_orderkey": ["o_orderkey"]},
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup (extension §2.12): line-level + content-defined chunks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "line_dedup_docs",
+    """
+    WITH lines AS (
+      SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, ' table ') AS ls
+            FROM documents WHERE text IS NOT NULL)
+    ), freq AS (
+      SELECT line, count(*) AS c FROM lines GROUP BY line
+    ), flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (f.c <= 1 OR trim(l.line) = '') AS kept
+      FROM lines l JOIN freq f USING (line)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN kept THEN line END, ' table ' ORDER BY pos), '')
+             AS text_kept,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="Corpus-level line dedup (operators/subdoc_dedup.py, CCNet-style): "
+    "drop segments whose global frequency exceeds 1, reassemble documents "
+    "in original order. The synthetic corpus has no newlines, so the "
+    "catalog instance segments on the common token ' table ' — ~160 of "
+    "1358 segments repeat, exercising both the removal and the "
+    "reassembly path cross-engine; pytest covers real multi-line docs.",
+)
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.subdoc_dedup import remove_duplicated_lines
+
+    docs = _tp(spark, sf_dir, "documents")
+    return remove_duplicated_lines(docs, delimiter=" table ", max_freq=1)
+
+
+@register(
+    "cdc_chunk_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+            FROM documents WHERE text IS NOT NULL)
+    ), fl AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 16 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM tok
+    ), ch AS (
+      SELECT doc_id, pos, tok,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS cid
+      FROM fl
+    ), agg AS (
+      SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM ch GROUP BY doc_id, cid
+    ), cc AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies
+      FROM agg GROUP BY chunk_hash
+    )
+    SELECT a.doc_id, a.chunk_id, a.n_tokens, a.chunk_hash, c.n_copies
+    FROM agg a JOIN cc c USING (chunk_hash)
+    """,
+    doc="Content-defined chunking dedup (operators/subdoc_dedup.py): token-"
+    "granularity CDC — boundary after every token with hash60 % 16 == 0, "
+    "chunk id = exclusive prefix sum, chunk md5 counted corpus-wide. "
+    "Boundaries re-synchronize after edits (shift-resync pytest), which "
+    "is what fixed-width windows cannot do.",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.subdoc_dedup import cdc_chunks
+
+    docs = _tp(spark, sf_dir, "documents")
+    return cdc_chunks(docs, avg_tokens=16)

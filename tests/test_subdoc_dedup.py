@@ -1,0 +1,117 @@
+"""Sub-document dedup: line-level removal and CDC chunking.
+
+The catalog query runs these cross-engine on the word-salad corpus
+(no newlines there, so it segments on a common token); THESE tests
+exercise the real multi-line contract and the CDC resynchronization
+property the oracle can't show.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.operators.subdoc_dedup import (
+    cdc_chunks,
+    remove_duplicated_lines,
+    segment_lines,
+)
+
+BOILER = "all rights reserved"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_global_boilerplate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, f"unique alpha\n{BOILER}\nunique beta"),
+            (2, f"{BOILER}\nanother body line"),
+            (3, f"third doc only line\n{BOILER}"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_lines(docs, max_freq=1).collect()
+    }
+    assert out[1]["text_kept"] == "unique alpha\nunique beta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text_kept"] == "another body line"
+    assert out[3]["text_kept"] == "third doc only line"
+
+
+def test_line_dedup_blank_lines_exempt_and_all_removed_doc_survives(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, f"{BOILER}\n\n{BOILER}"),  # only boilerplate + a blank
+            (2, f"{BOILER}\nkeep me"),
+            (3, BOILER),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_lines(docs, max_freq=1).collect()
+    }
+    # blank line kept (formatting, so n_removed=2 not 3), boilerplate
+    # gone; joining the single surviving blank line renders as ""
+    assert out[1]["text_kept"] == "" and out[1]["n_removed"] == 2
+    assert out[3]["text_kept"] == "" and out[3]["n_removed"] == 1
+    assert len(out) == 3
+
+
+def test_line_dedup_max_freq_threshold(spark):
+    docs = _docs(spark, [(i, f"shared line\ndoc {i}") for i in range(1, 5)])
+    lenient = remove_duplicated_lines(docs, max_freq=4)
+    assert all(r["n_removed"] == 0 for r in lenient.collect())
+    strict = remove_duplicated_lines(docs, max_freq=3)
+    assert all(r["n_removed"] == 1 for r in strict.collect())
+
+
+def test_segment_lines_keeps_trailing_empty_and_skips_null(spark):
+    docs = _docs(spark, [(1, "a\nb\n"), (2, None)])
+    rows = segment_lines(docs).collect()
+    assert [(r["pos"], r["line"]) for r in sorted(rows, key=lambda r: r["pos"])] == [
+        (0, "a"),
+        (1, "b"),
+        (2, ""),
+    ]
+
+
+def _chunk_seq(spark, text, doc_id=1):
+    df = _docs(spark, [(doc_id, text)])
+    rows = cdc_chunks(df, avg_tokens=4).orderBy("chunk_id").collect()
+    return [(r["chunk_id"], r["n_tokens"], r["chunk_hash"]) for r in rows]
+
+
+def test_cdc_chunks_cover_all_tokens_deterministically(spark):
+    text = " ".join(f"tok{i}" for i in range(40))
+    a = _chunk_seq(spark, text)
+    b = _chunk_seq(spark, text, doc_id=2)
+    assert sum(n for _, n, _ in a) == 40
+    assert [h for *_, h in a] == [h for *_, h in b]  # content-only hashes
+
+
+def test_cdc_resynchronizes_after_prefix_edit(spark):
+    """THE content-defined property: prepending a token perturbs only
+    chunks up to the first boundary; every later chunk hash is
+    unchanged. A fixed-width chunker would shift every window."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = "inserted " + base
+    h_base = [h for *_, h in _chunk_seq(spark, base)]
+    h_edit = [h for *_, h in _chunk_seq(spark, edited)]
+    # all chunks after the first boundary survive the edit
+    assert h_base[1:] == h_edit[len(h_edit) - len(h_base) + 1 :]
+    assert len(set(h_base[1:]) & set(h_edit)) == len(h_base) - 1
+
+
+def test_cdc_duplicate_chunks_counted_across_docs(spark):
+    shared = " ".join(f"tok{i}" for i in range(20))
+    docs = _docs(spark, [(1, shared), (2, shared + " trailer_token_xyz")])
+    out = cdc_chunks(docs, avg_tokens=4)
+    dup = out.where(F.col("n_copies") > 1)
+    # every fully-shared chunk is seen twice
+    assert dup.count() >= 2
+    assert out.where(F.col("doc_id") == 1).count() >= 2
