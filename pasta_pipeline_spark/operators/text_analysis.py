@@ -316,3 +316,96 @@ def char_entropy(
     )
 
 
+
+def build_vocab(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+):
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace tokens
+    with contiguous ids — the tokenizer-training precursor (and the
+    shared dimension for any token-id encoding step).
+
+    Output: ``(token_id, token, n_occurrences, n_docs)``; ids are
+    1-based in (count desc, token asc) order — a total order, so ids
+    are reproducible run to run and across engines.
+
+    Scale shape: one explode + one groupBy on the token (partial
+    aggregation does the heavy lifting), then a top-n via
+    ``orderBy().limit()`` (distributed take-ordered, NOT a global
+    sort). The only single-task step is the ``row_number`` over the
+    already-limited ``top_n`` rows — bounded by construction.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokenize_ws(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+    )
+    order = [F.desc("n_occurrences"), F.asc("token")]
+    top = counts.orderBy(*order).limit(top_n)
+    return top.select(
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("token_id"),
+        "token",
+        "n_occurrences",
+        "n_docs",
+    )
+
+
+def unigram_nll(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ln_scale: int = 1_000_000_000,
+):
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram model — the classic cheap perplexity proxy for quality
+    filtering (documents of globally-rare tokens score high; formulaic
+    boilerplate scores low). No smoothing needed: the model is fit on
+    the same corpus, so every token has count >= 1.
+
+    Exactness contract (playbook: fixed-point ln): with
+    ``lnfp(x) = FLOOR(ln(x) * ln_scale)`` (int64, bit-identical across
+    engines because ln is correctly rounded on both),
+
+        nll_fp = (n * lnfp(T) - SUM_t lnfp(cnt_t)) div n
+
+    where ``T`` is the corpus token count. All sums are order-free
+    int64 and the numerator is nonnegative (cnt <= T), so integer
+    division semantics never hit the negative-operand divergence
+    between engines. Empty documents are excluded (no tokens → no
+    likelihood).
+
+    Scale shape: token explode → vocab groupBy (small result, the
+    joinback is AQE-broadcast-eligible) → per-doc groupBy; the corpus
+    total joins in as a broadcast single row. No window over a global
+    order, no driver state.
+    """
+    tok = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokenize_ws(F.col(text_col))).alias("token")
+    )
+
+    def lnfp(col):
+        return F.floor(F.log(col.cast("double")) * ln_scale).cast("long")
+
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("T"))
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(lnfp(F.col("cnt"))).cast("long").alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        F.expr(f"(n_tokens * (CAST(FLOOR(ln(CAST(T AS DOUBLE)) * {ln_scale}) AS BIGINT)) - s) div n_tokens")
+        .cast("long")
+        .alias("nll_fp"),
+    )

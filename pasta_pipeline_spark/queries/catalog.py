@@ -2863,3 +2863,71 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return cdc_chunks(docs, avg_tokens=16)
+
+
+@register(
+    "vocab_top_tokens",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tok GROUP BY token
+    ), top AS (
+      SELECT * FROM c ORDER BY n_occurrences DESC, token LIMIT 30
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+             AS token_id,
+           token, n_occurrences, n_docs
+    FROM top
+    """,
+    doc="Corpus vocabulary build (operators/text_analysis.py build_vocab): "
+    "top-N tokens with contiguous 1-based ids in (count desc, token asc) "
+    "total order — the tokenizer-training precursor. Top-N via "
+    "distributed take-ordered; only the id row_number runs single-task, "
+    "over the already-limited N rows.",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import build_vocab
+
+    return build_vocab(_tp(spark, sf_dir, "documents"), top_n=30)
+
+
+@register(
+    "unigram_nll",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), tt AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS T FROM c
+    ), pd AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE)) * 1000000000) AS BIGINT)) AS BIGINT) AS s
+      FROM tok t JOIN c USING (token) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST((n_tokens * CAST(FLOOR(ln(CAST(T AS DOUBLE)) * 1000000000) AS BIGINT) - s)
+                // n_tokens AS BIGINT) AS nll_fp
+    FROM pd CROSS JOIN tt
+    """,
+    doc="Unigram negative log-likelihood quality proxy (operators/"
+    "text_analysis.py unigram_nll): per-doc mean -ln p(token) under the "
+    "corpus's own unigram model, fixed-point ln (1e9) so every sum is "
+    "order-free int64 and the numerator stays nonnegative (no negative "
+    "integer-division divergence).",
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import unigram_nll
+
+    return unigram_nll(_tp(spark, sf_dir, "documents"))
