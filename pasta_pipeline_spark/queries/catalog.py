@@ -2931,3 +2931,36 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_analysis import unigram_nll
 
     return unigram_nll(_tp(spark, sf_dir, "documents"))
+
+
+@register(
+    "qty_price_regression",
+    None,  # generated below — single source of truth in operators/moments.py
+    doc="Exact-moment correlation + OLS of extended price on quantity per "
+    "return flag (operators/moments.py): five int64 moment sums over "
+    "floored inputs (order-free), derived r/slope/intercept from one "
+    "shared SQL recipe so both engines evaluate the identical IEEE "
+    "expression. One shuffle of six longs per group.",
+)
+def q_qty_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.moments import correlation_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_regression(
+        li, "l_quantity", "l_extendedprice", group_by=["l_returnflag"]
+    )
+
+
+def _qty_price_regression_oracle() -> str:
+    from pasta_pipeline_spark.operators.moments import moments_oracle_sql
+
+    return moments_oracle_sql(
+        "lineitem", "l_quantity", "l_extendedprice", group_by="l_returnflag"
+    )
+
+
+REGISTRY["qty_price_regression"] = QuerySpec(
+    spark_fn=REGISTRY["qty_price_regression"].spark_fn,
+    oracle=_qty_price_regression_oracle(),
+    doc=REGISTRY["qty_price_regression"].doc,
+)
