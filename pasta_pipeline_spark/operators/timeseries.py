@@ -27,6 +27,74 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ewma_fold(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    num: int = 9,
+    den: int = 10,
+    scale: int = 10000,
+) -> DataFrame:
+    """Exact integer EWMA per key: ``ewma_t = (num*ewma_{t-1} +
+    (den-num)*v_t) DIV den`` over fixed-point values, seeded with the
+    first observation.
+
+    EWMA is inherently a sequential fold — no algebraic regrouping
+    exists for integer division — so the per-key series is folded with
+    one ``aggregate`` HOF over the key's sorted event array: one
+    shuffle (groupBy key), zero Python. All arithmetic is int64 with
+    truncating division, which Spark ``DIV`` and DuckDB ``//`` share
+    (values are floored nonnegative fixed-point, so truncate == floor),
+    making the whole series bit-exact cross-engine — the same
+    determinism trick as the fixed-point PageRank.
+
+    Scale: state per key is its event array — fine for per-entity
+    series (the reference's per-channel rates); a mega-key that cannot
+    hold its history in one task must be range-chunked with a
+    boundary-carry join, same as the LOCF note above. The in-fold
+    append is O(n) copy per step; bounded keys keep that irrelevant,
+    and the chunked path bounds n by the chunk.
+    """
+    e = events.select(
+        F.col(key_col),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.floor(F.col(value_col) * F.lit(scale)).cast("long").alias("v"),
+        ).alias("__e"),
+    )
+    grouped = e.groupBy(key_col).agg(F.array_sort(F.collect_list("__e")).alias("__es"))
+    folded = grouped.withColumn(
+        "__ew",
+        F.expr(
+            f"""
+            aggregate(
+              __es,
+              cast(array() as array<bigint>),
+              (acc, x) -> CASE WHEN size(acc) = 0 THEN array(x.v)
+                          ELSE concat(acc, array((element_at(acc, -1) * {num}
+                                                  + x.v * {den - num}) div {den}))
+                          END
+            )
+            """
+        ),
+    )
+    z = folded.select(
+        F.col(key_col),
+        F.posexplode(F.arrays_zip("__es", "__ew")).alias("__pos", "__z"),
+    )
+    return z.select(
+        F.col(key_col),
+        (F.col("__pos") + 1).cast("long").alias("seq"),
+        F.col("__z.__es.tb").alias(tiebreak_col),
+        F.unix_timestamp("__z.__es.ts").cast("long").alias("ts_sec"),
+        F.col("__z.__es.v").alias("value_fp"),
+        F.col("__z.__ew").alias("ewma_fp"),
+    )
+
+
 def resample_locf(
     events: DataFrame,
     key_col: str,

@@ -2964,3 +2964,107 @@ REGISTRY["qty_price_regression"] = QuerySpec(
     oracle=_qty_price_regression_oracle(),
     doc=REGISTRY["qty_price_regression"].doc,
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust stats + exact integer EWMA (extension §2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_value",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS value_fp,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS seq
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ts_sec, value_fp, seq, value_fp AS ewma_fp
+      FROM e WHERE seq = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts_sec, e.value_fp, e.seq,
+             (r.ewma_fp * 9 + e.value_fp * 1) // 10
+      FROM r JOIN e ON e.user_id = r.user_id AND e.seq = r.seq + 1
+    )
+    SELECT user_id, seq, event_id, ts_sec, value_fp, ewma_fp FROM r
+    """,
+    doc="Exact integer EWMA per user (operators/timeseries.py ewma_fold): "
+    "alpha=1/10 smoothing as a sequential int64 fold over each key's "
+    "time-sorted events — aggregate() HOF Spark-side, recursive CTE "
+    "DuckDB-side, bit-identical because every step is truncating "
+    "integer arithmetic (determinism playbook #10: iterative algorithms "
+    "CAN be exactly oracled if every step is int64).",
+)
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import ewma_fold
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_fold(ev, "user_id", "ts", "event_id", "value", num=9, den=10)
+
+
+@register(
+    "winsorize_prices",
+    """
+    WITH p AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p_lo,
+             quantile_cont(l_extendedprice, 0.95) AS p_hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+           p.p_lo, p.p_hi,
+           least(greatest(l.l_extendedprice, p.p_lo), p.p_hi) AS l_extendedprice_w,
+           l.l_extendedprice < p.p_lo AS clamped_low,
+           l.l_extendedprice > p.p_hi AS clamped_high
+    FROM lineitem l JOIN p USING (l_returnflag)
+    """,
+    doc="Per-group winsorization (operators/robust.py): clamp prices into "
+    "the exact [p05, p95] percentile band per return flag. Percentile "
+    "interpolation is bit-identical across engines, so the clamped "
+    "doubles hash-match raw. One grouped-percentile pass + one broadcast "
+    "rejoin — the row axis never shuffles.",
+)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.robust import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return winsorize(li, "l_extendedprice", ["l_returnflag"], 0.05, 0.95)
+
+
+@register(
+    "mad_outlier_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, m.med, abs(l.l_extendedprice - m.med) AS d
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY l_returnflag
+    )
+    SELECT dev.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           min(dev.med) AS med,
+           min(mad.mad) AS mad
+    FROM dev JOIN mad USING (l_returnflag)
+    GROUP BY dev.l_returnflag
+    """,
+    doc="MAD-based robust outlier summary (operators/robust.py): median + "
+    "median-absolute-deviation per return flag, rows beyond 3*MAD "
+    "counted. 50% breakdown point — wild rows cannot poison the "
+    "threshold, unlike stddev z-scores. Three partial-agg scans, group "
+    "frames rejoin by broadcast.",
+)
+def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.robust import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mad_outliers(li, "l_extendedprice", ["l_returnflag"], k=3.0)
