@@ -167,3 +167,42 @@ def temperature_sample(
         .filter(F.col("__rnk") <= F.col("__m"))
         .drop("__rnk", "__m")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    denominator: int = SAMPLE_DENOMINATOR,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of its id (same md5 bucket as
+    :func:`sample_bucket`), so the partition is stable across runs,
+    engines, and re-partitionings — re-running the pipeline after new
+    data lands never moves an old document between splits, which is
+    the property that keeps eval sets uncontaminated.
+
+    ``splits`` maps name → fraction (must sum to <= 1; any remainder
+    falls in the last split listed). Buckets are assigned to splits in
+    dict order via cumulative thresholds, e.g. the default
+    ``{"train": .8, "val": .1, "test": .1}`` gives train = buckets
+    [0, 8000), val = [8000, 9000), test = [9000, 10000).
+
+    Scan-local: adds one column, no shuffle, no RNG, survives column
+    pruning. The catalog query hash-checks the assignment itself.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = sample_bucket(id_col, denominator)
+    expr = None
+    acc = 0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += int(round(splits[name] * denominator))
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

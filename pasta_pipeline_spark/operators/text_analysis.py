@@ -409,3 +409,97 @@ def unigram_nll(
         .cast("long")
         .alias("nll_fp"),
     )
+
+
+def bigram_transitions(
+    docs,
+    text_col: str = "text",
+    top_n: int = 50,
+    prob_scale: int = 1_000_000,
+):
+    """Token bigram transition table: count of each (w1, w2) adjacent
+    pair across the corpus plus the integer-exact conditional
+    probability ``P(w2 | w1)`` — the Markov-model precursor (and the
+    statistic behind "predictable boilerplate" quality filters).
+
+    ``prob_fp = n * prob_scale div n_first`` where ``n_first`` is how
+    often ``w1`` opens a bigram (token occurrences minus doc-final
+    positions) — all int64, so the probabilities hash-match the DuckDB
+    twin exactly.
+
+    Scale shape: one explode (bigrams come from slice/zip inside the
+    row — no self-join on position), one groupBy (w1, w2) with partial
+    aggregation, one window over w1 (bounded by vocabulary fan-out,
+    and only over the already-aggregated pair table, not the corpus),
+    then distributed take-ordered for the top-n.
+    """
+    from pyspark.sql import Window
+
+    tokd = docs.select(tokenize_ws(F.col(text_col)).alias("__ts")).where(
+        F.size("__ts") >= 2
+    )
+    pairs = tokd.select(
+        F.explode(
+            F.expr(
+                "transform(slice(__ts, 1, size(__ts) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(__ts, i + 2) AS w2))"
+            )
+        ).alias("bg")
+    )
+    counts = pairs.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("w1")
+    scored = counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_first"),
+    ).withColumn("prob_fp", F.expr(f"n * {prob_scale} div n_first").cast("long"))
+    return scored.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(top_n)
+
+
+def token_cooccurrence(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_n: int = 20,
+):
+    """Document-level co-occurrence counts for the ``vocab_n`` most
+    frequent tokens: for every unordered vocabulary pair (t1 < t2), in
+    how many documents both appear.
+
+    The vocabulary restriction is what makes the quadratic safe at
+    scale: each document contributes at most C(vocab_n, 2) pairs
+    regardless of its length, so the exploded pair volume is bounded
+    by ``n_docs * vocab_n^2 / 2`` — a design contract, not a tuning
+    accident. Pairs are generated inside the row from the sorted
+    per-doc vocabulary-token set (no positional self-join); the vocab
+    itself broadcasts (it is top-n of a groupBy — tiny by
+    construction).
+    """
+    tok = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokenize_ws(F.col(text_col))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_n)
+        .select("token")
+    )
+    present = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("token")).alias("ts"))
+    )
+    pair_expr = (
+        "flatten(transform(ts, (x, i) ->"
+        " transform(slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"
+    )
+    return (
+        present.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
