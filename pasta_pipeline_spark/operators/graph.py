@@ -97,3 +97,60 @@ def bipartite_edges(
     fwd = pairs.select(F.col("l").alias("src"), F.col("r").alias("dst"))
     rev = pairs.select(F.col("r").alias("src"), F.col("l").alias("dst"))
     return fwd.unionByName(rev)
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over an undirected edge set
+    ``edges(src: long, dst: long)`` (direction and duplicates are
+    normalized away internally).
+
+    Compact-forward orientation: every undirected edge is stored once,
+    oriented from its lower-(degree, id) endpoint to the higher one.
+    Each triangle then exists as exactly one directed wedge
+    ``a→b, a→c`` closed by ``b→c``, so the count is one self-join on
+    the wedge apex plus one semi-join against the oriented edge table
+    — and, crucially, the wedge fan-out per node is bounded by its
+    *oriented* out-degree, which orientation-by-degree caps at
+    O(sqrt(|E|)) even for hub nodes. That bound is the whole point at
+    100 TB: a naive a<b ordering would give a celebrity node its full
+    degree as fan-out; degree orientation provably cannot.
+
+    Returns a single row ``(n_triangles: long)``. All joins shuffle on
+    node ids; the degree table is a groupBy result that AQE broadcasts
+    when small.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("a", "n")
+
+    # total order for orientation AND wedge ordering: the sortable key
+    # (degree, id) — using the same order for both is what guarantees a
+    # triangle's closing edge is stored in the orientation the wedge
+    # expects (id order alone would disagree with degree order).
+    da = deg.select(F.col("n"), F.struct(F.col("d"), F.col("n").alias("id")).alias("ka"))
+    db = deg.select(
+        F.col("n").alias("n2"), F.struct(F.col("d"), F.col("n").alias("id")).alias("kb")
+    )
+    keyed = (
+        und.join(da, und["a"] == da["n"])
+        .join(db, und["b"] == db["n2"])
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("ka")).otherwise(F.col("kb")).alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("v"),
+        )
+    )
+    w1 = keyed.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = keyed.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "apex").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        keyed.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -144,3 +144,60 @@ def resample_locf(
         F.col("__v").alias("slot_value"),
         F.last("__v", ignorenulls=True).over(w).alias("slot_value_locf"),
     )
+
+
+def status_intervals(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    status_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse a per-key event stream into SCD-Type-2-style validity
+    intervals: one row per maximal run of consecutive equal
+    ``status_col`` values, with ``valid_from`` / ``valid_to`` epoch
+    seconds (``valid_to`` NULL for the current run) — the
+    gaps-and-islands shape every temporal dimension build needs.
+
+    Plan: one shuffle on the key, then two ordered passes over each
+    partition — (1) lag to flag changes + running sum to number runs,
+    (2) per-run aggregate + lead to chain each run's end to the next
+    run's start. No self-join against the run table: ``lead`` over the
+    aggregated runs replaces the usual correlated subquery.
+
+    Determinism: runs are keyed by (ts, tiebreak) total order; interval
+    bounds are epoch-second BIGINTs (timezone-proof, playbook #2).
+    """
+    w_row = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    flagged = events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(status_col),
+        F.when(
+            F.lag(status_col).over(w_row).isNull()
+            | (F.lag(status_col).over(w_row) != F.col(status_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__chg"),
+    ).withColumn(
+        "__run",
+        F.sum("__chg").over(
+            w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy(key_col, "__run").agg(
+        F.min(status_col).alias(status_col),  # constant within the run
+        F.min(ts_col).alias("__from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_run = Window.partitionBy(key_col).orderBy("__run")
+    return runs.select(
+        F.col(key_col),
+        F.col("__run").cast("long").alias("run_seq"),
+        F.col(status_col),
+        F.unix_timestamp("__from").cast("long").alias("valid_from_sec"),
+        F.unix_timestamp(F.lead("__from").over(w_run)).cast("long").alias("valid_to_sec"),
+        "n_events",
+    )

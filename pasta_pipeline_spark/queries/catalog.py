@@ -3274,3 +3274,81 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_analysis import token_cooccurrence
 
     return token_cooccurrence(_tp(spark, sf_dir, "documents"), vocab_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Temporal intervals (SCD2 / gaps-and-islands) + graph triangles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "status_run_intervals",
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM f
+    ), runs AS (
+      SELECT user_id, run, min(event_type) AS event_type, min(ts) AS f0,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, CAST(run AS BIGINT) AS run_seq, event_type,
+           CAST(FLOOR(epoch(f0)) AS BIGINT) AS valid_from_sec,
+           CAST(FLOOR(epoch(lead(f0) OVER (PARTITION BY user_id ORDER BY run)))
+                AS BIGINT) AS valid_to_sec,
+           n_events
+    FROM runs
+    """,
+    doc="SCD-Type-2 validity intervals (operators/timeseries.py "
+    "status_intervals): collapse each user's event stream into maximal "
+    "runs of equal event_type with [valid_from, valid_to) epoch-second "
+    "bounds (NULL valid_to = current run) — gaps-and-islands via "
+    "lag+cumsum run numbering, run ends chained by lead over the "
+    "aggregated runs (no correlated self-join).",
+)
+def q_status_run_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import status_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return status_intervals(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "part_triangle_count",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Exact triangle count (operators/graph.py triangle_count) over the "
+    "part co-purchase graph (parts sharing an order). Compact-forward "
+    "orientation by (degree, id): wedge fan-out per node is bounded by "
+    "oriented out-degree = O(sqrt(E)) even for hub parts — the naive "
+    "id-ordered wedge join would hand a celebrity node its full degree. "
+    "Oracle is the plain a<b<c three-way join (small-sf only).",
+)
+def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    o2 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = (
+        op.join(o2, (op["l_orderkey"] == o2["k"]) & (op["l_partkey"] < o2["p2"]))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
