@@ -3352,3 +3352,312 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape relational depth, round 2: Q7/Q8/Q14/Q18/Q19/Q21 adaptations
+# (the testdata lacks partsupp/commitdate/shipmode, so Q9/Q12/Q21-as-written
+# are out of reach; Q21's exists/not-exists shape is re-derived from
+# l_shipdate vs o_orderdate instead).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+             AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by ship "
+    "year. Two broadcast copies of nation, disjunctive cross-nation "
+    "predicate evaluated after both dim joins; fact-side date filter is "
+    "pushed to the lineitem scan.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(_xsum(disc).alias("revenue"))
+    )
+
+
+@register(
+    "market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_x,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_x ELSE 0 END) AS BIGINT)
+             AS nation_rev_x,
+           CAST(SUM(rev_x) AS BIGINT) AS total_rev_x,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_x ELSE 0 END) AS BIGINT)
+             * 10000 // CAST(SUM(rev_x) AS BIGINT) AS BIGINT) AS share_bp
+    FROM rev GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: NATION_5 suppliers' share of revenue to ASIA "
+    "customers per order year. The share is exact integer basis points "
+    "(int64 fixed-point numerator/denominator, floor division) so the "
+    "ratio is hash-stable cross-engine; numerator and denominator are "
+    "also emitted raw.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA")
+    rev_x = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_XS)
+    ).cast("long")
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", rev_x).otherwise(F.lit(0))
+    )
+    total_rev = F.sum(rev_x)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(nation_rev.alias("nation_rev_x"), total_rev.alias("total_rev_x"))
+        .withColumn("share_bp", F.expr("nation_rev_x * 10000 div total_rev_x"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_rev_x,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS total_rev_x,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) * 10000
+             // CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS BIGINT) AS promo_share_bp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_year
+    """,
+    doc="TPC-H Q14 shape: PROMO-type parts' share of yearly revenue. "
+    "Broadcast part join; share as exact integer basis points.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev_x = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_XS)
+    ).cast("long")
+    promo_x = F.when(F.col("p_type") == "PROMO", rev_x).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(promo_x).alias("promo_rev_x"), F.sum(rev_x).alias("total_rev_x"))
+        .withColumn("promo_share_bp", F.expr("promo_rev_x * 10000 div total_rev_x"))
+    )
+
+
+@register(
+    "large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+           CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS totalprice_x,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_x
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) > 150 * 10000
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): orders whose total quantity "
+    "exceeds 150, with customer attribution. The HAVING subquery becomes "
+    "a semi-join against the aggregated keys; quantities ride the "
+    "fixed-point bridge end to end.",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    qty_x = F.floor(F.col("l_quantity") * F.lit(_XS)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_x).alias("qty_x"))
+        .filter(F.col("qty_x") > 150 * _XS)
+        .select("l_orderkey", "qty_x")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == big["l_orderkey"])
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_epoch"),
+            F.floor(F.col("o_totalprice") * F.lit(_XS)).cast("long").alias("totalprice_x"),
+            "qty_x",
+        )
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    """
+    SELECT SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 25 AND l_quantity <= 50)
+    """,
+    doc="TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions. "
+    "Catalyst splits the OR into a part-side residual (brand+size — "
+    "evaluated inside the broadcast join) and keeps the mixed "
+    "lineitem+part terms as a post-join filter; the common l_quantity "
+    "range [1,50] is not pre-filterable, which is exactly the Q19 "
+    "stress.",
+)
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#11") & s.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & s.between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#15") & s.between(20, 50) & q.between(25, 50))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(_xsum(disc).alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+@register(
+    "waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), ord AS (
+      SELECT l_orderkey,
+             count(*) AS n_supp,
+             SUM(late) AS n_late_supp
+      FROM lo GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo
+    JOIN ord USING (l_orderkey)
+    JOIN supplier ON lo.l_suppkey = s_suppkey
+    WHERE lo.late = 1 AND ord.n_supp >= 2 AND ord.n_late_supp = 1
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape re-derived without l_commitdate: a supplier 'kept "
+    "the order waiting' when it is the ONLY supplier on a multi-supplier "
+    "order that shipped >180 days after the order date. The classic "
+    "EXISTS / NOT EXISTS pair collapses into one per-(order,supplier) "
+    "aggregate plus a per-order window over the SAME partitioning — the "
+    "fact table is scanned once; the orders join's shuffle on "
+    "l_orderkey is reused by the grouped agg and the window (no "
+    "correlated self-joins, no second scan); supplier dim is broadcast.",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).alias("late")
+    lo = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late)
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

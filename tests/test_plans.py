@@ -176,3 +176,35 @@ def test_ivf_cells_as_partition_column_prune_scans(spark, tmp_path):
     }
     assert touched == {"cell_id=0", "cell_id=1"}
     assert n_cells_on_disk > 2
+
+
+def test_tpch_shapes_cartesian_free_and_broadcast(spark):
+    """Round-2 TPC-H shapes: every dim join is broadcast, no plan
+    contains a cartesian product or broadcast nested-loop join, and
+    the date filter of volume_shipping reaches the lineitem scan."""
+    for name in (
+        "volume_shipping",
+        "market_share",
+        "promo_revenue_share",
+        "large_orders",
+        "disjunctive_part_revenue",
+        "waiting_suppliers",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    plan = _plan(spark, "volume_shipping")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to parquet
+
+
+def test_waiting_suppliers_reuses_key_partitioning(spark):
+    """The per-(order,supplier) and per-order aggregates must not add a
+    third shuffle of the fact table: grouping by (l_orderkey, l_suppkey)
+    then by l_orderkey reuses the key-prefix partitioning."""
+    import re
+
+    plan = _plan(spark, "waiting_suppliers")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+    # join shuffle + (order,supp) agg + order agg rollup side = bounded
+    assert n_exchanges <= 4, f"plan has {n_exchanges} exchanges"
