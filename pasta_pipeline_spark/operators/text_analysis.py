@@ -503,3 +503,37 @@ def token_cooccurrence(
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def encoding_profile(text: Column | str) -> dict[str, Column]:
+    """Character-class hygiene profile — the encoding/mojibake triage
+    stage of a corpus pipeline (detect broken decodes, control-char
+    debris, digit walls, whitespace floods before they reach training).
+
+    Returns named integer Column metrics; every count is a portable
+    regex (ASCII classes, no backreferences — identical under Java
+    regex, RE2, and Python re) so the whole profile is oracle-exact:
+
+    - n_chars: total characters;
+    - n_digits / n_punct / n_ws: single-class character counts;
+    - n_ws_runs: whitespace *runs* (a 50-space flood is one run);
+    - n_nonascii: chars outside \\x00-\\x7F (mojibake beacon);
+    - n_replacement: U+FFFD replacement chars (a hard decode-error
+      marker — any nonzero value means the upstream decode lied);
+    - max_token_chars: longest whitespace token (URL/blob detector).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    count = lambda pat: F.regexp_count(c, F.lit(pat)).cast("long")  # noqa: E731
+    toks = tokenize_ws(c, lowercase=False)
+    return {
+        "n_chars": F.length(c).cast("long"),
+        "n_digits": count(r"[0-9]"),
+        "n_punct": count(r"[.,;:!?]"),
+        "n_ws": count(r"[ \t\n\r]"),
+        "n_ws_runs": count(r"[ \t\n\r]+"),
+        "n_nonascii": count(r"[^\x00-\x7f]"),
+        "n_replacement": count("�"),
+        "max_token_chars": F.coalesce(
+            F.array_max(F.transform(toks, F.length)), F.lit(0)
+        ).cast("long"),
+    }

@@ -663,3 +663,47 @@ def edit_distance_pairs_shifted(
         .filter(F.col("dist") <= tau)
         .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    n-token shingles that occur in NO other document. Low novelty means
+    the document is assembled from corpus-common boilerplate — the
+    cheap global-context complement to pairwise dedup (pairs say "A
+    duplicates B"; novelty says "A is made of parts seen everywhere").
+
+    Two shuffles, both on bounded keys: groupBy(shingle) for document
+    frequency, then groupBy(doc) to re-aggregate — the same inverted-
+    index skeleton as ``jaccard_pairs`` but without the pair
+    explosion, so it scales strictly better than any pair tier.
+    Novelty is exact integer basis points (unique*10000 div total) —
+    hash-stable cross-engine.
+
+    The shingle table is persisted (it feeds both the document-
+    frequency aggregate and the per-doc rollup); the cache is attached
+    to the returned frame — release after materializing with
+    ``util.release_cached_deps(result)``.
+
+    Returns (id_col, n_shingles, n_unique, novelty_bp).
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    docfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(docfreq, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            F.expr("n_unique * 10000 div n_shingles").alias("novelty_bp"),
+        )
+    )
+    return attach_cached_deps(per_doc, [sh])

@@ -3661,3 +3661,177 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene, round 2: PII redaction, encoding profile, n-gram novelty
+# ---------------------------------------------------------------------------
+
+#: Deterministic PII augmentation shared by the Spark query and the
+#: oracle: the synthetic documents contain no organic PII, so both
+#: engines graft identical synthetic emails/phones/IPs onto a doc_id-
+#: keyed subset — detection and redaction then operate on real,
+#: varied text with known-nonzero match counts.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+def _pii_aug_spark():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+from pasta_pipeline_spark.operators.pii import (  # noqa: E402
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    PHONE_PATTERN,
+)
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    ), red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                '{PHONE_PATTERN}', '<PHONE>', 'g'),
+                '{IPV4_PATTERN}', '<IP>', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{IPV4_PATTERN}')) AS BIGINT) AS n_ipv4,
+           md5(r) AS redacted_md5,
+           CAST(length(r) AS BIGINT) AS n_redacted_chars
+    FROM red
+"""
+
+
+@register(
+    "pii_scan",
+    _PII_ORACLE,
+    doc="PII detection + redaction (operators/pii.py): portable "
+    "RE2/Java/Python regexes, fixed redaction order, all native "
+    "expressions. The redacted text itself is hash-compared (md5), "
+    "not just the counts — a replacement-order bug cannot hide.",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.pii import scan_pii
+
+    docs = _tp(spark, sf_dir, "documents").withColumn("aug", _pii_aug_spark())
+    return (
+        scan_pii(docs, "doc_id", "aug")
+        .select(
+            "doc_id",
+            F.col("n_email"),
+            F.col("n_phone"),
+            F.col("n_ipv4"),
+            F.md5("redacted").alias("redacted_md5"),
+            F.length("redacted").cast("long").alias("n_redacted_chars"),
+        )
+    )
+
+
+@register(
+    "encoding_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), y -> y <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[ \t\n\r]+')) AS BIGINT) AS n_ws_runs,
+           CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS n_nonascii,
+           CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+           CAST(coalesce(list_max(list_transform(t, y -> length(y))), 0) AS BIGINT)
+             AS max_token_chars
+    FROM toks
+    """,
+    doc="Encoding/mojibake hygiene profile (text_analysis.encoding_profile): "
+    "per-doc character-class counts, whitespace runs, U+FFFD decode-error "
+    "markers, longest-token blob detector — all portable-regex native "
+    "expressions.",
+)
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import encoding_profile
+
+    docs = _tp(spark, sf_dir, "documents")
+    prof = encoding_profile("text")
+    return docs.select("doc_id", *[c.alias(name) for name, c in prof.items()])
+
+
+@register(
+    "ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+            FROM toks)
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // CAST(count(*) AS BIGINT) AS BIGINT) AS novelty_bp
+    FROM sh JOIN dfreq USING (s)
+    GROUP BY doc_id
+    """,
+    doc="Per-document 5-gram novelty (text_dedup.shingle_novelty): share of "
+    "a doc's distinct shingles occurring in no other document — the "
+    "global-boilerplate complement to pairwise dedup. Inverted-index "
+    "skeleton without the pair explosion; exact integer basis points.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import shingle_novelty
+
+    docs = _tp(spark, sf_dir, "documents")
+    return shingle_novelty(docs, "doc_id", "text", n=5)

@@ -1,0 +1,106 @@
+"""PII redaction, encoding profile, and n-gram novelty unit tests.
+
+The PII patterns claim portability across Java regex (Spark), RE2
+(DuckDB oracle), and Python ``re`` — the differential tests here prove
+the Python leg on adversarial fixtures; the catalog oracle proves the
+RE2 leg on the full corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.operators.pii import (
+    PII_RULES,
+    redact_pii,
+    scan_pii,
+)
+
+FIXTURES = [
+    "plain text with no pii at all",
+    "reach me at alice.smith+spam@mail.example.org today",
+    "two mails a@b.io and c_d%e@f-g.h.co plus junk @nope and x@y",
+    "call +1-555-0042 or +44-20-7946-0958 but not 555-0042 (no prefix)",
+    "server at 192.168.0.1 and 10.0.255.254, version 1.2.3 is not an ip",
+    "overlap trap user@10.0.0.1 stays one email",
+    "999.999.999.999 over-matches by design; 1.2.3.4.5 contains one",
+    "",
+    "+1 2345 678 999 spaced phone",
+    "trailing email end@example.com",
+]
+
+
+def _py_redact(text: str) -> str:
+    for _, pattern, placeholder in PII_RULES:
+        text = re.sub(pattern, placeholder, text)
+    return text
+
+
+def test_redaction_matches_python_re(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(FIXTURES)], "id long, t string")
+    got = {
+        r["id"]: r["red"]
+        for r in df.select("id", redact_pii("t").alias("red")).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        assert got[i] == _py_redact(t), f"fixture {i}: {t!r}"
+
+
+def test_counts_match_python_re(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(FIXTURES)], "id long, t string")
+    rows = {r["id"]: r for r in scan_pii(df, "id", "t").collect()}
+    for i, t in enumerate(FIXTURES):
+        for name, pattern, _ in PII_RULES:
+            expect = len(re.findall(pattern, t))
+            assert rows[i][f"n_{name}"] == expect, f"fixture {i} {name}"
+
+
+def test_redaction_order_and_numeric_tld(spark):
+    df = spark.createDataFrame(
+        [(1, "user@10.0.0.1 tail"), (2, "user@ex.com vs 10.0.0.1")],
+        "id long, t string",
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", redact_pii("t").alias("r")).collect()}
+    # numeric host is NOT an email (alpha TLD required) — the dotted
+    # quad is still caught by the IP rule
+    assert got[1] == "user@<IP> tail"
+    # alpha-TLD email and a standalone IP each get their own placeholder
+    assert got[2] == "<EMAIL> vs <IP>"
+
+
+def test_encoding_profile_fixture(spark):
+    from pasta_pipeline_spark.operators.text_analysis import encoding_profile
+
+    text = "ab 12,3!  x\tlong-tokené �\n"
+    df = spark.createDataFrame([(text,)], "t string")
+    prof = encoding_profile("t")
+    row = df.select(*[c.alias(k) for k, c in prof.items()]).collect()[0]
+    assert row["n_chars"] == len(text)
+    assert row["n_digits"] == 3
+    assert row["n_punct"] == 2  # ',' and '!'
+    assert row["n_ws_runs"] == 5
+    assert row["n_nonascii"] == 2  # é and U+FFFD
+    assert row["n_replacement"] == 1
+    assert row["max_token_chars"] == len("long-tokené")
+
+
+def test_shingle_novelty_tiny(spark):
+    from pasta_pipeline_spark.operators.text_dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # shares 'a b c d e'+'b c d e f' with doc 2
+            (2, "a b c d e f"),          # exact copy: zero novelty
+            (3, "p q r s t u v"),        # all shingles unique
+            (4, "short text"),           # whole-text fallback shingle, unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in shingle_novelty(docs, "doc_id", "text", n=5).collect()}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_unique"] == 0
+    assert rows[1]["novelty_bp"] == 0
+    assert rows[2]["novelty_bp"] == 0
+    assert rows[3]["n_shingles"] == 3 and rows[3]["novelty_bp"] == 10000
+    assert rows[4]["n_shingles"] == 1 and rows[4]["novelty_bp"] == 10000
