@@ -399,3 +399,48 @@ def quantize_embeddings_int8(
             "scale_fp",
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): mark documents whose *embedding* nearly
+    duplicates an earlier document's, even when their surface text
+    shares nothing — the tier above MinHash in the dedup ladder.
+
+    Keep contract (deterministic, order-free): a vector is dropped iff
+    some sign-LSH-bucket-colliding neighbor with a SMALLER id has
+    cosine >= threshold. The smallest id of every near-dup group
+    always survives; chains (a~b, b~c, a!~c) keep the chain heads —
+    same greedy contract as the paper's per-cluster keep-one, with the
+    LSH bucket standing in for the k-means cluster (both are cheap
+    locality gates before the exact cosine check).
+
+    Scale shape: bucket-gated pair join (near-linear for tight
+    thresholds) + one distinct + one left join on the id — no O(n²)
+    scan, no collect. Returns (id_col, kept 0/1).
+    """
+    pairs = cosine_dup_pairs(
+        embeddings,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        use_lsh=True,
+        dim=dim,
+        num_planes=num_planes,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        embeddings.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

@@ -3835,3 +3835,49 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return shingle_novelty(docs, "doc_id", "text", n=5)
+
+
+def _semantic_dedup_oracle(dim: int = 64, num_planes: int = 4, threshold: float = 0.4) -> str:
+    """DuckDB twin of semantic_dedup: same inlined deterministic
+    planes as _cosine_dup_lsh_oracle, then NOT EXISTS over the
+    smaller-id bucket-colliding neighbors."""
+    from pasta_pipeline_spark.operators.similarity import _hyperplane
+
+    plane_rows = ",\n        ".join(
+        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
+        for p in range(num_planes)
+    )
+    cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    return f"""
+    WITH planes(pidx, pv) AS (VALUES
+        {plane_rows}),
+    eb AS (
+      SELECT vec_id, embedding,
+             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold}
+    )
+    SELECT e.vec_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_oracle(),
+    doc="SemDedup-style embedding-level dedup (similarity.semantic_dedup): "
+    "smallest id of every near-dup group survives; sign-LSH bucket gates "
+    "the pair join so the contract is deterministic AND the plan is "
+    "near-linear. Oracle replays bucketing + NOT EXISTS in DuckDB.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, dim=64, num_planes=4)

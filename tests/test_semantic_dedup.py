@@ -1,0 +1,59 @@
+"""semantic_dedup keep-contract unit tests (operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pasta_pipeline_spark.operators.similarity import semantic_dedup
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_identical_vectors_keep_smallest_id(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(10, v), (3, v), (7, v), (99, [0.0, 1.0, 0.0, 0.0])]
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(_df(spark, rows), 0.99, dim=4).collect()
+    }
+    # identical group: only the smallest id survives; the orthogonal
+    # vector is untouched
+    assert got == {3: 1, 7: 0, 10: 0, 99: 1}
+
+
+def test_dissimilar_vectors_all_kept(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    got = semantic_dedup(_df(spark, rows), 0.9, dim=4).collect()
+    assert all(r["kept"] == 1 for r in got)
+
+
+def test_chain_keeps_head_of_each_link(spark):
+    # a ~ b (cos .995), b ~ c (cos .995), a !~ c (cos .98 < threshold):
+    # b drops via a, c drops via b — greedy smaller-id contract, not
+    # connected components; the head survives either way
+    a = [1.0, 0.0]
+    b = [0.995, 0.0998752]
+    c = [0.9801, 0.1986]
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(_df2(spark, [(1, a), (2, b), (3, c)]), 0.99, dim=2).collect()
+    }
+    assert got[1] == 1 and got[2] == 0
+
+
+def _df2(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_plan_is_bucket_gated(spark):
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)]
+    df = semantic_dedup(_df(spark, rows), 0.95, dim=4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
