@@ -136,3 +136,87 @@ def test_partitioned_layout_prunes(spark, tmp_table_dir):
     assert sorted(d for d in _os.listdir(vdir) if d.startswith("day=")) == [
         "day=2024-01-01", "day=2024-01-02", "day=2024-01-03",
     ]
+
+
+def _inodes(dirpath):
+    import os as _os
+
+    return {
+        f: _os.stat(_os.path.join(dirpath, f)).st_ino
+        for f in _os.listdir(dirpath)
+        if _os.path.isfile(_os.path.join(dirpath, f)) and not f.startswith("_")
+    }
+
+
+def test_merge_partitioned_rewrites_only_touched_partitions(spark, tmp_table_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, f"{tmp_table_dir}/mp")
+    base = spark.createDataFrame(
+        [(i, i % 10, f"v{i}", i) for i in range(1000)],
+        "id long, day int, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["day"])
+    v0 = _os.path.join(store.path, store.current_version())
+    untouched_before = {
+        d: _inodes(_os.path.join(v0, d))
+        for d in _os.listdir(v0)
+        if d.startswith("day=") and d not in ("day=3", "day=7")
+    }
+
+    updates = spark.createDataFrame(
+        [(3, 3, "NEW3", 99), (7, 7, "NEW7", 99), (2000, 3, "ADD", 1)],
+        "id long, day int, payload string, seq long",
+    )
+    store.merge_partitioned(updates, key="id", partition_col="day", order_col="seq")
+
+    v1 = _os.path.join(store.path, store.current_version())
+    assert v1 != v0
+
+    # untouched partitions: identical file names AND inodes (hardlinked,
+    # not rewritten, not copied)
+    for d, inodes in untouched_before.items():
+        assert _inodes(_os.path.join(v1, d)) == inodes, d
+
+    # semantics: equal to a full merge
+    got = store.read()
+    assert got.count() == 1001
+    row3 = {r["id"]: r for r in got.filter(F.col("day") == 3).collect()}
+    assert row3[3]["payload"] == "NEW3"
+    assert row3[2000]["payload"] == "ADD"
+    assert row3[13]["payload"] == "v13"  # unmerged row in a touched partition survives
+    assert got.filter(F.col("id") == 7).collect()[0]["payload"] == "NEW7"
+    # untouched partition content intact
+    assert got.filter(F.col("id") == 5).collect()[0]["payload"] == "v5"
+
+
+def test_merge_partitioned_new_partition_value(spark, tmp_table_dir):
+    import os as _os
+
+    store = TableStore(spark, f"{tmp_table_dir}/np")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, day int, v double"
+    )
+    store.overwrite(base, partition_by=["day"])
+    updates = spark.createDataFrame([(100, 9, 1.5)], "id long, day int, v double")
+    store.merge_partitioned(updates, key="id", partition_col="day")
+
+    assert store.read().count() == 31
+    v1 = _os.path.join(store.path, store.current_version())
+    assert "day=9" in _os.listdir(v1)
+
+
+def test_merge_partitioned_first_write_and_idempotence(spark, tmp_table_dir):
+    store = TableStore(spark, f"{tmp_table_dir}/fw")
+    batch = spark.createDataFrame(
+        [(1, 0, "a", 1), (2, 1, "b", 1)], "id long, day int, p string, seq long"
+    )
+    # no live version yet: degrade to a partitioned overwrite
+    store.merge_partitioned(batch, key="id", partition_col="day", order_col="seq")
+    assert store.read().count() == 2
+    # re-applying the same batch changes nothing (upsert idempotence)
+    store.merge_partitioned(batch, key="id", partition_col="day", order_col="seq")
+    got = {r["id"]: r["p"] for r in store.read().collect()}
+    assert got == {1: "a", 2: "b"}
