@@ -206,3 +206,41 @@ def hash_split(
         else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each
+    row draws u = md5-uniform(id) ∈ (0,1] and scores ln(u)/weight; the
+    k largest scores (per group) are distributed exactly like a
+    sequential weighted draw without replacement. Heavier rows pull u's
+    log toward 0 proportionally more often — but every positive-weight
+    row can win, unlike a plain top-k-by-weight.
+
+    Deterministic across runs AND engines: u derives from md5 of the
+    id (no RNG state), ln is bit-stable on (0,1] in JVM/DuckDB/libm,
+    and the score comparison needs no epsilon because distinct ids
+    yield distinct u w.h.p. (id tiebreak regardless). Rows with
+    weight <= 0 or NULL are excluded (zero mass cannot be drawn).
+
+    One window shuffle on the group key; no collect, no RNG.
+    """
+    c = F.col(id_col)
+    h = F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+    u = (h.cast("long") + 1).cast("double") / F.lit(float(1 << 60))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(F.desc("__score"), F.asc(id_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("__score")
+    )

@@ -201,3 +201,39 @@ def status_intervals(
         F.unix_timestamp(F.lead("__from").over(w_run)).cast("long").alias("valid_to_sec"),
         "n_events",
     )
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    scale: int = 10000,
+) -> DataFrame:
+    """Time-based rolling aggregate: for every event, count/sum/mean of
+    the key's events in the trailing ``window_sec`` seconds *including*
+    the current row — a RANGE window frame over epoch-microsecond
+    ordering (a ROWS frame would be wrong on irregular event spacing;
+    RANGE peers are defined by time distance, so simultaneous events
+    aggregate symmetrically in both engines).
+
+    One shuffle on the key; the frame is evaluated in a single sorted
+    pass per partition (Spark's sliding window frame), no self-join.
+    The mean is exact integer fixed-point (sum of FLOOR(value*scale)
+    div count) so results hash-match cross-engine.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    val_x = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    return df.select(
+        F.col(key_col),
+        us.alias("ts_us"),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(val_x).over(w).alias("sum_x"),
+    ).withColumn("avg_x", F.expr("sum_x div n_win"))

@@ -3881,3 +3881,67 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, dim=64, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: time-based rolling frames and weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_hour_stats",
+    """
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           value,
+           CAST(count(*) OVER w AS BIGINT) AS n_win,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w AS BIGINT) AS sum_x,
+           CAST(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+                // CAST(count(*) OVER w AS BIGINT) AS BIGINT) AS avg_x
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-1h rolling count/sum/mean per user over irregular events "
+    "(timeseries.rolling_range_agg): a RANGE frame on epoch-microsecond "
+    "ordering — time-distance peers, not row counts, so irregular spacing "
+    "and simultaneous events behave identically cross-engine. Single "
+    "sorted pass per key, no self-join; mean is exact integer fixed-point.",
+)
+def q_rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import rolling_range_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_range_agg(ev, "user_id", "ts", "value", window_sec=3600)
+
+
+@register(
+    "weighted_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS score
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, rk FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="Deterministic weighted sampling without replacement (sampling."
+    "weighted_sample_topk, Efraimidis-Spirakis A-ES): 5 docs per language "
+    "weighted by length, u = md5-uniform(doc_id), score = ln(u)/w. No RNG "
+    "state — reproducible across runs and engines; ln on (0,1] is "
+    "bit-stable (determinism playbook #7).",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", k=5, group_col="lang"
+    )
