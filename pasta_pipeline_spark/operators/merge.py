@@ -184,3 +184,80 @@ def upsert_accumulate(
                 name, F.when(F.col("__has_update"), expr).otherwise(F.col(name))
             )
     return merged.drop("__has_update")
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture log to a snapshot — the upsert
+    family member the reference's ON CONFLICT surface cannot express:
+    deletes. ``changes`` carries ``op_col`` ∈ {'I','U','D'} and a
+    monotonically increasing ``seq_col``; the result equals replaying
+    the log row-by-row in seq order:
+
+    - the log collapses to each key's LATEST op (window by seq desc,
+      deterministic struct tiebreak on equal seq);
+    - latest op D → the key is absent from the result, whatever the
+      target held (a later I resurrects it — only the latest op
+      counts);
+    - latest op I/U → last-writer-wins upsert of that row.
+
+    Shape: one window shuffle over the log + one anti-join + the
+    merge_upsert join — all on the same key, no driver state. This is
+    the batch form of the streaming foreachBatch+merge sink; on
+    Delta/Iceberg it becomes MERGE INTO ... WHEN MATCHED AND op='D'
+    THEN DELETE.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    from pasta_pipeline_spark.operators.dedup import keep_latest
+
+    latest = keep_latest(changes, keys, seq_col)
+    deletes = latest.filter(F.col(op_col) == "D").select(*keys)
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    base = target.join(deletes, keys, "left_anti")
+    return merge_upsert(base, upserts, keys)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """Per-key diff of two table snapshots: 'added' (key only in
+    ``new``), 'removed' (only in ``old``), 'changed' (present in both,
+    some shared non-key column differs, null-safe), 'unchanged'.
+
+    The audit complement to the merge family: validate a migration,
+    quantify a backfill's blast radius, or build a CDC log after the
+    fact from two versions (TableStore keeps the previous snapshot for
+    exactly this). One full-outer join on the key; column comparison
+    is a single null-safe conjunction, no per-column shuffles.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    shared = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return joined.select(*key_cols, status.alias("diff_status"))

@@ -106,3 +106,33 @@ def funnel_counts(
         agg = lvl.agg(F.count(F.lit(1)).alias(f"n_step{i + 1}"))
         out = agg if out is None else out.crossJoin(agg)
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_sec: int = 604800,
+) -> DataFrame:
+    """Cohort retention matrix over an event log: users are cohorted by
+    the period (default: week) of their first event; each (cohort,
+    offset) cell counts distinct users active ``offset`` periods after
+    their cohort period. Periods are pure integer epoch arithmetic
+    (unix_micros div period) — no calendar/timezone semantics to
+    disagree on cross-engine.
+
+    Shape: distinct on (user, period) + min-per-user + join + final
+    agg — three shuffles, two of them on the user key (exchange
+    reuse), none on raw events. The user×period distinct bounds state
+    by active users, not event volume.
+    """
+    per = F.lit(period_sec * 1_000_000)
+    wk = F.expr(f"unix_micros({ts_col}) div {period_sec * 1_000_000}")
+    _ = per  # period enters via the expr above; kept for clarity
+    activity = df.select(F.col(user_col).alias("u"), wk.alias("wk")).distinct()
+    cohort = activity.groupBy("u").agg(F.min("wk").alias("cwk"))
+    return (
+        activity.join(cohort, "u")
+        .groupBy(F.col("cwk").alias("cohort_week"), (F.col("wk") - F.col("cwk")).alias("week_offset"))
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+    )

@@ -3945,3 +3945,153 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", k=5, group_col="lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: CDC apply, snapshot diff, cohort retention
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+@register(
+    "cdc_apply",
+    f"""
+    WITH changes AS (
+      SELECT {_ORDER_COLS}, 'D' AS op, 1 AS seq FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000, o_orderdate,
+             o_orderpriority, 'U' AS op, 2 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'I' AS op, 3 AS seq
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ), survivors AS (
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM latest l
+                        WHERE l.o_orderkey = o.o_orderkey AND l.op = 'D')
+    ), merged AS (
+      SELECT {_ORDER_COLS} FROM latest WHERE op <> 'D'
+      UNION ALL
+      SELECT {_ORDER_COLS} FROM survivors s
+      WHERE NOT EXISTS (SELECT 1 FROM latest l
+                        WHERE l.o_orderkey = s.o_orderkey AND l.op <> 'D')
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+           CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS totalprice_x
+    FROM merged
+    """,
+    doc="CDC log apply (merge.apply_cdc): I/U/D change log collapses to the "
+    "latest op per key, deletes drop the key, the rest last-writer-wins — "
+    "equivalent to row-by-row replay in seq order; the upsert family "
+    "member ON CONFLICT cannot express. Window + anti-join + merge, all "
+    "on the same key. The log here is derived deterministically from "
+    "orders (D for keys %10, U with bumped price for %7, I of shifted "
+    "keys for %13 — overlaps exercise the seq collapse).",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.merge import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = orders.filter(k % 10 == 0).withColumn("op", F.lit("D")).withColumn("seq", F.lit(1))
+    u = (
+        orders.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    i = (
+        orders.filter(k % 13 == 0)
+        .withColumn("o_orderkey", k + 1000000)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(3))
+    )
+    changes = d.unionByName(u).unionByName(i)
+    merged = apply_cdc(orders, changes, "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("o_epoch"),
+        F.floor(F.col("o_totalprice") * F.lit(_XS)).cast("long").alias("totalprice_x"),
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 83 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                 AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                 AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                 AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                 AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+                THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+    doc="Snapshot diff (merge.snapshot_diff): per-key added/removed/changed/"
+    "unchanged between two table versions — the audit complement to the "
+    "merge family (TableStore keeps the predecessor snapshot for exactly "
+    "this). One full-outer join, null-safe column conjunction. Old/new "
+    "are derived deterministically from orders (%97 removed from old, "
+    "%83 removed from new, %89 price-bumped).",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 97 != 0)
+    new = orders.filter(k % 83 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(wk) AS cwk FROM activity GROUP BY user_id
+    )
+    SELECT c.cwk AS cohort_week, a.wk - c.cwk AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix (sessions.cohort_retention): users "
+    "cohorted by the epoch-week of their first event; cells count "
+    "distinct users active N weeks later. Integer epoch weeks — no "
+    "calendar semantics to diverge cross-engine; state bounded by "
+    "user x week distinct, not event volume.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sessions import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
