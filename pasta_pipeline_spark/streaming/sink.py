@@ -40,3 +40,35 @@ def foreach_batch_merge(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_merge_partitioned(
+    stream: DataFrame,
+    store: TableStore,
+    key: str | list[str],
+    partition_col: str,
+    order_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+):
+    """Partition-differential variant of the idempotent merge sink: each
+    micro-batch lands via ``TableStore.merge_partitioned``, so a batch
+    touching one day rewrites one day — the steady-state cost a
+    streaming ingest actually needs (the plain sink's full-table merge
+    is quadratic-ish in table size over a long stream). Replays stay
+    no-ops: merge semantics are unchanged, only the write scope
+    shrinks."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        store.merge_partitioned(
+            batch, key=key, partition_col=partition_col, order_col=order_col
+        )
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -220,3 +220,47 @@ def test_merge_partitioned_first_write_and_idempotence(spark, tmp_table_dir):
     store.merge_partitioned(batch, key="id", partition_col="day", order_col="seq")
     got = {r["id"]: r["p"] for r in store.read().collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_streaming_sink_merge_partitioned(spark, tmp_table_dir):
+    """Streaming ingest → partition-differential merge sink: the second
+    micro-batch touches only day=1, so day=0's files survive by
+    hardlink (same inodes) while the merged content is correct."""
+    import json as _json
+    import os as _os
+
+    from pasta_pipeline_spark.streaming.sink import foreach_batch_merge_partitioned
+
+    store = TableStore(spark, f"{tmp_table_dir}/stream_mp")
+    base = spark.createDataFrame(
+        [(i, i % 2, f"v{i}", 0) for i in range(20)],
+        "id long, day int, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["day"])
+    v0 = _os.path.join(store.path, store.current_version())
+    day0_before = _inodes(_os.path.join(v0, "day=0"))
+
+    src_dir = f"{tmp_table_dir}/incoming"
+    _os.makedirs(src_dir)
+    with open(f"{src_dir}/batch.json", "w", encoding="utf-8") as f:
+        f.write(_json.dumps({"id": 1, "day": 1, "payload": "NEW", "seq": 5}) + "\n")
+        f.write(_json.dumps({"id": 101, "day": 1, "payload": "ADD", "seq": 5}) + "\n")
+
+    stream = spark.readStream.schema(
+        "id long, day int, payload string, seq long"
+    ).json(src_dir)
+    q = foreach_batch_merge_partitioned(
+        stream,
+        store,
+        key="id",
+        partition_col="day",
+        order_col="seq",
+        checkpoint_dir=f"{tmp_table_dir}/ckpt",
+    )
+    q.awaitTermination(60)
+
+    v1 = _os.path.join(store.path, store.current_version())
+    assert v1 != v0
+    assert _inodes(_os.path.join(v1, "day=0")) == day0_before  # untouched by hardlink
+    got = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert got[1] == "NEW" and got[101] == "ADD" and got[0] == "v0" and len(got) == 21

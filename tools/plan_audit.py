@@ -52,6 +52,9 @@ SCALAR_CROSSJOIN_OK = {
     "temperature_sample": "1-row sum of per-source sqrt quotas",
     "tfidf_top_terms": "1-row corpus total N",
     "training_corpus": "1-row totals inside temperature mixing",
+    "constraint_checks": "1-row expected-total scalar for the rule report",
+    "dormant_rich_customers": "1-row Q22 balance-threshold scalar subquery",
+    "unigram_nll": "1-row corpus token total for the unigram model",
 }
 
 
