@@ -4095,3 +4095,175 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Round 2: event-gap stats, Zipf rank-frequency slope, dedup savings report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_gap_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT)
+               - lag(CAST(epoch_us(ts) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+               AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CASE WHEN count(gap) > 0
+                THEN CAST(CAST(SUM(gap) AS BIGINT) // CAST(count(gap) AS BIGINT) AS BIGINT)
+                ELSE NULL END AS avg_gap_us
+    FROM g GROUP BY user_id
+    """,
+    doc="Inter-event gap profile per user: lag over (epoch-micros, event_id) "
+    "ordering — the deterministic-tiebreak lag idiom — then integer "
+    "min/max/mean. One window + one agg on the same key partitioning; "
+    "single-event users surface NULL gaps, not fabricated zeros.",
+)
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap").alias("n_gaps"),
+            F.min("gap").alias("min_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+            F.sum("gap").alias("_sum_gap"),
+        )
+        .withColumn(
+            "avg_gap_us",
+            F.when(F.col("n_gaps") > 0, F.expr("_sum_gap div n_gaps")).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        .drop("_sum_gap")
+    )
+
+
+@register(
+    "zipf_slope",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> ''))
+               AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk FROM freq
+    ), terms AS (
+      SELECT CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rk <= 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(CAST(count(*) AS BIGINT) * CAST(SUM(x * y) AS BIGINT)
+                - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS BIGINT) AS slope_num,
+           CAST(CAST(count(*) AS BIGINT) * CAST(SUM(x * x) AS BIGINT)
+                - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS BIGINT) AS slope_den,
+           CAST(CAST(count(*) AS BIGINT) * CAST(SUM(x * y) AS BIGINT)
+                - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(count(*) AS BIGINT) * CAST(SUM(x * x) AS BIGINT)
+                - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS DOUBLE) AS slope
+    FROM terms
+    """,
+    doc="Zipf rank-frequency slope of the corpus: OLS of ln(freq) on "
+    "ln(rank) over the top-100 vocabulary (text_analysis.build_vocab "
+    "ranks). A healthy natural corpus slopes ~-1; word salad flattens — "
+    "a one-number corpus-health probe. Every moment sum is int64 "
+    "(floor-scaled ln terms, exact integer products), so the final "
+    "double is one division of two identical BIGINTs — hash-stable.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import build_vocab
+
+    docs = _tp(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_n=100)
+    x = F.floor(F.log(F.col("token_id").cast("double")) * F.lit(1000000)).cast("long")
+    y = F.floor(F.log(F.col("n_occurrences").cast("double")) * F.lit(1000000)).cast("long")
+    agg = vocab.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+    )
+    return (
+        agg.withColumn("slope_num", F.expr("n_terms * _sxy - _sx * _sy"))
+        .withColumn("slope_den", F.expr("n_terms * _sxx - _sx * _sx"))
+        .withColumn(
+            "slope", F.col("slope_num").cast("double") / F.col("slope_den").cast("double")
+        )
+        .select("n_terms", "slope_num", "slope_den", "slope")
+    )
+
+
+_DEDUP_SAVINGS_ORACLE = """
+    WITH RECURSIVE pairs AS (
+""" + _JACCARD_ORACLE + """
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), cc(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+    ), clusters AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node
+    )
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS bytes_total,
+           CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN CAST(d.n_chars AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS bytes_saved
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.cluster_id
+    HAVING count(*) > 1
+"""
+
+
+@register(
+    "dedup_savings",
+    _DEDUP_SAVINGS_ORACLE,
+    doc="Dedup savings report: per near-dup cluster (3-gram Jaccard >= 0.5 "
+    "connected components), member count, total bytes, and the bytes "
+    "removed when only the smallest-id survivor is kept — the number a "
+    "pipeline owner actually acts on. Composition of duplicate_clusters "
+    "+ one broadcast-sized join + one agg; singleton clusters are "
+    "excluded (they save nothing).",
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters, jaccard_pairs
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = duplicate_clusters(docs, pairs)
+    release_cached_deps(pairs)
+    nchars = docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+    return (
+        clusters.join(nchars, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("bytes_total"),
+            F.sum(F.when(F.col("doc_id") != F.col("cluster_id"), F.col("nc")).otherwise(0)).alias(
+                "bytes_saved"
+            ),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
