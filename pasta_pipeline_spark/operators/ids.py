@@ -1,0 +1,60 @@
+"""Scalable sequential-id assignment (global row numbering).
+
+Training-data prep constantly needs contiguous ids — shard indexes,
+example ids, vocabulary slots. The naive form,
+``row_number() OVER (ORDER BY k)``, funnels the whole dataset through
+ONE task (an empty window partition = a single-partition sort): the
+canonical accidental scale-killer. The scalable idiom:
+
+1. range-partition by the order key (Spark samples split points),
+2. count rows per partition — a metadata-scale aggregate,
+3. prefix-sum those counts on the driver (P numbers, not rows),
+4. broadcast the offsets back; each row's id = its partition's offset
+   + its rank WITHIN the partition.
+
+Cost: the range shuffle (unavoidable — ids must follow a total order)
+plus one pid-clustering exchange for the within-partition window; no
+single-task stage anywhere, no Python row path. The result is exactly
+``row_number() OVER (ORDER BY order_cols...)`` — the driver-side
+prefix sum is over P partition counts, the same scale class as a
+lakehouse commit's file list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_cols: list[str] | str,
+    out_col: str = "seq_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = 1-based dense position of the row in the total
+    order defined by ``order_cols`` (which must be a unique composite —
+    ties would make the numbering nondeterministic, so make the last
+    column a key)."""
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.row_number().over(w)).cast("long"))
+        .drop("__pid", "__offset")
+    )

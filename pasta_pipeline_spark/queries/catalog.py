@@ -4267,3 +4267,71 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: mergeable summaries and scalable sequential ids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mergeable_summary",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_x,
+           CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_x,
+           CAST(MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_x,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                    * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sumsq_x,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0 AS mean,
+           (CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                          * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+            - (CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE))
+              * (CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)))
+           / 10000.0 AS variance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Mergeable-summary contract (operators/summaries.py): the engine "
+    "builds per-flag summaries over the even and odd halves of lineitem "
+    "SEPARATELY, merges them, and finalizes — the oracle aggregates the "
+    "whole table directly. A hash match proves the merge is exact "
+    "(int64 state, no merge-order sensitivity): the foundation of "
+    "incremental rollups, where a daily summary folds into a lifetime "
+    "summary without re-reading history.",
+)
+def q_mergeable_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.summaries import (
+        finalize_summary,
+        merge_summaries,
+        partial_summary,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    even = partial_summary(li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag", "l_extendedprice")
+    odd = partial_summary(li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag", "l_extendedprice")
+    return finalize_summary(merge_summaries(even, odd, "l_returnflag"))
+
+
+@register(
+    "sequential_ids",
+    """
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS BIGINT) AS seq_id
+    FROM documents
+    """,
+    doc="Scalable global row numbering (operators/ids.py): range-partition "
+    "by the order key, per-partition counts prefix-summed on the driver "
+    "(P numbers, metadata scale), broadcast offsets + within-partition "
+    "rank — exactly row_number() over a total order with NO "
+    "single-task global sort. The oracle is the naive global window.",
+)
+def q_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.ids import assign_sequential_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_sequential_ids(docs, ["lang", "doc_id"])
