@@ -58,3 +58,37 @@ def assign_sequential_ids(
         .withColumn(out_col, (F.col("__offset") + F.row_number().over(w)).cast("long"))
         .drop("__pid", "__offset")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    order_cols: list[str] | str,
+    n_shards: int,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Deterministic contiguous sharding for training output: rows take
+    equal-depth shards by their global rank — shard = (rank-1)·S div N
+    — and the manifest reports per-shard row counts, size sums, and
+    rank ranges (contiguity is visible: max_seq of shard k + 1 =
+    min_seq of shard k+1). Equal-depth by ROW COUNT, like ntile, but
+    without ntile's empty-OVER() single-task sort — ranks come from
+    assign_sequential_ids and the total N rides a 1-row broadcast (the
+    benign scalar handoff, not a shuffle).
+
+    Writers consume the assignment (filter by shard / partitionBy) and
+    publish the manifest next to the data; a reader can then verify
+    shard completeness without listing files.
+    """
+    with_ids = assign_sequential_ids(df, order_cols, out_col="__seq")
+    total = with_ids.agg(F.count(F.lit(1)).alias("__total"))
+    assigned = with_ids.crossJoin(F.broadcast(total)).withColumn(
+        "shard", F.expr(f"(__seq - 1) * {n_shards} div __total").cast("int")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__seq").alias("min_seq"),
+        F.max("__seq").alias("max_seq"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col).cast("long")).alias("total_size"))
+    return assigned.groupBy("shard").agg(*aggs)

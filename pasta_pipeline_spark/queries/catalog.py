@@ -4335,3 +4335,32 @@ def q_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return assign_sequential_ids(docs, ["lang", "doc_id"])
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH ranked AS (
+      SELECT n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS BIGINT) AS seq,
+             CAST(count(*) OVER () AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT CAST((seq - 1) * 8 // total AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(seq) AS BIGINT) AS min_seq,
+           CAST(max(seq) AS BIGINT) AS max_seq,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_size
+    FROM ranked GROUP BY 1
+    """,
+    doc="Training-output sharding (ids.shard_manifest): equal-depth "
+    "contiguous shards from scalable global ranks — ntile semantics "
+    "without ntile's single-task empty-OVER() sort — plus the per-shard "
+    "manifest (counts, byte sums, rank ranges) a writer publishes so "
+    "readers can verify shard completeness without listing files.",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.ids import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return shard_manifest(docs, ["lang", "doc_id"], n_shards=8, size_col="n_chars")

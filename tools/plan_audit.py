@@ -55,6 +55,7 @@ SCALAR_CROSSJOIN_OK = {
     "constraint_checks": "1-row expected-total scalar for the rule report",
     "dormant_rich_customers": "1-row Q22 balance-threshold scalar subquery",
     "unigram_nll": "1-row corpus token total for the unigram model",
+    "shard_manifest": "1-row total N for equal-depth shard arithmetic",
 }
 
 
