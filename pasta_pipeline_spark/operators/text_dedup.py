@@ -707,3 +707,48 @@ def shingle_novelty(
         )
     )
     return attach_cached_deps(per_doc, [sh])
+
+
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bipartite n-gram Jaccard pairs between two corpora — the
+    pair-level contamination scan (train-vs-eval): every (left_id,
+    right_id) with shingle-set Jaccard >= threshold. Same inverted-
+    index skeleton as ``jaccard_pairs`` but candidates come from the
+    shingle join ACROSS corpora, so no within-corpus pair is ever
+    generated — cost tracks true cross-overlap.
+
+    Returns (left_id, right_id, jaccard). Caches attach to the result;
+    release with ``util.release_cached_deps``.
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    shl = _shingle_table(left, id_col, text_col, n).persist()
+    shr = _shingle_table(right, id_col, text_col, n).persist()
+    sl = shl.groupBy("doc").agg(F.count(F.lit(1)).alias("n_l"))
+    sr = shr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_r"))
+    common = (
+        shl.select(F.col("doc").alias("left_id"), "sh")
+        .join(shr.select(F.col("doc").alias("right_id"), "sh"), "sh")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(sl.select(F.col("doc").alias("left_id"), "n_l"), "left_id")
+        .join(sr.select(F.col("doc").alias("right_id"), "n_r"), "right_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("n_common")).cast("double"),
+        )
+    )
+    return attach_cached_deps(
+        jac.filter(F.col("jaccard") >= threshold).select("left_id", "right_id", "jaccard"),
+        [shl, shr],
+    )

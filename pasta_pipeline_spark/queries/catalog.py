@@ -4364,3 +4364,87 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return shard_manifest(docs, ["lang", "doc_id"], n_shards=8, size_col="n_chars")
+
+
+@register(
+    "cross_contamination_pairs",
+    """
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    ttoks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t FROM tr
+    ), tsh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM ttoks)
+    ), etoks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t FROM ev
+    ), esh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM etoks)
+    ), tsz AS (SELECT doc_id, count(*) AS n_l FROM tsh GROUP BY doc_id),
+    esz AS (SELECT doc_id, count(*) AS n_r FROM esh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_common
+      FROM tsh a JOIN esh b ON a.s = b.s GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           CAST(n_common AS DOUBLE) / CAST(t.n_l + e.n_r - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN tsz t ON t.doc_id = left_id
+    JOIN esz e ON e.doc_id = right_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(t.n_l + e.n_r - n_common AS DOUBLE) >= 0.5
+    """,
+    doc="Pair-level cross-corpus contamination (text_dedup."
+    "cross_jaccard_pairs): bipartite 3-gram Jaccard between a 'train' "
+    "half and an 'eval' half (doc_id parity split) — names WHICH train "
+    "doc leaks into WHICH eval doc, where contamination_check only "
+    "flags documents. Inverted-index join across corpora; no "
+    "within-corpus pairs ever materialize.",
+)
+def q_cross_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import cross_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_ = docs.filter(F.col("doc_id") % 2 == 1)
+    return cross_jaccard_pairs(train, eval_, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "price_deciles",
+    """
+    SELECT l_returnflag, decile,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(MIN(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS min_price_x,
+           CAST(MAX(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS max_price_x
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             NTILE(10) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+      FROM lineitem
+    ) GROUP BY 1, 2
+    """,
+    doc="Grouped equi-depth deciles via NTILE partitioned by return flag — "
+    "scalable because the window partitions by the group (no empty OVER() "
+    "single-task sort); ordering carries the (orderkey, linenumber) "
+    "tiebreak so bucket boundaries are deterministic cross-engine.",
+)
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    px = F.floor(F.col("l_extendedprice") * F.lit(_XS)).cast("long")
+    return (
+        li.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min(px).alias("min_price_x"),
+            F.max(px).alias("max_price_x"),
+        )
+    )

@@ -104,3 +104,29 @@ def test_shingle_novelty_tiny(spark):
     assert rows[2]["novelty_bp"] == 0
     assert rows[3]["n_shingles"] == 3 and rows[3]["novelty_bp"] == 10000
     assert rows[4]["n_shingles"] == 1 and rows[4]["novelty_bp"] == 10000
+
+
+def test_cross_jaccard_is_bipartite_only(spark):
+    from pasta_pipeline_spark.operators.text_dedup import cross_jaccard_pairs
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "alpha beta gamma epsilon"),
+         (12, "totally different words here")],
+        "doc_id long, text string",
+    )
+    got = cross_jaccard_pairs(left, right, "doc_id", "text", n=3, threshold=0.3)
+    rows = {(r["left_id"], r["right_id"]): r["jaccard"] for r in got.collect()}
+    release_cached_deps(got)
+    # exact duplicate across corpora
+    assert rows[(1, 10)] == 1.0
+    # near-dup across corpora: shingle sets {abc,bcd} vs {abe,bce}? n=3
+    # over 4 tokens gives 2 shingles each sharing 1 -> 1/3
+    assert abs(rows[(1, 11)] - 1 / 3) < 1e-12
+    # no within-corpus pair (1,2) or (10,11) can appear by construction
+    assert all(lid in (1, 2) and rid in (10, 11, 12) for lid, rid in rows)
+    assert (1, 12) not in rows
