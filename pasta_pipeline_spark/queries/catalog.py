@@ -4448,3 +4448,81 @@ def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(px).alias("max_price_x"),
         )
     )
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0
+             AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg — "
+    "every predicate reaches the parquet scan (row-group pruning on "
+    "shipdate min/max does the heavy lifting at scale), fixed-point sum "
+    "of price*discount.",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.filter(pred).agg(
+        _xsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS BIGINT) AS total_rev_x
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev_x
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev_x = (SELECT max(total_rev_x) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): per-supplier revenue for one "
+    "quarter-half, then the max via a scalar subquery — Spark expresses "
+    "the view + correlated max as one aggregate reused for both the "
+    "ranking and the threshold (no second scan of lineitem); supplier "
+    "dim broadcast. The empty-OVER max runs on the aggregated "
+    "per-supplier frame (|suppliers| rows), so its single partition is "
+    "bounded by the dimension, never the fact table.",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev_x = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_XS)
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_x).alias("total_rev_x"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__max", F.max("total_rev_x").over(w)).filter(
+        F.col("total_rev_x") == F.col("__max")
+    )
+    return top.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_rev_x")
