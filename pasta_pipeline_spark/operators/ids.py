@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import attach_cached_deps
+
 
 def assign_sequential_ids(
     df: DataFrame,
@@ -38,11 +40,20 @@ def assign_sequential_ids(
     column a key)."""
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Persisted BEFORE the counts collect: repartitionByRange samples its
+    # split points per job (the sample seed derives from the RDD id), so
+    # an unpersisted plan could land rows in DIFFERENT range partitions
+    # on the second pass — the collected offsets would then describe a
+    # partitioning that no longer exists, silently duplicating/skipping
+    # ids. The collect materializes the cache; the id pass reads the
+    # exact partitions that were counted (the same cache-then-count
+    # discipline RDD.zipWithIndex relies on). Callers release the cache
+    # via release_cached_deps after materializing the result.
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).persist()
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -53,11 +64,12 @@ def assign_sequential_ids(
         acc += cnt
     off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
-    return (
+    result = (
         ranged.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, (F.col("__offset") + F.row_number().over(w)).cast("long"))
         .drop("__pid", "__offset")
     )
+    return attach_cached_deps(result, [ranged])
 
 
 def shard_manifest(
@@ -91,4 +103,10 @@ def shard_manifest(
     ]
     if size_col is not None:
         aggs.append(F.sum(F.col(size_col).cast("long")).alias("total_size"))
-    return assigned.groupBy("shard").agg(*aggs)
+    manifest = assigned.groupBy("shard").agg(*aggs)
+    # Both the total agg and the assignment read with_ids; the persisted
+    # range partitioning underneath must stay alive until the caller
+    # materializes the manifest — propagate its cached deps.
+    return attach_cached_deps(
+        manifest, getattr(with_ids, "_pasta_cached_deps", [])
+    )

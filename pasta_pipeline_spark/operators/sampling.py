@@ -229,18 +229,29 @@ def weighted_sample_topk(
     yield distinct u w.h.p. (id tiebreak regardless). Rows with
     weight <= 0 or NULL are excluded (zero mass cannot be drawn).
 
-    One window shuffle on the group key; no collect, no RNG.
+    Grouped: one window shuffle on the group key. Ungrouped: a global
+    top-k must NOT be an empty-partition window (that compiles to
+    Exchange SinglePartition — the whole corpus through one task, the
+    exact shape ids.py exists to avoid), so it goes through
+    ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows); only the ≤k survivors pass through a
+    single-partition rank to materialize ``rk``.
     """
     c = F.col(id_col)
     h = F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
     u = (h.cast("long") + 1).cast("double") / F.lit(float(1 << 60))
     score = F.log(u) / F.col(weight_col).cast("double")
-    parts = [group_col] if group_col else []
-    w = Window.partitionBy(*parts).orderBy(F.desc("__score"), F.asc(id_col))
-    return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__score", score)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("__score")
-    )
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__score", score)
+    order = [F.desc("__score"), F.asc(id_col)]
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("__score")
+        )
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # over <= k rows — benign
+    return top.withColumn("rk", F.row_number().over(w)).drop("__score")

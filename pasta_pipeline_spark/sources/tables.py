@@ -154,23 +154,43 @@ class TableStore:
         touched_vals = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
-        touched_dirs = {f"{prefix}{v}" for v in touched_vals}
 
         from pasta_pipeline_spark.operators.merge import merge_upsert
 
-        target_subset = self.read().filter(
-            F.col(partition_col).isin(touched_vals)
-            if touched_vals
-            else F.lit(False)
-        )
+        # Null-safe touched-partition selection: isin() is three-valued
+        # and silently drops NULL-partition rows from the subset, which
+        # would lose every non-updated key in the NULL partition once
+        # the new version's __HIVE_DEFAULT_PARTITION__ dir supersedes
+        # the old one.
+        non_null_vals = [v for v in touched_vals if v is not None]
+        cond = F.lit(False)
+        if non_null_vals:
+            cond = cond | F.col(partition_col).isin(non_null_vals)
+        if any(v is None for v in touched_vals):
+            cond = cond | F.col(partition_col).isNull()
+        target_subset = self.read().filter(cond)
         merged = merge_upsert(target_subset, updates, key, order_col=order_col)
 
         version = f"v-{uuid.uuid4().hex[:12]}"
         target = os.path.join(self.path, version)
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(target)
 
+        # The touched-directory set is derived from what Spark ACTUALLY
+        # wrote into the new version — never reconstructed from values
+        # with an f-string, because Hive dir encoding is not str(): NULL
+        # becomes __HIVE_DEFAULT_PARTITION__, special characters are
+        # URL-escaped, timestamps escape their colons. A reconstruction
+        # mismatch would hardlink a stale copy of a genuinely-touched
+        # partition NEXT TO its rewrite — duplicate rows in the new
+        # snapshot. Listing the written dirs uses the same encoder that
+        # produced the old dirs, so set subtraction is exact.
+        written_dirs = {
+            e for e in os.listdir(target)
+            if e.startswith(prefix) and os.path.isdir(os.path.join(target, e))
+        }
+
         # carry unchanged partitions forward by hardlink (copy fallback)
-        for part in sorted(old_parts - touched_dirs):
+        for part in sorted(old_parts - written_dirs):
             src_dir = os.path.join(old_dir, part)
             dst_dir = os.path.join(target, part)
             os.makedirs(dst_dir, exist_ok=True)

@@ -47,8 +47,8 @@ def foreach_batch_merge_partitioned(
     store: TableStore,
     key: str | list[str],
     partition_col: str,
-    order_col: str | None = None,
-    checkpoint_dir: str | None = None,
+    order_col: str | None,
+    checkpoint_dir: str,
     trigger_once: bool = True,
 ):
     """Partition-differential variant of the idempotent merge sink: each
@@ -57,7 +57,17 @@ def foreach_batch_merge_partitioned(
     streaming ingest actually needs (the plain sink's full-table merge
     is quadratic-ish in table size over a long stream). Replays stay
     no-ops: merge semantics are unchanged, only the write scope
-    shrinks."""
+    shrinks.
+
+    ``checkpoint_dir`` is required (matching ``foreach_batch_merge``):
+    without a checkpoint the stream has no offset tracking, so a
+    restart replays from scratch or fails — an omission should be a
+    clear API error here, not a silent ``.option(..., None)``."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "foreach_batch_merge_partitioned requires checkpoint_dir: "
+            "offset tracking is what makes the merge sink exactly-once"
+        )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         store.merge_partitioned(

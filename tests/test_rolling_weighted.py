@@ -91,3 +91,15 @@ def test_weighted_sample_matches_python_reference(spark):
         i for i, _ in sorted(rows, key=lambda t: (-score(*t), t[0]))[:5]
     )
     assert got == expect
+
+
+def test_weighted_sample_ungrouped_uses_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), not a full-corpus single-partition window."""
+    df = spark.createDataFrame([(i, 1.0 + i % 5) for i in range(200)], "id long, w double")
+    out = weighted_sample_topk(df, "id", "w", k=5)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert sorted(r["rk"] for r in out.collect()) == [1, 2, 3, 4, 5]

@@ -71,3 +71,21 @@ def test_sequential_ids_no_single_partition_window(spark):
     # the scale-killer this operator exists to avoid: an empty window
     # partition spec compiling to Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_sequential_ids_persist_pins_range_partitioning(spark):
+    """The counts collect and the id pass MUST see the same range
+    partitioning (repartitionByRange samples split points per job) —
+    the operator persists the ranged frame and hands the cache to the
+    caller for release."""
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = assign_sequential_ids(df, "id", num_partitions=8)
+    deps = getattr(out, "_pasta_cached_deps", [])
+    assert len(deps) == 1
+    assert deps[0].storageLevel.useMemory or deps[0].storageLevel.useDisk
+    got = sorted(r["seq_id"] for r in out.collect())
+    assert got == list(range(1, 501))
+    release_cached_deps(out)
+    assert not (deps[0].storageLevel.useMemory or deps[0].storageLevel.useDisk)

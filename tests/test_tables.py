@@ -264,3 +264,66 @@ def test_streaming_sink_merge_partitioned(spark, tmp_table_dir):
     assert _inodes(_os.path.join(v1, "day=0")) == day0_before  # untouched by hardlink
     got = {r["id"]: r["payload"] for r in store.read().collect()}
     assert got[1] == "NEW" and got[101] == "ADD" and got[0] == "v0" and len(got) == 21
+
+
+def test_merge_partitioned_null_and_escaped_partition_values(spark, tmp_table_dir):
+    """Partition dirs are Hive-ENCODED (NULL -> __HIVE_DEFAULT_PARTITION__,
+    special chars URL-escaped), so the untouched set must come from the
+    dirs Spark actually wrote, never an f-string reconstruction — and
+    the touched-subset filter must be null-safe (isin drops NULLs)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, f"{tmp_table_dir}/esc")
+    base = spark.createDataFrame(
+        [
+            (1, "a b", "old-ab", 1),
+            (2, "a b", "keep-ab", 1),
+            (3, "x:y", "keep-xy", 1),
+            (4, None, "old-null", 1),
+            (5, None, "keep-null", 1),
+        ],
+        "id long, cat string, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["cat"])
+    v0 = _os.path.join(store.path, store.current_version())
+    dirs0 = {d for d in _os.listdir(v0) if d.startswith("cat=")}
+    # sanity: the encoding genuinely differs from str()
+    assert "cat=__HIVE_DEFAULT_PARTITION__" in dirs0
+    assert "cat=x%3Ay" in dirs0  # colon is URL-escaped
+    xy_dir = "cat=x%3Ay"
+    xy_inodes = _inodes(_os.path.join(v0, xy_dir))
+
+    updates = spark.createDataFrame(
+        [(1, "a b", "NEW-ab", 9), (4, None, "NEW-null", 9), (6, None, "ADD-null", 9)],
+        "id long, cat string, payload string, seq long",
+    )
+    store.merge_partitioned(updates, key="id", partition_col="cat", order_col="seq")
+
+    got = store.read()
+    rows = {r["id"]: r for r in got.collect()}
+    # no duplicates anywhere (a stale hardlink next to a rewrite would dup)
+    assert got.count() == 6 and len(rows) == 6
+    assert rows[1]["payload"] == "NEW-ab"
+    assert rows[2]["payload"] == "keep-ab"  # unmerged row in touched partition
+    assert rows[4]["payload"] == "NEW-null"
+    assert rows[5]["payload"] == "keep-null"  # NULL partition not dropped by isin
+    assert rows[6]["payload"] == "ADD-null"
+    # untouched escaped partition carried by hardlink, not rewritten
+    v1 = _os.path.join(store.path, store.current_version())
+    assert _inodes(_os.path.join(v1, xy_dir)) == xy_inodes
+
+
+def test_streaming_sink_partitioned_requires_checkpoint(spark, tmp_table_dir):
+    import pytest as _pytest
+
+    from pasta_pipeline_spark.streaming.sink import foreach_batch_merge_partitioned
+
+    store = TableStore(spark, f"{tmp_table_dir}/ckpt_req")
+    stream = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        foreach_batch_merge_partitioned(
+            stream, store, key="id", partition_col="day", order_col=None,
+            checkpoint_dir="",
+        )
