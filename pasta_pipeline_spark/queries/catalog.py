@@ -4526,3 +4526,310 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(
         F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_suppkey", "s_name", "total_rev_x")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape relational depth, round 3: Q9/Q10/Q11/Q12/Q17/Q20 adaptations
+# (partsupp/shipmode/commitdate don't exist in the testdata; supply cost is
+# proxied as half the retail price, ship mode is derived deterministically
+# from the line number, and Q20's availqty test becomes a majority-share
+# test over each part's shipped quantity).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                  - CAST(FLOOR(p_retailprice * l_quantity * 0.5 * 10000) AS BIGINT))
+             AS BIGINT) AS profit_x
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit): revenue minus a supply-cost "
+    "proxy (half retail price x quantity — the testdata has no partsupp), "
+    "grouped by supplier nation and order year. Both cost terms are "
+    "floored to int64 PER ROW before the subtraction so the profit sum "
+    "is exact and order-free in both engines; part/supplier/nation "
+    "dims broadcast, one shuffle join against orders.",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    rev_x = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_XS)
+    ).cast("long")
+    cost_x = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5) * F.lit(_XS)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev_x - cost_x).alias("profit_x"))
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             AS BIGINT) AS revenue_x
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_x DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): revenue lost to "
+    "returns per customer for one half-year, top 20. Selective order-date "
+    "predicate pushed to the orders scan; nation broadcast; the LIMIT "
+    "rides a total order with the customer key as tiebreak "
+    "(TakeOrderedAndProject, no global sort).",
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev_x = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_XS)
+    ).cast("long")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_x).alias("revenue_x"))
+        .orderBy(F.desc("revenue_x"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey AS p_key,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 10000) AS BIGINT))
+               AS BIGINT) AS value_x
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 1
+      GROUP BY l_partkey
+    )
+    SELECT p_key, value_x
+    FROM v
+    WHERE value_x * (SELECT CAST(count(*) AS BIGINT) FROM v)
+          > 3 * (SELECT CAST(SUM(value_x) AS BIGINT) FROM v)
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part shipped value from "
+    "one nation's suppliers, keeping parts worth more than 3x the MEAN "
+    "part value — partsupp's availqty x supplycost becomes quantity x "
+    "price over lineitem, and Q11's fixed fraction-of-total threshold "
+    "becomes a multiple-of-mean so the predicate keeps selecting rows "
+    "as the part count grows with scale. The HAVING-over-grand-total "
+    "is the benign 1-row scalar handoff (the per-part agg is computed "
+    "once and reused for the total, the count, and the filter); the "
+    "share test is an exact int64 cross-multiplication, no division.",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    val_x = F.floor(
+        F.col("l_extendedprice") * F.col("l_quantity") * F.lit(_XS)
+    ).cast("long")
+    v = (
+        li.join(
+            F.broadcast(supplier.filter(F.col("s_nationkey") == 1)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(val_x).alias("value_x"))
+    )
+    total = v.agg(
+        F.sum("value_x").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__nparts"),
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_x") * F.col("__nparts") > F.lit(3) * F.col("__total"))
+        .select("p_key", "value_x")
+    )
+
+
+@register(
+    "shipmode_priority",
+    """
+    SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+           ELSE 'AIR' END AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (shipping modes vs priority): high/low-priority "
+    "line counts per ship mode for slow shipments (>=60 days after the "
+    "order date — the testdata has no shipmode or receiptdate, so the "
+    "mode derives deterministically from the line number). Exact "
+    "timestamp interval arithmetic and integer counts in both engines.",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("AIR")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH w AS (
+      SELECT l_partkey, p_brand,
+             CAST(FLOOR(l_quantity * 10000) AS BIGINT) AS qty_x,
+             CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) AS price_x,
+             CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                  OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty_x,
+             CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#3'
+    )
+    SELECT CAST(SUM(price_x) AS BIGINT) AS total_x,
+           CAST(SUM(price_x) // 7 AS BIGINT) AS avg_yearly_x
+    FROM w
+    WHERE 5 * qty_x * n < sum_qty_x
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): revenue from "
+    "lineitems under 20% of their part's average quantity, one brand. "
+    "The correlated AVG subquery decorrelates into a window over the "
+    "SAME l_partkey partitioning (one shuffle, no self-join), and the "
+    "20%-of-average test cross-multiplies in exact int64 "
+    "(5*qty*n < sum) — no division anywhere until the final int-div "
+    "by 7.",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty_x = F.floor(F.col("l_quantity") * F.lit(_XS)).cast("long")
+    price_x = F.floor(F.col("l_extendedprice") * F.lit(_XS)).cast("long")
+    w = Window.partitionBy("l_partkey")
+    base = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("qty_x", qty_x)
+        .withColumn("price_x", price_x)
+        .withColumn("sum_qty_x", F.sum("qty_x").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    return (
+        base.filter(F.lit(5) * F.col("qty_x") * F.col("n") < F.col("sum_qty_x"))
+        .agg(F.sum("price_x").cast("long").alias("total_x"))
+        .select(
+            "total_x",
+            F.expr("total_x div 7").cast("long").alias("avg_yearly_x"),
+        )
+    )
+
+
+@register(
+    "excess_shippers",
+    """
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sup_qty_x
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_suppkey, l_partkey, sup_qty_x,
+             CAST(SUM(sup_qty_x) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_qty_x
+      FROM sq
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM tot JOIN supplier ON l_suppkey = s_suppkey
+    WHERE 2 * sup_qty_x > part_qty_x
+    """,
+    doc="TPC-H Q20 shape (excess-stock suppliers): suppliers who shipped "
+    "a MAJORITY of some red part's 1997 volume — partsupp's "
+    "availqty > half-of-shipped test becomes a majority-share test over "
+    "the shipped quantity itself. Per-(supplier,part) agg, then a "
+    "window over the same part key (shuffle reused), exact int64 "
+    "cross-multiplication, distinct supplier projection.",
+)
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    qty_x = F.floor(F.col("l_quantity") * F.lit(_XS)).cast("long")
+    sq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty_x).alias("sup_qty_x"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        sq.withColumn("part_qty_x", F.sum("sup_qty_x").over(w))
+        .filter(F.lit(2) * F.col("sup_qty_x") > F.col("part_qty_x"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

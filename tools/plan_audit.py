@@ -56,6 +56,7 @@ SCALAR_CROSSJOIN_OK = {
     "dormant_rich_customers": "1-row Q22 balance-threshold scalar subquery",
     "unigram_nll": "1-row corpus token total for the unigram model",
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",
+    "important_parts": "1-row grand-total/part-count scalar for the Q11 share test",
 }
 
 
