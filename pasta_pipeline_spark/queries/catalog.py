@@ -4833,3 +4833,25 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+from pasta_pipeline_spark.operators.quality_filters import gopher_rules_sql as _gr_sql
+
+
+@register(
+    "gopher_quality_rules",
+    _gr_sql(),
+    doc="Gopher/C4-style rule-set quality gate (Rae et al. 2021 §A1.1): one "
+    "named boolean per cleaning rule (word-count bounds, mean word length, "
+    "symbol ratio, bullet/ellipsis line shares, alpha-word share, stopword "
+    "gate) plus the overall pass flag — the auditable form of document "
+    "filtering, complementing the blended quality_score. Single codegen "
+    "projection, no shuffle; every ratio is an integer "
+    "cross-multiplication; the oracle SQL is generated from the same "
+    "thresholds so the two sides cannot drift.",
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_filters import gopher_rules
+
+    docs = _tp(spark, sf_dir, "documents")
+    return gopher_rules(docs)

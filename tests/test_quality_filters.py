@@ -1,0 +1,46 @@
+"""Gopher/C4 rule-set quality gate unit tests."""
+
+from __future__ import annotations
+
+from pasta_pipeline_spark.operators.quality_filters import gopher_rules
+
+
+def _rows(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+
+def test_gopher_rules_adversarial_docs(spark):
+    good = " ".join(["the quick brown fox jumps over a lazy dog and it is fine for now"] * 5)
+    short = "too short"
+    symbol_soup = " ".join(["### ### #tag ..."] * 30)
+    bullets = "\n".join(["- item one here"] * 19 + ["closing line of prose"])
+    ellipses = "\n".join(["this line trails off..."] * 4 + ["a closing line", "another one", "third one", "fourth"])
+    digits = " ".join(["12345 67890 00000"] * 25)
+    got = _rows(
+        spark,
+        [(1, good), (2, short), (3, symbol_soup), (4, bullets), (5, ellipses), (6, digits)],
+    )
+    assert got[1]["pass_all"]
+    assert not got[2]["r_word_count"] and not got[2]["pass_all"]
+    assert not got[3]["r_symbol_ratio"]
+    assert not got[4]["r_bullet_lines"]  # 19/20 bullet lines > 90%
+    assert not got[5]["r_ellipsis_lines"]  # 4/8 ellipsis-ended > 30%
+    assert not got[6]["r_alpha_words"] and not got[6]["r_stopwords"]
+
+
+def test_gopher_rules_empty_and_null(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i in (1, 2):
+        assert got[i]["n_words"] == 0
+        assert not got[i]["pass_all"]
+
+
+def test_gopher_rules_single_projection_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = gopher_rules(df)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan  # pure projection, no shuffle
