@@ -65,3 +65,34 @@ def url_decode(col: Column | str) -> Column:
     """Percent-decode (F9, telegraph_processor.py:208-213)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.url_decode(c)
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname of a URL (NULL for malformed input) — the grouping key
+    for per-site corpus curation (crawl budgeting, site-level quality
+    priors, blocklists)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.try_parse_url(c, F.lit("HOST"))
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Last-two-labels approximation of the registrable domain
+    (``cdn.assets.example.com`` → ``example.com``).
+
+    A faithful eTLD+1 needs the public-suffix list (multi-label
+    suffixes like ``co.uk`` are mis-split here) — documented contract:
+    ship the PSL as a broadcast join table when that precision
+    matters; this expression form is the shuffle-free default.
+    """
+    c = F.col(host) if isinstance(host, str) else host
+    return F.regexp_extract(c, r"([^.]+\.[^.]+)$", 1)
+
+
+def filter_blocked_domains(df, url_col: str, blocked: list[str], keep_blocked: bool = False):
+    """Drop (or keep, for auditing) rows whose registrable domain is on
+    the blocklist. Small lists inline into the scan predicate (isin →
+    pushed filter); for blocklists that are themselves tables, use a
+    broadcast left-anti join instead."""
+    dom = registrable_domain(url_host(F.col(url_col)))
+    cond = dom.isin(*blocked)
+    return df.filter(cond if keep_blocked else ~F.coalesce(cond, F.lit(False)))

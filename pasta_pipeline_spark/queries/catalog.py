@@ -4855,3 +4855,71 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return gopher_rules(docs)
+
+
+@register(
+    "domain_blocklist_stats",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://telegra.ph/' || source || '-' || doc_id
+               WHEN 1 THEN 'https://example.com/page/' || doc_id
+               WHEN 2 THEN 'https://spam.tracker.net/x?id=' || doc_id
+               WHEN 3 THEN 'https://cdn.assets.example.com/obj/' || doc_id
+               ELSE 'https://docs.wiki.org/a/' || doc_id END AS url
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/:]+)', 1),
+                            '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM u
+    )
+    SELECT domain,
+           domain IN ('tracker.net') AS blocked,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 10000 // (SELECT CAST(count(*) AS BIGINT) FROM d) AS BIGINT)
+             AS share_bp
+    FROM d
+    GROUP BY 1, 2
+    """,
+    doc="Per-domain corpus curation stats: registrable-domain extraction "
+    "(last-two-labels; cdn.assets.example.com folds into example.com), "
+    "doc counts, exact integer share in basis points, and the blocklist "
+    "verdict — the site-level view a crawl pipeline filters and budgets "
+    "by. URLs are constructed deterministically (url_validation's "
+    "technique); Spark parses with try_parse_url(HOST), the oracle with "
+    "an equivalent regex (identical on well-formed constructed input by "
+    "construction). The grand total is the benign 1-row scalar handoff.",
+)
+def q_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import registrable_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://telegra.ph/"), F.col("source"), F.lit("-"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://example.com/page/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://spam.tracker.net/x?id="), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://cdn.assets.example.com/obj/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://docs.wiki.org/a/"), F.col("doc_id")))
+    )
+    d = docs.select(
+        "doc_id", registrable_domain(url_host(url)).alias("domain")
+    )
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    return (
+        d.groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("blocked", F.col("domain").isin("tracker.net"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "blocked",
+            "n_docs",
+            F.expr("n_docs * 10000 div __total").cast("long").alias("share_bp"),
+        )
+    )

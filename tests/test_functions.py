@@ -148,3 +148,48 @@ class TestTimestamps:
 
     def test_parse_failure_is_null(self, spark):
         assert _one(spark, "not-a-date", parse_iso8601) is None
+
+
+def test_url_host_and_registrable_domain(spark):
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.functions.urls import registrable_domain, url_host
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://cdn.assets.example.com/obj/1"),
+            (2, "https://telegra.ph/x-1"),
+            (3, "not a url"),
+            (4, None),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: (r["host"], r["dom"])
+        for r in df.select(
+            "id",
+            url_host("url").alias("host"),
+            registrable_domain(url_host(F.col("url"))).alias("dom"),
+        ).collect()
+    }
+    assert got[1] == ("cdn.assets.example.com", "example.com")
+    assert got[2] == ("telegra.ph", "telegra.ph")
+    assert got[3][0] is None
+    assert got[4][0] is None
+
+
+def test_filter_blocked_domains(spark):
+    from pasta_pipeline_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.tracker.net/x"),
+            (2, "https://example.com/ok"),
+            (3, "bad url"),
+        ],
+        "id long, url string",
+    )
+    kept = sorted(r["id"] for r in filter_blocked_domains(df, "url", ["tracker.net"]).collect())
+    assert kept == [2, 3]  # malformed URLs are not silently dropped
+    audit = [r["id"] for r in filter_blocked_domains(df, "url", ["tracker.net"], keep_blocked=True).collect()]
+    assert audit == [1]

@@ -57,6 +57,7 @@ SCALAR_CROSSJOIN_OK = {
     "unigram_nll": "1-row corpus token total for the unigram model",
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",
     "important_parts": "1-row grand-total/part-count scalar for the Q11 share test",
+    "domain_blocklist_stats": "1-row corpus total for the domain share",
 }
 
 
