@@ -4923,3 +4923,40 @@ def q_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 10000 div __total").cast("long").alias("share_bp"),
         )
     )
+
+
+@register(
+    "bloom_prejoin_revenue",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             AS BIGINT) AS revenue_x
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal >= 8000
+    GROUP BY 1, 2
+    """,
+    doc="Approximate-membership pre-join reduction (the explicit form of "
+    "Spark's runtime bloom filter): the fact side is prefiltered by a "
+    "broadcast semi-join on coarse xxhash64 bucket ids built from the "
+    "selective supplier subset, then the real join runs on the "
+    "survivors. The bucket test has no false negatives, so the result "
+    "is EXACTLY the plain join the oracle runs — the prefilter only "
+    "sheds dead shuffle volume. operators/prejoin.py.",
+)
+def q_bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.prejoin import reduced_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 8000)
+    build = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    rev_x = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(_XS)
+    ).cast("long")
+    return (
+        reduced_join(li, build, on="l_suppkey")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"), F.col("s_name"))
+        .agg(F.sum(rev_x).alias("revenue_x"))
+    )
