@@ -196,3 +196,89 @@ def aspect_bucket_sql(width_col: str, height_col: str) -> str:
         if cut is not None
     )
     return f"CASE {cases} ELSE '{ASPECT_LADDER[-1][0]}' END"
+
+
+def chunk_manifest(
+    df: DataFrame,
+    id_col: str = "media_id",
+    length_col: str = "duration_ms",
+    chunk: int = 30_000,
+    overlap: int = 1_000,
+) -> DataFrame:
+    """Fixed-length chunk manifest over media lengths — the planning
+    table an audio/video pipeline feeds its decode workers (30 s ASR
+    windows with 1 s overlap, byte-range splits for large blobs; the
+    unit is whatever ``length_col`` is in).
+
+    Output one row per chunk: ``(id, chunk_idx, start, end, is_last)``
+    with ``start = idx * (chunk - overlap)`` and ``end`` clamped to
+    the media length; consecutive chunks overlap by ``overlap``. The
+    chunk count is exact integer arithmetic —
+    ``1 + ceil((len - chunk) / step)`` via ``(a + step - 1) div step``
+    — so the manifest is engine-exact and oracle-checkable. Rows with
+    NULL or non-positive length produce no chunks (documented).
+
+    Pure expressions (sequence + explode): no UDF, no shuffle — the
+    manifest is a projection, and the downstream decode stage (the
+    expensive part) partitions on the manifest rows, not the media
+    rows, so one long video no longer pins one task.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be smaller than chunk")
+    step = chunk - overlap
+    length = F.col(length_col).cast("long")
+    # integer division: Spark's `/` on longs is double division — use div
+    n = F.when(length <= chunk, F.lit(1).cast("long")).otherwise(
+        (F.lit(1) + F.expr(f"(CAST({length_col} AS BIGINT) - {chunk} + {step - 1}) div {step}")).cast("long")
+    )
+    src = df.filter(length.isNotNull() & (length > 0)).select(
+        F.col(id_col).alias("id"), length.alias("__len"), n.alias("__n")
+    )
+    exploded = src.select(
+        "id",
+        "__len",
+        "__n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.lit(step)
+    end = F.least(start + F.lit(chunk), F.col("__len"))
+    return exploded.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start"),
+        end.cast("long").alias("end"),
+        (F.col("chunk_idx") == F.col("__n") - 1).alias("is_last"),
+    )
+
+
+def chunk_manifest_sql(
+    table: str,
+    id_col: str,
+    length_col: str,
+    chunk: int = 30_000,
+    overlap: int = 1_000,
+    where: str = "TRUE",
+) -> str:
+    """Generated DuckDB twin of :func:`chunk_manifest` (same integer
+    arithmetic — cannot drift)."""
+    step = chunk - overlap
+    return f"""
+    WITH src AS (
+      SELECT {id_col} AS id, CAST({length_col} AS BIGINT) AS len,
+             CASE WHEN CAST({length_col} AS BIGINT) <= {chunk} THEN 1
+                  ELSE 1 + (CAST({length_col} AS BIGINT) - {chunk} + {step - 1}) // {step}
+             END AS n
+      FROM {table}
+      WHERE ({where}) AND {length_col} IS NOT NULL AND {length_col} > 0
+    )
+    , ex AS (
+      SELECT id, len, n, unnest(generate_series(0, n - 1)) AS chunk_idx
+      FROM src
+    )
+    SELECT id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {step} AS BIGINT) AS start,
+           CAST(least(chunk_idx * {step} + {chunk}, len) AS BIGINT) AS "end",
+           (chunk_idx = n - 1) AS is_last
+    FROM ex
+    """

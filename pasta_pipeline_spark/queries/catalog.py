@@ -4960,3 +4960,37 @@ def q_bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"), F.col("s_name"))
         .agg(F.sum(rev_x).alias("revenue_x"))
     )
+
+
+from pasta_pipeline_spark.operators.multimodal import chunk_manifest_sql as _cm_sql
+
+_MEDIA_LEN_SQL = "(n_chars * 400 + (doc_id % 7) * 1000)"
+
+
+@register(
+    "media_chunk_manifest",
+    _cm_sql(
+        table=f"(SELECT doc_id, {_MEDIA_LEN_SQL} AS duration_ms FROM documents)",
+        id_col="doc_id",
+        length_col="duration_ms",
+    ).replace("""SELECT id,
+           CAST(chunk_idx AS BIGINT)""",
+             """SELECT id AS doc_id,
+           CAST(chunk_idx AS BIGINT)"""),
+    doc="Audio/video chunk-manifest planning table: media lengths "
+    "(synthesized deterministically from document stats — the container "
+    "has no codecs) explode into fixed 30 s windows with 1 s overlap, "
+    "exact integer chunk counts/offsets, end clamped to the length. The "
+    "manifest is what the decode stage partitions on, so one long video "
+    "never pins one task; the oracle SQL is generated from the same "
+    "arithmetic (generate_series twin). operators/multimodal.py.",
+)
+def q_media_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import chunk_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        (F.col("n_chars") * 400 + (F.col("doc_id") % 7) * 1000).alias("duration_ms"),
+    )
+    return chunk_manifest(media, id_col="doc_id", length_col="duration_ms").withColumnRenamed("id", "doc_id")
