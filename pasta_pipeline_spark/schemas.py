@@ -134,22 +134,42 @@ TESTDATA_TABLES = (
 def load_table(spark, sf_dir: str, name: str):
     """Read one driver testdata table as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as a nanos-since-epoch long and is converted here to a
-    microsecond timestamp — the same truncation DuckDB applies when it
-    narrows nanos to its native micros.
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads
+    differently across versions — all three shapes are normalized here
+    to a microsecond TIMESTAMP whose instant equals the parquet wall
+    clock read as UTC (the same narrowing DuckDB applies, so oracles
+    agree):
+
+    - nanos-as-long (``spark.sql.legacy.parquet.nanosAsLong`` honored,
+      pyspark <= 4.0-era): epoch-nanos long → ``timestamp_micros``;
+    - TIMESTAMP_NTZ (pyspark 4.1.2+ reads NANOS as NTZ and ignores the
+      legacy conf): wall-clock micros via ``timestampdiff`` against an
+      NTZ epoch — PURE wall arithmetic, so the result is independent
+      of the session timezone (a plain ``cast ntz → timestamp`` would
+      shift by the session offset);
+    - already-TIMESTAMP: passthrough.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
-        # runtime-settable; required even when the caller's session was
-        # built without pasta_pipeline_spark.session.get_spark
+        # honored by older readers; ignored (harmlessly) by 4.1.2+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+                    )
+                ),
+            )
     return df
 
 

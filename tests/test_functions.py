@@ -193,3 +193,33 @@ def test_filter_blocked_domains(spark):
     assert kept == [2, 3]  # malformed URLs are not silently dropped
     audit = [r["id"] for r in filter_blocked_domains(df, "url", ["tracker.net"], keep_blocked=True).collect()]
     assert audit == [1]
+
+
+def test_events_ts_normalized_to_utc_micros(spark):
+    """events.parquet carries TIMESTAMP(NANOS); whatever shape the
+    installed Spark reads it as (nanos long, TIMESTAMP_NTZ, TIMESTAMP),
+    load_table must yield a TimestampType whose epoch micros equal
+    DuckDB's narrowing of the same file — independent of session tz."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from pasta_pipeline_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    df = load_table(spark, sf, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = {
+        r["event_id"]: r["us"]
+        for r in df.select("event_id", F.unix_micros("ts").alias("us"))
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) FROM '{sf}/events.parquet' "
+            "ORDER BY event_id LIMIT 5"
+        ).fetchall()
+    )
+    assert got == want
