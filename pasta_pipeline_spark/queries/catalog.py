@@ -4994,3 +4994,70 @@ def q_media_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 400 + (F.col("doc_id") % 7) * 1000).alias("duration_ms"),
     )
     return chunk_manifest(media, id_col="doc_id", length_col="duration_ms").withColumnRenamed("id", "doc_id")
+
+
+# Adversarial adornments for the normalization query, shared by engine
+# and oracle (playbook: one recipe generates both sides). Index = doc_id % 4.
+_NORM_ADORN = [
+    "",
+    " café decomposed",          # e + COMBINING ACUTE -> NFC composes
+    " ctrl\x07bell and\x1f unit",      # control chars stripped
+    "  wide   gaps\tand\ttabs  ",      # whitespace collapse + trim
+]
+
+
+def _norm_adorn_sql() -> str:
+    cases = []
+    for i, s in enumerate(_NORM_ADORN):
+        esc = "".join(f"\\x{ord(ch):02x}" if ord(ch) < 32 else ch for ch in s)
+        esc = esc.replace("'", "''").replace("́", "' || chr(769) || '")
+        cases.append(f"WHEN {i} THEN e'{esc}'")
+    return "CASE doc_id % 4 " + " ".join(cases) + " ELSE '' END"
+
+
+@register(
+    "text_normalization",
+    f"""
+    WITH adorned AS (
+      SELECT doc_id, text || {_norm_adorn_sql()} AS raw FROM documents
+    )
+    SELECT doc_id,
+           {{clean}} AS norm_text,
+           ({{clean}} IS DISTINCT FROM raw) AS changed
+    FROM adorned
+    """,
+    doc="Unicode NFC + cleanup normalization (pre-tokenization hygiene): "
+    "composed/decomposed unification via an Arrow-batched "
+    "unicodedata.normalize stage (sanctioned Python stage; DuckDB twin "
+    "nfc_normalize implements the same Unicode standard), then pure-"
+    "expression control-char strip, whitespace collapse, trim. Inputs "
+    "are adorned deterministically with decomposed accents, control "
+    "bytes, and whitespace floods so every rule is exercised. "
+    "operators/normalize_text.py.",
+)
+def q_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.normalize_text import normalize_documents
+
+    docs = _tp(spark, sf_dir, "documents")
+    adorn = F.element_at(
+        F.array(*[F.lit(s) for s in _NORM_ADORN]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    adorned = docs.select(
+        "doc_id", F.concat(F.col("text"), adorn).alias("raw")
+    )
+    return normalize_documents(adorned, text_col="raw", out_col="norm_text").select(
+        "doc_id", "norm_text", "changed"
+    )
+
+
+# inject the generated clean-SQL into the oracle template
+from pasta_pipeline_spark.operators.normalize_text import clean_text_sql as _ct_sql
+
+REGISTRY["text_normalization"] = QuerySpec(
+    spark_fn=REGISTRY["text_normalization"].spark_fn,
+    oracle=REGISTRY["text_normalization"].oracle.replace(
+        "{clean}", _ct_sql("nfc_normalize(raw)")
+    ),
+    doc=REGISTRY["text_normalization"].doc,
+)
