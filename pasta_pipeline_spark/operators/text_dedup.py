@@ -752,3 +752,45 @@ def cross_jaccard_pairs(
         jac.filter(F.col("jaccard") >= threshold).select("left_id", "right_id", "jaccard"),
         [shl, shr],
     )
+
+
+def select_survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Policy-driven survivor selection over duplicate clusters.
+
+    ``duplicate_clusters`` hard-codes the smallest-id survivor (the
+    right default for determinism proofs); real curation usually keeps
+    the BEST member — longest, highest quality score, freshest. This
+    reassigns ``is_survivor`` by ranking each cluster on ``score_col``
+    (descending by default) with the id as tiebreak, so exactly one
+    member per cluster survives under any policy.
+
+    One window shuffle on the cluster id (clusters are small by
+    construction — bounded by duplicate-group size, not corpus size);
+    the score joins in on the doc id, broadcast-eligible when the
+    cluster table is the smaller side.
+    """
+    from pyspark.sql import Window
+
+    score = docs.select(F.col(id_col), F.col(score_col).alias("__score"))
+    order = [
+        F.asc("__score") if ascending else F.desc("__score"),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        clusters.select(id_col, cluster_col)
+        .join(score, id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            id_col,
+            cluster_col,
+            (F.col("__rk") == 1).alias("is_survivor"),
+        )
+    )

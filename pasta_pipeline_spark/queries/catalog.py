@@ -5061,3 +5061,35 @@ REGISTRY["text_normalization"] = QuerySpec(
     ),
     doc=REGISTRY["text_normalization"].doc,
 )
+
+
+@register(
+    "cluster_survivors",
+    f"""
+    SELECT c.doc_id, c.cluster_id,
+           (row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY d.n_chars DESC, c.doc_id) = 1)
+             AS is_survivor
+    FROM ( {_CLUSTERS_ORACLE} ) c
+    JOIN documents d ON c.doc_id = d.doc_id
+    """,
+    doc="Policy-driven dedup survivor selection: duplicate clusters "
+    "(3-gram Jaccard >= 0.5 connected components) re-ranked so the "
+    "LONGEST member survives (n_chars desc, id tiebreak) instead of "
+    "the smallest id — the curation policy real pipelines want. One "
+    "window over the cluster id. operators/text_dedup.py "
+    "select_survivors.",
+)
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+        select_survivors,
+    )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = duplicate_clusters(docs, pairs)
+    release_cached_deps(pairs)
+    return select_survivors(clusters, docs, score_col="n_chars")

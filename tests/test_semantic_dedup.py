@@ -57,3 +57,30 @@ def test_plan_is_bucket_gated(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_select_survivors_policies(spark):
+    from pasta_pipeline_spark.operators.text_dedup import select_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, 50), (10, 9), (11, 3), (20, 7)],
+        "doc_id long, score long",
+    )
+    best = {
+        r["doc_id"]: r["is_survivor"]
+        for r in select_survivors(clusters, docs, "score").collect()
+    }
+    # highest score wins; tie (2 vs 3, both 50) breaks to smaller id
+    assert best == {1: False, 2: True, 3: False, 10: True, 11: False, 20: True}
+    worst = {
+        r["doc_id"]: r["is_survivor"]
+        for r in select_survivors(clusters, docs, "score", ascending=True).collect()
+    }
+    assert worst == {1: True, 2: False, 3: False, 10: False, 11: True, 20: True}
+    # exactly one survivor per cluster under any policy
+    for rows in (best, worst):
+        assert sum(rows.values()) == 3
