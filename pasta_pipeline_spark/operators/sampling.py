@@ -255,3 +255,52 @@ def weighted_sample_topk(
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)  # over <= k rows — benign
     return top.withColumn("rk", F.row_number().over(w)).drop("__score")
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    group_col: str,
+) -> DataFrame:
+    """Deterministic per-group sampling to a SIZE budget (bytes,
+    tokens, documents — whatever ``size_col`` measures): rows are
+    taken in md5-shuffled order until the group's running total would
+    exceed ``budget``. The per-source token budget of a training mix,
+    as an operator.
+
+    Contract: a row is kept iff the running total BEFORE it is under
+    the budget — so every non-empty group keeps at least one row (a
+    mix never silently drops a source), and overshoot is bounded by
+    one row. Ordering is md5(id) with id tiebreak: deterministic
+    across runs and engines, uncorrelated with any data column (a
+    sorted-by-size take would bias the sample).
+
+    One window shuffle on the group key. The group is required: an
+    ungrouped budget take is a global sequential cumsum — use
+    ``assign_sequential_ids``'s range-partition scheme and filter on
+    the prefix sums if a corpus-global budget is ever needed.
+    """
+    if not group_col:
+        raise ValueError(
+            "budget_sample requires group_col: the ungrouped form is a "
+            "single-task global cumsum (see assign_sequential_ids for "
+            "the scalable global idiom)"
+        )
+    c = F.col(id_col)
+    rnd = F.md5(c.cast("string").cast("binary"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc("__rnd"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = df.withColumn("__rnd", rnd).withColumn(
+        "__cum", F.sum(F.col(size_col).cast("long")).over(w)
+    )
+    before = F.col("__cum") - F.col(size_col).cast("long")
+    return (
+        sized.filter(before < budget)
+        .withColumn("cum_size", F.col("__cum"))
+        .drop("__rnd", "__cum")
+    )

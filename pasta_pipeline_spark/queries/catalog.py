@@ -5093,3 +5093,34 @@ def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = duplicate_clusters(docs, pairs)
     release_cached_deps(pairs)
     return select_survivors(clusters, docs, score_col="n_chars")
+
+
+@register(
+    "byte_budget_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_size
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, cum_size
+    FROM ranked
+    WHERE cum_size - n_chars < 30000
+    """,
+    doc="Per-source byte-budget sampling (the training mix's token "
+    "budget as an operator): docs taken in md5-shuffled order until "
+    "each source's running size total passes 30 kB; a row is kept iff "
+    "the total BEFORE it is under budget, so every source keeps at "
+    "least one doc and overshoot is bounded by one row. One window "
+    "shuffle on the source key. operators/sampling.py budget_sample.",
+)
+def q_byte_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sampling import budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return budget_sample(
+        docs, id_col="doc_id", size_col="n_chars", budget=30_000, group_col="source"
+    )

@@ -103,3 +103,36 @@ def test_weighted_sample_ungrouped_uses_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert sorted(r["rk"] for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_budget_sample_contract(spark):
+    import pytest as _pytest
+
+    from pasta_pipeline_spark.operators.sampling import budget_sample
+
+    rows = [(i, "g1" if i < 20 else "g2", 10) for i in range(40)]
+    # g2 gets one giant doc too
+    rows.append((100, "g2", 500))
+    df = spark.createDataFrame(rows, "id long, g string, sz long")
+    out = budget_sample(df, "id", "sz", budget=45, group_col="g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    # each kept row started under budget; overshoot bounded by one row
+    for g, kept in by_g.items():
+        tot = sum(r["sz"] for r in kept)
+        assert tot - max(r["sz"] for r in kept) < 45
+        assert len(kept) >= 1
+    # deterministic across runs
+    again = budget_sample(df, "id", "sz", budget=45, group_col="g").collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in out)
+    with _pytest.raises(ValueError):
+        budget_sample(df, "id", "sz", budget=45, group_col=None)
+
+
+def test_budget_sample_keeps_one_even_if_oversized(spark):
+    from pasta_pipeline_spark.operators.sampling import budget_sample
+
+    df = spark.createDataFrame([(1, "g", 1000)], "id long, g string, sz long")
+    out = budget_sample(df, "id", "sz", budget=10, group_col="g").collect()
+    assert len(out) == 1  # first row always kept: a mix never drops a source
