@@ -5124,3 +5124,23 @@ def q_byte_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_sample(
         docs, id_col="doc_id", size_col="n_chars", budget=30_000, group_col="source"
     )
+
+
+@register(
+    "trigram_search",
+    """
+    SELECT doc_id FROM documents WHERE contains(text, 'merge batch')
+    """,
+    doc="Index-accelerated substring search: candidates from a "
+    "character-trigram inverted index (a doc can only match if it has "
+    "EVERY trigram of the pattern — posting-list intersection as a "
+    "gram bucket join), then exact contains() verification, so results "
+    "are EXACTLY the full-scan LIKE the oracle runs. At scale the "
+    "index persists partitioned by gram and the scan cost drops from "
+    "corpus bytes to candidate bytes. operators/search.py.",
+)
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.search import substring_search
+
+    docs = _tp(spark, sf_dir, "documents")
+    return substring_search(docs, "merge batch")
