@@ -70,3 +70,61 @@ def read_csv_with_error_channel(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = True
+) -> DataFrame:
+    """Raw text-corpus ingest: ``(doc_path, doc_id, text, n_bytes)``.
+
+    ``whole_files=True`` reads one document per FILE (wholetext —
+    the raw-corpus layout: one article/page per file); False reads one
+    document per LINE (the jsonl-adjacent layout for pre-split
+    corpora). The id is the stable xxhash64 of the file path (plus the
+    line's own content hash in line mode — two identical lines in one
+    file stay distinct by position is NOT promised; dedup is the
+    dedup ladder's job, not ingest's).
+
+    Scale note: wholetext makes one task per file — right for
+    documents, wrong for multi-GB blobs (route those through
+    ``read_binary_corpus`` chunk manifests instead).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=whole_files).select(
+        F.input_file_name().alias("doc_path"), F.col("value").alias("text")
+    )
+    id_src = (
+        F.col("doc_path")
+        if whole_files
+        else F.concat(F.col("doc_path"), F.lit("#"), F.xxhash64("text").cast("string"))
+    )
+    return df.select(
+        "doc_path",
+        F.xxhash64(id_src).alias("doc_id"),
+        "text",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+def read_binary_corpus(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-blob ingest via Spark's binaryFile source →
+    ``(media_id, media_type, payload, n_bytes, mod_time)`` — the media
+    table shape operators/multimodal.py consumes (type from the file
+    extension; decode stays behind the multimodal stubs). Driver lists
+    files, executors read payloads — no payload ever routes through
+    the driver."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return df.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        ext.alias("media_type"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("modificationTime").alias("mod_time"),
+    )

@@ -119,3 +119,56 @@ def test_parquet_schema_drift_merge_and_fill(spark, tmp_path):
     explicit = spark.read.schema("id long, score double, missing string").parquet(d)
     rows = {r["id"]: (r["score"], r["missing"]) for r in explicit.collect()}
     assert rows == {1: (None, None), 2: (9.5, None)}
+
+
+def test_read_text_corpus_whole_files(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one\nwith two lines", encoding="utf-8")
+    (d / "b.txt").write_text("doc two", encoding="utf-8")
+    from pasta_pipeline_spark.sources.files import read_text_corpus
+
+    got = {r["doc_path"].split("/")[-1]: r for r in read_text_corpus(spark, str(d)).collect()}
+    assert set(got) == {"a.txt", "b.txt"}
+    assert got["a.txt"]["text"] == "doc one\nwith two lines"
+    assert got["a.txt"]["n_bytes"] == len("doc one\nwith two lines")
+    assert got["a.txt"]["doc_id"] != got["b.txt"]["doc_id"]
+
+
+def test_read_text_corpus_lines(spark, tmp_path):
+    d = tmp_path / "lines"
+    d.mkdir()
+    (d / "x.txt").write_text("l1\nl2\nl3", encoding="utf-8")
+    from pasta_pipeline_spark.sources.files import read_text_corpus
+
+    rows = read_text_corpus(spark, str(d), whole_files=False).collect()
+    assert sorted(r["text"] for r in rows) == ["l1", "l2", "l3"]
+    assert len({r["doc_id"] for r in rows}) == 3
+
+
+def test_read_binary_corpus(spark, tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "img.png").write_bytes(b"\x89PNG fake bytes")
+    (d / "clip.mp4").write_bytes(b"\x00\x00mp4 fake")
+    from pasta_pipeline_spark.sources.files import read_binary_corpus
+
+    got = {r["media_type"]: r for r in read_binary_corpus(spark, str(d)).collect()}
+    assert set(got) == {"png", "mp4"}
+    assert bytes(got["png"]["payload"]) == b"\x89PNG fake bytes"
+    assert got["mp4"]["n_bytes"] == len(b"\x00\x00mp4 fake")
+
+    only_png = read_binary_corpus(spark, str(d), glob="*.png").collect()
+    assert len(only_png) == 1
+
+
+def test_binary_corpus_feeds_multimodal(spark, tmp_path):
+    d = tmp_path / "m2"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"payload-a")
+    from pasta_pipeline_spark.operators.multimodal import extract_media_features
+    from pasta_pipeline_spark.sources.files import read_binary_corpus
+
+    media = read_binary_corpus(spark, str(d))
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 1 and feats[0]["n_bytes"] == 9
