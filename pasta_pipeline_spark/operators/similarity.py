@@ -444,3 +444,58 @@ def semantic_dedup(
             F.when(F.col("__drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_fp_scale: int = 10_000_000,
+) -> DataFrame:
+    """Embedding-space outlier detection: the ``k`` vectors FARTHEST
+    from their label's centroid, per label — the embedding-level
+    quality gate (mislabeled/garbage vectors sit far from their
+    cluster's mass; CLIP-score-style filtering is this same shape with
+    a learned centroid).
+
+    Exactness contract: the centroid reuses label_centroids' exact
+    fixed-point mean; each dimension's squared deviation is floored to
+    int64 BEFORE summing (``Σ floor((v_i-c_i)² · scale)``), so the
+    distance is an order-free integer in both engines and the top-k
+    (dist desc, id asc) is hash-stable.
+
+    Scale shape: centroid table is |labels|·dims rows — broadcast; the
+    deviation sum is one groupBy on the vector id; the top-k window
+    partitions by label. No UDF, no driver state.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(embeddings, label_col=label_col, vec_col=vec_col)
+    exploded = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    dev_fp = F.floor(
+        (F.col("v").cast("double") - F.col("centroid"))
+        * (F.col("v").cast("double") - F.col("centroid"))
+        * F.lit(dist_fp_scale)
+    ).cast("long")
+    dists = (
+        exploded.join(F.broadcast(cents), ["label", "pos"])
+        .groupBy("vid", "label")
+        .agg(F.sum(dev_fp).alias("dist_fp"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist_fp"), F.asc("vid"))
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("vid").alias(id_col),
+            "label",
+            "dist_fp",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -5144,3 +5144,44 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return substring_search(docs, "merge batch")
+
+
+@register(
+    "embedding_outliers",
+    """
+    WITH cent AS (
+      SELECT label, pos1 - 1 AS pos,
+             SUM(CAST(FLOOR(embedding[pos1]::DOUBLE * 10000000) AS BIGINT)) / 10000000.0 / count(*) AS centroid
+      FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS pos1, embedding
+            FROM embeddings)
+      GROUP BY label, pos1
+    ), dev AS (
+      SELECT e.vec_id, e.label,
+             CAST(FLOOR((e.embedding[c.pos + 1]::DOUBLE - c.centroid)
+                        * (e.embedding[c.pos + 1]::DOUBLE - c.centroid)
+                        * 10000000) AS BIGINT) AS d_fp
+      FROM (SELECT vec_id, label, embedding FROM embeddings) e
+      JOIN cent c ON e.label = c.label
+    ), dist AS (
+      SELECT vec_id, label, CAST(SUM(d_fp) AS BIGINT) AS dist_fp
+      FROM dev GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, dist_fp, rk FROM (
+      SELECT vec_id, label, dist_fp,
+             CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY dist_fp DESC, vec_id) AS BIGINT) AS rk
+      FROM dist
+    ) WHERE rk <= 5
+    """,
+    doc="Embedding-space outlier gate: the 5 vectors farthest from "
+    "their label centroid per label (mislabeled/garbage detection). "
+    "Exact fixed-point centroid reused from embedding_centroids; each "
+    "dimension's squared deviation floors to int64 before the "
+    "order-free sum; top-k rides (dist desc, id) — hash-stable. "
+    "operators/similarity.py embedding_outliers.",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, k=5)

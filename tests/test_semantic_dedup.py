@@ -84,3 +84,15 @@ def test_select_survivors_policies(spark):
     # exactly one survivor per cluster under any policy
     for rows in (best, worst):
         assert sum(rows.values()) == 3
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    from pasta_pipeline_spark.operators.similarity import embedding_outliers
+
+    # label 0: tight cluster around (1,0) + one far point (planted outlier)
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(9)]
+    rows.append((99, [-5.0, 4.0], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = embedding_outliers(df, k=2).collect()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rk"])][0] == 99
+    assert len(got) == 2
