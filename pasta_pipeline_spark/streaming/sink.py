@@ -82,3 +82,50 @@ def foreach_batch_merge_partitioned(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_summary_sink(
+    stream: DataFrame,
+    store: TableStore,
+    keys: str | list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained corpus statistics: each micro-batch's
+    mergeable summary (operators/summaries.py — exact int64 algebraic
+    state: n, sum, min, max, sumsq) merges into a persisted summary
+    table, so corpus-wide stats stay current WITHOUT ever rescanning
+    the corpus — the 100 TB answer to "recompute the stats nightly".
+
+    The summary table is |keys| rows of integer state (KB-scale at any
+    corpus size), so the per-batch merge cost is the batch scan plus a
+    tiny overwrite; merge associativity/commutativity (proven by the
+    mergeable_summary oracle) makes the maintained table EQUAL to a
+    from-scratch summary over all data ever ingested, whatever the
+    batch boundaries were. Caveat (same as every accumulate-only
+    sink): replayed batches double-count — feed this from the
+    deduplicated stream (streaming/dedup.py), which is exactly-once
+    downstream of its watermark.
+    """
+    from pasta_pipeline_spark.operators.summaries import merge_summaries, partial_summary
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_summary_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        part = partial_summary(batch, keys, value_col)
+        if store.exists():
+            merged = merge_summaries(store.read(), part, keys)
+        else:
+            merged = part
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -89,3 +89,41 @@ def test_sequential_ids_persist_pins_range_partitioning(spark):
     assert got == list(range(1, 501))
     release_cached_deps(out)
     assert not (deps[0].storageLevel.useMemory or deps[0].storageLevel.useDisk)
+
+
+def test_incremental_summary_sink_equals_direct(spark, tmp_path):
+    """Summary maintained across two streamed batches == one-shot
+    summary over all rows (merge associativity, end to end)."""
+    import json as _json
+    import os as _os
+
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_summary_sink
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    b1 = [{"k": "a", "v": 1.5}, {"k": "a", "v": 2.5}, {"k": "b", "v": 10.0}]
+    with open(f"{src}/b1.json", "w", encoding="utf-8") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in b1)
+
+    store = TableStore(spark, str(tmp_path / "summary"))
+    stream = spark.readStream.schema("k string, v double").json(src)
+    q = incremental_summary_sink(stream, store, "k", "v", str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    b2 = [{"k": "a", "v": 4.0}, {"k": "c", "v": -1.0}]
+    with open(f"{src}/b2.json", "w", encoding="utf-8") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in b2)
+    stream2 = spark.readStream.schema("k string, v double").json(src)
+    q2 = incremental_summary_sink(stream2, store, "k", "v", str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in b1 + b2], "k string, v double"
+    )
+    direct = {r["k"]: r for r in partial_summary(all_rows, "k", "v").collect()}
+    got = {r["k"]: r for r in store.read().collect()}
+    assert set(got) == set(direct) == {"a", "b", "c"}
+    for k in direct:
+        for c in ("n", "sum_x", "min_x", "max_x", "sumsq_x"):
+            assert got[k][c] == direct[k][c], (k, c)
