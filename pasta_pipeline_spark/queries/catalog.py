@@ -5185,3 +5185,90 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, k=5)
+
+
+_QUALITY_WITH_SOURCE = _QUALITY_ORACLE.replace(
+    "SELECT doc_id, text,", "SELECT doc_id, source, text,", 1
+).replace(
+    "SELECT doc_id,\n           CASE WHEN", "SELECT doc_id, source,\n           CASE WHEN", 1
+)
+
+
+@register(
+    "quality_top_quartile",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+      FROM ( {_QUALITY_WITH_SOURCE} )
+    )
+    SELECT doc_id, source, score FROM scored WHERE pr >= 0.75
+    """,
+    doc="Adaptive per-source quality threshold: keep each source's top "
+    "quartile by quality score (percent_rank >= 0.75 over (score, id)) "
+    "— the mixing-aware alternative to one global cutoff, which would "
+    "empty low-scoring sources entirely. percent_rank is "
+    "(rank-1)/(n-1): integer-derived, so the double compares "
+    "identically in both engines. One window shuffle on source.",
+)
+def q_quality_top_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import quality_score
+
+    docs = _tp(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.75)
+        .select("doc_id", "source", "score")
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ), m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(MAX(n) AS BIGINT) AS max_n,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+    )
+    SELECT key, n,
+           CAST(n * 10000 // total AS BIGINT) AS share_bp,
+           CAST(max_n * n_keys * 10000 // total AS BIGINT) AS skew_x10000
+    FROM c, m
+    ORDER BY n DESC, key LIMIT 10
+    """,
+    doc="Shuffle-key skew profiler (the diagnostic behind choosing "
+    "salting/AQE skew handling): top-10 hottest keys with exact integer "
+    "share basis points, plus the skew factor max/mean x10000 "
+    "(max_n * n_keys / total — >>10000 means one key dominates and a "
+    "plain shuffle join will straggle). The grand total is the benign "
+    "1-row scalar handoff; the top-10 rides TakeOrderedAndProject.",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "key",
+            "n",
+            F.expr("n * 10000 div total").cast("long").alias("share_bp"),
+            F.expr("max_n * n_keys * 10000 div total").cast("long").alias("skew_x10000"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )

@@ -58,6 +58,7 @@ SCALAR_CROSSJOIN_OK = {
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",
     "important_parts": "1-row grand-total/part-count scalar for the Q11 share test",
     "domain_blocklist_stats": "1-row corpus total for the domain share",
+    "key_skew_profile": "1-row total/max/n_keys scalar for the skew factor",
 }
 
 
