@@ -304,3 +304,67 @@ def budget_sample(
         .withColumn("cum_size", F.col("__cum"))
         .drop("__rnd", "__cum")
     )
+
+
+def budget_sample_global(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Corpus-GLOBAL size-budget sampling without a single-task sort:
+    the scalable form of :func:`budget_sample` when the budget spans
+    the whole corpus rather than a group.
+
+    The global running total decomposes exactly like
+    ``assign_sequential_ids``: range-partition on the md5 order key,
+    per-partition size sums (a metadata-scale aggregate), exclusive
+    prefix-sum of those P numbers on the driver, then each row's
+    global running total = its partition's offset + its within-
+    partition cumsum. Same keep rule as the grouped form: a row stays
+    iff the total BEFORE it is under budget (so a non-empty corpus
+    keeps at least one row; overshoot bounded by one row).
+
+    The ranged frame is persisted before the offsets collect —
+    repartitionByRange samples split points per job, so an unpersisted
+    second pass could land rows in different partitions than the ones
+    summed (the ids.py lesson). Cache handed to the caller via
+    release_cached_deps.
+    """
+    from pyspark.sql import functions as F
+
+    from .util import attach_cached_deps
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rnd = F.md5(F.col(id_col).cast("string").cast("binary"))
+    ranged = (
+        df.withColumn("__rnd", rnd)
+        .repartitionByRange(n_parts, F.col("__rnd"), F.col(id_col))
+        .sortWithinPartitions("__rnd", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    sums = sorted(
+        (r["__pid"], r["s"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(size_col).cast("long")).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += s
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__rnd", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("__offset") + F.sum(F.col(size_col).cast("long")).over(w)
+    result = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("cum_size", cum.cast("long"))
+        .filter(F.col("cum_size") - F.col(size_col).cast("long") < budget)
+        .drop("__rnd", "__pid", "__offset")
+    )
+    return attach_cached_deps(result, [ranged])

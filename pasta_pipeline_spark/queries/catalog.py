@@ -5272,3 +5272,32 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(10)
     )
+
+
+@register(
+    "global_budget_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_size
+      FROM documents
+    )
+    SELECT doc_id, n_chars, cum_size
+    FROM ranked
+    WHERE cum_size - n_chars < 100000
+    """,
+    doc="Corpus-global size-budget sampling WITHOUT a single-task "
+    "global sort: the running total decomposes into range partitions "
+    "on the md5 order key + a driver prefix-sum of P partition totals "
+    "(the sequential-ids idiom) — the oracle's single global window is "
+    "exactly what this operator exists to avoid at scale. Keep rule: "
+    "total BEFORE the row under 100 kB. operators/sampling.py "
+    "budget_sample_global.",
+)
+def q_global_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sampling import budget_sample_global
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return budget_sample_global(docs, id_col="doc_id", size_col="n_chars", budget=100_000)

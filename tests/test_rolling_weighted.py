@@ -136,3 +136,24 @@ def test_budget_sample_keeps_one_even_if_oversized(spark):
     df = spark.createDataFrame([(1, "g", 1000)], "id long, g string, sz long")
     out = budget_sample(df, "id", "sz", budget=10, group_col="g").collect()
     assert len(out) == 1  # first row always kept: a mix never drops a source
+
+
+def test_budget_sample_global_no_single_partition_and_correct(spark):
+    from pasta_pipeline_spark.operators.sampling import budget_sample_global
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    df = spark.createDataFrame([(i, 10) for i in range(300)], "id long, sz long")
+    out = budget_sample_global(df, "id", "sz", budget=95, num_partitions=6)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
+    rows = out.collect()
+    release_cached_deps(out)
+    # 95-byte budget over 10-byte rows: exactly 10 kept (10th starts at 90 < 95)
+    assert len(rows) == 10
+    assert max(r["cum_size"] for r in rows) == 100
+    # deterministic selection: same ids on a rerun
+    again = budget_sample_global(df, "id", "sz", budget=95, num_partitions=6)
+    assert sorted(r["id"] for r in again.collect()) == sorted(r["id"] for r in rows)
+    release_cached_deps(again)
