@@ -499,3 +499,42 @@ def embedding_outliers(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def cross_corpus_cosine_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    dim: int,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark-contamination pairs: (train, eval)
+    vector pairs with cosine >= threshold, gated by sign-LSH bucket
+    collision — the semantic complement to the shingle-based
+    contamination_check (paraphrased leakage has no shared n-grams but
+    lands in the same embedding neighborhood).
+
+    The join is BETWEEN corpora (never a self-join): each side buckets
+    independently with the same deterministic hyperplanes, candidates
+    come from the bucket equi-join, and only candidates pay the exact
+    cosine. Contract (same as cosine_dup_pairs): every emitted pair
+    truly clears the threshold; bucket-collision recall is the LSH
+    trade — raise num_planes as the corpus grows.
+    """
+    tb = with_lsh_bucket(
+        train.select(F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv")),
+        "tv", dim, num_planes,
+    )
+    eb = with_lsh_bucket(
+        eval_df.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")),
+        "ev", dim, num_planes,
+    )
+    sim = cosine(F.col("tv"), F.col("ev"))
+    return (
+        tb.join(eb, "bucket")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("train_id", "eval_id", "sim")
+    )

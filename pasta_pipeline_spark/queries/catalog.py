@@ -5301,3 +5301,50 @@ def q_global_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return budget_sample_global(docs, id_col="doc_id", size_col="n_chars", budget=100_000)
+
+
+def _cross_embedding_oracle(dim: int = 64, num_planes: int = 4, threshold: float = 0.4) -> str:
+    """DuckDB twin of cross_corpus_cosine_pairs over the even/odd
+    vec_id split — inlined plane constants, bucket equi-join BETWEEN
+    the halves, exact cosine filter (cosine_dup_pairs technique)."""
+    from pasta_pipeline_spark.operators.similarity import _hyperplane
+
+    plane_rows = ",\n        ".join(
+        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
+        for p in range(num_planes)
+    )
+    cos = _cosine_sql("t.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")
+    return f"""
+    WITH planes(pidx, pv) AS (VALUES
+        {plane_rows}),
+    eb AS (
+      SELECT vec_id, embedding,
+             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    )
+    SELECT t.vec_id AS train_id, e.vec_id AS eval_id, {cos} AS sim
+    FROM eb t JOIN eb e ON t.bucket = e.bucket
+    WHERE t.vec_id % 2 = 0 AND e.vec_id % 2 = 1 AND {cos} >= {threshold}
+    """
+
+
+@register(
+    "cross_embedding_contamination",
+    _cross_embedding_oracle(),
+    doc="Embedding-level train-vs-eval contamination: (train, eval) "
+    "pairs with cosine >= 0.4, sign-LSH bucket-gated BETWEEN the "
+    "corpora (even/odd vec_id split stands in for the two corpora) — "
+    "the semantic complement to the shingle-based contamination_check "
+    "(paraphrased leakage shares no n-grams but lands in the same "
+    "embedding neighborhood). Deterministic planes inlined in the "
+    "oracle; every emitted pair hash-checked end to end. "
+    "operators/similarity.py cross_corpus_cosine_pairs.",
+)
+def q_cross_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import cross_corpus_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    ev = emb.filter(F.col("vec_id") % 2 == 1)
+    return cross_corpus_cosine_pairs(train, ev, threshold=0.4, dim=64, num_planes=4)

@@ -96,3 +96,18 @@ def test_embedding_outliers_finds_planted_outlier(spark):
     got = embedding_outliers(df, k=2).collect()
     assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rk"])][0] == 99
     assert len(got) == 2
+
+
+def test_cross_corpus_cosine_pairs_planted_leak(spark):
+    from pasta_pipeline_spark.operators.similarity import cross_corpus_cosine_pairs
+
+    base = [0.5] * 8
+    train = spark.createDataFrame(
+        [(0, base), (2, [1.0, -1.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    ev = spark.createDataFrame(
+        [(1, base), (3, [-1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    got = cross_corpus_cosine_pairs(train, ev, threshold=0.95, dim=8, num_planes=3).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in got] == [(0, 1)]
+    assert abs(got[0]["sim"] - 1.0) < 1e-9
