@@ -794,3 +794,56 @@ def select_survivors(
             (F.col("__rk") == 1).alias("is_survivor"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed near-dup pairs by shingle CONTAINMENT
+    ``|A∩B| / |A|`` — the asymmetric companion to jaccard_pairs.
+    Jaccard misses the quote-inclusion shape (a short doc wholly
+    embedded in a long one scores |A|/|B| ≪ 1 on Jaccard but 1.0 on
+    containment of the short side), which is the dominant duplication
+    mode in boilerplate-wrapped web text.
+
+    Output one row per DIRECTION that clears the threshold:
+    ``(doc_inner, doc_outer, containment)`` = the inner doc's shingle
+    set is ``containment``-covered by the outer doc's. Pair generation
+    and skew handling are jaccard_pairs' inverted index (one
+    groupBy(shingle) + one groupBy(pair), hot-shingle fallback);
+    containment just divides by a different denominator, per
+    direction. Cache attached; release after materializing.
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    hot_df_cap = 1024
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        _candidate_pairs(sh, hot_df_cap)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    result = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    return attach_cached_deps(result, [sh])

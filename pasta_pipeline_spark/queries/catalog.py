@@ -5348,3 +5348,50 @@ def q_cross_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     train = emb.filter(F.col("vec_id") % 2 == 0)
     ev = emb.filter(F.col("vec_id") % 2 == 1)
     return cross_corpus_cosine_pairs(train, ev, threshold=0.4, dim=64, num_planes=4)
+
+
+_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), both_dirs AS (
+      SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+             CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b AS doc_inner, doc_a AS doc_outer,
+             CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS containment
+      FROM common JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_inner, doc_outer, containment
+    FROM both_dirs WHERE containment >= 0.8
+"""
+
+
+@register(
+    "containment_pairs",
+    _CONTAINMENT_ORACLE,
+    doc="Directed shingle-containment near-dups (|A∩B|/|A| >= 0.8): the "
+    "asymmetric tier Jaccard misses — a short doc wholly embedded in a "
+    "long one (quote inclusion, boilerplate wrapping) scores ~1.0 on "
+    "the contained side. Same inverted-index pair generation and "
+    "hot-shingle fallback as ngram_jaccard_pairs; only the denominator "
+    "changes, per direction. operators/text_dedup.py containment_pairs.",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # shingle cache rides on the frame; the runner releases it after
+    # materializing (util.release_cached_deps)
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)

@@ -115,3 +115,33 @@ def test_cdc_duplicate_chunks_counted_across_docs(spark):
     # every fully-shared chunk is seen twice
     assert dup.count() >= 2
     assert out.where(F.col("doc_id") == 1).count() >= 2
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short doc embedded verbatim in a long one: Jaccard low,
+    containment of the short side ~1.0 — the asymmetric tier's
+    raison d'etre."""
+    from pasta_pipeline_spark.operators.text_dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = (
+        "intro words here first section continues onward " + short +
+        " and then much more unrelated trailing content keeps going on and on " +
+        "with additional filler sentences that dilute the overlap ratio badly"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely different text")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    got = {(r["doc_inner"], r["doc_outer"]): r["containment"] for r in cont.collect()}
+    release_cached_deps(cont)
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # the long side is NOT contained in the short
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    assert jac.count() == 0  # Jaccard misses it entirely
+    release_cached_deps(jac)
