@@ -87,3 +87,33 @@ def compaction_partitions(total_bytes: int, target_file_bytes: int = 128 * 1024 
     if total_bytes <= 0:
         return 1
     return max(1, math.ceil(total_bytes / target_file_bytes))
+
+
+def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max/count manifest over a parquet directory — the
+    zone map a table format keeps in metadata, materialized as a
+    DataFrame so layout quality is AUDITABLE: tight, disjoint per-file
+    ranges mean a range predicate prunes to few files; overlapping
+    ranges mean the layout (see :func:`zorder_layout`) isn't helping.
+
+    Built from the data (one scan, groupBy input_file_name); at 100 TB
+    use the format's own stats instead — this operator is the
+    format-free fallback and the verification tool.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruned_files(zone_map: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Files whose [min, max] range intersects [lo, hi] — the candidate
+    set a zone-map-aware reader actually opens."""
+    from pyspark.sql import functions as F
+
+    return zone_map.filter(
+        (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+    ).select("file")

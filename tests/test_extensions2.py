@@ -513,3 +513,30 @@ def test_check_constraints_and_quarantine(spark):
         3: ["valid_status"],
         4: ["positive_price"],
     }
+
+
+def test_zone_map_prunes_sorted_layout(spark, tmp_path):
+    """Range-partitioned layout -> disjoint per-file ranges -> a point
+    range prunes to ~1 file; the same data written hash-shuffled
+    overlaps everywhere and prunes nothing. The zone map makes that
+    difference measurable."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.layout import file_zone_map, pruned_files
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    sorted_path = str(tmp_path / "sorted")
+    random_path = str(tmp_path / "random")
+    df.repartitionByRange(4, "k").write.parquet(sorted_path)
+    df.repartition(4, "v").write.parquet(random_path)
+
+    zm_sorted = file_zone_map(spark, sorted_path, ["k"])
+    zm_random = file_zone_map(spark, random_path, ["k"])
+    assert zm_sorted.count() == 4 and zm_random.count() == 4
+    # total rows accounted for in both manifests
+    assert zm_sorted.groupBy().sum("n_rows").collect()[0][0] == 4000
+
+    n_sorted = pruned_files(zm_sorted, "k", 100, 150).count()
+    n_random = pruned_files(zm_random, "k", 100, 150).count()
+    assert n_sorted == 1
+    assert n_random == 4
