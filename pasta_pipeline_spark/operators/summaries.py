@@ -18,7 +18,7 @@ doubles are single divisions of int64s.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Fixed-point scale for values; squares use scale² implicitly.
@@ -79,4 +79,83 @@ def finalize_summary(summary: DataFrame, scale: int = SCALE) -> DataFrame:
         *[c for c in summary.columns],
         mean.alias("mean"),
         var.alias("variance"),
+    )
+
+
+def partial_histogram(
+    df: DataFrame,
+    keys: list[str] | str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Per-key fixed-bin histogram — the MERGEABLE quantile state
+    (t-digest's role, but exactly reproducible): values quantize to
+    ``FLOOR(v*scale)`` int64, the [lo, hi) range splits into
+    ``n_bins`` equal integer-width bins, under/overflow clamp to the
+    edge bins. State per key = n_bins int64 counts — tiny, and two
+    states merge by elementwise addition (:func:`merge_histograms`),
+    so quantiles stay maintainable incrementally where the exact
+    percentile would rescan the corpus.
+
+    One groupBy (partial aggregation does the work map-side);
+    everything integer, so partial == direct and Spark == DuckDB.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    lo_x = int(lo * scale)
+    hi_x = int(hi * scale)
+    width = max((hi_x - lo_x) // n_bins, 1)
+    x = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    raw = F.floor((x - F.lit(lo_x)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.withColumn("__bin", bin_)
+        .groupBy(*ks, "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("bin_n"))
+        .withColumnRenamed("__bin", "bin")
+    )
+
+
+def merge_histograms(a: DataFrame, b: DataFrame, keys: list[str] | str) -> DataFrame:
+    """Elementwise-add two histogram states (same binning config by
+    contract). Associative and commutative — any merge tree agrees."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        a.unionByName(b)
+        .groupBy(*ks, "bin")
+        .agg(F.sum("bin_n").cast("long").alias("bin_n"))
+    )
+
+
+def histogram_quantile_bin(
+    hist: DataFrame, keys: list[str] | str, p_bp: int
+) -> DataFrame:
+    """The bin containing the p-th percentile (``p_bp`` in basis
+    points: 5000 = median) per key: smallest bin whose cumulative
+    count reaches ``ceil(p * total)``. All-integer rank arithmetic —
+    hash-stable; resolution is the bin width (the fixed-bin trade).
+    One window over (key, bin) — bounded by n_bins per key.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*ks)
+    ranked = (
+        hist.withColumn("cum_n", F.sum("bin_n").over(w).cast("long"))
+        .withColumn("total", F.sum("bin_n").over(wt).cast("long"))
+        .withColumn(
+            "target", F.expr(f"CAST(ceil(total * {p_bp} / 10000.0) AS BIGINT)")
+        )
+    )
+    qual = ranked.filter(F.col("cum_n") >= F.col("target"))
+    wmin = Window.partitionBy(*ks).orderBy("bin")
+    return (
+        qual.withColumn("__rk", F.row_number().over(wmin))
+        .filter(F.col("__rk") == 1)
+        .select(*ks, F.col("bin").alias("q_bin"), "cum_n", "total")
     )

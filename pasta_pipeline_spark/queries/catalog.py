@@ -5395,3 +5395,48 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle cache rides on the frame; the runner releases it after
     # materializing (util.release_cached_deps)
     return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "mergeable_quantiles",
+    """
+    WITH hist AS (
+      SELECT l_returnflag,
+             least(greatest(CAST(FLOOR((CAST(FLOOR(l_extendedprice * 100) AS BIGINT) - 0)
+                   / 171875.0) AS BIGINT), 0), 63) AS bin,
+             CAST(count(*) AS BIGINT) AS bin_n
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, bin, bin_n,
+             CAST(SUM(bin_n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+             CAST(SUM(bin_n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+      FROM hist
+    ), q AS (
+      SELECT l_returnflag, bin AS q_bin, cum_n, total,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY bin) AS rk
+      FROM ranked
+      WHERE cum_n >= CAST(ceil(total * 9500 / 10000.0) AS BIGINT)
+    )
+    SELECT l_returnflag, q_bin, cum_n, total FROM q WHERE rk = 1
+    """,
+    doc="Mergeable fixed-bin quantile state (t-digest's role, exactly "
+    "reproducible): per-returnflag price p95 located by integer rank "
+    "over a 64-bin histogram whose state merges by addition — the "
+    "incrementally-maintainable quantile for streaming/100 TB, where "
+    "the exact percentile would rescan the corpus. Bin width "
+    "hard-coded to (110000-0)*100/64 = 171875 fixed-point units in "
+    "both engines. operators/summaries.py partial_histogram / "
+    "histogram_quantile_bin.",
+)
+def q_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.summaries import (
+        histogram_quantile_bin,
+        partial_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = partial_histogram(
+        li, "l_returnflag", "l_extendedprice", lo=0.0, hi=110_000.0, n_bins=64
+    )
+    return histogram_quantile_bin(hist, "l_returnflag", p_bp=9500)

@@ -127,3 +127,40 @@ def test_incremental_summary_sink_equals_direct(spark, tmp_path):
     for k in direct:
         for c in ("n", "sum_x", "min_x", "max_x", "sumsq_x"):
             assert got[k][c] == direct[k][c], (k, c)
+
+
+def test_histogram_merge_equals_direct_and_quantile(spark):
+    from pasta_pipeline_spark.operators.summaries import (
+        histogram_quantile_bin,
+        merge_histograms,
+        partial_histogram,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [("b", 50.0)] * 7
+    df = spark.createDataFrame(rows, "k string, v double")
+    direct = partial_histogram(df, "k", "v", lo=0.0, hi=100.0, n_bins=10)
+
+    half1 = spark.createDataFrame(rows[:40], "k string, v double")
+    half2 = spark.createDataFrame(rows[40:], "k string, v double")
+    merged = merge_histograms(
+        partial_histogram(half1, "k", "v", lo=0.0, hi=100.0, n_bins=10),
+        partial_histogram(half2, "k", "v", lo=0.0, hi=100.0, n_bins=10),
+        "k",
+    )
+    d = {(r["k"], r["bin"]): r["bin_n"] for r in direct.collect()}
+    m = {(r["k"], r["bin"]): r["bin_n"] for r in merged.collect()}
+    assert d == m  # merge of halves == direct, any split
+
+    q = {r["k"]: r["q_bin"] for r in histogram_quantile_bin(direct, "k", 5000).collect()}
+    assert q["a"] == 4  # median of 0..99 in 10-wide bins -> bin 4 (40..49)
+    assert q["b"] == 5  # all mass at 50 -> bin 5
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from pasta_pipeline_spark.operators.summaries import partial_histogram
+
+    df = spark.createDataFrame(
+        [("k", -5.0), ("k", 1000.0), ("k", 50.0)], "k string, v double"
+    )
+    got = {r["bin"]: r["bin_n"] for r in partial_histogram(df, "k", "v", 0.0, 100.0, 10).collect()}
+    assert got == {0: 1, 9: 1, 5: 1}
