@@ -31,6 +31,12 @@ def audit_plan(plan: str) -> dict:
         "bnlj": sum(1 for o in ops if o == "BroadcastNestedLoopJoin"),
         "cartesian": sum(1 for o in ops if o == "CartesianProduct"),
         "pushed_filters": plan.count("PushedFilters: ["),
+        # reported, not fatal: an Exchange SinglePartition is the
+        # whole-input-through-one-task shape (empty-OVER windows, global
+        # sorts). Benign when the input is already tiny (a dimension
+        # aggregate, a LIMITed frame); a scale-killer when it is the
+        # fact table — eyeball nonzero counts against the query's shape.
+        "single_partition": plan.count("SinglePartition"),
     }
 
 
