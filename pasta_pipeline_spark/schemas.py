@@ -176,3 +176,19 @@ def load_table(spark, sf_dir: str, name: str):
 def load_all(spark, sf_dir: str) -> dict:
     """Read every testdata table; keys match TESTDATA_TABLES."""
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every testdata table as a session temp view so the
+    engine is usable from RAW SQL, the way the reference's users
+    already work (its whole relational surface is SQL strings):
+
+        register_views(spark, "/root/testdata/sf0.01")
+        spark.sql("SELECT o_orderpriority, count(*) FROM orders ...")
+
+    Views go through :func:`load_table`, so the events timestamp
+    normalization (and any future reader fix) applies to SQL users
+    too — never register raw paths directly.
+    """
+    for t in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -223,3 +223,21 @@ def test_events_ts_normalized_to_utc_micros(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_register_views_sql_surface(spark):
+    """Raw spark.sql over registered views works and inherits the
+    events timestamp normalization."""
+    from pasta_pipeline_spark.schemas import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert n > 0
+    joined = spark.sql(
+        "SELECT n_name, count(*) AS c FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    assert joined.count() > 0
+    # events.ts arrives as a proper TIMESTAMP through the view
+    t = spark.sql("SELECT unix_micros(ts) AS us FROM events LIMIT 1").collect()
+    assert t and t[0]["us"] > 0
