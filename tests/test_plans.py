@@ -208,3 +208,38 @@ def test_waiting_suppliers_reuses_key_partitioning(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
     # join shuffle + (order,supp) agg + order agg rollup side = bounded
     assert n_exchanges <= 4, f"plan has {n_exchanges} exchanges"
+
+
+# Fact-heavy queries whose whole point is to never funnel the corpus
+# through one task: a SinglePartition exchange appearing in any of
+# these plans is a scale regression (per-query allowances like 1-row
+# scalar handoffs don't apply here — these plans have none today).
+_NO_SINGLE_PARTITION = [
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "containment_pairs",
+    "dedup_exact",
+    "sequential_ids",
+    "byte_budget_sample",
+    "global_budget_sample",
+    "keep_latest_dedup",
+    "salted_group_agg",
+    "bloom_prejoin_revenue",
+    "gopher_quality_rules",
+    "text_normalization",
+    "media_chunk_manifest",
+    "quality_top_quartile",
+    "cluster_survivors",
+    "trigram_search",
+]
+
+
+def test_fact_heavy_queries_have_no_single_partition_exchange(spark):
+    bad = {}
+    for name in _NO_SINGLE_PARTITION:
+        plan = _plan(spark, name)
+        n = plan.count("SinglePartition")
+        if n:
+            bad[name] = n
+    assert not bad, f"SinglePartition exchange crept into: {bad}"
