@@ -75,3 +75,74 @@ def frequent_items(
         .orderBy(F.desc("cnt"), F.asc("value"))
     )
     return counts.limit(k) if k else counts
+
+
+def partial_heavy_hitters(
+    df: DataFrame,
+    keys: list[str] | str,
+    item_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Mergeable truncated-counter heavy-hitter state (SpaceSaving's
+    role): per key, the ``m`` most frequent items with exact counts,
+    plus the TRACKED mass of everything truncated away
+    (``__dropped``). The error contract every merge preserves: a
+    merged count underestimates the true count by at most the sum of
+    the dropped masses folded in — the bound travels WITH the state
+    instead of being a paper theorem, so downstream can decide whether
+    an answer is trustworthy (`count + dropped` upper-bounds truth).
+
+    State per key = m rows + one dropped-mass row (item NULL). One
+    groupBy with partial aggregation, one bounded window for the
+    truncation.
+    """
+    from pyspark.sql import Window
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*ks, F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(*ks).orderBy(F.desc("n"), F.asc("item"))
+    ranked = counts.withColumn("__rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rk") <= m).select(*ks, "item", "n")
+    dropped = (
+        ranked.filter(F.col("__rk") > m)
+        .groupBy(*ks)
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(*ks, F.lit(None).cast(kept.schema["item"].dataType).alias("item"), "n")
+    )
+    return kept.unionByName(dropped)
+
+
+def merge_heavy_hitters(
+    a: DataFrame, b: DataFrame, keys: list[str] | str, m: int = 64
+) -> DataFrame:
+    """Merge two heavy-hitter states: counts add per item, the merged
+    table re-truncates to ``m``, and everything truncated NOW joins
+    the dropped mass (which also adds). Associative up to the shared
+    truncation rule; the error bound (dropped mass) only grows when
+    truncation actually discards counts."""
+    from pyspark.sql import Window
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    merged = (
+        a.unionByName(b)
+        .groupBy(*ks, "item")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    items = merged.filter(F.col("item").isNotNull())
+    base_dropped = merged.filter(F.col("item").isNull())
+    w = Window.partitionBy(*ks).orderBy(F.desc("n"), F.asc("item"))
+    ranked = items.withColumn("__rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rk") <= m).select(*ks, "item", "n")
+    newly_dropped = (
+        ranked.filter(F.col("__rk") > m).select(*ks, F.lit(None).cast(kept.schema["item"].dataType).alias("item"), "n")
+    )
+    dropped = (
+        base_dropped.select(*ks, "item", "n")
+        .unionByName(newly_dropped)
+        .groupBy(*ks)
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(*ks, F.lit(None).cast(kept.schema["item"].dataType).alias("item"), "n")
+    )
+    return kept.unionByName(dropped)

@@ -540,3 +540,45 @@ def test_zone_map_prunes_sorted_layout(spark, tmp_path):
     n_random = pruned_files(zm_random, "k", 100, 150).count()
     assert n_sorted == 1
     assert n_random == 4
+
+
+def test_heavy_hitter_state_merge_bound(spark):
+    """Merged truncated-counter estimates equal exact counts for items
+    that stayed in both states, and NEVER overshoot; the tracked
+    dropped mass upper-bounds any undercount."""
+    import random
+
+    from pasta_pipeline_spark.operators.sketches import (
+        merge_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    # zipf-ish: item i appears ~ 600/i times, in one group
+    rows = [("g", f"item{i}") for i in range(1, 40) for _ in range(600 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, item string")
+    half1 = spark.createDataFrame(rows[: len(rows) // 2], "k string, item string")
+    half2 = spark.createDataFrame(rows[len(rows) // 2 :], "k string, item string")
+
+    m = 8
+    merged = merge_heavy_hitters(
+        partial_heavy_hitters(half1, "k", "item", m=m),
+        partial_heavy_hitters(half2, "k", "item", m=m),
+        "k",
+        m=m,
+    )
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()
+    }
+    got = {r["item"]: r["n"] for r in merged.collect()}
+    dropped = got.pop(None)
+    assert len(got) == m
+    total_err = 0
+    for item, n in got.items():
+        assert n <= exact[item]  # truncation only ever undercounts
+        total_err += exact[item] - n
+    assert total_err <= dropped  # the bound travels with the state
+    # the top item is heavy enough to be exact through both halves
+    assert got["item1"] == exact["item1"]
