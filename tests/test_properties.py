@@ -87,3 +87,60 @@ def test_dedup_result_is_duplicate_free_and_keeps_max(spark, rows):
     }
     for r in got:
         assert r["ts"] == expected_max[r["id"]]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=200),
+)
+def test_budget_sample_invariants(spark, sizes, budget):
+    """For any sizes and budget: at least one row kept, kept total
+    minus the largest kept row is under budget (<=1-row overshoot),
+    and the kept set is a deterministic function of the input."""
+    from pasta_pipeline_spark.operators.sampling import budget_sample
+
+    rows = [(i, "g", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "id long, g string, sz long")
+    kept = budget_sample(df, "id", "sz", budget=budget, group_col="g").collect()
+    assert len(kept) >= 1
+    tot = sum(r["sz"] for r in kept)
+    assert tot - max(r["sz"] for r in kept) < budget
+    again = budget_sample(df, "id", "sz", budget=budget, group_col="g").collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=6
+    ),
+)
+def test_containment_matches_bruteforce(spark, docs):
+    """containment_pairs == brute-force shingle-set containment on any
+    tiny corpus (including empty/short/duplicate texts)."""
+    from pasta_pipeline_spark.operators.text_dedup import containment_pairs
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    def sh(text, n=3):
+        # mirrors the engine/oracle convention: fewer than n tokens
+        # collapse to one joined shingle, so an empty doc has the
+        # single empty shingle (two empty docs ARE mutual duplicates)
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["doc_inner"], r["doc_outer"]) for r in out.collect()}
+    release_cached_deps(out)
+
+    want = set()
+    shs = {i: sh(t) for i, t in rows}
+    for i, a in shs.items():
+        for j, b in shs.items():
+            if i != j and a and len(a & b) / len(a) >= 0.5:
+                want.add((i, j))
+    assert got == want
