@@ -129,3 +129,49 @@ def incremental_summary_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_histogram_sink(
+    stream: DataFrame,
+    store: TableStore,
+    keys: str | list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    checkpoint_dir: str,
+    n_bins: int = 64,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained quantile state: each micro-batch's
+    fixed-bin histogram (operators/summaries.py partial_histogram —
+    pure int64 counts) adds into a persisted histogram table, so
+    percentiles (histogram_quantile_bin) stay current at bin-width
+    resolution without ever rescanning the corpus — the streaming
+    completion of mergeable_quantiles. Same contracts as
+    incremental_summary_sink: state is |keys|·n_bins int64 rows,
+    merge-of-batches == direct under any batch boundaries, replays
+    double-count (feed from the deduplicated stream)."""
+    from pasta_pipeline_spark.operators.summaries import (
+        merge_histograms,
+        partial_histogram,
+    )
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_histogram_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        part = partial_histogram(batch, keys, value_col, lo=lo, hi=hi, n_bins=n_bins)
+        if store.exists():
+            merged = merge_histograms(store.read(), part, keys)
+        else:
+            merged = part
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

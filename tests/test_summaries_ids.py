@@ -164,3 +164,43 @@ def test_histogram_clamps_out_of_range(spark):
     )
     got = {r["bin"]: r["bin_n"] for r in partial_histogram(df, "k", "v", 0.0, 100.0, 10).collect()}
     assert got == {0: 1, 9: 1, 5: 1}
+
+
+def test_incremental_histogram_sink_quantiles_current(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from pasta_pipeline_spark.operators.summaries import (
+        histogram_quantile_bin,
+        partial_histogram,
+    )
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_histogram_sink
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    b1 = [{"k": "a", "v": float(i)} for i in range(50)]
+    b2 = [{"k": "a", "v": float(i)} for i in range(50, 100)]
+    with open(f"{src}/b1.json", "w", encoding="utf-8") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in b1)
+
+    store = TableStore(spark, str(tmp_path / "hist"))
+    mk = lambda: spark.readStream.schema("k string, v double").json(src)  # noqa: E731
+    incremental_histogram_sink(
+        mk(), store, "k", "v", lo=0.0, hi=100.0,
+        checkpoint_dir=str(tmp_path / "ck"), n_bins=10,
+    ).awaitTermination(120)
+    with open(f"{src}/b2.json", "w", encoding="utf-8") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in b2)
+    incremental_histogram_sink(
+        mk(), store, "k", "v", lo=0.0, hi=100.0,
+        checkpoint_dir=str(tmp_path / "ck"), n_bins=10,
+    ).awaitTermination(120)
+
+    all_df = spark.createDataFrame([(r["k"], r["v"]) for r in b1 + b2], "k string, v double")
+    direct = partial_histogram(all_df, "k", "v", lo=0.0, hi=100.0, n_bins=10)
+    d = {(r["k"], r["bin"]): r["bin_n"] for r in direct.collect()}
+    m = {(r["k"], r["bin"]): r["bin_n"] for r in store.read().collect()}
+    assert d == m
+    q = histogram_quantile_bin(store.read(), "k", 5000).collect()[0]
+    assert q["q_bin"] == 4 and q["total"] == 100
