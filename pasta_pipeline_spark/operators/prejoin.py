@@ -74,6 +74,16 @@ def reduced_join(
     """The full pattern: prefilter the probe side, then the real join.
     ``on`` is the equi-join key (or list); the prefilter key defaults
     to the (first) join key on both sides."""
+    normalized = how.replace("_", "").replace("-", "")
+    if normalized not in ("inner", "semi", "leftsemi"):
+        # The prefilter DROPS probe rows with no build-side bucket; any
+        # join type that must keep unmatched probe rows (left/full
+        # outer) or emit only them (anti) would be silently wrong.
+        raise ValueError(
+            "reduced_join only supports how='inner' or 'left_semi'; "
+            f"got {how!r} — the membership prefilter removes unmatched "
+            "probe rows, which outer/anti joins must observe"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     pk = probe_key or keys[0]
     bk = build_key or keys[0]

@@ -77,11 +77,65 @@ def frequent_items(
     return counts.limit(k) if k else counts
 
 
+def _partition_truncated_counts(
+    df: DataFrame, ks: list[str], item_col: str, cap: int
+) -> DataFrame:
+    """Arrow-batched per-partition counting with bounded emission: for
+    each input partition and key, exact local counts truncated to the
+    top ``cap`` items (count DESC, item ASC) plus one NULL-item row
+    carrying the truncated local mass. Emission per partition per key
+    is <= cap + 1 rows regardless of the partition's distinct-item
+    count, so the downstream shuffle is bounded by (cap+1) * P * keys
+    — the SpaceSaving role, with exact local counts because a
+    partition's distinct set is the same working set Spark's own
+    map-side hash aggregation holds."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = [df.schema[k] for k in ks]
+    item_field = df.schema[item_col]
+    out_schema = T.StructType(
+        fields + [T.StructField("item", item_field.dataType, True),
+                  T.StructField("n", T.LongType(), False)]
+    )
+    cols = ks + [item_col]
+
+    def count_partition(batches):
+        from collections import Counter
+
+        counter: Counter = Counter()
+        for pdf in batches:
+            grouped = pdf.groupby(cols, dropna=False, sort=False).size()
+            for key_tuple, n in grouped.items():
+                if not isinstance(key_tuple, tuple):
+                    key_tuple = (key_tuple,)
+                counter[key_tuple] += int(n)
+        if not counter:
+            return
+        per_key: dict = {}
+        for key_tuple, n in counter.items():
+            group, item = key_tuple[:-1], key_tuple[-1]
+            per_key.setdefault(group, []).append((item, n))
+        rows = []
+        for group, pairs in per_key.items():
+            pairs.sort(key=lambda p: (-p[1], p[0]))
+            for item, n in pairs[:cap]:
+                rows.append(group + (item, n))
+            dropped = sum(n for _, n in pairs[cap:])
+            if dropped:
+                rows.append(group + (None, dropped))
+        yield pd.DataFrame(rows, columns=cols[:-1] + ["item", "n"])
+
+    return df.select(*cols).mapInPandas(count_partition, schema=out_schema)
+
+
 def partial_heavy_hitters(
     df: DataFrame,
     keys: list[str] | str,
     item_col: str,
     m: int = 64,
+    partition_cap: int | None = None,
 ) -> DataFrame:
     """Mergeable truncated-counter heavy-hitter state (SpaceSaving's
     role): per key, the ``m`` most frequent items with exact counts,
@@ -95,11 +149,45 @@ def partial_heavy_hitters(
     State per key = m rows + one dropped-mass row (item NULL). One
     groupBy with partial aggregation, one bounded window for the
     truncation.
+
+    NULL values of ``item_col`` are EXCLUDED from counting (the same
+    convention as ``count(col)``): the NULL item row is reserved as
+    the dropped-mass sentinel, so a genuine NULL item would otherwise
+    be indistinguishable from the bound and corrupt merges.
+
+    ``partition_cap``: when set, an Arrow-batched per-partition
+    truncation stage (SpaceSaving's role) runs BEFORE the exact
+    groupBy, so the shuffle carries at most ``(partition_cap + 1)``
+    rows per (input partition, key) instead of the full distinct
+    (key, item) set. Per-partition dropped mass folds into the same
+    travelling bound, so `count + dropped` still upper-bounds truth;
+    kept counts may additionally underestimate by mass truncated in
+    other partitions — which that bound already covers. Use
+    ``partition_cap >= 4 * m`` to keep the extra error small.
     """
     from pyspark.sql import Window
 
     ks = [keys] if isinstance(keys, str) else list(keys)
-    counts = df.groupBy(*ks, F.col(item_col).alias("item")).agg(
+    src = df.filter(F.col(item_col).isNotNull())
+    if partition_cap is not None:
+        pre = _partition_truncated_counts(src, ks, item_col, partition_cap)
+        counts = pre.groupBy(*ks, "item").agg(F.sum("n").cast("long").alias("n"))
+        items = counts.filter(F.col("item").isNotNull())
+        pre_dropped = counts.filter(F.col("item").isNull())
+        w = Window.partitionBy(*ks).orderBy(F.desc("n"), F.asc("item"))
+        ranked = items.withColumn("__rk", F.row_number().over(w))
+        kept = ranked.filter(F.col("__rk") <= m).select(*ks, "item", "n")
+        item_type = kept.schema["item"].dataType
+        dropped = (
+            ranked.filter(F.col("__rk") > m)
+            .select(*ks, F.lit(None).cast(item_type).alias("item"), "n")
+            .unionByName(pre_dropped.select(*ks, "item", "n"))
+            .groupBy(*ks)
+            .agg(F.sum("n").cast("long").alias("n"))
+            .select(*ks, F.lit(None).cast(item_type).alias("item"), "n")
+        )
+        return kept.unionByName(dropped)
+    counts = src.groupBy(*ks, F.col(item_col).alias("item")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     w = Window.partitionBy(*ks).orderBy(F.desc("n"), F.asc("item"))

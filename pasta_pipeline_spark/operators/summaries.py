@@ -101,17 +101,26 @@ def partial_histogram(
     percentile would rescan the corpus.
 
     One groupBy (partial aggregation does the work map-side);
-    everything integer, so partial == direct and Spark == DuckDB.
+    everything integer — bin assignment uses int64 `div`, never a
+    double round-trip, so offsets beyond 2^53 (byte-size histograms at
+    100 TB) still bin exactly and Spark == DuckDB. NULL values are
+    excluded (they belong to no bin; counting them would put engine-
+    dependent NULL rows in the state).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     lo_x = int(lo * scale)
     hi_x = int(hi * scale)
     width = max((hi_x - lo_x) // n_bins, 1)
-    x = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
-    raw = F.floor((x - F.lit(lo_x)) / F.lit(width)).cast("long")
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    # `div` is int64 division (truncating); x - lo_x can only be
+    # negative for underflow values, where truncation vs floor both
+    # land <= 0 and the greatest() clamp maps them to bin 0.
+    raw = F.expr(
+        f"(CAST(FLOOR(`{value_col}` * {scale}) AS BIGINT) - {lo_x}L) div {width}L"
+    )
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
     return (
-        df.withColumn("__bin", bin_)
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__bin", bin_)
         .groupBy(*ks, "__bin")
         .agg(F.count(F.lit(1)).cast("long").alias("bin_n"))
         .withColumnRenamed("__bin", "bin")

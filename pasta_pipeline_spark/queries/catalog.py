@@ -5402,10 +5402,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hist AS (
       SELECT l_returnflag,
-             least(greatest(CAST(FLOOR((CAST(FLOOR(l_extendedprice * 100) AS BIGINT) - 0)
-                   / 171875.0) AS BIGINT), 0), 63) AS bin,
+             least(greatest((CAST(FLOOR(l_extendedprice * 100) AS BIGINT) - 0)
+                   // 171875, 0), 63) AS bin,
              CAST(count(*) AS BIGINT) AS bin_n
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
     ), ranked AS (
       SELECT l_returnflag, bin, bin_n,
              CAST(SUM(bin_n) OVER (PARTITION BY l_returnflag ORDER BY bin

@@ -99,12 +99,14 @@ def lsh_index_batch(
     (replays re-emit the same pairs — at-least-once on the pair sink,
     keyed dedup downstream).
 
-    No collect anywhere: when ``pairs_dir`` is given the pairs write
-    distributed (parquet append) and the returned frame reads those
-    immutable files back. With ``pairs_dir=None`` the returned plan is
-    lazy over the CURRENT index version — TableStore keeps one
-    predecessor version, so it stays valid until the NEXT merge
-    (materialize before then; documented contract).
+    No collect anywhere: the returned frame is always THIS batch's
+    pair plan, lazy over the CURRENT index version — TableStore keeps
+    one predecessor version, so it stays valid until the NEXT merge
+    (materialize before then; documented contract). When
+    ``pairs_dir`` is given the batch's pairs are ALSO appended there
+    as parquet; that directory accumulates the full pair history
+    across batches for separate consumption (read it directly for
+    the cumulative view) — it is not what this function returns.
     """
     from pyspark.sql import functions as F
 
@@ -174,7 +176,6 @@ def lsh_index_batch(
     index_store.merge_partitioned(with_bkt, key="doc", partition_col="__bkt")
     if pairs_dir is not None:
         pairs.write.mode("append").parquet(pairs_dir)
-        pairs = batch.sparkSession.read.parquet(pairs_dir)
     sh.unpersist()
     sigs_new.unpersist()
     return pairs

@@ -582,3 +582,65 @@ def test_heavy_hitter_state_merge_bound(spark):
     assert total_err <= dropped  # the bound travels with the state
     # the top item is heavy enough to be exact through both halves
     assert got["item1"] == exact["item1"]
+
+
+def test_heavy_hitter_partition_cap_bounds_shuffle(spark):
+    """With partition_cap set, the pre-aggregation stage emits at most
+    (cap+1) rows per (input partition, key) — the SpaceSaving shuffle
+    bound — and the travelling error contract still holds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.sketches import (
+        _partition_truncated_counts,
+        partial_heavy_hitters,
+    )
+
+    rng = random.Random(11)
+    rows = [("g", f"item{i}") for i in range(1, 60) for _ in range(500 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, item string").repartition(4)
+    n_parts = df.rdd.getNumPartitions()
+
+    cap = 12
+    pre = _partition_truncated_counts(df, ["k"], "item", cap)
+    # shuffle-bound check: the stage's emission, not the final state
+    assert pre.count() <= (cap + 1) * n_parts  # one key group
+
+    m = 6
+    state = partial_heavy_hitters(df, "k", "item", m=m, partition_cap=cap)
+    got = {r["item"]: r["n"] for r in state.collect()}
+    dropped = got.pop(None, 0)
+    assert len(got) == m
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    total_err = 0
+    for item, n in got.items():
+        assert n <= exact[item]
+        total_err += exact[item] - n
+    assert total_err <= dropped
+    # heavy head survives every partition's truncation → exact
+    assert got["item1"] == exact["item1"]
+
+
+def test_heavy_hitter_null_items_excluded(spark):
+    """Genuine NULL items are excluded from counting (count(col)
+    convention) so the NULL row stays an unambiguous dropped-mass
+    sentinel through merges."""
+    from pasta_pipeline_spark.operators.sketches import (
+        merge_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    rows = [("g", "a")] * 5 + [("g", None)] * 50 + [("g", "b")] * 3 + [("g", "c")]
+    df = spark.createDataFrame(rows, "k string, item string")
+    state = partial_heavy_hitters(df, "k", "item", m=2)
+    got = {r["item"]: r["n"] for r in state.collect()}
+    # NULL row is dropped mass (item "c"), never the 50 NULL items
+    assert got == {"a": 5, "b": 3, None: 1}
+    merged = merge_heavy_hitters(state, state, "k", m=2)
+    mgot = {r["item"]: r["n"] for r in merged.collect()}
+    assert mgot == {"a": 10, "b": 6, None: 2}

@@ -35,6 +35,22 @@ def test_bucket_membership_bounded(spark):
     assert bucket_membership(build, "k", m=64).count() <= 64
 
 
+def test_reduced_join_rejects_outer_and_anti(spark):
+    """The prefilter drops unmatched probe rows, so any join type that
+    must observe them (outer/anti) is rejected, not silently wrong."""
+    import pytest
+
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    build = spark.createDataFrame([(1,)], "k long")
+    for how in ("left", "left_outer", "full", "full_outer", "left_anti", "right"):
+        with pytest.raises(ValueError, match="reduced_join"):
+            reduced_join(probe, build, on="k", how=how)
+    # semi is membership-compatible: equals the direct semi join
+    direct = {r["k"] for r in probe.join(build, "k", "left_semi").collect()}
+    got = {r["k"] for r in reduced_join(probe, build, on="k", how="left_semi").collect()}
+    assert got == direct
+
+
 def test_prejoin_plan_broadcast_semi(spark):
     probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
     build = spark.createDataFrame([(i,) for i in range(5)], "k long")
