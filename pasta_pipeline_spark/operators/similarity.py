@@ -122,6 +122,55 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def with_lsh_bands(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 4,
+    num_bands: int = 1,
+    band_col: str = "band",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Explode each row into ``num_bands`` (band, bucket) rows; band b
+    buckets with its OWN deterministic plane set (global plane indices
+    ``b*num_planes + p``), so band 0 reproduces the single-band
+    :func:`with_lsh_bucket` gate exactly.
+
+    OR-of-bands is the scale-safe LSH structure (the same banding
+    MinHash-LSH uses for text): candidate recall for a pair with
+    per-plane agreement probability q is ``1-(1-q^planes)^bands`` —
+    monotonically INCREASING in bands — so growing the corpus 100×
+    adds bands (recall up, candidates bounded per band) instead of
+    planes (recall down exponentially). A single 2^planes-bucket table
+    must choose between bucket size and recall; L independent band
+    tables get both.
+    """
+    entries = []
+    for band in range(num_bands):
+        bucket = None
+        for p in range(num_planes):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, band * num_planes + p)]
+            )
+            bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+            term = F.shiftleft(bit.cast("long"), p)
+            bucket = term if bucket is None else bucket + term
+        entries.append(
+            F.struct(
+                F.lit(band).cast("int").alias(band_col), bucket.alias(bucket_col)
+            )
+        )
+    return (
+        df.withColumn("__bb", F.explode(F.array(*entries)))
+        .select(
+            *df.columns,
+            F.col(f"__bb.{band_col}").alias(band_col),
+            F.col(f"__bb.{bucket_col}").alias(bucket_col),
+        )
+        .drop("__bb")
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query: DataFrame,
@@ -162,6 +211,7 @@ def cosine_dup_pairs(
     use_lsh: bool = False,
     dim: int | None = None,
     num_planes: int = 8,
+    num_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector tier of the
     dedup ladder): all (id_a < id_b) with cosine >= threshold.
@@ -169,8 +219,12 @@ def cosine_dup_pairs(
     Exact mode self-joins the corpus (right for corpora that fit a
     broadcast or where exactness is required — it is the oracle for
     the LSH mode). ``use_lsh=True`` restricts candidates to sign-LSH
-    bucket collisions first — the scale path: near-linear for high
-    thresholds, with the usual LSH false-negative trade-off.
+    band-bucket collisions first (OR over ``num_bands`` independent
+    plane sets — :func:`with_lsh_bands`) — the scale path: near-linear
+    for high thresholds, and recall GROWS with bands, so a 100× corpus
+    tunes up bands rather than trading bucket size against recall.
+    Every emitted pair truly clears the threshold (exact cosine on
+    candidates); banding only affects which pairs are considered.
     """
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
@@ -178,21 +232,28 @@ def cosine_dup_pairs(
     if use_lsh:
         if dim is None:
             raise ValueError("use_lsh=True requires dim")
-        src = with_lsh_bucket(src, vec_col, dim, num_planes)
-    a = src.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        *([F.col("bucket").alias("ba")] if use_lsh else []),
-    )
-    b = src.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        *([F.col("bucket").alias("bb")] if use_lsh else []),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    if use_lsh:
-        cond = cond & (F.col("ba") == F.col("bb"))
-    pairs = a.join(b, cond)
+        banded = with_lsh_bands(src, vec_col, dim, num_planes, num_bands)
+        cand = (
+            banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                banded.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(
+            src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+            "id_a",
+        ).join(
+            src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+            "id_b",
+        )
+    else:
+        a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("va"), F.col("vb")).alias("sim")
     return (
         pairs.select("id_a", "id_b", sim)
@@ -406,6 +467,7 @@ def semantic_dedup(
     threshold: float,
     dim: int,
     num_planes: int = 4,
+    num_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -415,14 +477,16 @@ def semantic_dedup(
     shares nothing — the tier above MinHash in the dedup ladder.
 
     Keep contract (deterministic, order-free): a vector is dropped iff
-    some sign-LSH-bucket-colliding neighbor with a SMALLER id has
-    cosine >= threshold. The smallest id of every near-dup group
-    always survives; chains (a~b, b~c, a!~c) keep the chain heads —
-    same greedy contract as the paper's per-cluster keep-one, with the
-    LSH bucket standing in for the k-means cluster (both are cheap
-    locality gates before the exact cosine check).
+    some band-bucket-colliding neighbor (OR over ``num_bands``
+    sign-LSH plane sets) with a SMALLER id has cosine >= threshold.
+    The smallest id of every near-dup group always survives; chains
+    (a~b, b~c, a!~c) keep the chain heads — same greedy contract as
+    the paper's per-cluster keep-one, with the LSH band buckets
+    standing in for the k-means cluster (both are cheap locality gates
+    before the exact cosine check). At 100× corpus, raise num_bands
+    (recall up, per-band bucket size unchanged) — never num_planes.
 
-    Scale shape: bucket-gated pair join (near-linear for tight
+    Scale shape: band-gated pair join (near-linear for tight
     thresholds) + one distinct + one left join on the id — no O(n²)
     scan, no collect. Returns (id_col, kept 0/1).
     """
@@ -434,6 +498,7 @@ def semantic_dedup(
         use_lsh=True,
         dim=dim,
         num_planes=num_planes,
+        num_bands=num_bands,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
@@ -507,33 +572,39 @@ def cross_corpus_cosine_pairs(
     threshold: float,
     dim: int,
     num_planes: int = 4,
+    num_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-level benchmark-contamination pairs: (train, eval)
-    vector pairs with cosine >= threshold, gated by sign-LSH bucket
-    collision — the semantic complement to the shingle-based
-    contamination_check (paraphrased leakage has no shared n-grams but
-    lands in the same embedding neighborhood).
+    vector pairs with cosine >= threshold, gated by sign-LSH
+    band-bucket collision (OR over ``num_bands`` plane sets) — the
+    semantic complement to the shingle-based contamination_check
+    (paraphrased leakage has no shared n-grams but lands in the same
+    embedding neighborhood).
 
-    The join is BETWEEN corpora (never a self-join): each side buckets
+    The join is BETWEEN corpora (never a self-join): each side bands
     independently with the same deterministic hyperplanes, candidates
-    come from the bucket equi-join, and only candidates pay the exact
-    cosine. Contract (same as cosine_dup_pairs): every emitted pair
-    truly clears the threshold; bucket-collision recall is the LSH
-    trade — raise num_planes as the corpus grows.
+    come from the (band, bucket) equi-join deduped across bands, and
+    only candidates pay the exact cosine. Contract (same as
+    cosine_dup_pairs): every emitted pair truly clears the threshold;
+    at a bigger corpus raise num_bands — recall grows with bands
+    instead of collapsing as planes are added.
     """
-    tb = with_lsh_bucket(
-        train.select(F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv")),
-        "tv", dim, num_planes,
-    )
-    eb = with_lsh_bucket(
-        eval_df.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")),
-        "ev", dim, num_planes,
+    tsrc = train.select(F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv"))
+    esrc = eval_df.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev"))
+    tb = with_lsh_bands(tsrc, "tv", dim, num_planes, num_bands)
+    eb = with_lsh_bands(esrc, "ev", dim, num_planes, num_bands)
+    cand = (
+        tb.select("train_id", "band", "bucket")
+        .join(eb.select("eval_id", "band", "bucket"), ["band", "bucket"])
+        .select("train_id", "eval_id")
+        .distinct()
     )
     sim = cosine(F.col("tv"), F.col("ev"))
     return (
-        tb.join(eb, "bucket")
+        cand.join(tsrc, "train_id")
+        .join(esrc, "eval_id")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("train_id", "eval_id", "sim")

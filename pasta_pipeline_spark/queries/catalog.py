@@ -1196,30 +1196,52 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosine_dup_lsh_oracle(dim: int = 64, num_planes: int = 4, threshold: float = 0.4) -> str:
-    """Exact DuckDB twin of the LSH-bucketed near-dup path: the exact
-    all-pairs join *restricted to sign-LSH bucket collisions*, with the
-    deterministic plane constants inlined. The bucket restriction makes
-    the 'approximate' result exactly reproducible, so the hash check
-    covers both the bucketing and the cosine arithmetic."""
+def _banded_planes_sql(dim: int, num_planes: int, num_bands: int) -> str:
+    """VALUES rows (band, pidx, pv) for the banded sign-LSH oracle —
+    band b's plane p is the deterministic global hyperplane
+    b*num_planes + p, exactly similarity.with_lsh_bands."""
     from pasta_pipeline_spark.operators.similarity import _hyperplane
 
-    plane_rows = ",\n        ".join(
-        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
+    return ",\n        ".join(
+        f"({band}, {p}, "
+        f"[{', '.join(repr(c) for c in _hyperplane(dim, band * num_planes + p))}]"
+        "::DOUBLE[])"
+        for band in range(num_bands)
         for p in range(num_planes)
     )
-    cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
-    return f"""
-    WITH planes(pidx, pv) AS (VALUES
-        {plane_rows}),
+
+
+_BANDED_EB_SQL = """
     eb AS (
-      SELECT vec_id, embedding,
+      SELECT vec_id, embedding, band,
              CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
                            THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
-      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding, band
+    )"""
+
+
+def _cosine_dup_lsh_oracle(
+    dim: int = 64, num_planes: int = 4, num_bands: int = 2, threshold: float = 0.4
+) -> str:
+    """Exact DuckDB twin of the banded-LSH near-dup path: the exact
+    all-pairs join *restricted to sign-LSH band-bucket collisions*
+    (OR over bands, deduped), with the deterministic plane constants
+    inlined. The band restriction makes the 'approximate' result
+    exactly reproducible, so the hash check covers both the banding
+    and the cosine arithmetic."""
+    cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    return f"""
+    WITH planes(band, pidx, pv) AS (VALUES
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_BANDED_EB_SQL},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM eb a JOIN eb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
-    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    SELECT c.id_a, c.id_b, {cos} AS sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
     WHERE {cos} >= {threshold}
     """
 
@@ -1228,18 +1250,20 @@ def _cosine_dup_lsh_oracle(dim: int = 64, num_planes: int = 4, threshold: float 
     "cosine_dup_pairs",
     _cosine_dup_lsh_oracle(),
     doc="Embedding-cosine near-dup pairs (vector tier of the dedup ladder), "
-    "LSH-bucketed scale path: sign-LSH bucket collision (4 deterministic "
-    "planes) gates the pair join — near-linear at 100 TB instead of the "
-    "O(n²) exact self-join. The oracle replays the identical bucketing in "
-    "DuckDB, so every emitted pair is hash-checked end to end; the "
-    "use_lsh=False exact mode of the same operator is the small-corpus / "
-    "verification baseline.",
+    "banded-LSH scale path: OR of 2 independent 4-plane sign-LSH bands "
+    "gates the pair join (similarity.with_lsh_bands) — near-linear at "
+    "100 TB instead of the O(n²) exact self-join, and recall GROWS with "
+    "bands (1-(1-q^4)^2) so scale-up tunes bands, not planes. The oracle "
+    "replays the identical banding in DuckDB, so every emitted pair is "
+    "hash-checked end to end; use_lsh=False is the exact baseline.",
 )
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import cosine_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_dup_pairs(emb, threshold=0.4, use_lsh=True, dim=64, num_planes=4)
+    return cosine_dup_pairs(
+        emb, threshold=0.4, use_lsh=True, dim=64, num_planes=4, num_bands=2
+    )
 
 
 @register(
@@ -3837,29 +3861,26 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_novelty(docs, "doc_id", "text", n=5)
 
 
-def _semantic_dedup_oracle(dim: int = 64, num_planes: int = 4, threshold: float = 0.4) -> str:
+def _semantic_dedup_oracle(
+    dim: int = 64, num_planes: int = 4, num_bands: int = 2, threshold: float = 0.4
+) -> str:
     """DuckDB twin of semantic_dedup: same inlined deterministic
-    planes as _cosine_dup_lsh_oracle, then NOT EXISTS over the
-    smaller-id bucket-colliding neighbors."""
-    from pasta_pipeline_spark.operators.similarity import _hyperplane
-
-    plane_rows = ",\n        ".join(
-        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
-        for p in range(num_planes)
-    )
+    banded planes as _cosine_dup_lsh_oracle, then NOT EXISTS over the
+    smaller-id band-colliding neighbors."""
     cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
     return f"""
-    WITH planes(pidx, pv) AS (VALUES
-        {plane_rows}),
-    eb AS (
-      SELECT vec_id, embedding,
-             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
-                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
-      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    WITH planes(band, pidx, pv) AS (VALUES
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_BANDED_EB_SQL},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM eb a JOIN eb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     drops AS (
-      SELECT DISTINCT b.vec_id
-      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      SELECT DISTINCT c.id_b AS vec_id
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
       WHERE {cos} >= {threshold}
     )
     SELECT e.vec_id,
@@ -3872,15 +3893,16 @@ def _semantic_dedup_oracle(dim: int = 64, num_planes: int = 4, threshold: float 
     "semantic_dedup",
     _semantic_dedup_oracle(),
     doc="SemDedup-style embedding-level dedup (similarity.semantic_dedup): "
-    "smallest id of every near-dup group survives; sign-LSH bucket gates "
-    "the pair join so the contract is deterministic AND the plan is "
-    "near-linear. Oracle replays bucketing + NOT EXISTS in DuckDB.",
+    "smallest id of every near-dup group survives; OR-of-2-bands sign-LSH "
+    "gates the pair join so the contract is deterministic AND the plan is "
+    "near-linear with recall that grows as bands are added. Oracle "
+    "replays the banding + NOT EXISTS in DuckDB.",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.4, dim=64, num_planes=4)
+    return semantic_dedup(emb, threshold=0.4, dim=64, num_planes=4, num_bands=2)
 
 
 # ---------------------------------------------------------------------------
@@ -5303,29 +5325,27 @@ def q_global_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_sample_global(docs, id_col="doc_id", size_col="n_chars", budget=100_000)
 
 
-def _cross_embedding_oracle(dim: int = 64, num_planes: int = 4, threshold: float = 0.4) -> str:
+def _cross_embedding_oracle(
+    dim: int = 64, num_planes: int = 4, num_bands: int = 2, threshold: float = 0.4
+) -> str:
     """DuckDB twin of cross_corpus_cosine_pairs over the even/odd
-    vec_id split — inlined plane constants, bucket equi-join BETWEEN
-    the halves, exact cosine filter (cosine_dup_pairs technique)."""
-    from pasta_pipeline_spark.operators.similarity import _hyperplane
-
-    plane_rows = ",\n        ".join(
-        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
-        for p in range(num_planes)
-    )
+    vec_id split — inlined banded plane constants, (band, bucket)
+    equi-join BETWEEN the halves deduped across bands, exact cosine
+    filter (cosine_dup_pairs technique)."""
     cos = _cosine_sql("t.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")
     return f"""
-    WITH planes(pidx, pv) AS (VALUES
-        {plane_rows}),
-    eb AS (
-      SELECT vec_id, embedding,
-             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
-                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
-      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    WITH planes(band, pidx, pv) AS (VALUES
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_BANDED_EB_SQL},
+    cand AS (
+      SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+      FROM eb t JOIN eb e ON t.band = e.band AND t.bucket = e.bucket
+      WHERE t.vec_id % 2 = 0 AND e.vec_id % 2 = 1
     )
-    SELECT t.vec_id AS train_id, e.vec_id AS eval_id, {cos} AS sim
-    FROM eb t JOIN eb e ON t.bucket = e.bucket
-    WHERE t.vec_id % 2 = 0 AND e.vec_id % 2 = 1 AND {cos} >= {threshold}
+    SELECT c.train_id, c.eval_id, {cos} AS sim
+    FROM cand c
+    JOIN embeddings t ON t.vec_id = c.train_id
+    JOIN embeddings e ON e.vec_id = c.eval_id
+    WHERE {cos} >= {threshold}
     """
 
 
@@ -5333,12 +5353,12 @@ def _cross_embedding_oracle(dim: int = 64, num_planes: int = 4, threshold: float
     "cross_embedding_contamination",
     _cross_embedding_oracle(),
     doc="Embedding-level train-vs-eval contamination: (train, eval) "
-    "pairs with cosine >= 0.4, sign-LSH bucket-gated BETWEEN the "
+    "pairs with cosine >= 0.4, OR-of-2-bands sign-LSH gated BETWEEN the "
     "corpora (even/odd vec_id split stands in for the two corpora) — "
     "the semantic complement to the shingle-based contamination_check "
     "(paraphrased leakage shares no n-grams but lands in the same "
-    "embedding neighborhood). Deterministic planes inlined in the "
-    "oracle; every emitted pair hash-checked end to end. "
+    "embedding neighborhood). Deterministic banded planes inlined in "
+    "the oracle; every emitted pair hash-checked end to end. "
     "operators/similarity.py cross_corpus_cosine_pairs.",
 )
 def q_cross_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5347,7 +5367,9 @@ def q_cross_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     emb = _t(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") % 2 == 0)
     ev = emb.filter(F.col("vec_id") % 2 == 1)
-    return cross_corpus_cosine_pairs(train, ev, threshold=0.4, dim=64, num_planes=4)
+    return cross_corpus_cosine_pairs(
+        train, ev, threshold=0.4, dim=64, num_planes=4, num_bands=2
+    )
 
 
 _CONTAINMENT_ORACLE = """

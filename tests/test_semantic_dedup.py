@@ -5,6 +5,30 @@ from __future__ import annotations
 from pasta_pipeline_spark.operators.similarity import semantic_dedup
 
 
+def test_banded_lsh_recall_at_least_single_band(spark):
+    """OR-of-bands >= single-band recall at a fixed threshold: band 0
+    IS the single-band plane set, so banded candidates are a strict
+    superset and every emitted pair still clears the exact cosine
+    filter — pairs(1 band) <= pairs(2 bands) <= exact pairs."""
+    from pasta_pipeline_spark.operators.similarity import cosine_dup_pairs
+    from pasta_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in cosine_dup_pairs(emb, 0.4, **kw).collect()
+        }
+
+    one = pairs(use_lsh=True, dim=64, num_planes=4, num_bands=1)
+    two = pairs(use_lsh=True, dim=64, num_planes=4, num_bands=2)
+    exact = pairs(use_lsh=False)
+    assert one <= two <= exact
+    # no false positives ever; banding is purely a recall knob
+    assert len(exact) > 0
+
+
 def _df(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
