@@ -148,6 +148,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
@@ -168,11 +169,22 @@ def jaccard_pairs(
     the pair generator, so tokenize+shingle expressions run once. The
     cache is attached to the returned frame; release it after
     materializing with ``util.release_cached_deps(result)``.
+
+    ``shingle_table``: a precomputed hashed (doc, sh) frame
+    (``_shingle_table(df, id_col, text_col, n)``) to reuse — the
+    shared-scan path when several dedup tiers run over the same corpus
+    (one tokenize+shingle pass feeds them all). The caller owns its
+    persistence/release; nothing is cached here in that case.
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
     hot_df_cap = 1024
-    sh = _shingle_table(df, id_col, text_col, n).persist()
+    own_cache = shingle_table is None
+    sh = (
+        _shingle_table(df, id_col, text_col, n).persist()
+        if own_cache
+        else shingle_table
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
     common = (
@@ -191,10 +203,8 @@ def jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
     )
-    return attach_cached_deps(
-        jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard"),
-        [sh],
-    )
+    out = jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return attach_cached_deps(out, [sh]) if own_cache else out
 
 
 def edit_distance_pairs(
@@ -405,6 +415,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact
     Jaccard (tier 3) so the output contains no false positives:
@@ -419,11 +430,20 @@ def minhash_lsh_pairs(
     J >= ~0.5 with high probability. False negatives are possible
     (inherent to LSH); the oracle-checked contract is therefore
     "every returned pair truly has J >= threshold".
+
+    ``shingle_table``: precomputed hashed (doc, sh) frame to reuse
+    across dedup tiers (see :func:`jaccard_pairs`); caller owns its
+    persistence.
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
     rows_per_band = num_hashes // bands
-    sh = _shingle_table(df, id_col, text_col, n).persist()
+    own_cache = shingle_table is None
+    sh = (
+        _shingle_table(df, id_col, text_col, n).persist()
+        if own_cache
+        else shingle_table
+    )
     # sh is already the 64-bit shingle hash (hashed shingle table)
     xh = sh.select("doc", F.col("sh").alias("xh"))
     sigs = xh.groupBy("doc").agg(*_minhash_exprs(num_hashes))
@@ -477,10 +497,8 @@ def minhash_lsh_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
     )
-    return attach_cached_deps(
-        jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard"),
-        [sh],
-    )
+    out = jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return attach_cached_deps(out, [sh]) if own_cache else out
 
 
 # ---------------------------------------------------------------------------
