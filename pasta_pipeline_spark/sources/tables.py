@@ -21,6 +21,7 @@ that swap is mechanical.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -30,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _POINTER = "_CURRENT"
+_MANIFEST = "_MANIFEST.json"
 
 
 class TableStore:
@@ -56,16 +58,83 @@ class TableStore:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    # -- manifest ------------------------------------------------------
+    #
+    # Every merge_partitioned commit writes a version MANIFEST: for
+    # each partition directory of the snapshot, the PHYSICAL version
+    # dir its files live in plus the file names. This is the
+    # object-store-portable snapshot definition (a pointer list, the
+    # same role as an Iceberg manifest): carry_mode="manifest" carries
+    # unchanged partitions purely by reference — no link, no copy, no
+    # directory listing of old data at read time — which is what a
+    # 100 TB deployment on S3/GCS needs, where hardlinks don't exist
+    # and LIST is slow and eventually consistent. The local default
+    # carry_mode="link" additionally hardlinks the files so the
+    # version dir is self-contained (and inode-pinned-testable); the
+    # manifest is written either way, so the two modes differ only in
+    # physical placement, never in the snapshot's file SET.
+
+    def _manifest_file(self, version: str) -> str:
+        return os.path.join(self.path, version, _MANIFEST)
+
+    def _read_manifest(self, version: str) -> dict | None:
+        try:
+            with open(self._manifest_file(version), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_manifest(self, version: str, partitions: dict) -> None:
+        with open(self._manifest_file(version), "w", encoding="utf-8") as f:
+            json.dump({"partitions": partitions}, f, indent=1, sort_keys=True)
+
+    def snapshot_partitions(self, version: str | None = None) -> dict | None:
+        """The snapshot's resolved partition map
+        ``{partition_dir: {"version": physical_version, "files": [...]}}``
+        from the manifest alone (no data-directory listing), or None
+        for manifest-less versions (plain ``overwrite`` output)."""
+        v = version or self.current_version()
+        if v is None:
+            return None
+        m = self._read_manifest(v)
+        return None if m is None else m["partitions"]
+
+    def _referenced_versions(self, version: str | None) -> set[str]:
+        parts = self.snapshot_partitions(version) if version else None
+        if not parts:
+            return set()
+        return {entry["version"] for entry in parts.values()}
+
     # -- read ----------------------------------------------------------
 
     def read(self) -> DataFrame:
-        """Live snapshot; empty (schema'd) DataFrame if never written."""
+        """Live snapshot; empty (schema'd) DataFrame if never written.
+        Manifest-committed versions resolve through the manifest (one
+        read per physical version, partition columns decoded against
+        that version's base path); plain versions read their dir."""
         v = self.current_version()
         if v is None:
             if self.schema is None:
                 raise FileNotFoundError(f"table {self.path} does not exist and no schema given")
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(os.path.join(self.path, v))
+        parts = self.snapshot_partitions(v)
+        if not parts:
+            return self.spark.read.parquet(os.path.join(self.path, v))
+        by_phys: dict[str, list[str]] = {}
+        for pdir, entry in parts.items():
+            by_phys.setdefault(entry["version"], []).append(pdir)
+        frames = []
+        for phys, dirs in sorted(by_phys.items()):
+            base = os.path.join(self.path, phys)
+            frames.append(
+                self.spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, d) for d in sorted(dirs)]
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     # -- write ---------------------------------------------------------
 
@@ -94,7 +163,9 @@ class TableStore:
             f.write(version)
         os.replace(tmp, self._pointer_path())  # atomic flip
 
-        keep = {version, old}
+        # keep the predecessor for in-flight readers, plus anything its
+        # manifest still points at (manifest-mode merge chains)
+        keep = {version, old} | self._referenced_versions(old)
         for entry in os.listdir(self.path):
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
@@ -105,20 +176,35 @@ class TableStore:
         key: str | list[str],
         partition_col: str,
         order_col: str | None = None,
+        carry_mode: str = "link",
     ) -> None:
         """Differential upsert at partition granularity — the cost-model
         fix for ``overwrite``-per-batch at scale: only the partitions
         the update batch touches are read, merged (merge.merge_upsert
-        semantics), and rewritten; every untouched partition's files
-        are HARDLINKED into the new version dir, so the new snapshot is
-        complete and immutable without copying or rewriting a byte of
-        unchanged data. Versioning, the atomic pointer flip, and GC are
-        identical to ``overwrite`` — a reader mid-flip still sees a
-        complete snapshot either way. This is the same copy-on-write
-        shape a Delta/Iceberg MERGE produces (new files for changed
-        partitions, metadata reuse for the rest), expressed on plain
-        parquet; at a real deployment the class swaps for the table
-        format and this method becomes ``MERGE INTO``.
+        semantics), and rewritten; every untouched partition is carried
+        forward WITHOUT rewriting a byte of data. Versioning, the
+        atomic pointer flip, and GC are identical to ``overwrite`` — a
+        reader mid-flip still sees a complete snapshot either way. This
+        is the same copy-on-write shape a Delta/Iceberg MERGE produces
+        (new files for changed partitions, metadata reuse for the
+        rest), expressed on plain parquet; at a real deployment the
+        class swaps for the table format and this method becomes
+        ``MERGE INTO``.
+
+        ``carry_mode`` picks the carry-forward mechanism; the committed
+        MANIFEST (see class notes) defines the snapshot identically in
+        both:
+
+        - ``"link"`` (default, local filesystems): hardlink unchanged
+          files into the new version dir — self-contained dirs, zero
+          data copied;
+        - ``"manifest"`` (object stores): carry by POINTER only — the
+          manifest records that the partition's files live in their
+          original version dir. Nothing about an unchanged partition
+          is touched at all, which is the only shape that works where
+          hardlinks don't exist (S3/GCS) and the one that matches how
+          lakehouse formats actually commit. GC retains every version
+          a live manifest references.
 
         Contract: the live version must have been written with
         ``partition_by=[partition_col]``, and a key's partition value
@@ -139,10 +225,17 @@ class TableStore:
             return
         old_dir = os.path.join(self.path, old)
         prefix = f"{partition_col}="
-        old_parts = {
-            e for e in os.listdir(old_dir)
-            if e.startswith(prefix) and os.path.isdir(os.path.join(old_dir, e))
-        }
+        # the predecessor's partition set comes from its MANIFEST when
+        # it has one (manifest-mode carries don't physically exist in
+        # its dir); physical listing is the manifest-less fallback
+        old_manifest = self.snapshot_partitions(old) or {}
+        if old_manifest:
+            old_parts = {d for d in old_manifest if d.startswith(prefix)}
+        else:
+            old_parts = {
+                e for e in os.listdir(old_dir)
+                if e.startswith(prefix) and os.path.isdir(os.path.join(old_dir, e))
+            }
         if not old_parts:
             # live version isn't partitioned this way — full merge
             from pasta_pipeline_spark.operators.merge import merge_upsert
@@ -189,27 +282,60 @@ class TableStore:
             if e.startswith(prefix) and os.path.isdir(os.path.join(target, e))
         }
 
-        # carry unchanged partitions forward by hardlink (copy fallback)
+        def _data_files(dirpath: str) -> list[str]:
+            return sorted(
+                f for f in os.listdir(dirpath)
+                if os.path.isfile(os.path.join(dirpath, f)) and not f.startswith(("_", "."))
+            )
+
+        # Manifest: rewritten partitions live here; carried partitions
+        # resolve to their ULTIMATE physical home through the
+        # predecessor's manifest (pointer chains collapse at every
+        # commit, so resolution depth is always 1).
+        manifest: dict = {
+            d: {"version": version, "files": _data_files(os.path.join(target, d))}
+            for d in written_dirs
+        }
         for part in sorted(old_parts - written_dirs):
-            src_dir = os.path.join(old_dir, part)
-            dst_dir = os.path.join(target, part)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fname in os.listdir(src_dir):
-                src = os.path.join(src_dir, fname)
-                dst = os.path.join(dst_dir, fname)
-                if not os.path.isfile(src):
-                    continue
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
+            prev = old_manifest.get(part)
+            if prev is None:
+                prev = {"version": old, "files": _data_files(os.path.join(old_dir, part))}
+            if carry_mode == "link":
+                # hardlink (copy fallback) into the new version dir —
+                # self-contained snapshot on local filesystems; every
+                # plain file comes along (incl. Hadoop .crc sidecars),
+                # the manifest records the data files
+                src_base = os.path.join(self.path, prev["version"], part)
+                dst_dir = os.path.join(target, part)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fname in os.listdir(src_base):
+                    src = os.path.join(src_base, fname)
+                    dst = os.path.join(dst_dir, fname)
+                    if not os.path.isfile(src):
+                        continue
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+                manifest[part] = {"version": version, "files": prev["files"]}
+            elif carry_mode == "manifest":
+                manifest[part] = prev  # pointer, not a byte moved
+            else:
+                raise ValueError(f"carry_mode must be 'link' or 'manifest', got {carry_mode!r}")
+        self._write_manifest(version, manifest)
 
         tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(version)
         os.replace(tmp, self._pointer_path())  # atomic flip
 
+        # GC keeps the new and predecessor snapshots PLUS every version
+        # either of their manifests still references (manifest-mode
+        # carry pins old physical homes for as long as a live or
+        # in-flight snapshot points at them)
         keep = {version, old}
+        keep |= self._referenced_versions(version)
+        keep |= self._referenced_versions(old)
         for entry in os.listdir(self.path):
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)

@@ -315,6 +315,78 @@ def test_merge_partitioned_null_and_escaped_partition_values(spark, tmp_table_di
     assert _inodes(_os.path.join(v1, xy_dir)) == xy_inodes
 
 
+def test_merge_partitioned_manifest_carry_is_pointer_only(spark, tmp_table_dir):
+    """carry_mode='manifest' (the object-store path): untouched
+    partitions are carried by POINTER — nothing physically appears in
+    the new version dir — and the committed manifest alone
+    reconstructs the snapshot's exact file set."""
+    import os as _os
+
+    store = TableStore(spark, f"{tmp_table_dir}/mm")
+    base = spark.createDataFrame(
+        [(i, i % 4, f"v{i}", 0) for i in range(400)],
+        "id long, day int, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["day"])
+    v0 = store.current_version()
+
+    updates = spark.createDataFrame(
+        [(1, 1, "NEW1", 9), (401, 1, "ADD", 9)],
+        "id long, day int, payload string, seq long",
+    )
+    store.merge_partitioned(
+        updates, key="id", partition_col="day", order_col="seq", carry_mode="manifest"
+    )
+    v1 = store.current_version()
+    v1_dir = _os.path.join(store.path, v1)
+
+    # pointer-only carry: only the touched partition is physically here
+    assert {d for d in _os.listdir(v1_dir) if d.startswith("day=")} == {"day=1"}
+
+    # the manifest alone reconstructs the snapshot file set: every
+    # entry names a physical (version, dir, files) triple that exists,
+    # untouched partitions point at v0, and reading exactly those
+    # files yields the merged table
+    parts = store.snapshot_partitions()
+    assert set(parts) == {"day=0", "day=1", "day=2", "day=3"}
+    assert parts["day=1"]["version"] == v1
+    for d in ("day=0", "day=2", "day=3"):
+        assert parts[d]["version"] == v0
+    all_files = []
+    for d, entry in parts.items():
+        for fname in entry["files"]:
+            p = _os.path.join(store.path, entry["version"], d, fname)
+            assert _os.path.isfile(p), p
+            all_files.append(p)
+    got = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert len(got) == 401 and got[1] == "NEW1" and got[401] == "ADD" and got[2] == "v2"
+
+    # chained manifest merge: pointers resolve to the ULTIMATE physical
+    # home (depth stays 1) and GC keeps every referenced version
+    updates2 = spark.createDataFrame(
+        [(2, 2, "NEW2", 9)], "id long, day int, payload string, seq long"
+    )
+    store.merge_partitioned(
+        updates2, key="id", partition_col="day", order_col="seq", carry_mode="manifest"
+    )
+    parts2 = store.snapshot_partitions()
+    assert parts2["day=0"]["version"] == v0  # still the original home
+    assert parts2["day=1"]["version"] == v1
+    assert parts2["day=2"]["version"] == store.current_version()
+    live_dirs = {d for d in _os.listdir(store.path) if d.startswith("v-")}
+    assert {v0, v1, store.current_version()} <= live_dirs
+    got2 = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert got2[2] == "NEW2" and got2[1] == "NEW1" and len(got2) == 401
+
+    # partition pruning still reaches the scan through the manifest read
+    from pyspark.sql import functions as F
+
+    plan = store.read().where(F.col("day") == 3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
+
+
 def test_streaming_sink_partitioned_requires_checkpoint(spark, tmp_table_dir):
     import pytest as _pytest
 
