@@ -2,15 +2,19 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata (schemas.MEDIA_SCHEMA). The Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested;
-the actual codec work is stubbed because the container ships no
-image/audio libraries:
+partitioning, Arrow batch shape, UDF signatures — is real and tested.
+Decode modes:
 
 - ``decode="stub"``  → deterministic fake features derived from the
   bytes themselves (length, md5, pseudo-dimensions) so the pipeline is
   end-to-end testable and oracle-checkable;
-- ``decode="real"``  → raises NotImplementedError at the first batch,
-  by design, until a codec dependency (Pillow/ffmpeg/...) is wired in.
+- ``decode="real"``  → REAL pure-Python header+payload decode for the
+  container formats that need no codec library: WAV/RIFF audio (true
+  sample rate, channel count, duration from the fmt/data chunks) and
+  binary PPM (P6) images (true width/height from the header). Other
+  formats fall back to the stub features (compressed codecs — JPEG,
+  MP4, FLAC — need Pillow/ffmpeg, which this container doesn't ship;
+  the dispatch point is where they'd slot in).
 
 Everything runs through ``mapInPandas``: one Arrow round-trip per
 partition, batch-columnar on both sides, no per-row Python overhead
@@ -20,12 +24,14 @@ beyond the loop inside the batch.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -41,30 +47,119 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("content_md5", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
     ]
 )
 
 
-def _stub_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake 'decode': features computable from raw bytes.
-    width/height are derived from the md5 so they look plausible and
-    stay reproducible."""
-    out = {"media_id": [], "media_type": [], "n_bytes": [], "content_md5": [], "width": [], "height": []}
+_FEATURE_COLS = (
+    "media_id", "media_type", "n_bytes", "content_md5",
+    "width", "height", "duration_ms", "sample_rate",
+)
+
+
+def _stub_features(raw: bytes) -> dict:
+    digest = hashlib.md5(raw).hexdigest()
+    return {
+        "n_bytes": len(raw),
+        "content_md5": digest,
+        "width": int(digest[:4], 16) % 1920 + 1,
+        "height": int(digest[4:8], 16) % 1080 + 1,
+        "duration_ms": None,
+        "sample_rate": None,
+    }
+
+
+def decode_wav(raw: bytes) -> dict | None:
+    """Pure-Python RIFF/WAVE header decode: walks the chunk list for
+    ``fmt `` (channels, sample rate, bits) and ``data`` (payload
+    size), then derives the true duration —
+    ``n_samples * 1000 div sample_rate`` with
+    ``n_samples = data_size div block_align`` — all integer, so the
+    value is engine-exact for an oracle. Returns None if the bytes are
+    not a parseable WAV."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, channels, rate, block_align, data_size = 12, None, None, None, None
+    while pos + 8 <= len(raw):
+        cid, csize = raw[pos:pos + 4], struct.unpack_from("<I", raw, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16:
+            _, channels, rate, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", raw, body
+            )
+        elif cid == b"data":
+            data_size = min(csize, len(raw) - body)
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if not channels or not rate or not block_align or data_size is None:
+        return None
+    n_samples = data_size // block_align
+    return {
+        "n_bytes": len(raw),
+        "content_md5": hashlib.md5(raw).hexdigest(),
+        "width": None,
+        "height": None,
+        "duration_ms": n_samples * 1000 // rate,
+        "sample_rate": rate,
+    }
+
+
+def decode_ppm(raw: bytes) -> dict | None:
+    """Pure-Python binary-PPM (P6) header decode: magic, then
+    whitespace/comment-separated width, height, maxval — true image
+    dimensions with no codec library. Returns None if not a P6."""
+    if raw[:2] != b"P6":
+        return None
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(raw):
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and raw[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        fields.append(int(raw[start:pos]))
+    if len(fields) < 3:
+        return None
+    width, height, _maxval = fields
+    return {
+        "n_bytes": len(raw),
+        "content_md5": hashlib.md5(raw).hexdigest(),
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "sample_rate": None,
+    }
+
+
+def _decode_batch(pdf: pd.DataFrame, real: bool) -> pd.DataFrame:
+    """One Arrow batch of (media_id, media_type, payload) → features.
+    ``real=True`` dispatches on magic bytes (WAV, PPM) and falls back
+    to the stub features for formats that need an external codec."""
+    out: dict = {c: [] for c in _FEATURE_COLS}
     for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
         out["media_id"].append(mid)
         out["media_type"].append(mtype)
         if payload is None:
-            out["n_bytes"].append(0)
-            out["content_md5"].append("")
-            out["width"].append(None)
-            out["height"].append(None)
-            continue
-        raw = bytes(payload)
-        digest = hashlib.md5(raw).hexdigest()
-        out["n_bytes"].append(len(raw))
-        out["content_md5"].append(digest)
-        out["width"].append(int(digest[:4], 16) % 1920 + 1)
-        out["height"].append(int(digest[4:8], 16) % 1080 + 1)
+            feats = {
+                "n_bytes": 0, "content_md5": "", "width": None,
+                "height": None, "duration_ms": None, "sample_rate": None,
+            }
+        else:
+            raw = bytes(payload)
+            feats = None
+            if real:
+                feats = decode_wav(raw) or decode_ppm(raw)
+            if feats is None:
+                feats = _stub_features(raw)
+        for k, v in feats.items():
+            out[k].append(v)
     return pd.DataFrame(out)
 
 
@@ -96,14 +191,75 @@ def extract_media_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires a codec library (Pillow/ffmpeg); "
-                    "this container ships none — use decode='stub'"
-                )
-            yield _stub_decode_batch(pdf)
+            yield _decode_batch(pdf, real=(decode == "real"))
 
     return src.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def synthesize_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic media-fixture generator: even ids become true
+    RIFF/WAVE audio files, odd ids become binary PPM (P6) images, with
+    every format parameter an integer function of the id:
+
+    - WAV (even): channels ``1 + (id div 2) % 2``, sample rate
+      ``8000 + ((id div 2) % 5) * 2000``, samples
+      ``400 + (id % 97) * 8``, 16-bit PCM;
+    - PPM (odd): width ``16 + id % 64``, height
+      ``16 + (id div 3) % 48``, maxval 255.
+
+    Because the parameters derive from the id alone, an oracle can
+    compute the expected DECODED features (duration, dimensions, byte
+    size) without parsing a byte — which is what makes the real-decode
+    path end-to-end hash-checkable. Runs as the same Arrow-batched
+    mapInPandas shape a real ingest stage uses.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                out["media_id"].append(mid)
+                if mid % 2 == 0:
+                    channels = 1 + (mid // 2) % 2
+                    rate = 8000 + ((mid // 2) % 5) * 2000
+                    n_samples = 400 + (mid % 97) * 8
+                    block_align = channels * 2
+                    data_size = n_samples * block_align
+                    header = struct.pack(
+                        "<4sI4s4sIHHIIHH4sI",
+                        b"RIFF", 36 + data_size, b"WAVE",
+                        b"fmt ", 16, 1, channels, rate,
+                        rate * block_align, block_align, 16,
+                        b"data", data_size,
+                    )
+                    body = bytes((i * 31 + mid) % 256 for i in range(data_size))
+                    out["media_type"].append("audio/wav")
+                    out["payload"].append(header + body)
+                else:
+                    w = 16 + mid % 64
+                    h = 16 + (mid // 3) % 48
+                    header = f"P6\n{w} {h}\n255\n".encode()
+                    body = bytes((i * 7 + mid) % 256 for i in range(3 * w * h))
+                    out["media_type"].append("image/ppm")
+                    out["payload"].append(header + body)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
 
 
 def frame_sample_stub(

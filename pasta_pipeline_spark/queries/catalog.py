@@ -1032,7 +1032,9 @@ _MEDIA_ORACLE = """
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
            CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS INT) AS width,
-           CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS INT) AS height
+           CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS INT) AS height,
+           CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS INT) AS sample_rate
     FROM documents
 """
 
@@ -1055,6 +1057,54 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return extract_media_features(media, decode="stub")
+
+
+_MEDIA_REAL_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/ppm' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 44 + (400 + (doc_id % 97) * 8) * (1 + (doc_id // 2) % 2) * 2
+                ELSE 9 + length(CAST(16 + doc_id % 64 AS VARCHAR))
+                       + length(CAST(16 + (doc_id // 3) % 48 AS VARCHAR))
+                       + 3 * (16 + doc_id % 64) * (16 + (doc_id // 3) % 48)
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 64 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + (doc_id // 3) % 48 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (400 + (doc_id % 97) * 8) * 1000 // (8000 + ((doc_id // 2) % 5) * 2000)
+           END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 8000 + ((doc_id // 2) % 5) * 2000
+           END AS INT) AS sample_rate
+    FROM documents
+"""
+
+
+@register(
+    "media_real_decode",
+    _MEDIA_REAL_ORACLE,
+    doc="REAL media decode, end-to-end hash-checked: synthesize_media "
+    "builds true RIFF/WAVE files (even ids) and binary PPM images (odd "
+    "ids) whose format parameters are integer functions of the id; "
+    "extract_media_features(decode='real') parses the actual bytes back "
+    "— WAV fmt/data chunk walk for sample rate/channels/duration, PPM "
+    "header scan for dimensions — and the oracle computes the expected "
+    "features from the ids alone. A decoder bug (wrong chunk offset, "
+    "wrong block-align handling, header misparse) breaks the hash. "
+    "operators/multimodal.py decode_wav / decode_ppm.",
+)
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(F.col("doc_id"))
+    media = synthesize_media(docs, id_col="doc_id")
+    return extract_media_features(media, decode="real").select(
+        "media_id", "media_type", "n_bytes", "width", "height",
+        "duration_ms", "sample_rate",
+    )
 
 
 @register(

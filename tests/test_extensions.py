@@ -112,6 +112,83 @@ def test_media_stub_and_frame_sampling(spark):
     assert sorted(per_media[2]) == [0, 1000, 2000]
 
 
+def test_real_wav_decode_chunk_walk():
+    """decode_wav parses true WAV headers, including non-canonical
+    chunk layouts (extra chunks before fmt/data, odd-sized word-padded
+    chunks), and rejects non-WAV bytes."""
+    import struct
+
+    from pasta_pipeline_spark.operators.multimodal import decode_wav
+
+    def wav(channels, rate, n_samples, extra_chunk=False):
+        block = channels * 2
+        data = bytes(n_samples * block)
+        chunks = b""
+        if extra_chunk:
+            chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd, padded
+        chunks += (
+            b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        )
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    got = decode_wav(wav(2, 16000, 8000))
+    assert got["sample_rate"] == 16000 and got["duration_ms"] == 500
+    # extra pre-fmt chunk with odd size: the word-aligned walk still
+    # lands on fmt/data
+    got = decode_wav(wav(1, 8000, 4100, extra_chunk=True))
+    assert got["sample_rate"] == 8000 and got["duration_ms"] == 4100 * 1000 // 8000
+    assert decode_wav(b"RIFFxxxxAVI LIST") is None
+    assert decode_wav(b"not audio at all") is None
+    # truncated data chunk: duration reflects the bytes actually present
+    w = wav(1, 8000, 1000)
+    got = decode_wav(w[:-1600])  # drop 800 samples
+    assert got["duration_ms"] == 200 * 1000 // 8000
+
+
+def test_real_ppm_decode_header_scan():
+    from pasta_pipeline_spark.operators.multimodal import decode_ppm
+
+    img = b"P6\n640 480\n255\n" + bytes(640 * 480 * 3)
+    got = decode_ppm(img)
+    assert (got["width"], got["height"]) == (640, 480)
+    # comments and arbitrary whitespace in the header
+    img2 = b"P6\n# made by nobody\n 12\t34 # trailing\n255\n" + bytes(12 * 34 * 3)
+    got2 = decode_ppm(img2)
+    assert (got2["width"], got2["height"]) == (12, 34)
+    assert decode_ppm(b"P3\n1 1\n255\n0 0 0") is None  # ASCII PPM is not P6
+    assert decode_ppm(b"P6\ngarbage") is None
+
+
+def test_synthesize_then_real_decode_roundtrip(spark):
+    """End-to-end: synthesized WAV/PPM fixtures decode back to the
+    id-derived ground truth through the Arrow-batched real path."""
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 20).selectExpr("id AS media_id")
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            synthesize_media(ids), decode="real"
+        ).collect()
+    }
+    for mid in range(0, 20, 2):  # WAV
+        rate = 8000 + ((mid // 2) % 5) * 2000
+        n_samples = 400 + (mid % 97) * 8
+        r = feats[mid]
+        assert r["sample_rate"] == rate
+        assert r["duration_ms"] == n_samples * 1000 // rate
+        assert r["width"] is None
+    for mid in range(1, 20, 2):  # PPM
+        r = feats[mid]
+        assert r["width"] == 16 + mid % 64
+        assert r["height"] == 16 + (mid // 3) % 48
+        assert r["sample_rate"] is None
+
+
 def test_duplicate_clusters_transitive(spark):
     """A-B and B-C pairs must merge into one cluster labeled by the
     smallest id, with everything else a singleton survivor."""
