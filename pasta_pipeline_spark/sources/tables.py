@@ -340,13 +340,23 @@ class TableStore:
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
-    def compact(self, target_partitions: int) -> None:
+    def compact(self, target_partitions: int, partition_by: str | None = None) -> None:
         """Small-file compaction: rewrite the live version into
         ``target_partitions`` files. Streaming merges and incremental
         runs accrete one file per shuffle partition per run; periodic
         compaction keeps scan task counts and footer overhead bounded
-        (at real scale: the table format's OPTIMIZE)."""
-        self.overwrite(self.read().coalesce(target_partitions))
+        (at real scale: the table format's OPTIMIZE).
+
+        ``partition_by``: preserve a partition layout through the
+        rewrite — rows shuffle on the partition column so each
+        partition dir compacts to (about) one file, and subsequent
+        ``merge_partitioned`` calls stay differential instead of
+        degrading to a full merge against an unpartitioned version."""
+        if partition_by:
+            df = self.read().repartition(target_partitions, F.col(partition_by))
+            self.overwrite(df, partition_by=[partition_by])
+        else:
+            self.overwrite(self.read().coalesce(target_partitions))
 
 
 def write_bucketed_table(

@@ -181,6 +181,20 @@ def lsh_index_batch(
     return pairs
 
 
+def compact_lsh_index(index_store, index_buckets: int = 32) -> None:
+    """Periodic maintenance for the signature store ``lsh_index_batch``
+    accretes into: every micro-batch merge adds one file per touched
+    ``__bkt`` partition, so after months of batches the store is
+    thousands of tiny files even though the DATA is compact (k int64s
+    per doc). One compaction pass rewrites the live version to ~one
+    file per bucket partition, preserving the ``__bkt`` layout so the
+    NEXT merge is still differential. Run it on a cadence (every N
+    batches / nightly), exactly like a lakehouse OPTIMIZE; detection
+    results are unaffected — the store's contents don't change, only
+    the file count."""
+    index_store.compact(index_buckets, partition_by="__bkt")
+
+
 def incremental_lsh_dedup(
     stream: "DataFrame",
     index_store,

@@ -45,6 +45,65 @@ def test_lsh_index_batch_redelivery_is_noop_on_index(spark, tmp_table_dir):
     assert pairs == []
 
 
+def test_lsh_index_compaction_bounds_files_and_preserves_detection(spark, tmp_table_dir):
+    """After N micro-batches the signature store has accreted files per
+    touched bucket per batch; compact_lsh_index rewrites to ~one file
+    per bucket partition, the NEXT merge is still differential (the
+    __bkt layout survives), and pair detection is unchanged."""
+    import os as _os
+
+    from pasta_pipeline_spark.streaming.dedup import compact_lsh_index
+
+    store = TableStore(spark, f"{tmp_table_dir}/cmp")
+    buckets = 4
+    for i in range(5):  # 5 micro-batches, distinct docs
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"batch {i} doc {j} unique words {i}-{j} " + TEXT_B)
+             for j in range(4)],
+            "doc_id long, text string",
+        )
+        lsh_index_batch(b, store, index_buckets=buckets)
+    n_docs = store.read().count()
+    assert n_docs == 20
+
+    def data_files():
+        count = 0
+        v = _os.path.join(store.path, store.current_version())
+        for root, _dirs, files in _os.walk(v):
+            count += sum(1 for f in files if f.endswith(".parquet"))
+        return count
+
+    # At local scale AQE coalesces each merge's write to one file per
+    # bucket; at real scale every merge writes one file per shuffle
+    # task per touched bucket. Simulate that fragmentation so the test
+    # exercises what compaction exists for.
+    store.overwrite(store.read().repartition(12), partition_by=["__bkt"])
+    before = data_files()
+    assert before > buckets  # genuinely fragmented
+    compact_lsh_index(store, index_buckets=buckets)
+    after = data_files()
+    assert after < before
+    assert after <= buckets  # ~one file per bucket partition
+    assert store.read().count() == n_docs
+
+    # detection across the compaction boundary: a dup of a pre-
+    # compaction doc is still caught, and the merge stays differential
+    # (only the touched bucket partitions rewritten in the new version)
+    dup = spark.createDataFrame(
+        [(999, "batch 0 doc 0 unique words 0-0 " + TEXT_B)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             lsh_index_batch(dup, store, index_buckets=buckets).collect()}
+    assert (0, 999) in pairs
+    v_dir = _os.path.join(store.path, store.current_version())
+    physically_written = {
+        d for d in _os.listdir(v_dir) if d.startswith("__bkt=")
+        and any(not f.startswith((".", "_")) for f in _os.listdir(_os.path.join(v_dir, d)))
+    }
+    assert len(physically_written) >= 1  # layout survived: partition dirs, not flat
+
+
 def test_incremental_lsh_dedup_streaming_e2e(spark, tmp_table_dir):
     src = f"{tmp_table_dir}/src"
     os.makedirs(src)
