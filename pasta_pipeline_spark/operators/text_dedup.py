@@ -228,12 +228,21 @@ def edit_distance_pairs(
     inverted-index machinery as the Jaccard tier (hot blocks fall back
     to a distributed self-equi-join). By pigeonhole this recalls every
     pair within ``n_chunks - 1`` *substitutions*; insertions/deletions
-    shift downstream slices, so indel-heavy pairs can be missed
-    (PassJoin-style shifted-segment probing is the exact upgrade path).
-    Every emitted pair is verified with the exact Levenshtein, so the
-    checked contract — like the LSH tiers — is zero false positives.
+    shift downstream slices, so indel-heavy pairs can be missed at
+    larger ``max_dist``. For ``max_dist <= 2`` the call DELEGATES to
+    :func:`edit_distance_pairs_shifted` (PassJoin shifted-segment
+    probing), which is complete for insertions and deletions too — so
+    the default API carries the stronger recall contract wherever the
+    complete algorithm exists. Every emitted pair is verified with the
+    exact Levenshtein, so the checked contract — like the LSH tiers —
+    is zero false positives.
     """
     from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    if max_dist <= 2:
+        return edit_distance_pairs_shifted(
+            df, id_col, text_col, prefix_len=prefix_len, tau=max_dist
+        ).select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
 
     width = -(-prefix_len // n_chunks)  # ceil: slices cover the whole prefix
     src = ensure_parallelism(

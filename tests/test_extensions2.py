@@ -376,6 +376,39 @@ def test_edit_distance_shifted_catches_indels(spark):
     assert all(4 not in pair and 5 not in pair for pair in got)
 
 
+def test_edit_distance_default_api_routes_small_tau_to_passjoin(spark):
+    """edit_distance_pairs(max_dist<=2) delegates to the PassJoin
+    variant, so the DEFAULT API catches an insertion-shifted near-dup
+    that the fixed-position chunk gate alone misses."""
+    from pasta_pipeline_spark.operators.text_dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789abcd"),
+            (2, "bcdefghijklmnopqrstuvwxyz0123456789abcd"),  # front deletion
+            (4, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    # sanity: with the chunk gate forced (larger max_dist but same
+    # pair), fixed-position blocking misses the shifted pair entirely
+    # — every 8-char slice of doc 2 is displaced by one
+    chunked = {
+        (r["doc_a"], r["doc_b"])
+        for r in edit_distance_pairs(
+            docs, "doc_id", "text", max_dist=3, n_chunks=5
+        ).collect()
+    }
+    assert (1, 2) not in chunked
+    # the default API at small tau routes through PassJoin and finds it
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in edit_distance_pairs(docs, "doc_id", "text", max_dist=1).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert all(4 not in p for p in got)
+
+
 def test_edit_distance_shifted_no_cartesian(spark):
     from pasta_pipeline_spark.operators.text_dedup import (
         edit_distance_pairs_shifted,
