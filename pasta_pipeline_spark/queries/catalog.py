@@ -5512,3 +5512,37 @@ def q_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_returnflag", "l_extendedprice", lo=0.0, hi=110_000.0, n_bins=64
     )
     return histogram_quantile_bin(hist, "l_returnflag", p_bp=9500)
+
+
+@register(
+    "heavy_hitter_state",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_suppkey AS item, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, item, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, item ASC) AS rk
+      FROM counts
+    )
+    SELECT l_returnflag, item, n FROM ranked WHERE rk <= 16
+    UNION ALL
+    SELECT l_returnflag, CAST(NULL AS BIGINT) AS item,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM ranked WHERE rk > 16 GROUP BY l_returnflag
+    """,
+    doc="Mergeable truncated-counter heavy-hitter state "
+    "(sketches.partial_heavy_hitters): per returnflag, the 16 most "
+    "frequent suppliers with exact counts plus one NULL-item row "
+    "carrying the truncated mass — the travelling error bound that "
+    "makes the state mergeable across batches/tables (merge contract "
+    "pytest-verified; this query hash-checks the state production: "
+    "deterministic (count DESC, item ASC) truncation, NULL items "
+    "excluded so the sentinel is unambiguous).",
+)
+def q_heavy_hitter_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sketches import partial_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return partial_heavy_hitters(li, "l_returnflag", "l_suppkey", m=16)

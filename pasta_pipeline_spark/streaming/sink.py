@@ -175,3 +175,55 @@ def incremental_histogram_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_heavy_hitter_sink(
+    stream: DataFrame,
+    store: TableStore,
+    keys: str | list[str],
+    item_col: str,
+    checkpoint_dir: str,
+    m: int = 64,
+    partition_cap: int | None = None,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained heavy hitters: each micro-batch's
+    truncated-counter state (operators/sketches.py
+    partial_heavy_hitters) merges into a persisted per-key top-``m``
+    table whose travelling dropped-mass bound stays valid across any
+    number of batches — streaming frequent-item tracking with
+    m+1 rows of state per key and no corpus rescans, the streaming
+    completion of the mergeable heavy-hitter contract.
+
+    The merged estimate only ever UNDERCOUNTS, by at most the stored
+    dropped mass (`count + dropped` upper-bounds truth); a heavy item
+    that stays in every batch's top-``m`` is exact. Same replay caveat
+    as the other accumulate sinks: feed from the deduplicated stream.
+    ``partition_cap`` forwards to the per-partition bounded pre-
+    aggregation for wide batches."""
+    from pasta_pipeline_spark.operators.sketches import (
+        merge_heavy_hitters,
+        partial_heavy_hitters,
+    )
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_heavy_hitter_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        part = partial_heavy_hitters(
+            batch, keys, item_col, m=m, partition_cap=partition_cap
+        )
+        if store.exists():
+            merged = merge_heavy_hitters(store.read(), part, keys, m=m)
+        else:
+            merged = part
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

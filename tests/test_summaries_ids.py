@@ -156,6 +156,56 @@ def test_histogram_merge_equals_direct_and_quantile(spark):
     assert q["b"] == 5  # all mass at 50 -> bin 5
 
 
+def test_incremental_heavy_hitter_sink_tracks_frequent_items(spark, tmp_path):
+    """Streaming heavy hitters: two micro-batches merge into a bounded
+    per-key top-m state whose travelling bound still holds against the
+    exact counts over everything ingested."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_heavy_hitter_sink
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    # zipf-ish: item i appears ~120/i times, split across two batches
+    rows = [{"k": "g", "item": f"it{i}"} for i in range(1, 25) for _ in range(120 // i)]
+    half = len(rows) // 2
+    with open(f"{src}/b1.json", "w", encoding="utf-8") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in rows[:half])
+
+    store = TableStore(spark, str(tmp_path / "hh"))
+    mk = lambda: spark.readStream.schema("k string, item string").json(src)  # noqa: E731
+    m = 6
+    incremental_heavy_hitter_sink(
+        mk(), store, "k", "item", checkpoint_dir=str(tmp_path / "ck"), m=m
+    ).awaitTermination(120)
+    with open(f"{src}/b2.json", "w", encoding="utf-8") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in rows[half:])
+    incremental_heavy_hitter_sink(
+        mk(), store, "k", "item", checkpoint_dir=str(tmp_path / "ck"), m=m
+    ).awaitTermination(120)
+
+    got = {r["item"]: r["n"] for r in store.read().collect()}
+    dropped = got.pop(None)
+    assert len(got) == m
+    all_df = spark.createDataFrame(
+        [(r["k"], r["item"]) for r in rows], "k string, item string"
+    )
+    exact = {
+        r["item"]: r["n"]
+        for r in all_df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    err = 0
+    for item, n in got.items():
+        assert n <= exact[item]
+        err += exact[item] - n
+    assert err <= dropped
+    assert got["it1"] == exact["it1"]  # the heavy head is exact
+
+
 def test_histogram_clamps_out_of_range(spark):
     from pasta_pipeline_spark.operators.summaries import partial_histogram
 
