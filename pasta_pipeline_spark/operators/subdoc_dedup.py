@@ -171,3 +171,79 @@ def cdc_chunks(
     return chunks.join(copies, "chunk_hash").select(
         F.col(id_col), "chunk_id", "n_tokens", "chunk_hash", "n_copies"
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better" — their suffix-array ExactSubstr pass, re-expressed
+    for a distributed engine): for every document, the maximal token
+    ranges covered by ``w``-token windows whose content occurs at
+    least ``min_count`` times corpus-wide (across documents OR
+    repeated within one). Returns ``(doc, span_start, span_end,
+    n_windows)`` with 1-based inclusive token positions — the ranges a
+    cleanup pass would cut, without dropping the whole document.
+
+    Plan (no suffix array, same answer for fixed ``w``): every
+    document emits one 60-bit hash per w-token window (token mass ×
+    ~1 rows — a projection); one groupBy(hash) counts global
+    occurrences; duplicated windows join back and collapse to maximal
+    spans per document with a gaps-and-islands window (merge when the
+    next window starts at or before the running span end + 1). Two
+    shuffles total — window-hash count and per-doc island pass — both
+    linear, no pair generation at all, so this tier is CHEAPER than
+    any pairwise dedup and scales to 100 TB the same way a word count
+    does. Hash collisions (~2^-60) can over-mark a span; no false
+    negatives.
+
+    Window hashes are md5-int60 over the joined window tokens
+    (playbook recipe), positions and counts are int64 — full
+    value-hash DuckDB oracle.
+    """
+    src = (
+        df.select(F.col(id_col).alias("doc"), tokenize_ws(F.col(text_col)).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= w)
+    )
+    wins = src.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (w - 1)),
+                lambda i: _hash60(F.array_join(F.slice(F.col("t"), i, w), " ")),
+            )
+        ).alias("p0", "wh"),
+    ).select("doc", (F.col("p0") + 1).cast("long").alias("start"), "wh")
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("wh")
+    )
+    dwin = wins.join(dup, "wh").withColumn("end", F.col("start") + (w - 1))
+    ord_w = Window.partitionBy("doc").orderBy("start")
+    prev_end = F.max("end").over(
+        ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("start") > prev_end + 1), 1
+    ).otherwise(0)
+    isl = dwin.withColumn(
+        "island",
+        F.sum(brk).over(ord_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc", "span_start", "span_end", "n_windows")
+    )

@@ -5546,3 +5546,53 @@ def q_heavy_hitter_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return partial_heavy_hitters(li, "l_returnflag", "l_suppkey", m=16)
+
+
+@register(
+    "duplicated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t
+      FROM documents
+    ), src AS (
+      SELECT doc, t, len(t) AS n FROM toks WHERE len(t) >= 10
+    ), wins AS (
+      SELECT doc, CAST(i AS BIGINT) AS start, CAST(i + 9 AS BIGINT) AS "end",
+             ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT AS wh
+      FROM (SELECT doc, t, unnest(generate_series(1, n - 9)) AS i FROM src)
+    ), dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+    ), dwin AS (
+      SELECT w.doc, w.start, w."end" FROM wins w JOIN dup USING (wh)
+    ), marked AS (
+      SELECT doc, start, "end",
+             CASE WHEN start > COALESCE(MAX("end") OVER (
+                    PARTITION BY doc ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dwin
+    ), isl AS (
+      SELECT doc, start, "end",
+             SUM(brk) OVER (PARTITION BY doc ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT doc, CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX("end") AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc, island
+    """,
+    doc="Exact duplicated-substring spans (Lee et al. ExactSubstr, "
+    "distributed): maximal token ranges covered by 10-token windows "
+    "occurring >= 2 times corpus-wide — the sub-document tier that cuts "
+    "repeated boilerplate/quotes without dropping documents. Window-hash "
+    "count + gaps-and-islands merge: two linear shuffles, no pair "
+    "generation, cheaper than any pairwise tier at 100 TB. "
+    "operators/subdoc_dedup.py duplicated_spans.",
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.subdoc_dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", w=10, min_count=2)

@@ -145,3 +145,52 @@ def test_containment_catches_quote_inclusion(spark):
     jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
     assert jac.count() == 0  # Jaccard misses it entirely
     release_cached_deps(jac)
+
+
+def test_duplicated_spans_marks_shared_and_repeated_regions(spark):
+    """Windows shared across docs (and repeated within one) collapse
+    into maximal spans; unique text is never marked."""
+    from pasta_pipeline_spark.operators.subdoc_dedup import duplicated_spans
+
+    boiler = "all rights reserved contact us at example dot com for info"  # 11 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler} epsilon zeta eta theta iota kappa"),
+            (2, f"one two three four five six seven eight nine ten {boiler}"),
+            # doc 3: the boilerplate twice -> a within-doc repeat, two spans
+            (3, f"{boiler} unique middle words in this document only here now {boiler}"),
+            (4, "entirely unique text with no repeated windows anywhere at all today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, w=10, min_count=2).collect()
+    }
+    # doc 1: boiler occupies tokens 5..15; every 10-token window fully
+    # inside it is [5..6]->[14..15]... windows starting 5 and 6 are the
+    # only fully-boiler windows -> merged span 5..15
+    assert (1, 5, 15) in spans
+    assert (2, 11, 21) in spans
+    # doc 3 has two disjoint boiler spans (start and end)
+    doc3 = sorted(s for s in spans if s[0] == 3)
+    assert len(doc3) == 2
+    assert doc3[0][1] == 1  # leading boilerplate span starts at token 1
+    assert all(s[0] != 4 for s in spans)
+
+
+def test_duplicated_spans_no_pair_join(spark):
+    """The span tier generates no pairs: plan has no cartesian/nested
+    loop and no self-join of the corpus."""
+    from pasta_pipeline_spark.operators.subdoc_dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tail words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
