@@ -247,3 +247,70 @@ def duplicated_spans(
         )
         .select("doc", "span_start", "span_end", "n_windows")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """The cut pass over :func:`duplicated_spans`: rewrite every
+    document with its duplicated spans removed, keeping original token
+    order. Returns one row per tokenizable document:
+    ``(doc, text_kept, n_tokens, n_removed)``.
+
+    Output text is the kept TOKEN stream (lowercased,
+    single-space-joined) — whitespace/case normalization is inherent
+    to token-level cutting, and a training pipeline re-tokenizes
+    immediately anyway. Documents shorter than ``w`` tokens have no
+    windows, so they pass through complete; a fully-duplicated
+    document survives as ``text_kept = ''`` (row count stable, same
+    contract as remove_duplicated_lines).
+
+    Scale shape: span detection's two linear shuffles, plus one
+    per-doc anti-join of token positions against span ranges (doc-key
+    equi-join with a range residual — never a cross join) and one
+    groupBy(doc) reassembly with an in-array sort. Everything linear
+    in token mass.
+    """
+    spans = duplicated_spans(df, id_col, text_col, w, min_count)
+    toks = (
+        df.select(F.col(id_col).alias("doc"), tokenize_ws(F.col(text_col)).alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc", F.posexplode("t").alias("p0", "tok"))
+        .select("doc", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
+    )
+    covered = spans.select("doc", "span_start", "span_end")
+    kept = toks.join(
+        covered,
+        (toks["doc"] == covered["doc"])
+        & (toks["pos"] >= covered["span_start"])
+        & (toks["pos"] <= covered["span_end"]),
+        "left_anti",
+    )
+    totals = toks.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+            ).alias("__ks"),
+        )
+        .join(totals, "doc", "right")
+        .select(
+            "doc",
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("__ks"), lambda s: s.getField("tok")), " "
+                ),
+                F.lit(""),
+            ).alias("text_kept"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -5596,3 +5596,57 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return duplicated_spans(docs, "doc_id", "text", w=10, min_count=2)
+
+
+@register(
+    "span_cut_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc, CAST(i AS BIGINT) AS pos, t[i] AS tok
+      FROM (SELECT doc, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+      WHERE len(t) > 0
+    ), src AS (
+      SELECT doc, t, len(t) AS n FROM toks WHERE len(t) >= 10
+    ), wins AS (
+      SELECT doc, CAST(i AS BIGINT) AS start, CAST(i + 9 AS BIGINT) AS "end",
+             ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT AS wh
+      FROM (SELECT doc, t, unnest(generate_series(1, n - 9)) AS i FROM src)
+    ), dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+    ), dwin AS (
+      SELECT w.doc, w.start, w."end" FROM wins w JOIN dup USING (wh)
+    ), kept AS (
+      SELECT tk.doc, tk.pos, tk.tok
+      FROM tok tk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dwin d
+        WHERE d.doc = tk.doc AND tk.pos BETWEEN d.start AND d."end"
+      )
+    ), totals AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc
+    ), re AS (
+      SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS text_kept,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc
+    )
+    SELECT t.doc, COALESCE(r.text_kept, '') AS text_kept, t.n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN re r ON t.doc = r.doc
+    """,
+    doc="The cut pass over duplicated_spans: every document rewritten "
+    "with its duplicated 10-token spans removed (kept token stream, "
+    "original order; fully-duplicated docs survive as empty strings so "
+    "corpus row count is stable). Per-doc range anti-join of token "
+    "positions against span ranges + in-array reassembly — linear in "
+    "token mass, zero pair generation. "
+    "operators/subdoc_dedup.py remove_duplicated_spans.",
+)
+def q_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.subdoc_dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "doc_id", "text", w=10, min_count=2)

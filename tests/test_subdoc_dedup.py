@@ -194,3 +194,28 @@ def test_duplicated_spans_no_pair_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_duplicated_spans_cuts_and_preserves_rows(spark):
+    from pasta_pipeline_spark.operators.subdoc_dedup import remove_duplicated_spans
+
+    boiler = "all rights reserved contact us at example dot com for info"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler} epsilon zeta eta theta iota kappa"),
+            (2, f"one two three four five six seven eight nine ten {boiler}"),
+            (3, boiler),  # shorter than... 11 tokens, fully duplicated? windows exist (n>=10)
+            (4, "entirely unique text with no repeated windows anywhere at all today ok"),
+            (5, "tiny doc"),  # < w tokens: passes through complete
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r for r in remove_duplicated_spans(docs, w=10, min_count=2).collect()}
+    assert len(got) == 5  # row count stable
+    # doc 1: boiler tokens 5..15 removed, head + tail survive
+    assert got[1]["text_kept"] == "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert got[1]["n_removed"] == 11
+    # doc 3 is nothing but the shared boilerplate -> empty survivor
+    assert got[3]["text_kept"] == "" and got[3]["n_removed"] == 11
+    # untouched docs
+    assert got[4]["n_removed"] == 0 and got[5]["text_kept"] == "tiny doc"
