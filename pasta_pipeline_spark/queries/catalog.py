@@ -5650,3 +5650,88 @@ def q_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, "doc_id", "text", w=10, min_count=2)
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="ROLLUP subtotal surface: revenue at (region, nation), per-region "
+    "subtotal, and grand total in ONE aggregation pass — Spark plans a "
+    "single Expand + hash aggregate, not three scans; grouping id "
+    "disambiguates genuine NULL keys from subtotal rows. Fixed-point "
+    "cents keep every level hash-exact. Dims broadcast; one fact "
+    "shuffle.",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select("r_name", "n_name", "gid", "revenue_cents", "n_orders")
+    )
+
+
+@register(
+    "pivot_status_by_region",
+    """
+    SELECT r_name,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="PIVOT surface: order-status counts spread to columns per region. "
+    "The value list is DECLARED (pivot('o_orderstatus', [...])) so Spark "
+    "skips the extra distinct-values job a blind pivot needs — at 100 TB "
+    "that implicit first pass is a full scan; declaring values makes the "
+    "pivot one conditional aggregation (identical plan to the CASE-WHEN "
+    "oracle).",
+)
+def q_pivot_status_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    piv = (
+        j.groupBy("r_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "r_name",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )
