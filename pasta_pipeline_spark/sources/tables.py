@@ -131,9 +131,27 @@ class TableStore:
                     *[os.path.join(base, d) for d in sorted(dirs)]
                 )
             )
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
+        # Partition-column types are INFERRED per read group; a group
+        # holding only the NULL partition dir (or only one value shape)
+        # can infer differently from its siblings, which would break
+        # the union. Normalize every group to the widest-coverage
+        # group's schema (most partition dirs → most evidence).
+        groups = sorted(by_phys.items())
+        anchor_idx = max(range(len(frames)), key=lambda i: len(groups[i][1]))
+        target = frames[anchor_idx].schema
+        out = None
+        for fr in frames:
+            # a group whose only dir is __HIVE_DEFAULT_PARTITION__
+            # yields NO partition column at all — synthesize it as NULL
+            aligned = fr.select(
+                *[
+                    (F.col(f.name) if f.name in fr.columns else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            out = aligned if out is None else out.unionByName(aligned)
         return out
 
     # -- write ---------------------------------------------------------

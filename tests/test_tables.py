@@ -387,6 +387,47 @@ def test_merge_partitioned_manifest_carry_is_pointer_only(spark, tmp_table_dir):
     assert "PartitionFilters: [isnotnull(day" in plan
 
 
+def test_manifest_carry_null_and_escaped_partitions(spark, tmp_table_dir):
+    """Pointer-only carry with Hive-encoded dirs: NULL and URL-escaped
+    partition values survive a manifest-mode merge (the NULL group may
+    be the only dir in its physical version — partition-type
+    normalization across read groups must hold)."""
+    store = TableStore(spark, f"{tmp_table_dir}/mnull")
+    base = spark.createDataFrame(
+        [(1, "a b", "keep-ab", 1), (2, "x:y", "old-xy", 1), (3, None, "keep-null", 1)],
+        "id long, cat string, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["cat"])
+    updates = spark.createDataFrame(
+        [(2, "x:y", "NEW-xy", 9)], "id long, cat string, payload string, seq long"
+    )
+    store.merge_partitioned(
+        updates, key="id", partition_col="cat", order_col="seq", carry_mode="manifest"
+    )
+    rows = {r["id"]: (r["cat"], r["payload"]) for r in store.read().collect()}
+    assert rows == {
+        1: ("a b", "keep-ab"),
+        2: ("x:y", "NEW-xy"),
+        3: (None, "keep-null"),
+    }
+    parts = store.snapshot_partitions()
+    assert "cat=__HIVE_DEFAULT_PARTITION__" in parts
+    # carried by pointer: NULL partition physically lives in v0 only
+    v1 = store.current_version()
+    assert parts["cat=__HIVE_DEFAULT_PARTITION__"]["version"] != v1
+
+    # second manifest merge touching ONLY the NULL partition: its new
+    # physical group holds just __HIVE_DEFAULT_PARTITION__
+    u2 = spark.createDataFrame(
+        [(4, None, "ADD-null", 9)], "id long, cat string, payload string, seq long"
+    )
+    store.merge_partitioned(
+        u2, key="id", partition_col="cat", order_col="seq", carry_mode="manifest"
+    )
+    rows2 = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert rows2 == {1: "keep-ab", 2: "NEW-xy", 3: "keep-null", 4: "ADD-null"}
+
+
 def test_streaming_sink_partitioned_requires_checkpoint(spark, tmp_table_dir):
     import pytest as _pytest
 
