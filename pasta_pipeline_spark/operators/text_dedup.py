@@ -35,12 +35,9 @@ from pasta_pipeline_spark.functions.text import tokenize_ws
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles of ``text``; documents shorter than
-    ``n`` tokens contribute their whole text as one shingle so they
-    remain comparable."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize_ws(c, lowercase=True)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles from a pre-tokenized array column —
+    the shared-scan form: tokenize once, derive every tier."""
     size = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), size - (n - 1)),
@@ -48,6 +45,30 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
     whole = F.array(F.array_join(toks, " "))
     return F.array_distinct(F.when(size >= n, grams).otherwise(whole))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of ``text``; documents shorter than
+    ``n`` tokens contribute their whole text as one shingle so they
+    remain comparable."""
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_from_tokens(tokenize_ws(c, lowercase=True), n)
+
+
+def token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, toks) pre-tokenized frame — the ONE corpus scan the whole
+    dedup ladder can share: shingle tiers derive via
+    :func:`shingles_from_tokens` (``_shingle_table(token_frame=...)``)
+    and the SimHash tier explodes the same arrays
+    (``simhash_pairs(token_frame=...)``). Persist it and every tier
+    pays projection cost instead of its own documents scan — at
+    100 TB, the difference between 1x and k-tiers x corpus reads."""
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    return src.select(
+        "doc", tokenize_ws(F.col(text_col), lowercase=True).alias("toks")
+    )
 
 
 def _hash60(col: Column) -> Column:
@@ -89,7 +110,12 @@ def fingerprint_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> D
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hashed: bool = True,
+    token_frame: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, sh) exploded shingle table. ``hashed=True`` (default)
     replaces each shingle string with its xxhash64 — every downstream
@@ -97,9 +123,15 @@ def _shingle_table(
     strings (measured ~2x on the pair join). Set-equality results are
     unchanged w.h.p. (collision odds ~n²/2^64 ≈ 1e-10 at 10^5 distinct
     shingles); pass hashed=False where the literal shingle text is
-    needed."""
+    needed. ``token_frame``: a (doc, toks) frame from
+    :func:`token_table` to derive from instead of re-tokenizing."""
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
+    if token_frame is not None:
+        grams = shingles_from_tokens(F.col("toks"), n)
+        if hashed:
+            grams = F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
+        return token_frame.select("doc", F.explode(grams).alias("sh"))
     src = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
     grams = shingles(F.col(text_col), n)
     if hashed:
@@ -290,14 +322,25 @@ SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 ⇒ ≥1 of 4 chunks equal
 _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_frame: DataFrame | None = None,
+) -> DataFrame:
     """60-bit SimHash per document: tokens (with multiplicity) hash to
     60-bit values; each bit position accumulates +1/-1; the sign vector
-    is the signature. Returns (doc, simhash)."""
+    is the signature. Returns (doc, simhash). ``token_frame``: shared
+    (doc, toks) scan to explode instead of re-tokenizing."""
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
-    src = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
-    toks = src.select("doc", F.explode(tokenize_ws(F.col(text_col))).alias("tok"))
+    if token_frame is not None:
+        toks = token_frame.select("doc", F.explode("toks").alias("tok"))
+    else:
+        src = ensure_parallelism(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col))
+        )
+        toks = src.select("doc", F.explode(tokenize_ws(F.col(text_col))).alias("tok"))
     h = toks.select("doc", _hash60(F.col("tok")).alias("h"))
     bit_sums = h.groupBy("doc").agg(
         *[
@@ -317,7 +360,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with SimHash Hamming distance <= k.
 
@@ -336,7 +383,7 @@ def simhash_pairs(
     # the leading chunks by one
     widths = [base + (1 if i < SIMHASH_BITS % n_chunks else 0) for i in range(n_chunks)]
     starts = [sum(widths[:i]) for i in range(n_chunks)]
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, token_frame=token_frame)
     chunks = sigs.select(
         "doc",
         "simhash",

@@ -219,3 +219,24 @@ def test_remove_duplicated_spans_cuts_and_preserves_rows(spark):
     assert got[3]["text_kept"] == "" and got[3]["n_removed"] == 11
     # untouched docs
     assert got[4]["n_removed"] == 0 and got[5]["text_kept"] == "tiny doc"
+
+
+def test_shared_token_scan_paths_identical(spark):
+    """Deriving shingle tables and SimHash signatures from one shared
+    token_table gives byte-identical results to the self-tokenizing
+    paths (the bench's shared-scan contract)."""
+    from pasta_pipeline_spark.operators.text_dedup import (
+        _shingle_table,
+        simhash_signatures,
+        token_table,
+    )
+    from pasta_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    toks = token_table(docs, "doc_id", "text")
+    a = set(map(tuple, _shingle_table(docs, "doc_id", "text", 3).collect()))
+    b = set(map(tuple, _shingle_table(docs, "doc_id", "text", 3, token_frame=toks).collect()))
+    assert a == b and len(a) > 0
+    sa = {r["doc"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    sb = {r["doc"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text", token_frame=toks).collect()}
+    assert sa == sb
