@@ -921,3 +921,37 @@ def containment_pairs(
     )
     result = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
     return attach_cached_deps(result, [sh])
+
+
+def cluster_rollup(
+    clusters: DataFrame,
+    docs: DataFrame,
+    sum_cols: list[str],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Merge duplicate-cluster member attributes into one row per
+    cluster — the step after dedup that real curation needs: the
+    surviving record should carry the GROUP's accumulated metadata
+    (view counts, byte totals, source diversity), not just its own.
+    The same accumulate-on-merge idea as the reference's status upsert
+    (S9), lifted from key-granularity to cluster-granularity.
+
+    Returns ``(cluster_id, canonical_id, n_members, n_sources?,
+    sum_<col>...)``: canonical id is the cluster's smallest member id
+    (deterministic), sums are int64 per requested column.
+
+    One join on the doc id (cluster table is the smaller side — AQE
+    broadcasts it) and one groupBy on the cluster id; cluster sizes
+    are bounded by duplicate-group size, never corpus size.
+    """
+    joined = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        docs, id_col
+    )
+    aggs = [
+        F.min(F.col(id_col)).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ]
+    for c in sum_cols:
+        aggs.append(F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}"))
+    return joined.groupBy(cluster_col).agg(*aggs)

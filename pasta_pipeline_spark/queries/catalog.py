@@ -5735,3 +5735,34 @@ def q_pivot_status_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
     )
+
+
+@register(
+    "cluster_rollup",
+    f"""
+    SELECT c.cluster_id,
+           CAST(MIN(c.doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS sum_n_chars
+    FROM ( {_CLUSTERS_ORACLE} ) c
+    JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.cluster_id
+    """,
+    doc="Duplicate-cluster attribute rollup: per 3-gram-Jaccard cluster, "
+    "the canonical (smallest) member id, member count, and accumulated "
+    "byte mass — the post-dedup merge that lets the surviving record "
+    "carry the GROUP's metadata (the reference's accumulate-upsert idea "
+    "at cluster granularity). One doc-id join + one cluster groupBy. "
+    "operators/text_dedup.py cluster_rollup.",
+)
+def q_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import (
+        cluster_rollup,
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    return cluster_rollup(clusters, docs.select("doc_id", "n_chars"), ["n_chars"])

@@ -677,3 +677,24 @@ def test_heavy_hitter_null_items_excluded(spark):
     merged = merge_heavy_hitters(state, state, "k", m=2)
     mgot = {r["item"]: r["n"] for r in merged.collect()}
     assert mgot == {"a": 10, "b": 6, None: 2}
+
+
+def test_cluster_rollup_accumulates_member_attributes(spark):
+    from pasta_pipeline_spark.operators.text_dedup import cluster_rollup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (5, 1), (9, 1), (2, 2), (7, 7)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (5, 50), (9, 25), (2, 10), (7, 3)],
+        "doc_id long, n_chars int",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in cluster_rollup(clusters, docs, ["n_chars"]).collect()
+    }
+    assert got[1]["canonical_id"] == 1
+    assert got[1]["n_members"] == 3
+    assert got[1]["sum_n_chars"] == 175
+    assert got[7]["n_members"] == 1 and got[7]["sum_n_chars"] == 3
