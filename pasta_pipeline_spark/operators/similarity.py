@@ -226,12 +226,19 @@ def cosine_dup_pairs(
     Every emitted pair truly clears the threshold (exact cosine on
     candidates); banding only affects which pairs are considered.
     """
-    from pasta_pipeline_spark.operators.util import ensure_parallelism
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        ensure_parallelism,
+    )
 
     src = ensure_parallelism(embeddings.select(F.col(id_col), F.col(vec_col)))
     if use_lsh:
         if dim is None:
             raise ValueError("use_lsh=True requires dim")
+        # the banded gate + two vector joinbacks read src three times —
+        # persist the one-column-pair scan; the caller releases via
+        # util.release_cached_deps (bench/oracle runners do)
+        src = src.persist()
         banded = with_lsh_bands(src, vec_col, dim, num_planes, num_bands)
         cand = (
             banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -255,10 +262,8 @@ def cosine_dup_pairs(
         b = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("va"), F.col("vb")).alias("sim")
-    return (
-        pairs.select("id_a", "id_b", sim)
-        .filter(F.col("sim") >= threshold)
-    )
+    out = pairs.select("id_a", "id_b", sim).filter(F.col("sim") >= threshold)
+    return attach_cached_deps(out, [src]) if use_lsh else out
 
 
 def label_centroids(
@@ -501,7 +506,9 @@ def semantic_dedup(
         num_bands=num_bands,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return (
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    out = (
         embeddings.select(id_col)
         .join(dropped.withColumn("__drop", F.lit(1)), id_col, "left")
         .select(
@@ -509,6 +516,9 @@ def semantic_dedup(
             F.when(F.col("__drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
     )
+    # forward the pair stage's persisted scan to the final frame so
+    # the runner's release walks it
+    return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))
 
 
 def embedding_outliers(
@@ -591,8 +601,14 @@ def cross_corpus_cosine_pairs(
     at a bigger corpus raise num_bands — recall grows with bands
     instead of collapsing as planes are added.
     """
-    tsrc = train.select(F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv"))
-    esrc = eval_df.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev"))
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    tsrc = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv")
+    ).persist()
+    esrc = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    ).persist()
     tb = with_lsh_bands(tsrc, "tv", dim, num_planes, num_bands)
     eb = with_lsh_bands(esrc, "ev", dim, num_planes, num_bands)
     cand = (
@@ -602,10 +618,11 @@ def cross_corpus_cosine_pairs(
         .distinct()
     )
     sim = cosine(F.col("tv"), F.col("ev"))
-    return (
+    out = (
         cand.join(tsrc, "train_id")
         .join(esrc, "eval_id")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("train_id", "eval_id", "sim")
     )
+    return attach_cached_deps(out, [tsrc, esrc])

@@ -88,7 +88,12 @@ def _partition_truncated_counts(
     count, so the downstream shuffle is bounded by (cap+1) * P * keys
     — the SpaceSaving role, with exact local counts because a
     partition's distinct set is the same working set Spark's own
-    map-side hash aggregation holds."""
+    map-side hash aggregation holds.
+
+    Caveat: KEY columns must be non-null on this path (pandas NA
+    grouping coerces numeric NULL keys to NaN); the default
+    partition_cap=None path groups NULL keys with standard SQL
+    semantics."""
     import pandas as pd
 
     from pyspark.sql import types as T
