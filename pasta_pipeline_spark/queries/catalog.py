@@ -5761,8 +5761,11 @@ def q_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_clusters,
         jaccard_pairs,
     )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
 
     docs = _t(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    # the fixpoint loop materialized the pair plan — release its cache
+    release_cached_deps(pairs)
     return cluster_rollup(clusters, docs.select("doc_id", "n_chars"), ["n_chars"])
