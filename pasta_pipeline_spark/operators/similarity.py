@@ -626,3 +626,69 @@ def cross_corpus_cosine_pairs(
         .select("train_id", "eval_id", "sim")
     )
     return attach_cached_deps(out, [tsrc, esrc])
+
+
+def _quantize_arr(vec: Column) -> tuple[Column, Column]:
+    """(q array<long>, scale_fp long) symmetric int8 quantization of a
+    vector column as array expressions — same recipe as
+    :func:`quantize_embeddings_int8` (scale = 127/max|v|, round half
+    away from zero), kept in array form for integer dot products."""
+    vd = F.transform(vec, lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(vd, F.abs))
+    scale = F.when(mx > 0, F.lit(127.0) / mx)
+    q = F.transform(
+        vd, lambda v: F.round(v * F.coalesce(scale, F.lit(0.0))).cast("long")
+    )
+    return q, F.floor(scale * 10000).cast("long")
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Top-k by INT8-quantized dot product — the memory-bandwidth tier
+    of similarity search: both sides quantize symmetrically (4× less
+    data moved than float32; real ANN systems scan int8), the dot
+    product is an exact int64 fold over int8 values, and ranking
+    divides out the corpus vector's scale in integer arithmetic:
+
+        score_fp = qdot * 10000 div scale_fp_b
+
+    (the query's scale is a constant factor across all candidates, so
+    it cannot change the order). Everything after quantization is
+    int64 — no float in the ranking key — which makes this the one
+    approximate-similarity tier whose ENTIRE path is hash-exact, not
+    just deterministic: the oracle replays quantization, integer dot,
+    and integer rescale bit for bit.
+
+    |qdot| <= 127*127*dim (~1e6 at dim 64); * 10000 stays far inside
+    int64. One corpus scan, broadcast query, TakeOrderedAndProject —
+    the same plan shape as cosine_topk.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    qe, _qs = _quantize_arr(F.col(query_vec_col))
+    qb = query.select(qe.alias("qq"))
+    ce, cs = _quantize_arr(F.col(vec_col))
+    corpus = ensure_parallelism(
+        embeddings.select(F.col(id_col), ce.alias("cq"), cs.alias("scale_fp"))
+    )
+    j = corpus.crossJoin(F.broadcast(qb))
+    qdot = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    score = F.expr("qdot * 10000 div scale_fp")
+    return (
+        j.select(F.col(id_col), qdot.alias("qdot"), F.col("scale_fp"))
+        .filter(F.col("scale_fp").isNotNull() & (F.col("scale_fp") > 0))
+        .withColumn("score_fp", score)
+        .orderBy(F.desc("score_fp"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "qdot", "scale_fp", "score_fp")
+    )

@@ -5769,3 +5769,54 @@ def q_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixpoint loop materialized the pair plan — release its cache
     release_cached_deps(pairs)
     return cluster_rollup(clusters, docs.select("doc_id", "n_chars"), ["n_chars"])
+
+
+@register(
+    "quantized_topk",
+    """
+    WITH qsrc AS (
+      SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+    ), qm AS (
+      SELECT qv, list_max(list_transform(qv, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM qsrc
+    ), qq AS (
+      SELECT list_transform(qv, x ->
+               CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) AS qq
+      FROM qm
+    ), cm AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    ), cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) AS cq,
+             CAST(FLOOR((127.0 / mx) * 10000) AS BIGINT) AS scale_fp
+      FROM cm WHERE mx > 0
+    ), dots AS (
+      SELECT c.vec_id, c.scale_fp,
+             CAST(list_sum(list_transform(generate_series(1, len(c.cq)),
+                    i -> c.cq[i] * qq.qq[i])) AS BIGINT) AS qdot
+      FROM cq c, qq
+    )
+    SELECT vec_id, qdot, scale_fp,
+           CAST(qdot * 10000 // scale_fp AS BIGINT) AS score_fp
+    FROM dots
+    WHERE scale_fp IS NOT NULL AND scale_fp > 0
+    ORDER BY score_fp DESC, vec_id
+    LIMIT 10
+    """,
+    doc="INT8-quantized top-k (similarity.quantized_topk) — the memory-"
+    "bandwidth similarity tier: symmetric int8 quantization both sides, "
+    "exact int64 dot product, integer rescale by the corpus vector's "
+    "scale (qdot*10000 div scale_fp; both engines truncate toward zero). "
+    "The one approximate tier whose ENTIRE ranking path is hash-exact "
+    "integers — quantization, dot, rescale replayed bit-for-bit in the "
+    "oracle. Same one-scan broadcast plan as cosine_topk.",
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return quantized_topk(emb, query, k=10)

@@ -698,3 +698,33 @@ def test_cluster_rollup_accumulates_member_attributes(spark):
     assert got[1]["n_members"] == 3
     assert got[1]["sum_n_chars"] == 175
     assert got[7]["n_members"] == 1 and got[7]["sum_n_chars"] == 3
+
+
+def test_quantized_topk_tracks_exact_ranking(spark):
+    """Int8 top-k approximates the exact cosine order: on
+    well-separated vectors the top result matches, scores are exact
+    integers, and zero vectors are excluded."""
+    from pasta_pipeline_spark.operators.similarity import cosine_topk, quantized_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),  # zero vector: no scale, excluded
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([( [1.0, 0.0, 0.0, 0.0],)], "qv array<double>")
+    got = quantized_topk(emb, q, k=3).collect()
+    ids = [r["vec_id"] for r in got]
+    # exact baseline over the non-zero vectors (cosine is undefined on
+    # the zero vector; quantized_topk excludes it by its NULL scale)
+    exact = [
+        r["vec_id"]
+        for r in cosine_topk(emb.filter("vec_id != 5"), q, k=3).collect()
+    ]
+    assert ids[0] == exact[0] == 1
+    assert 5 not in ids
+    # negative similarity ranks last among candidates
+    all_rows = {r["vec_id"]: r["score_fp"] for r in quantized_topk(emb, q, k=4).collect()}
+    assert all_rows[4] < 0 < all_rows[1]
