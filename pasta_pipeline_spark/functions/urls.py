@@ -96,3 +96,53 @@ def filter_blocked_domains(df, url_col: str, blocked: list[str], keep_blocked: b
     dom = registrable_domain(url_host(F.col(url_col)))
     cond = dom.isin(*blocked)
     return df.filter(cond if keep_blocked else ~F.coalesce(cond, F.lit(False)))
+
+
+#: Query parameters that never affect content — the tracking noise a
+#: crawler must strip before URL-level dedup.
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for URL-level dedup (the tier BEFORE any
+    text dedup in a web-corpus pipeline — same document, different
+    crawl variants):
+
+    - scheme and host lowercased; default port stripped (http:80 /
+      https:443);
+    - fragment dropped; trailing slashes on the path dropped;
+    - tracking query parameters removed (``TRACKING_PARAM_RE``);
+      remaining parameters SORTED so permutations collapse.
+
+    Pure expressions (regexp_extract + array ops) — one projection, no
+    UDF; every rule has a byte-identical DuckDB twin (regexp_extract /
+    list_filter / list_sort), so URL dedup is full-hash
+    oracle-checkable. URLs without a scheme://host shape yield NULL
+    (route to quarantine, the P10 policy)."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hp = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hp, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hp, ":80$", ""))
+        .otherwise(hp)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        "/+$",
+        "",
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), canon)

@@ -5820,3 +5820,83 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
     return quantized_topk(emb, query, k=10)
+
+
+_URL_VARIANTS_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://Example.COM/path' || (doc_id // 4) || '/?utm_source=x&b=2&a=1#frag'
+               WHEN 1 THEN 'https://example.com/path' || (doc_id // 4) || '?a=1&b=2'
+               WHEN 2 THEN 'https://example.com:443/path' || (doc_id // 4) || '/#section'
+               ELSE 'http://other.net:80/p' || doc_id
+             END AS url
+      FROM documents
+"""
+
+
+@register(
+    "url_dedup",
+    f"""
+    WITH src AS ({_URL_VARIANTS_SQL}),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+                   AND regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) <> ''
+             THEN
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+               (CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                  WHEN 'https' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+                  WHEN 'http' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+                  ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                END) ||
+               regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') ||
+               (CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)='))), '&') <> ''
+                 THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)='))), '&')
+                 ELSE '' END)
+             END AS canonical_url
+      FROM src
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY canonical_url
+    """,
+    doc="URL-level dedup (the tier BEFORE text dedup in a web-corpus "
+    "pipeline): crawl variants of the same page — tracking params, "
+    "fragments, case-variant hosts, default ports, trailing slashes, "
+    "permuted query params — collapse to one canonical URL "
+    "(functions/urls.py canonicalize_url, pure expressions), then "
+    "keep-first by id. Variant URLs are synthesized deterministically "
+    "from doc ids so the oracle replays canonicalization bit-for-bit.",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://Example.COM/path"), (F.col("doc_id") / 4).cast("long"),
+                     F.lit("/?utm_source=x&b=2&a=1#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://example.com/path"), (F.col("doc_id") / 4).cast("long"),
+                     F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://example.com:443/path"), (F.col("doc_id") / 4).cast("long"),
+                     F.lit("/#section")),
+        )
+        .otherwise(F.concat(F.lit("http://other.net:80/p"), F.col("doc_id")))
+    )
+    canon = docs.select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )

@@ -241,3 +241,23 @@ def test_register_views_sql_surface(spark):
     # events.ts arrives as a proper TIMESTAMP through the view
     t = spark.sql("SELECT unix_micros(ts) AS us FROM events LIMIT 1").collect()
     assert t and t[0]["us"] > 0
+
+
+def test_canonicalize_url_rules(spark):
+    from pasta_pipeline_spark.functions.urls import canonicalize_url
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+         "https://example.com/a/b?a=2&z=1"),
+        ("http://Host.net:80/p", "http://host.net/p"),
+        ("http://host.net:8080/p", "http://host.net:8080/p"),  # non-default port kept
+        ("https://h.io/path///", "https://h.io/path"),
+        ("https://h.io/?fbclid=abc", "https://h.io"),
+        ("https://h.io/x?b=2&a=1", "https://h.io/x?a=1&b=2"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
