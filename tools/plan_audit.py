@@ -52,6 +52,7 @@ SCALAR_CROSSJOIN_OK = {
     "incremental_scan": "frozen run_ts watermark (1-row max(ts))",
     "retention_filter": "frozen run_ts watermark (1-row max(ts))",
     "cosine_topk": "broadcast 1-row query vector",
+    "quantized_topk": "broadcast 1-row quantized query vector",
     "knn_join": "broadcast Q-row query matrix (Q small by contract)",
     "ann_ivf_topk": "broadcast 1-row query vector",
     "funnel_steps": "1-row per-level counts",
