@@ -76,3 +76,32 @@ def scan_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *counts,
         redact_pii(text_col).alias("redacted"),
     )
+
+
+def pseudonymize(col: Column | str, salt: str, length: int = 16) -> Column:
+    """Join-preserving keyed pseudonym: ``sha2(salt || ':' || value,
+    256)`` truncated to ``length`` hex chars. Equal values map to
+    equal pseudonyms (joins, groupBys, and dedup still work across
+    pseudonymized tables sharing the salt) while the original
+    identifier is not recoverable without the salt — the governance
+    step between raw-ID and no-ID data. NULL stays NULL.
+
+    Pure expression (JVM sha2 == DuckDB sha256 bit-for-bit, verified),
+    so pseudonymized pipelines stay full-hash oracle-checkable. At
+    100 TB: one projection, no shuffle; rotate the salt per release to
+    break cross-release linkage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.sha2(F.concat(F.lit(salt), F.lit(":"), c.cast("string")), 256), 1, length
+    )
+
+
+def pseudonymize_columns(
+    df: DataFrame, cols: list[str], salt: str, length: int = 16
+) -> DataFrame:
+    """Replace each named column with its keyed pseudonym in place."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, pseudonymize(c, salt, length))
+    return out

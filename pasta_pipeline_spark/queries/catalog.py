@@ -5900,3 +5900,44 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_variants"),
         F.min("doc_id").cast("long").alias("keep_id"),
     )
+
+
+@register(
+    "pseudonymize_join",
+    """
+    WITH c AS (
+      SELECT substr(sha256('r4:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+             c_acctbal
+      FROM customer
+    ), o AS (
+      SELECT substr(sha256('r4:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS pid,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT c.pid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+    FROM c JOIN o ON c.pid = o.pid
+    GROUP BY c.pid
+    """,
+    doc="Keyed pseudonymization that PRESERVES joins: customer and order "
+    "ids are replaced by salted sha256 pseudonyms (operators/pii.py "
+    "pseudonymize — JVM sha2 == DuckDB sha256 bit-for-bit) and the "
+    "revenue join/aggregate still works on the pseudonymized keys — the "
+    "governance contract (no raw IDs downstream, same relational "
+    "algebra). One projection per side; join/agg unchanged.",
+)
+def q_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.pii import pseudonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        pseudonymize("c_custkey", "r4").alias("pid")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        pseudonymize("o_custkey", "r4").alias("pid"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return cust.join(orders, "pid").groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

@@ -130,3 +130,27 @@ def test_cross_jaccard_is_bipartite_only(spark):
     # no within-corpus pair (1,2) or (10,11) can appear by construction
     assert all(lid in (1, 2) and rid in (10, 11, 12) for lid, rid in rows)
     assert (1, 12) not in rows
+
+
+def test_pseudonymize_join_preserving_and_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.pii import pseudonymize, pseudonymize_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "c"), (None, "d")], "uid long, v string"
+    )
+    p = df.select(pseudonymize("uid", "s1").alias("pid"), "v")
+    rows = p.collect()
+    by_v = {r["v"]: r["pid"] for r in rows}
+    assert by_v["a"] == by_v["c"]          # equal ids -> equal pseudonyms
+    assert by_v["a"] != by_v["b"]
+    assert by_v["d"] is None               # NULL stays NULL
+    assert len(by_v["a"]) == 16
+    # different salt breaks linkage
+    p2 = {r["v"]: r["pid"] for r in df.select(pseudonymize("uid", "s2").alias("pid"), "v").collect()}
+    assert p2["a"] != by_v["a"]
+    # in-place column replacement keeps schema
+    out = pseudonymize_columns(df, ["uid"], "s1")
+    assert out.columns == ["uid", "v"]
+    assert out.filter(F.col("v") == "a").collect()[0]["uid"] == by_v["a"]
