@@ -5941,3 +5941,43 @@ def q_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT r_name, o_orderstatus,
+           CAST(GROUPING(r_name) * 2 + GROUPING(o_orderstatus) AS INT) AS gid,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderstatus))
+    """,
+    doc="Explicit GROUPING SETS (the general form ROLLUP/CUBE "
+    "specialize): per-region revenue AND per-status revenue in one "
+    "Expand + hash-aggregate pass — two independent breakdowns for one "
+    "fact scan, the 100 TB argument for grouping sets over two "
+    "queries. Spark 4 groupingSets DataFrame API; grouping-id "
+    "disambiguates which set a row belongs to.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        j.groupingSets([["r_name"], ["o_orderstatus"]], "r_name", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .select("r_name", "o_orderstatus", "gid", "revenue_cents")
+    )
