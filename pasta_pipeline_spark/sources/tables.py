@@ -107,16 +107,25 @@ class TableStore:
 
     # -- read ----------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """Live snapshot; empty (schema'd) DataFrame if never written.
+    def read(self, version: str | None = None) -> DataFrame:
+        """Snapshot read; empty (schema'd) DataFrame if never written.
         Manifest-committed versions resolve through the manifest (one
         read per physical version, partition columns decoded against
-        that version's base path); plain versions read their dir."""
-        v = self.current_version()
+        that version's base path); plain versions read their dir.
+
+        ``version``: time travel — read a retained snapshot instead of
+        the live one (the predecessor survives every commit, plus any
+        version a live manifest references; see :meth:`versions`).
+        Reading a GC'd version raises FileNotFoundError."""
+        v = version or self.current_version()
         if v is None:
             if self.schema is None:
                 raise FileNotFoundError(f"table {self.path} does not exist and no schema given")
             return self.spark.createDataFrame([], self.schema)
+        if version is not None and not os.path.isdir(os.path.join(self.path, version)):
+            raise FileNotFoundError(
+                f"version {version} of table {self.path} does not exist (GC'd?)"
+            )
         parts = self.snapshot_partitions(v)
         if not parts:
             return self.spark.read.parquet(os.path.join(self.path, v))
@@ -357,6 +366,18 @@ class TableStore:
         for entry in os.listdir(self.path):
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+
+    def versions(self) -> list[str]:
+        """Version dirs currently on disk (live, predecessor, and any
+        manifest-referenced physical homes), sorted; the set
+        :meth:`read` can time-travel to."""
+        try:
+            return sorted(
+                e for e in os.listdir(self.path)
+                if e.startswith("v-") and os.path.isdir(os.path.join(self.path, e))
+            )
+        except FileNotFoundError:
+            return []
 
     def compact(self, target_partitions: int, partition_by: str | None = None) -> None:
         """Small-file compaction: rewrite the live version into

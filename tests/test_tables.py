@@ -440,3 +440,20 @@ def test_streaming_sink_partitioned_requires_checkpoint(spark, tmp_table_dir):
             stream, store, key="id", partition_col="day", order_col=None,
             checkpoint_dir="",
         )
+
+
+def test_time_travel_read_predecessor(spark, tmp_table_dir):
+    """read(version=...) returns the retained predecessor snapshot;
+    GC'd versions raise."""
+    import pytest as _pytest
+
+    store = TableStore(spark, f"{tmp_table_dir}/tt")
+    store.overwrite(spark.range(5))
+    v1 = store.current_version()
+    store.overwrite(spark.range(9))
+    assert store.read().count() == 9
+    assert store.read(version=v1).count() == 5  # time travel
+    assert set(store.versions()) == {v1, store.current_version()}
+    store.overwrite(spark.range(3))  # v1 now GC'd
+    with _pytest.raises(FileNotFoundError, match=v1):
+        store.read(version=v1)
