@@ -5981,3 +5981,49 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "o_orderstatus", "gid", "revenue_cents")
     )
+
+
+@register(
+    "dedup_weights",
+    f"""
+    WITH sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+      FROM ( {_CLUSTERS_ORACLE} ) GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.csize,
+           CAST(10000 // s.csize AS BIGINT) AS weight_bp
+    FROM ( {_CLUSTERS_ORACLE} ) c JOIN sizes s USING (cluster_id)
+    """,
+    doc="Soft dedup: instead of DROPPING duplicates, every member of a "
+    "near-dup cluster gets sampling weight 1/cluster_size (integer "
+    "basis points) so the GROUP contributes one document's worth of "
+    "training mass while keeping variant coverage — the down-weighting "
+    "alternative the SemDedup/DataComp ablations compare against "
+    "hard removal. Cluster sizes from one groupBy over the connected "
+    "components; weight arithmetic is integer division (both engines "
+    "truncate).",
+)
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    release_cached_deps(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return (
+        clusters.select("doc_id", "cluster_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "csize",
+            F.expr("10000 div csize").cast("long").alias("weight_bp"),
+        )
+    )
