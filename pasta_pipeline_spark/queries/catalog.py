@@ -1080,31 +1080,6 @@ _MEDIA_REAL_ORACLE = """
 """
 
 
-@register(
-    "media_real_decode",
-    _MEDIA_REAL_ORACLE,
-    doc="REAL media decode, end-to-end hash-checked: synthesize_media "
-    "builds true RIFF/WAVE files (even ids) and binary PPM images (odd "
-    "ids) whose format parameters are integer functions of the id; "
-    "extract_media_features(decode='real') parses the actual bytes back "
-    "— WAV fmt/data chunk walk for sample rate/channels/duration, PPM "
-    "header scan for dimensions — and the oracle computes the expected "
-    "features from the ids alone. A decoder bug (wrong chunk offset, "
-    "wrong block-align handling, header misparse) breaks the hash. "
-    "operators/multimodal.py decode_wav / decode_ppm.",
-)
-def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pasta_pipeline_spark.operators.multimodal import (
-        extract_media_features,
-        synthesize_media,
-    )
-
-    docs = _tp(spark, sf_dir, "documents").select(F.col("doc_id"))
-    media = synthesize_media(docs, id_col="doc_id")
-    return extract_media_features(media, decode="real").select(
-        "media_id", "media_type", "n_bytes", "width", "height",
-        "duration_ms", "sample_rate",
-    )
 
 
 @register(
@@ -6026,4 +6001,31 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "csize",
             F.expr("10000 div csize").cast("long").alias("weight_bp"),
         )
+    )
+
+
+@register(
+    "media_real_decode",
+    _MEDIA_REAL_ORACLE,
+    doc="REAL media decode, end-to-end hash-checked: synthesize_media "
+    "builds true RIFF/WAVE files (even ids) and binary PPM images (odd "
+    "ids) whose format parameters are integer functions of the id; "
+    "extract_media_features(decode='real') parses the actual bytes back "
+    "— WAV fmt/data chunk walk for sample rate/channels/duration, PPM "
+    "header scan for dimensions — and the oracle computes the expected "
+    "features from the ids alone. A decoder bug (wrong chunk offset, "
+    "wrong block-align handling, header misparse) breaks the hash. "
+    "operators/multimodal.py decode_wav / decode_ppm.",
+)
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(F.col("doc_id"))
+    media = synthesize_media(docs, id_col="doc_id")
+    return extract_media_features(media, decode="real").select(
+        "media_id", "media_type", "n_bytes", "width", "height",
+        "duration_ms", "sample_rate",
     )
