@@ -5853,17 +5853,17 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = (
         F.when(
             F.col("doc_id") % 4 == 0,
-            F.concat(F.lit("https://Example.COM/path"), (F.col("doc_id") / 4).cast("long"),
+            F.concat(F.lit("https://Example.COM/path"), F.expr("doc_id div 4"),
                      F.lit("/?utm_source=x&b=2&a=1#frag")),
         )
         .when(
             F.col("doc_id") % 4 == 1,
-            F.concat(F.lit("https://example.com/path"), (F.col("doc_id") / 4).cast("long"),
+            F.concat(F.lit("https://example.com/path"), F.expr("doc_id div 4"),
                      F.lit("?a=1&b=2")),
         )
         .when(
             F.col("doc_id") % 4 == 2,
-            F.concat(F.lit("https://example.com:443/path"), (F.col("doc_id") / 4).cast("long"),
+            F.concat(F.lit("https://example.com:443/path"), F.expr("doc_id div 4"),
                      F.lit("/#section")),
         )
         .otherwise(F.concat(F.lit("http://other.net:80/p"), F.col("doc_id")))
