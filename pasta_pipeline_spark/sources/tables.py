@@ -84,9 +84,27 @@ class TableStore:
         except FileNotFoundError:
             return None
 
-    def _write_manifest(self, version: str, partitions: dict) -> None:
+    def _write_manifest(
+        self,
+        version: str,
+        partitions: dict,
+        partition_col: str | None = None,
+        partition_type: str | None = None,
+    ) -> None:
+        """Commit the snapshot manifest. ``partition_col`` /
+        ``partition_type`` (Spark ``simpleString`` form, e.g.
+        ``"string"``, ``"int"``) record the partition column's DECLARED
+        type at commit time so :meth:`read` never has to *infer* it
+        from directory names — inference is per-read-group and a group
+        whose only dir is ``__HIVE_DEFAULT_PARTITION__`` infers
+        ``NullType``, which made cross-group alignment nondeterministic
+        (anchor tie-break on random version names)."""
+        doc: dict = {"partitions": partitions}
+        if partition_col is not None and partition_type is not None:
+            doc["partition_col"] = partition_col
+            doc["partition_type"] = partition_type
         with open(self._manifest_file(version), "w", encoding="utf-8") as f:
-            json.dump({"partitions": partitions}, f, indent=1, sort_keys=True)
+            json.dump(doc, f, indent=1, sort_keys=True)
 
     def snapshot_partitions(self, version: str | None = None) -> dict | None:
         """The snapshot's resolved partition map
@@ -126,38 +144,76 @@ class TableStore:
             raise FileNotFoundError(
                 f"version {version} of table {self.path} does not exist (GC'd?)"
             )
-        parts = self.snapshot_partitions(v)
+        mdoc = self._read_manifest(v)
+        parts = None if mdoc is None else mdoc.get("partitions")
         if not parts:
             return self.spark.read.parquet(os.path.join(self.path, v))
+        pcol = mdoc.get("partition_col")
+        ptype = mdoc.get("partition_type")
+        if ptype == "void":  # degenerate all-NULL commit; align as string
+            ptype = "string"
         by_phys: dict[str, list[str]] = {}
         for pdir, entry in parts.items():
             by_phys.setdefault(entry["version"], []).append(pdir)
-        frames = []
-        for phys, dirs in sorted(by_phys.items()):
-            base = os.path.join(self.path, phys)
-            frames.append(
-                self.spark.read.option("basePath", base).parquet(
-                    *[os.path.join(base, d) for d in sorted(dirs)]
+        # With the partition type RECORDED in the manifest (every commit
+        # since the type was added), per-group partition-value inference
+        # is disabled entirely: values decode as strings and are cast
+        # once to the declared type — deterministic, no anchor, no
+        # inference divergence across groups (a group whose only dir is
+        # the NULL partition would otherwise infer NullType).
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_prev = self.spark.conf.get(infer_key, "true")
+        if pcol is not None:
+            self.spark.conf.set(infer_key, "false")
+        try:
+            frames = []
+            for phys, dirs in sorted(by_phys.items()):
+                base = os.path.join(self.path, phys)
+                frames.append(
+                    self.spark.read.option("basePath", base).parquet(
+                        *[os.path.join(base, d) for d in sorted(dirs)]
+                    )
                 )
-            )
-        # Partition-column types are INFERRED per read group; a group
-        # holding only the NULL partition dir (or only one value shape)
-        # can infer differently from its siblings, which would break
-        # the union. Normalize every group to the widest-coverage
-        # group's schema (most partition dirs → most evidence).
-        groups = sorted(by_phys.items())
-        anchor_idx = max(range(len(frames)), key=lambda i: len(groups[i][1]))
-        target = frames[anchor_idx].schema
+        finally:
+            if pcol is not None:
+                self.spark.conf.set(infer_key, infer_prev)
+        if pcol is not None:
+            anchor = next((fr for fr in frames if pcol in fr.columns), frames[0])
+            target_fields = [
+                (f.name, ptype if f.name == pcol else f.dataType)
+                for f in anchor.schema.fields
+            ]
+            if pcol not in anchor.columns:
+                target_fields.append((pcol, ptype))
+        else:
+            # Legacy manifest (pre-type-recording): align to an anchor
+            # group chosen by TYPE EVIDENCE — any group containing a
+            # NullType field (the NULL-only-partition inference) is
+            # excluded from anchoring when a concrete-typed group
+            # exists; ties broken by partition-dir coverage. This keeps
+            # old manifests readable without the nondeterministic
+            # uuid-order tie-break.
+            from pyspark.sql.types import NullType
+
+            groups = sorted(by_phys.items())
+            candidates = [
+                i for i in range(len(frames))
+                if not any(isinstance(f.dataType, NullType) for f in frames[i].schema.fields)
+            ] or list(range(len(frames)))
+            anchor_idx = max(candidates, key=lambda i: len(groups[i][1]))
+            target_fields = [
+                (f.name, f.dataType) for f in frames[anchor_idx].schema.fields
+            ]
         out = None
         for fr in frames:
             # a group whose only dir is __HIVE_DEFAULT_PARTITION__
             # yields NO partition column at all — synthesize it as NULL
             aligned = fr.select(
                 *[
-                    (F.col(f.name) if f.name in fr.columns else F.lit(None))
-                    .cast(f.dataType)
-                    .alias(f.name)
-                    for f in target.fields
+                    (F.col(name) if name in fr.columns else F.lit(None))
+                    .cast(dtype)
+                    .alias(name)
+                    for name, dtype in target_fields
                 ]
             )
             out = aligned if out is None else out.unionByName(aligned)
@@ -349,7 +405,12 @@ class TableStore:
                 manifest[part] = prev  # pointer, not a byte moved
             else:
                 raise ValueError(f"carry_mode must be 'link' or 'manifest', got {carry_mode!r}")
-        self._write_manifest(version, manifest)
+        self._write_manifest(
+            version,
+            manifest,
+            partition_col=partition_col,
+            partition_type=merged.schema[partition_col].dataType.simpleString(),
+        )
 
         tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w", encoding="utf-8") as f:

@@ -457,3 +457,121 @@ def test_time_travel_read_predecessor(spark, tmp_table_dir):
     store.overwrite(spark.range(3))  # v1 now GC'd
     with _pytest.raises(FileNotFoundError, match=v1):
         store.read(version=v1)
+
+
+def _seeded_store(spark, monkeypatch, path, hexes):
+    """TableStore whose version names come from a fixed hex sequence —
+    pins the round-4 flake: with random v-<uuid> names, the physical
+    version holding ONLY the NULL partition dir could sort
+    lexicographically first and win the (now removed) schema-anchor
+    tie-break, inferring the partition column as NullType and crashing
+    every sibling group's cast."""
+    import uuid as _uuid
+
+    from pasta_pipeline_spark.sources import tables as _tables
+
+    seq = iter(hexes)
+
+    class _FakeUUID:
+        def __init__(self, h):
+            self.hex = h
+
+    monkeypatch.setattr(
+        _tables.uuid, "uuid4", lambda: _FakeUUID(next(seq)), raising=True
+    )
+    return TableStore(spark, path)
+
+
+def test_manifest_null_only_group_sorts_first(spark, monkeypatch, tmp_table_dir):
+    """Regression for the round-4 flake: force the NULL-only physical
+    version to sort lexicographically FIRST among read groups. The
+    manifest now records the partition column's type at commit, so the
+    read is deterministic regardless of version-name order."""
+    store = _seeded_store(
+        spark,
+        monkeypatch,
+        f"{tmp_table_dir}/mnull_first",
+        # overwrite: version, ptr-tmp; merge1: version, ptr-tmp;
+        # merge2 (NULL-only): version sorts FIRST, ptr-tmp
+        ["fff00000000a", "aaaaaa", "fff00000000b", "bbbbbb",
+         "000000000001", "cccccc"],
+    )
+    base = spark.createDataFrame(
+        [(1, "a b", "keep-ab", 1), (2, "x:y", "old-xy", 1), (3, None, "keep-null", 1)],
+        "id long, cat string, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["cat"])
+    u1 = spark.createDataFrame(
+        [(2, "x:y", "NEW-xy", 9)], "id long, cat string, payload string, seq long"
+    )
+    store.merge_partitioned(
+        u1, key="id", partition_col="cat", order_col="seq", carry_mode="manifest"
+    )
+    u2 = spark.createDataFrame(
+        [(4, None, "ADD-null", 9)], "id long, cat string, payload string, seq long"
+    )
+    store.merge_partitioned(
+        u2, key="id", partition_col="cat", order_col="seq", carry_mode="manifest"
+    )
+    assert store.current_version() == "v-000000000001"
+    # three physical read groups; the NULL-only one sorts first
+    rows = {r["id"]: (r["cat"], r["payload"]) for r in store.read().collect()}
+    assert rows == {
+        1: ("a b", "keep-ab"),
+        2: ("x:y", "NEW-xy"),
+        3: (None, "keep-null"),
+        4: (None, "ADD-null"),
+    }
+    # the commit recorded the declared partition type
+    m = store._read_manifest(store.current_version())
+    assert m["partition_col"] == "cat"
+    assert m["partition_type"] == "string"
+    # the cast path preserved the declared type end-to-end
+    assert dict(store.read().dtypes)["cat"] == "string"
+
+
+def test_manifest_legacy_typeless_read_anchor(spark, monkeypatch, tmp_table_dir):
+    """Pre-type-recording manifests (no partition_col/partition_type
+    keys) still read deterministically: the fallback anchor is chosen
+    by TYPE EVIDENCE — NullType-bearing groups never anchor — even when
+    the NULL-only group sorts first."""
+    import json as _json
+
+    store = _seeded_store(
+        spark,
+        monkeypatch,
+        f"{tmp_table_dir}/mnull_legacy",
+        ["fff00000000a", "aaaaaa", "fff00000000b", "bbbbbb",
+         "000000000001", "cccccc"],
+    )
+    base = spark.createDataFrame(
+        [(1, "a b", "keep-ab", 1), (3, None, "keep-null", 1)],
+        "id long, cat string, payload string, seq long",
+    )
+    store.overwrite(base, partition_by=["cat"])
+    u1 = spark.createDataFrame(
+        [(1, "a b", "NEW-ab", 9)], "id long, cat string, payload string, seq long"
+    )
+    store.merge_partitioned(
+        u1, key="id", partition_col="cat", order_col="seq", carry_mode="manifest"
+    )
+    u2 = spark.createDataFrame(
+        [(4, None, "ADD-null", 9)], "id long, cat string, payload string, seq long"
+    )
+    store.merge_partitioned(
+        u2, key="id", partition_col="cat", order_col="seq", carry_mode="manifest"
+    )
+    # strip the recorded type → simulate a legacy manifest
+    mf = store._manifest_file(store.current_version())
+    with open(mf, encoding="utf-8") as f:
+        doc = _json.load(f)
+    doc.pop("partition_col"), doc.pop("partition_type")
+    with open(mf, "w", encoding="utf-8") as f:
+        _json.dump(doc, f)
+    rows = {r["id"]: (r["cat"], r["payload"]) for r in store.read().collect()}
+    assert rows == {
+        1: ("a b", "NEW-ab"),
+        3: (None, "keep-null"),
+        4: (None, "ADD-null"),
+    }
+    assert dict(store.read().dtypes)["cat"] == "string"
