@@ -140,7 +140,7 @@ def partial_heavy_hitters(
     keys: list[str] | str,
     item_col: str,
     m: int = 64,
-    partition_cap: int | None = None,
+    partition_cap: int | None | str = "auto",
 ) -> DataFrame:
     """Mergeable truncated-counter heavy-hitter state (SpaceSaving's
     role): per key, the ``m`` most frequent items with exact counts,
@@ -160,23 +160,49 @@ def partial_heavy_hitters(
     the dropped-mass sentinel, so a genuine NULL item would otherwise
     be indistinguishable from the bound and corrupt merges.
 
-    ``partition_cap``: when set, an Arrow-batched per-partition
-    truncation stage (SpaceSaving's role) runs BEFORE the exact
-    groupBy, so the shuffle carries at most ``(partition_cap + 1)``
-    rows per (input partition, key) instead of the full distinct
-    (key, item) set. Per-partition dropped mass folds into the same
-    travelling bound, so `count + dropped` still upper-bounds truth;
-    kept counts may additionally underestimate by mass truncated in
-    other partitions — which that bound already covers. Use
-    ``partition_cap >= 4 * m`` to keep the extra error small.
+    ``partition_cap``: the bounded-shuffle knob. The DEFAULT
+    (``"auto"`` = ``4 * m``) runs an Arrow-batched per-partition
+    truncation stage (SpaceSaving's role) BEFORE the exact groupBy, so
+    the shuffle carries at most ``(partition_cap + 1)`` rows per
+    (input partition, key) instead of the full distinct (key, item)
+    set — at 100 TB that difference is the whole game, so the bounded
+    path is the default and exact-shuffle is the opt-in. Per-partition
+    dropped mass folds into the same travelling bound, so
+    `count + dropped` still upper-bounds truth; kept counts may
+    additionally underestimate by mass truncated in other partitions —
+    which that bound already covers. ``partition_cap >= 4 * m`` keeps
+    the extra error small (hence the auto value). Pass an explicit
+    ``partition_cap=None`` for the EXACT mode: full distinct-set
+    shuffle, results identical to a plain groupBy count + truncate —
+    the mode to use when the state feeds a hash-compared oracle. Rows
+    whose KEY columns contain NULL bypass the Arrow pre-truncation
+    (pandas NA grouping would corrupt them) and are counted exactly,
+    then merged into the same state.
     """
     from pyspark.sql import Window
 
     ks = [keys] if isinstance(keys, str) else list(keys)
     src = df.filter(F.col(item_col).isNotNull())
+    if partition_cap == "auto":
+        partition_cap = 4 * m
     if partition_cap is not None:
-        pre = _partition_truncated_counts(src, ks, item_col, partition_cap)
-        counts = pre.groupBy(*ks, "item").agg(F.sum("n").cast("long").alias("n"))
+        null_key = None
+        for k in ks:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        clean = src.filter(~null_key)
+        # NULL-key rows skip the pandas stage: counted exactly (1 row
+        # per occurrence pre-shuffle — fine, NULL-key mass is edge-case
+        # scale) and folded into the same downstream groupBy.
+        nullkey_rows = src.filter(null_key).select(
+            *ks, F.col(item_col).alias("item"), F.lit(1).cast("long").alias("n")
+        )
+        pre = _partition_truncated_counts(clean, ks, item_col, partition_cap)
+        counts = (
+            pre.unionByName(nullkey_rows)
+            .groupBy(*ks, "item")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
         items = counts.filter(F.col("item").isNotNull())
         pre_dropped = counts.filter(F.col("item").isNull())
         w = Window.partitionBy(*ks).orderBy(F.desc("n"), F.asc("item"))

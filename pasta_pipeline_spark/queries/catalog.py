@@ -5514,13 +5514,18 @@ def q_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "makes the state mergeable across batches/tables (merge contract "
     "pytest-verified; this query hash-checks the state production: "
     "deterministic (count DESC, item ASC) truncation, NULL items "
-    "excluded so the sentinel is unambiguous).",
+    "excluded so the sentinel is unambiguous). Pins the EXACT mode "
+    "(partition_cap=None) so the state is hash-comparable; the "
+    "bounded default path has its own oracle (heavy_hitter_bounded) "
+    "and bound pytest.",
 )
 def q_heavy_hitter_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.sketches import partial_heavy_hitters
 
     li = _t(spark, sf_dir, "lineitem")
-    return partial_heavy_hitters(li, "l_returnflag", "l_suppkey", m=16)
+    return partial_heavy_hitters(
+        li, "l_returnflag", "l_suppkey", m=16, partition_cap=None
+    )
 
 
 @register(
@@ -6028,4 +6033,41 @@ def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media, decode="real").select(
         "media_id", "media_type", "n_bytes", "width", "height",
         "duration_ms", "sample_rate",
+    )
+
+
+@register(
+    "heavy_hitter_bounded",
+    """
+    WITH counts AS (
+      SELECT l_linestatus, l_suppkey AS item, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_linestatus, item, n,
+             row_number() OVER (PARTITION BY l_linestatus
+                                ORDER BY n DESC, item ASC) AS rk
+      FROM counts
+    )
+    SELECT l_linestatus, item, n FROM ranked WHERE rk <= 8
+    UNION ALL
+    SELECT l_linestatus, CAST(NULL AS BIGINT) AS item,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM ranked WHERE rk > 8 GROUP BY l_linestatus
+    """,
+    doc="Heavy hitters through the BOUNDED-shuffle path (the "
+    "sketches.partial_heavy_hitters default): the Arrow-batched "
+    "per-partition truncation stage runs with a cap high enough that "
+    "no truncation occurs at test scale, so the result is provably "
+    "identical to the exact groupBy — which hash-checks the pandas "
+    "counting stage itself (local count merge, per-key emission, "
+    "dropped-mass sentinel plumbing) against plain SQL. The "
+    "truncation *bound* under small caps is pytest-verified "
+    "(test_heavy_hitter_partition_cap_bounds_shuffle).",
+)
+def q_heavy_hitter_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sketches import partial_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return partial_heavy_hitters(
+        li, "l_linestatus", "l_suppkey", m=8, partition_cap=1_000_000
     )

@@ -184,7 +184,7 @@ def incremental_heavy_hitter_sink(
     item_col: str,
     checkpoint_dir: str,
     m: int = 64,
-    partition_cap: int | None = None,
+    partition_cap: int | None | str = "auto",
     trigger_once: bool = True,
 ):
     """Incrementally maintained heavy hitters: each micro-batch's
@@ -200,7 +200,8 @@ def incremental_heavy_hitter_sink(
     that stays in every batch's top-``m`` is exact. Same replay caveat
     as the other accumulate sinks: feed from the deduplicated stream.
     ``partition_cap`` forwards to the per-partition bounded pre-
-    aggregation for wide batches."""
+    aggregation for wide batches (default ``"auto"`` = ``4 * m``,
+    the bounded-shuffle path; ``None`` = exact)."""
     from pasta_pipeline_spark.operators.sketches import (
         merge_heavy_hitters,
         partial_heavy_hitters,

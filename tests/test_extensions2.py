@@ -728,3 +728,26 @@ def test_quantized_topk_tracks_exact_ranking(spark):
     # negative similarity ranks last among candidates
     all_rows = {r["vec_id"]: r["score_fp"] for r in quantized_topk(emb, q, k=4).collect()}
     assert all_rows[4] < 0 < all_rows[1]
+
+
+def test_heavy_hitter_default_is_bounded_and_null_key_safe(spark):
+    """The DEFAULT partition_cap ("auto" = 4*m) routes through the
+    bounded Arrow pre-truncation; rows with NULL key columns bypass
+    the pandas stage and are still counted exactly — the default is
+    safe for NULL-keyed groups. partition_cap=None remains the exact
+    opt-in and agrees on this data (cap ≥ distinct items → lossless)."""
+    from pasta_pipeline_spark.operators.sketches import partial_heavy_hitters
+
+    rows = (
+        [("g", "a")] * 5 + [("g", "b")] * 3 + [("g", "c")]
+        + [(None, "x")] * 4 + [(None, "y")] * 2
+    )
+    df = spark.createDataFrame(rows, "k string, item string")
+    m = 2  # auto cap = 8 >= 3 distinct items per key → lossless
+    for cap in ("auto", None):
+        state = partial_heavy_hitters(df, "k", "item", m=m, partition_cap=cap)
+        got = {(r["k"], r["item"]): r["n"] for r in state.collect()}
+        assert got == {
+            ("g", "a"): 5, ("g", "b"): 3, ("g", None): 1,
+            (None, "x"): 4, (None, "y"): 2,
+        }, cap
