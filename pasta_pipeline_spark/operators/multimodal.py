@@ -138,10 +138,75 @@ def decode_ppm(raw: bytes) -> dict | None:
     }
 
 
+def decode_png(raw: bytes) -> dict | None:
+    """Pure-Python PNG IHDR decode: the 8-byte signature, then the
+    first chunk MUST be IHDR (PNG spec) — 4-byte big-endian length
+    (13), ``IHDR`` type, then width and height as 4-byte big-endian
+    ints, bit depth and color type one byte each. True dimensions from
+    a compressed container with no codec library (only the pixel DATA
+    needs zlib; the header doesn't). Returns None if not a PNG or the
+    IHDR is malformed."""
+    if len(raw) < 33 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    (length,) = struct.unpack_from(">I", raw, 8)
+    if length != 13 or raw[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", raw, 16)
+    if width == 0 or height == 0:
+        return None
+    return {
+        "n_bytes": len(raw),
+        "content_md5": hashlib.md5(raw).hexdigest(),
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "sample_rate": None,
+    }
+
+
+def decode_flac(raw: bytes) -> dict | None:
+    """Pure-Python FLAC STREAMINFO decode: after the ``fLaC`` marker,
+    walk the metadata-block list (1-byte header: last-flag bit + 7-bit
+    type; 3-byte big-endian length) to the STREAMINFO block (type 0),
+    whose packed 64-bit field carries sample rate (20 bits),
+    channels-1 (3), bits-per-sample-1 (5) and total samples (36).
+    ``duration_ms = total_samples * 1000 div sample_rate`` — all
+    integer, engine-exact. Returns None if not a FLAC or no
+    STREAMINFO."""
+    if len(raw) < 8 or raw[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(raw):
+        header = raw[pos]
+        btype, last = header & 0x7F, header & 0x80
+        blen = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        body = pos + 4
+        if btype == 0 and blen >= 34 and body + 18 <= len(raw):
+            (packed,) = struct.unpack_from(">Q", raw, body + 10)
+            rate = packed >> 44
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return {
+                "n_bytes": len(raw),
+                "content_md5": hashlib.md5(raw).hexdigest(),
+                "width": None,
+                "height": None,
+                "duration_ms": total * 1000 // rate,
+                "sample_rate": rate,
+            }
+        if last:
+            break
+        pos = body + blen
+    return None
+
+
 def _decode_batch(pdf: pd.DataFrame, real: bool) -> pd.DataFrame:
     """One Arrow batch of (media_id, media_type, payload) → features.
-    ``real=True`` dispatches on magic bytes (WAV, PPM) and falls back
-    to the stub features for formats that need an external codec."""
+    ``real=True`` dispatches on magic bytes (WAV, PPM, PNG, FLAC) and
+    falls back to the stub features for formats that need an external
+    codec (JPEG, MP4: full-frame decode requires the codec library;
+    the dispatch point is where they'd slot in)."""
     out: dict = {c: [] for c in _FEATURE_COLS}
     for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
         out["media_id"].append(mid)
@@ -155,7 +220,10 @@ def _decode_batch(pdf: pd.DataFrame, real: bool) -> pd.DataFrame:
             raw = bytes(payload)
             feats = None
             if real:
-                feats = decode_wav(raw) or decode_ppm(raw)
+                feats = (
+                    decode_wav(raw) or decode_ppm(raw)
+                    or decode_png(raw) or decode_flac(raw)
+                )
             if feats is None:
                 feats = _stub_features(raw)
         for k, v in feats.items():
@@ -196,19 +264,68 @@ def extract_media_features(
     return src.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
 
 
+def _synth_png(mid: int) -> bytes:
+    """Structurally valid PNG prefix with true chunk CRCs: signature,
+    IHDR (width ``32 + id % 256``, height ``32 + (id div 5) % 128``,
+    8-bit truecolor), one IDAT of ``50 + id % 100`` deterministic
+    filler bytes (the pixel stream — the one part that would need
+    zlib; headers don't), IEND. Total bytes ``107 + id % 100``."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    w = 32 + mid % 256
+    h = 32 + (mid // 5) % 128
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = bytes((i * 13 + mid) % 256 for i in range(50 + mid % 100))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def _synth_flac(mid: int) -> bytes:
+    """FLAC marker + last-flagged STREAMINFO block (sample rate
+    ``8000 + (id % 5) * 4000``, channels ``1 + id % 2``, 16-bit,
+    ``10000 + (id % 89) * 100`` total samples) + ``30 + id % 70``
+    filler frame bytes. Total bytes ``72 + id % 70``."""
+    sr = 8000 + (mid % 5) * 4000
+    ch = 1 + mid % 2
+    total = 10000 + (mid % 89) * 100
+    packed = (sr << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | total
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+        + struct.pack(">Q", packed) + bytes(16)
+    )
+    tail = bytes((i * 17 + mid) % 256 for i in range(30 + mid % 70))
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo + tail
+
+
 def synthesize_media(
     df: DataFrame,
     id_col: str = "media_id",
+    variant: str = "wav_ppm",
 ) -> DataFrame:
-    """Deterministic media-fixture generator: even ids become true
-    RIFF/WAVE audio files, odd ids become binary PPM (P6) images, with
-    every format parameter an integer function of the id:
+    """Deterministic media-fixture generator with every format
+    parameter an integer function of the id. ``variant`` picks the
+    format pair:
 
-    - WAV (even): channels ``1 + (id div 2) % 2``, sample rate
+    - ``"wav_ppm"`` (default — the uncompressed containers):
+      even ids become true RIFF/WAVE audio (channels
+      ``1 + (id div 2) % 2``, sample rate
       ``8000 + ((id div 2) % 5) * 2000``, samples
-      ``400 + (id % 97) * 8``, 16-bit PCM;
-    - PPM (odd): width ``16 + id % 64``, height
-      ``16 + (id div 3) % 48``, maxval 255.
+      ``400 + (id % 97) * 8``, 16-bit PCM); odd ids become binary PPM
+      (P6) images (width ``16 + id % 64``, height
+      ``16 + (id div 3) % 48``, maxval 255);
+    - ``"containers"`` (the compressed-container headers): even ids
+      become PNG files with true IHDR + chunk CRCs (:func:`_synth_png`),
+      odd ids FLAC streams with a true STREAMINFO block
+      (:func:`_synth_flac`).
 
     Because the parameters derive from the id alone, an oracle can
     compute the expected DECODED features (duration, dimensions, byte
@@ -216,6 +333,9 @@ def synthesize_media(
     path end-to-end hash-checkable. Runs as the same Arrow-batched
     mapInPandas shape a real ingest stage uses.
     """
+    if variant not in ("wav_ppm", "containers"):
+        raise ValueError(f"variant must be 'wav_ppm' or 'containers', got {variant!r}")
+
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
@@ -234,6 +354,14 @@ def synthesize_media(
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 out["media_id"].append(mid)
+                if variant == "containers":
+                    if mid % 2 == 0:
+                        out["media_type"].append("image/png")
+                        out["payload"].append(_synth_png(mid))
+                    else:
+                        out["media_type"].append("audio/flac")
+                        out["payload"].append(_synth_flac(mid))
+                    continue
                 if mid % 2 == 0:
                     channels = 1 + (mid // 2) % 2
                     rate = 8000 + ((mid // 2) % 5) * 2000

@@ -6071,3 +6071,53 @@ def q_heavy_hitter_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_heavy_hitters(
         li, "l_linestatus", "l_suppkey", m=8, partition_cap=1_000_000
     )
+
+
+_MEDIA_CONTAINER_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/flac' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 107 + doc_id % 100
+                ELSE 72 + doc_id % 70
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 32 + doc_id % 256 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 32 + (doc_id // 5) % 128 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1
+                THEN (10000 + (doc_id % 89) * 100) * 1000
+                     // (8000 + (doc_id % 5) * 4000)
+           END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 1
+                THEN 8000 + (doc_id % 5) * 4000
+           END AS INT) AS sample_rate
+    FROM documents
+"""
+
+
+@register(
+    "media_container_decode",
+    _MEDIA_CONTAINER_ORACLE,
+    doc="REAL compressed-container header decode, end-to-end "
+    "hash-checked: synthesize_media(variant='containers') builds PNG "
+    "files with true IHDR chunks + CRC32s (even ids) and FLAC streams "
+    "with a true STREAMINFO metadata block (odd ids), parameters "
+    "integer functions of the id; extract_media_features(decode='real') "
+    "parses the actual bytes back — big-endian IHDR walk for "
+    "dimensions, STREAMINFO bit-unpack (20-bit rate / 36-bit total "
+    "samples) for rate and duration — and the oracle computes the "
+    "expected features from the ids alone. Only the pixel/frame DATA "
+    "of these formats needs a codec library; the headers don't, so "
+    "this is the honest no-dependency real tier for compressed "
+    "containers. operators/multimodal.py decode_png / decode_flac.",
+)
+def q_media_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(F.col("doc_id"))
+    media = synthesize_media(docs, id_col="doc_id", variant="containers")
+    return extract_media_features(media, decode="real").select(
+        "media_id", "media_type", "n_bytes", "width", "height",
+        "duration_ms", "sample_rate",
+    )

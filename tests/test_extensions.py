@@ -189,6 +189,99 @@ def test_synthesize_then_real_decode_roundtrip(spark):
         assert r["sample_rate"] is None
 
 
+def test_real_png_decode_ihdr():
+    """decode_png parses the PNG signature + IHDR big-endian fields
+    and rejects malformed containers (wrong magic, non-IHDR first
+    chunk, truncated header, zero dimensions)."""
+    import struct
+    import zlib
+
+    from pasta_pipeline_spark.operators.multimodal import decode_png
+
+    def png(w, h):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        return b"\x89PNG\r\n\x1a\n" + chunk + b"rest-of-stream"
+
+    got = decode_png(png(1920, 1080))
+    assert (got["width"], got["height"]) == (1920, 1080)
+    assert got["duration_ms"] is None and got["sample_rate"] is None
+    # dims > 65535 exercise true 4-byte parsing (not 16-bit shortcuts)
+    got = decode_png(png(70000, 3))
+    assert (got["width"], got["height"]) == (70000, 3)
+    assert decode_png(png(0, 10)) is None  # zero dimension
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10) is None  # truncated
+    bad = png(5, 5)
+    assert decode_png(bad[:12] + b"IDAT" + bad[16:]) is None  # first chunk not IHDR
+    assert decode_png(b"\x89JNG\r\n\x1a\n" + bad[8:]) is None  # wrong magic
+
+
+def test_real_flac_decode_streaminfo():
+    """decode_flac walks the metadata-block list to STREAMINFO —
+    including when a different block type precedes it — and unpacks
+    the 20-bit rate / 36-bit total-sample fields exactly."""
+    import struct
+
+    from pasta_pipeline_spark.operators.multimodal import decode_flac
+
+    def streaminfo(rate, ch, total):
+        packed = (rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | total
+        return (
+            struct.pack(">HH", 4096, 4096)
+            + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+            + struct.pack(">Q", packed) + bytes(16)
+        )
+
+    direct = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo(44100, 2, 441000)
+    got = decode_flac(direct)
+    assert got["sample_rate"] == 44100 and got["duration_ms"] == 10000
+    # a VORBIS_COMMENT block (type 4) BEFORE streaminfo: the walk skips it
+    vc = bytes([0x04]) + (6).to_bytes(3, "big") + b"x" * 6
+    si = bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo(96000, 1, 12345)
+    got = decode_flac(b"fLaC" + vc + si)
+    assert got["sample_rate"] == 96000
+    assert got["duration_ms"] == 12345 * 1000 // 96000
+    # a 36-bit total-sample count above 2^32 survives the unpack
+    big = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo(8000, 1, 2**35)
+    assert decode_flac(big)["duration_ms"] == 2**35 * 1000 // 8000
+    assert decode_flac(b"fLaX" + si) is None  # wrong magic
+    assert decode_flac(b"fLaC" + bytes([0x81, 0, 0, 4]) + b"abcd") is None  # no streaminfo
+
+
+def test_synthesize_containers_roundtrip(spark):
+    """synthesize_media(variant='containers') PNG/FLAC fixtures decode
+    back to the id-derived ground truth through the real path."""
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 20).selectExpr("id AS media_id")
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            synthesize_media(ids, variant="containers"), decode="real"
+        ).collect()
+    }
+    for mid in range(0, 20, 2):  # PNG
+        r = feats[mid]
+        assert r["media_type"] == "image/png"
+        assert r["width"] == 32 + mid % 256
+        assert r["height"] == 32 + (mid // 5) % 128
+        assert r["n_bytes"] == 107 + mid % 100
+        assert r["sample_rate"] is None
+    for mid in range(1, 20, 2):  # FLAC
+        rate = 8000 + (mid % 5) * 4000
+        total = 10000 + (mid % 89) * 100
+        r = feats[mid]
+        assert r["media_type"] == "audio/flac"
+        assert r["sample_rate"] == rate
+        assert r["duration_ms"] == total * 1000 // rate
+        assert r["n_bytes"] == 72 + mid % 70
+        assert r["width"] is None
+
+
 def test_duplicate_clusters_transitive(spark):
     """A-B and B-C pairs must merge into one cluster labeled by the
     smallest id, with everything else a singleton survivor."""
