@@ -85,15 +85,43 @@ class CleanupResult:
     stats: dict
 
 
+def _live_data_file_count(store) -> int:
+    """Data files in a TableStore's live version dir (metadata and
+    dot-files excluded) — the small-file metric index compaction is
+    judged by."""
+    import os
+
+    v = store.current_version()
+    if v is None:
+        return 0
+    n = 0
+    for _root, _dirs, files in os.walk(os.path.join(store.path, v)):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
 def run_full_cleanup(
     messages: DataFrame,
     content: DataFrame,
     retention_days: int = 90,
     now: Column | None = None,
+    lsh_index_store=None,
+    lsh_index_buckets: int = 32,
 ) -> CleanupResult:
     """The weekly maintenance job (duplicate_remover.py:314-355):
     dedup both tables, null out orphan links, drop exhausted failures,
     apply retention, and report per-step deleted counts.
+
+    ``lsh_index_store``: when the deployment also runs the streaming
+    near-dup index (streaming/dedup.py lsh_index_batch), pass its
+    TableStore here and the SAME maintenance job compacts the
+    signature store (streaming/dedup.py compact_lsh_index — the
+    lakehouse-OPTIMIZE analog): micro-batch merges accrete one file
+    per touched bucket per batch, and compaction rewrites the live
+    version to ~one file per bucket while preserving the ``__bkt``
+    layout so subsequent merges stay differential. The stats dict
+    gains ``index_files_before`` / ``index_files_after`` so the run
+    report shows the reclaim, alongside the table-cleanup counts.
 
     Counting strategy: each step's input/output counts are actions; to
     avoid recomputing the whole lineage per count we cache the two
@@ -125,14 +153,21 @@ def run_full_cleanup(
         - m3.filter(F.col("telegraph_link").isNotNull()).count()
     )
 
-    stats = cleanup_summary(
-        {
-            "deleted_messages": m0 - n_m1,
-            "deleted_content": c0 - n_c1,
-            "cleaned_links": cleaned_links,
-            "deleted_failed": n_c1 - n_c2,
-            "deleted_old_messages": n_m1 - n_m2,
-            "deleted_old_content": n_c2 - n_c3,
-        }
-    )
+    counts = {
+        "deleted_messages": m0 - n_m1,
+        "deleted_content": c0 - n_c1,
+        "cleaned_links": cleaned_links,
+        "deleted_failed": n_c1 - n_c2,
+        "deleted_old_messages": n_m1 - n_m2,
+        "deleted_old_content": n_c2 - n_c3,
+    }
+    stats = cleanup_summary(counts)
+    if lsh_index_store is not None and lsh_index_store.exists():
+        from pasta_pipeline_spark.streaming.dedup import compact_lsh_index
+
+        # after the summary: file metrics are not deleted-row counts
+        # and must not inflate total_cleaned
+        stats["index_files_before"] = _live_data_file_count(lsh_index_store)
+        compact_lsh_index(lsh_index_store, index_buckets=lsh_index_buckets)
+        stats["index_files_after"] = _live_data_file_count(lsh_index_store)
     return CleanupResult(messages=m3, content=c3, stats=stats)

@@ -125,3 +125,61 @@ def test_full_cleanup_composite(spark):
     assert sorted(r["url"] for r in res.content.collect()) == ["u1"]
     msgs = {r["message_id"]: r["telegraph_link"] for r in res.messages.collect()}
     assert msgs == {1: "u1", 3: None}
+
+
+def test_full_cleanup_compacts_lsh_index(spark, tmp_table_dir):
+    """One maintenance job covers tables AND streaming state: with an
+    lsh_index_store passed, run_full_cleanup compacts the signature
+    store (file count bounded to ~one per bucket), pair detection
+    against the compacted index is unchanged, and the file metrics
+    ride in the stats WITHOUT inflating total_cleaned."""
+    from pasta_pipeline_spark.operators.maintenance import (
+        _live_data_file_count,
+        run_full_cleanup,
+    )
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.dedup import lsh_index_batch
+
+    store = TableStore(spark, f"{tmp_table_dir}/maint_lsh")
+    buckets = 4
+    text = "the quick brown fox jumps over the lazy dog and runs far away home"
+    for i in range(4):  # micro-batches accrete files per touched bucket
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"batch {i} doc {j} unique words {i}-{j} " + text)
+             for j in range(3)],
+            "doc_id long, text string",
+        )
+        lsh_index_batch(b, store, index_buckets=buckets)
+
+    # AQE coalesces each local-scale merge to ~one file per bucket;
+    # simulate real-scale fragmentation (one file per shuffle task per
+    # touched bucket) so the test exercises what compaction exists for.
+    store.overwrite(store.read().repartition(12), partition_by=["__bkt"])
+
+    messages = spark.createDataFrame(
+        [(1, datetime(2024, 5, 20), "u1", T1)],
+        "message_id long, date timestamp, telegraph_link string, processed_at timestamp",
+    )
+    content = spark.createDataFrame(
+        [("u1", "h1", "success", 0, T1, T1)],
+        "url string, content_hash string, status string, retry_count int, "
+        "processed_at timestamp, last_checked timestamp",
+    )
+    res = run_full_cleanup(
+        messages, content, retention_days=3650, now=F.lit(datetime(2024, 6, 1)),
+        lsh_index_store=store, lsh_index_buckets=buckets,
+    )
+    assert res.stats["index_files_before"] > buckets
+    assert res.stats["index_files_after"] <= buckets
+    assert res.stats["total_cleaned"] == 0  # file metrics excluded
+    assert _live_data_file_count(store) == res.stats["index_files_after"]
+
+    # detection against the compacted index is unchanged: a duplicate
+    # of an indexed doc is still caught
+    dup = spark.createDataFrame(
+        [(999, "batch 0 doc 0 unique words 0-0 " + text)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_index_batch(dup, store, index_buckets=buckets).collect()}
+    assert (0, 999) in pairs
+    # and the post-compaction merge stayed differential (__bkt layout)
+    assert store.read().count() == 13
