@@ -6121,3 +6121,63 @@ def q_media_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "n_bytes", "width", "height",
         "duration_ms", "sample_rate",
     )
+
+
+_VIDEO_FRAME_ORACLE = """
+    WITH geo AS (
+      SELECT doc_id AS media_id,
+             16 + (doc_id % 8) * 2 AS w,
+             16 + ((doc_id // 7) % 8) * 2 AS h,
+             5 + doc_id % 10 AS fps,
+             3 + doc_id % 12 AS nf
+      FROM documents
+    ), g2 AS (
+      SELECT media_id, w, h, fps, nf, nf * 1000 // fps AS dur FROM geo
+    ), ts AS (
+      SELECT media_id, w, h, fps, nf,
+             unnest(generate_series(0, dur - 1, 500)) AS frame_ts_ms
+      FROM g2
+    ), fr AS (
+      SELECT media_id, w, h,
+             CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+             least(frame_ts_ms * fps // 1000, nf - 1) AS frame_idx
+      FROM ts
+    ), px AS (
+      SELECT media_id, frame_ts_ms, frame_idx,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM fr
+    )
+    SELECT media_id, frame_ts_ms, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM((i * 13 + media_id + frame_idx * 31) % 256) AS BIGINT) AS luma_sum
+    FROM px
+    GROUP BY media_id, frame_ts_ms, frame_idx
+"""
+
+
+@register(
+    "video_frame_sample",
+    _VIDEO_FRAME_ORACLE,
+    doc="REAL video frame sampling, end-to-end hash-checked: "
+    "synthesize_media(variant='video') builds true YUV4MPEG2 streams "
+    "(the standard uncompressed video container) with id-derived "
+    "geometry/rate/frame-count and per-frame luma bytes; "
+    "sample_video_frames parses the header, seeks to the frame "
+    "covering each 500 ms grid point, and DECODES that frame's luma "
+    "plane — the emitted luma_sum comes from the actual bytes at the "
+    "actual frame offset, and the oracle recomputes it from the id "
+    "recipe alone, so a seek, stride, or plane-order bug breaks the "
+    "hash. The honesty upgrade frame_sample_stub documents: sampled "
+    "frames are decoded, not stubbed. operators/multimodal.py "
+    "decode_y4m / sample_video_frames.",
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(F.col("doc_id"))
+    media = synthesize_media(docs, id_col="doc_id", variant="video")
+    return sample_video_frames(media, every_ms=500).select(
+        "media_id", "frame_ts_ms", "frame_idx", "luma_sum"
+    )

@@ -282,6 +282,71 @@ def test_synthesize_containers_roundtrip(spark):
         assert r["width"] is None
 
 
+def test_y4m_parse_and_frame_offsets():
+    """YUV4MPEG2 header/frame walking: parameterized FRAME lines,
+    truncated tails, and non-video bytes."""
+    from pasta_pipeline_spark.operators.multimodal import (
+        _parse_y4m_header,
+        _y4m_frame_offsets,
+        decode_y4m,
+    )
+
+    w, h = 4, 2
+    frame = bytes(range(w * h)) + bytes(w * h // 4) + bytes(w * h // 4)
+    raw = b"YUV4MPEG2 W4 H2 F10:1 Ip A1:1 C420\n"
+    # second frame carries FRAME parameters (spec-legal)
+    raw += b"FRAME\n" + frame + b"FRAME Ixyz\n" + frame
+    hdr = _parse_y4m_header(raw)
+    assert (hdr["width"], hdr["height"], hdr["fps_num"]) == (4, 2, 10)
+    offs = _y4m_frame_offsets(raw, hdr)
+    assert len(offs) == 2
+    assert raw[offs[0]:offs[0] + w * h] == bytes(range(w * h))
+    got = decode_y4m(raw)
+    assert got["duration_ms"] == 2 * 1000 // 10
+    # truncated final frame is not counted
+    assert decode_y4m(raw[:-1])["duration_ms"] == 1 * 1000 // 10
+    assert decode_y4m(b"RIFFnope") is None
+    assert decode_y4m(b"YUV4MPEG2 W4\n") is None  # missing H/F
+
+
+def test_sample_video_frames_decodes_ground_truth(spark):
+    """sample_video_frames emits REAL per-frame features: luma sums
+    and md5s match the fixture generator's ground truth computed
+    directly from the id recipe — a seek/stride/plane-order bug would
+    change them."""
+    import hashlib
+
+    from pasta_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 12).selectExpr("id AS media_id")
+    media = synthesize_media(ids, variant="video")
+    rows = sample_video_frames(media, every_ms=500).collect()
+    assert rows
+    by_key = {(r["media_id"], r["frame_ts_ms"]): r for r in rows}
+    for mid in range(12):
+        w = 16 + (mid % 8) * 2
+        h = 16 + ((mid // 7) % 8) * 2
+        fps = 5 + mid % 10
+        nf = 3 + mid % 12
+        dur = nf * 1000 // fps
+        expected_ts = list(range(0, dur, 500))
+        got_ts = sorted(ts for (m, ts) in by_key if m == mid)
+        assert got_ts == expected_ts, mid
+        for ts in expected_ts:
+            fidx = min(ts * fps // 1000, nf - 1)
+            plane = bytes((i * 13 + mid + fidx * 31) % 256 for i in range(w * h))
+            r = by_key[(mid, ts)]
+            assert r["frame_idx"] == fidx
+            assert r["luma_sum"] == sum(plane)
+            assert r["frame_md5"] == hashlib.md5(plane).hexdigest()
+    # non-Y4M payloads produce no rows (documented)
+    wav_media = synthesize_media(ids, variant="wav_ppm")
+    assert sample_video_frames(wav_media).count() == 0
+
+
 def test_duplicate_clusters_transitive(spark):
     """A-B and B-C pairs must merge into one cluster labeled by the
     smallest id, with everything else a singleton survivor."""
