@@ -937,9 +937,9 @@ def cluster_rollup(
     The same accumulate-on-merge idea as the reference's status upsert
     (S9), lifted from key-granularity to cluster-granularity.
 
-    Returns ``(cluster_id, canonical_id, n_members, n_sources?,
-    sum_<col>...)``: canonical id is the cluster's smallest member id
-    (deterministic), sums are int64 per requested column.
+    Returns ``(cluster_id, canonical_id, n_members, sum_<col>...)``:
+    canonical id is the cluster's smallest member id (deterministic),
+    sums are int64 per requested column.
 
     One join on the doc id (cluster table is the smaller side — AQE
     broadcasts it) and one groupBy on the cluster id; cluster sizes
@@ -950,6 +950,61 @@ def cluster_rollup(
     )
     aggs = [
         F.min(F.col(id_col)).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ]
+    for c in sum_cols:
+        aggs.append(F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}"))
+    return joined.groupBy(cluster_col).agg(*aggs)
+
+
+def cluster_merge_text(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    sum_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """The dedup ladder's write-back record, in ONE pass: per duplicate
+    cluster, the canonical row whose TEXT is the policy-chosen
+    survivor's (best ``score_col``, smallest id tiebreak — the
+    :func:`select_survivors` policy) and whose metadata is the GROUP's
+    merged attributes (member count, int64 sums — the
+    :func:`cluster_rollup` semantics). Composing those two operators
+    costs a window shuffle PLUS a groupBy shuffle plus a re-join; this
+    fuses them into a single groupBy using ``max_by``/``min_by`` over
+    a (score, id) ordering struct, so the whole write-back is one
+    shuffle on the cluster id — at 100 TB the difference between one
+    pass over the pair mass and three.
+
+    Returns ``(cluster_id, canonical_id, canonical_text, n_members,
+    sum_<col>...)``. Tie-break note: ids are compared ascending inside
+    a MAX ordering via arithmetic negation, so ``id_col`` must be a
+    numeric id (the convention everywhere in this module).
+    """
+    joined = clusters.select(F.col(id_col), F.col(cluster_col)).join(docs, id_col)
+    # survivor = max score, tie → smallest id. One ordering struct:
+    # descending policy maxes (score, -id); ascending mins (score, id).
+    winner = F.struct(
+        F.col(id_col).alias("i"), F.col(text_col).alias("t")
+    )
+    if ascending:
+        chosen = F.min_by(
+            winner,
+            F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i")),
+        )
+    else:
+        chosen = F.max_by(
+            winner,
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+            ),
+        )
+    aggs = [
+        chosen.getField("i").cast("long").alias("canonical_id"),
+        chosen.getField("t").alias("canonical_text"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     ]
     for c in sum_cols:

@@ -6181,3 +6181,57 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, every_ms=500).select(
         "media_id", "frame_ts_ms", "frame_idx", "luma_sum"
     )
+
+
+@register(
+    "cluster_merge_text",
+    f"""
+    WITH j AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars, d.text
+      FROM ( {_CLUSTERS_ORACLE} ) c
+      JOIN documents d ON c.doc_id = d.doc_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+      FROM j
+    ), s AS (
+      SELECT cluster_id, CAST(doc_id AS BIGINT) AS canonical_id,
+             text AS canonical_text
+      FROM r WHERE rk = 1
+    ), m AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_n_chars
+      FROM j GROUP BY cluster_id
+    )
+    SELECT s.cluster_id, s.canonical_id, s.canonical_text,
+           m.n_members, m.sum_n_chars
+    FROM s JOIN m USING (cluster_id)
+    """,
+    doc="Per-cluster survivor TEXT merge — the dedup ladder's "
+    "write-back record in one pass: each 3-gram-Jaccard cluster "
+    "collapses to a canonical row carrying the policy-chosen "
+    "survivor's text (longest member, id tiebreak) AND the group's "
+    "merged metadata (member count, byte mass). Fused into a single "
+    "groupBy via max_by over a (score, -id) ordering struct — one "
+    "shuffle where composing select_survivors + cluster_rollup + "
+    "re-join costs three. The oracle computes the same record with a "
+    "window + groupBy + join, so the fused plan is hash-checked "
+    "against the composition it replaces. operators/text_dedup.py "
+    "cluster_merge_text.",
+)
+def q_cluster_merge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import (
+        cluster_merge_text,
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    release_cached_deps(pairs)
+    return cluster_merge_text(
+        clusters, docs.select("doc_id", "n_chars", "text"),
+        score_col="n_chars", sum_cols=["n_chars"],
+    )

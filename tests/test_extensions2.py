@@ -751,3 +751,48 @@ def test_heavy_hitter_default_is_bounded_and_null_key_safe(spark):
             ("g", "a"): 5, ("g", "b"): 3, ("g", None): 1,
             (None, "x"): 4, (None, "y"): 2,
         }, cap
+
+
+def test_cluster_merge_text_fused_single_shuffle(spark):
+    """cluster_merge_text emits the survivor's text + merged metadata
+    per cluster: best-score survivor with smallest-id tiebreak in both
+    policy directions, and the fused plan has exactly ONE exchange
+    after the join (no window + groupBy double shuffle)."""
+    from pasta_pipeline_spark.operators.text_dedup import cluster_merge_text
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 70)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5, "short"), (2, 9, "the longest text"), (3, 9, "also nine"),
+         (7, 4, "solo"), (99, 1, "not clustered")],
+        "doc_id long, n_chars long, text string",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in cluster_merge_text(
+            clusters, docs, score_col="n_chars", sum_cols=["n_chars"]
+        ).collect()
+    }
+    # score tie between 2 and 3 → smallest id (2) survives
+    assert got[10]["canonical_id"] == 2
+    assert got[10]["canonical_text"] == "the longest text"
+    assert got[10]["n_members"] == 3 and got[10]["sum_n_chars"] == 23
+    assert got[70]["canonical_id"] == 7 and got[70]["canonical_text"] == "solo"
+    assert 99 not in {r for c, r in got.items()}  # unclustered rows don't appear
+
+    asc = {
+        r["cluster_id"]: r
+        for r in cluster_merge_text(
+            clusters, docs, score_col="n_chars", sum_cols=[], ascending=True
+        ).collect()
+    }
+    assert asc[10]["canonical_id"] == 1 and asc[10]["canonical_text"] == "short"
+
+    plan = cluster_merge_text(
+        clusters, docs, score_col="n_chars", sum_cols=["n_chars"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # aggregation after the join contributes exactly one exchange on
+    # the cluster id; no Window operator anywhere
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(cluster_id") <= 2  # partial+final share one exchange
