@@ -99,11 +99,17 @@ def filter_blocked_domains(df, url_col: str, blocked: list[str], keep_blocked: b
 
 
 #: Query parameters that never affect content — the tracking noise a
-#: crawler must strip before URL-level dedup.
-TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+#: crawler must strip before URL-level dedup. Deliberately NARROW:
+#: only unambiguous tracking forms. A bare ``ref=`` is content-bearing
+#: on common sites (GitHub branch refs, storefront listing refs) —
+#: stripping it would merge genuinely distinct pages, the worse
+#: failure mode — so only the ``ref_src``/``ref_url`` tracking
+#: variants are listed; extend per-corpus via the
+#: ``tracking_param_re`` parameter of :func:`canonicalize_url`.
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref_src|ref_url|mc_cid|mc_eid)="
 
 
-def canonicalize_url(url: Column | str) -> Column:
+def canonicalize_url(url: Column | str, tracking_param_re: str | None = None) -> Column:
     """Canonical URL form for URL-level dedup (the tier BEFORE any
     text dedup in a web-corpus pipeline — same document, different
     crawl variants):
@@ -111,7 +117,8 @@ def canonicalize_url(url: Column | str) -> Column:
     - scheme and host lowercased; default port stripped (http:80 /
       https:443);
     - fragment dropped; trailing slashes on the path dropped;
-    - tracking query parameters removed (``TRACKING_PARAM_RE``);
+    - tracking query parameters removed (``tracking_param_re``,
+      default :data:`TRACKING_PARAM_RE` — override per corpus);
       remaining parameters SORTED so permutations collapse.
 
     Pure expressions (regexp_extract + array ops) — one projection, no
@@ -119,6 +126,7 @@ def canonicalize_url(url: Column | str) -> Column:
     list_filter / list_sort), so URL dedup is full-hash
     oracle-checkable. URLs without a scheme://host shape yield NULL
     (route to quarantine, the P10 policy)."""
+    strip_re = TRACKING_PARAM_RE if tracking_param_re is None else tracking_param_re
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hp = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -135,7 +143,7 @@ def canonicalize_url(url: Column | str) -> Column:
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(strip_re),
     )
     sorted_q = F.array_join(F.array_sort(params), "&")
     canon = F.concat(

@@ -632,14 +632,26 @@ def _quantize_arr(vec: Column) -> tuple[Column, Column]:
     """(q array<long>, scale_fp long) symmetric int8 quantization of a
     vector column as array expressions — same recipe as
     :func:`quantize_embeddings_int8` (scale = 127/max|v|, round half
-    away from zero), kept in array form for integer dot products."""
+    away from zero), kept in array form for integer dot products.
+
+    ``scale_fp`` is clamped to >= 1: a vector whose max |component|
+    exceeds 127*10000 would floor its fixed-point scale to 0 and be
+    silently dropped from ranking by the ``scale_fp > 0`` guard (which
+    exists for the all-zero vector, where scale is NULL). Such a
+    vector still ranks — with a scale quantized to the smallest
+    representable step, i.e. reduced precision beyond |v| ~ 1.27e6,
+    the documented supported-magnitude edge."""
     vd = F.transform(vec, lambda v: v.cast("double"))
     mx = F.array_max(F.transform(vd, F.abs))
     scale = F.when(mx > 0, F.lit(127.0) / mx)
     q = F.transform(
         vd, lambda v: F.round(v * F.coalesce(scale, F.lit(0.0))).cast("long")
     )
-    return q, F.floor(scale * 10000).cast("long")
+    # NULL-preserving clamp: Spark's greatest() skips NULL inputs, so
+    # guard explicitly — the all-zero vector must stay NULL/excluded
+    return q, F.when(
+        scale.isNotNull(), F.greatest(F.lit(1), F.floor(scale * 10000))
+    ).cast("long")
 
 
 def quantized_topk(

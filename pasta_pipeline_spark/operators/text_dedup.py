@@ -667,18 +667,25 @@ def edit_distance_pairs_shifted(
 
     Cost: index side k=tau+1 rows/string; probe side <=
     (2tau+1)^2 * k substrings/string (dedup'd) — constants, not a
-    function of corpus size; one shuffle on the block key. Strings
-    shorter than ``tau+1`` chars are excluded (no non-empty segments).
+    function of corpus size; one shuffle on the block key.
+
+    Ultrashort strings (< ``tau+1`` chars, no non-empty segments to
+    index) are handled by a length-windowed supplement rather than
+    excluded: any qualifying pair involving one has BOTH sides within
+    ``2*tau`` chars (length difference bounds Levenshtein from below),
+    so those pairs come from a direct equi-join on candidate length
+    over that degenerate-length subset — the completeness contract
+    holds for every input string. NB the OUTPUT over a mass of
+    near-empty strings is inherently quadratic (most such pairs are
+    within ``tau`` edits of each other); that is a property of the
+    query, not the plan.
     """
     k = tau + 1
-    base = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("s"),
-        )
-        .withColumn("n", F.length("s"))
-        .filter(F.col("n") >= k)
-    )
+    all_strings = df.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    base = all_strings.withColumn("n", F.length("s")).filter(F.col("n") >= k)
 
     # --- index side: k even segments at canonical positions -------------
     idx = base.select(
@@ -732,8 +739,38 @@ def edit_distance_pairs_shifted(
         .select("doc_a", "doc_b", "sa", "sb")
         .distinct()
     )
+
+    # --- ultrashort supplement (see docstring): pairs with a < k-char
+    # side live entirely inside the <= 2*tau-length subset; candidates
+    # equi-join on the probe's length window, and the (na < k or
+    # nb < k) guard keeps the main path the sole owner of pairs whose
+    # sides BOTH index segments — no double emission.
+    shorts = all_strings.withColumn("n", F.length("s")).filter(
+        F.col("n") <= 2 * tau
+    )
+    sh_idx = shorts.select(
+        F.col("doc").alias("doc_a"), F.col("s").alias("sa"),
+        F.col("n").alias("na"), F.col("n").alias("l"),
+    )
+    sh_pr = shorts.select(
+        "doc", "s", "n",
+        F.explode(
+            F.sequence(F.greatest(F.lit(0), F.col("n") - tau), F.col("n") + tau)
+        ).alias("l"),
+    ).select(
+        F.col("doc").alias("doc_b"), F.col("s").alias("sb"),
+        F.col("n").alias("nb"), "l",
+    )
+    short_cand = (
+        sh_idx.join(sh_pr, "l")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("na") < k) | (F.col("nb") < k))
+        .select("doc_a", "doc_b", "sa", "sb")
+    )
+
     return (
-        cand.withColumn("dist", F.levenshtein("sa", "sb"))
+        cand.unionByName(short_cand)
+        .withColumn("dist", F.levenshtein("sa", "sb"))
         .filter(F.col("dist") <= tau)
         .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
     )

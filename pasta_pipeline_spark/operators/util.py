@@ -108,14 +108,3 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
-def forward_cached_deps(result: DataFrame, *parents: DataFrame) -> DataFrame:
-    """Carry attached cached-dep lists from intermediate frames onto a
-    derived result, so the caller's single release pass reaches caches
-    persisted several operators upstream (composite queries: pairs →
-    clusters → rollup)."""
-    deps: list[DataFrame] = list(getattr(result, "_pasta_cached_deps", []))
-    for p in parents:
-        deps.extend(getattr(p, "_pasta_cached_deps", []))
-    if deps:
-        result._pasta_cached_deps = deps  # type: ignore[attr-defined]
-    return result

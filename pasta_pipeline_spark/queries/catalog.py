@@ -2474,7 +2474,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id, lower(substr(text, 1, 40)) AS p
       FROM documents
-      WHERE length(lower(substr(text, 1, 40))) >= 3
+      WHERE text IS NOT NULL
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
@@ -2486,7 +2486,9 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="PassJoin-style shifted-segment edit-distance join "
     "(text_dedup.edit_distance_pairs_shifted): complete for <=2 edits "
     "INCLUDING indels, so the oracle is the ground-truth all-pairs filter "
-    "— the engine's blocking must find every true pair, not just replay "
+    "over EVERY input string — ultrashort strings (< tau+1 chars) are "
+    "covered by the length-windowed supplement, not excluded — and the "
+    "engine's blocking must find every true pair, not just replay "
     "itself. (The DuckDB side may brute-force at sf0.01; the Spark side "
     "never does.)",
 )
@@ -5771,7 +5773,7 @@ def q_cluster_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              list_transform(embedding, x ->
                CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) AS cq,
-             CAST(FLOOR((127.0 / mx) * 10000) AS BIGINT) AS scale_fp
+             CAST(greatest(1, FLOOR((127.0 / mx) * 10000)) AS BIGINT) AS scale_fp
       FROM cm WHERE mx > 0
     ), dots AS (
       SELECT c.vec_id, c.scale_fp,
@@ -5831,9 +5833,9 @@ _URL_VARIANTS_SQL = """
                 END) ||
                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') ||
                (CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)='))), '&') <> ''
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref_src|ref_url|mc_cid|mc_eid)='))), '&') <> ''
                  THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)='))), '&')
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref_src|ref_url|mc_cid|mc_eid)='))), '&')
                  ELSE '' END)
              END AS canonical_url
       FROM src

@@ -796,3 +796,65 @@ def test_cluster_merge_text_fused_single_shuffle(spark):
     # the cluster id; no Window operator anywhere
     assert "Window" not in plan
     assert plan.count("hashpartitioning(cluster_id") <= 2  # partial+final share one exchange
+
+
+def test_edit_distance_shifted_ultrashort_complete(spark):
+    """Strings shorter than tau+1 chars (no indexable segments) are
+    covered by the length-windowed supplement: identical 2-char
+    titles, single chars, and the empty string all pair correctly —
+    the ADVICE r4 recall gap."""
+    import itertools
+
+    from pasta_pipeline_spark.operators.text_dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_shifted,
+    )
+
+    texts = {1: "ab", 2: "ab", 3: "x", 4: "", 5: "abcd",
+             6: "abcde fghij", 7: "abcdeXfghij"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (a, b): lev(texts[a], texts[b])
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if lev(texts[a], texts[b]) <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in edit_distance_pairs_shifted(df, "doc_id", "text", tau=2).collect()
+    }
+    assert got == truth
+    # the default API (max_dist<=2 delegates here) carries the same contract
+    via_default = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=2).collect()
+    }
+    assert via_default == truth
+
+
+def test_quantized_topk_huge_magnitude_not_dropped(spark):
+    """A corpus vector with max |component| > 1.27e6 used to floor its
+    fixed-point scale to 0 and vanish from ranking; the clamp keeps it
+    scoring (reduced precision), while the all-zero vector stays
+    excluded (NULL scale)."""
+    from pasta_pipeline_spark.operators.similarity import quantized_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [5.0e6, 5.0e6]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    query = spark.createDataFrame([([1.0, 1.0],)], "qv array<double>")
+    rows = {r["vec_id"]: r for r in quantized_topk(emb, query, k=10).collect()}
+    assert 2 in rows            # huge-magnitude vector ranks
+    assert rows[2]["scale_fp"] == 1  # clamped to the smallest step
+    assert rows[2]["score_fp"] > rows[1]["score_fp"]  # and wins on alignment
+    assert 3 not in rows        # all-zero vector still excluded

@@ -256,8 +256,18 @@ def test_canonicalize_url_rules(spark):
         ("https://h.io/path///", "https://h.io/path"),
         ("https://h.io/?fbclid=abc", "https://h.io"),
         ("https://h.io/x?b=2&a=1", "https://h.io/x?a=1&b=2"),
+        # bare ref= is content-bearing (GitHub branch refs) — KEPT;
+        # only the ref_src/ref_url tracking variants are stripped
+        ("https://github.com/u/r/blob/f?ref=main", "https://github.com/u/r/blob/f?ref=main"),
+        ("https://h.io/t?ref_src=twsrc&x=1", "https://h.io/t?x=1"),
         ("not a url", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonicalize_url("u").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+    # the strip list is a parameter: a per-corpus override applies
+    custom = df.limit(0).sparkSession.createDataFrame(
+        [("https://h.io/x?sid=9&a=1",)], "u string"
+    ).select(canonicalize_url("u", tracking_param_re="^(sid)=").alias("c"))
+    assert custom.collect()[0]["c"] == "https://h.io/x?a=1"
