@@ -88,6 +88,113 @@ def registrable_domain(host: Column | str) -> Column:
     return F.regexp_extract(c, r"([^.]+\.[^.]+)$", 1)
 
 
+#: Representative multi-label public suffixes (publicsuffix.org — the
+#: Mozilla-maintained PUBLIC dataset every browser ships). This subset
+#: covers the highest-traffic ccTLD registries; deployments needing
+#: the full ~9k-entry list load it with :func:`psl_suffix_frame` and
+#: use :func:`registrable_domain_join` (broadcast join) instead.
+PSL_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr",
+    "co.nz", "net.nz", "org.nz",
+    "com.mx", "org.mx", "com.sg", "com.tr", "com.ar", "com.co",
+    "co.za", "org.za", "co.th", "co.id", "com.my", "com.hk",
+    "com.tw", "com.ua", "co.il", "com.eg", "com.sa", "com.pk",
+    # 3-label registry suffixes (state school registries, PSL entries)
+    "act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
+)
+
+
+def registrable_domain_psl(
+    host: Column | str, multi_suffixes: tuple[str, ...] | list[str] = PSL_MULTI_SUFFIXES
+) -> Column:
+    """Registrable domain (eTLD+1) with multi-label public-suffix
+    awareness — the precision upgrade :func:`registrable_domain`'s
+    docstring promises: ``news.bbc.co.uk`` → ``bbc.co.uk`` (not
+    ``co.uk``), while single-label TLDs keep the last-two-labels rule.
+
+    Pure expressions: the host's last 2 and last 3 labels are tested
+    against the inlined suffix list (longest match wins; ``isin``
+    folds into the scan predicate — zero joins, zero shuffles), and
+    the matched suffix extends the kept window by one label. A host
+    that IS a public suffix exactly (no registrable part) falls back
+    to the last-two-labels rule, identically in the SQL twin. For the
+    full PSL use :func:`registrable_domain_join`."""
+    h = F.col(host) if isinstance(host, str) else host
+    ls = F.split(h, r"\.")
+    n = F.size(ls)
+    two = [s for s in multi_suffixes if s.count(".") == 1]
+    three = [s for s in multi_suffixes if s.count(".") == 2]
+    c2 = F.array_join(F.slice(ls, n - 1, 2), ".")
+    c3 = F.array_join(F.slice(ls, n - 2, 3), ".")
+    out = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    # a host that IS a listed 3-label suffix exactly has no registrant
+    # under the 2-label upgrade either — same fallback as bare "co.uk"
+    bare3 = (n == 3) & h.isin(*three) if three else F.lit(False)
+    if two:
+        out = F.when(
+            (n >= 3) & c2.isin(*two) & ~bare3,
+            F.array_join(F.slice(ls, n - 2, 3), "."),
+        ).otherwise(out)
+    if three:
+        out = F.when(
+            (n >= 4) & c3.isin(*three), F.array_join(F.slice(ls, n - 3, 4), ".")
+        ).otherwise(out)
+    return out
+
+
+def psl_suffix_frame(spark, suffixes=PSL_MULTI_SUFFIXES):
+    """``(suffix, n_labels)`` frame for :func:`registrable_domain_join`
+    — load the full publicsuffix.org list here in a real deployment
+    (~9k rows: pure broadcast scale)."""
+    return spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in suffixes], "suffix string, n_labels int"
+    )
+
+
+def registrable_domain_join(
+    df, host_col: str, psl, out_col: str = "domain"
+):
+    """Full-PSL registrable domain via broadcast join — the scale path
+    when the suffix list is too large to inline in a predicate: each
+    host emits its last-2 and last-3 label candidates, one broadcast
+    left join per candidate width resolves membership, and the longest
+    matched suffix wins (fallback: last two labels). Two broadcast
+    hash joins against a ~9k-row table — no shuffle of the corpus."""
+    h = F.col(host_col)
+    ls = F.split(h, r"\.")
+    n = F.size(ls)
+    with_c = df.withColumn(
+        "__c2", F.when(n >= 2, F.array_join(F.slice(ls, n - 1, 2), "."))
+    ).withColumn("__c3", F.when(n >= 3, F.array_join(F.slice(ls, n - 2, 3), ".")))
+    p2 = psl.filter(F.col("n_labels") == 2).select(F.col("suffix").alias("__s2"))
+    p3 = psl.filter(F.col("n_labels") == 3).select(F.col("suffix").alias("__s3"))
+    joined = with_c.join(
+        F.broadcast(p2), with_c["__c2"] == F.col("__s2"), "left"
+    ).join(F.broadcast(p3), F.col("__c3") == F.col("__s3"), "left")
+    ls2 = F.split(F.col(host_col), r"\.")
+    n2 = F.size(ls2)
+    domain = (
+        F.when(
+            F.col("__s3").isNotNull() & (n2 >= 4),
+            F.array_join(F.slice(ls2, n2 - 3, 4), "."),
+        )
+        .when(
+            # exact-3-label-suffix hosts (__s3 matched, n == 3) have no
+            # registrant — fall through to the last-two-labels rule
+            F.col("__s2").isNotNull() & (n2 >= 3) & F.col("__s3").isNull(),
+            F.array_join(F.slice(ls2, n2 - 2, 3), "."),
+        )
+        .otherwise(F.regexp_extract(F.col(host_col), r"([^.]+\.[^.]+)$", 1))
+    )
+    return joined.withColumn(out_col, domain).drop("__c2", "__c3", "__s2", "__s3")
+
+
 def filter_blocked_domains(df, url_col: str, blocked: list[str], keep_blocked: bool = False):
     """Drop (or keep, for auditing) rows whose registrable domain is on
     the blocklist. Small lists inline into the scan predicate (isin →

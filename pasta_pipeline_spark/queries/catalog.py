@@ -6237,3 +6237,75 @@ def q_cluster_merge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters, docs.select("doc_id", "n_chars", "text"),
         score_col="n_chars", sum_cols=["n_chars"],
     )
+
+
+def _psl_oracle() -> str:
+    from pasta_pipeline_spark.functions.urls import PSL_MULTI_SUFFIXES
+
+    two = ", ".join(f"'{s}'" for s in PSL_MULTI_SUFFIXES if s.count(".") == 1)
+    three = ", ".join(f"'{s}'" for s in PSL_MULTI_SUFFIXES if s.count(".") == 2)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN 'news.bbc.co.uk'
+               WHEN 1 THEN 'shop.books.com.au'
+               WHEN 2 THEN 'cdn.assets.example.com'
+               WHEN 3 THEN 'example.org'
+               WHEN 4 THEN 'www.site' || CAST(doc_id // 6 AS VARCHAR) || '.co.jp'
+               WHEN 5 THEN 'www.hillside.act.edu.au'
+               ELSE 'deep.sub.docs.wiki.org' END AS host
+      FROM documents
+    ), l AS (
+      SELECT doc_id, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+      FROM u
+    )
+    SELECT CASE
+             WHEN n >= 4 AND array_to_string(ls[n-2:n], '.') IN ({three})
+               THEN array_to_string(ls[n-3:n], '.')
+             WHEN n >= 3 AND array_to_string(ls[n-1:n], '.') IN ({two})
+                  AND NOT (n = 3 AND host IN ({three}))
+               THEN array_to_string(ls[n-2:n], '.')
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+           END AS domain,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM l
+    GROUP BY 1
+    """
+
+
+@register(
+    "domain_stats_psl",
+    _psl_oracle(),
+    doc="Public-suffix-aware registrable-domain stats — the precision "
+    "upgrade over the last-two-labels rule (functions/urls.py "
+    "registrable_domain_psl): news.bbc.co.uk folds into bbc.co.uk, "
+    "not co.uk, so per-site crawl budgets and blocklists aggregate at "
+    "the true registrant boundary. The multi-label suffix subset "
+    "(publicsuffix.org, public data) is inlined into scan predicates "
+    "— zero joins; the full-list path is a broadcast join "
+    "(registrable_domain_join, pytest). The oracle inlines the SAME "
+    "suffix list from the same constant, so the two sides cannot "
+    "drift. Hosts synthesized deterministically from doc ids.",
+)
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import registrable_domain_psl
+
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("news.bbc.co.uk"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("shop.books.com.au"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("cdn.assets.example.com"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("example.org"))
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(F.lit("www.site"), F.expr("doc_id div 6"), F.lit(".co.jp")),
+        )
+        .when(F.col("doc_id") % 7 == 5, F.lit("www.hillside.act.edu.au"))
+        .otherwise(F.lit("deep.sub.docs.wiki.org"))
+    )
+    return (
+        docs.select(registrable_domain_psl(host).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

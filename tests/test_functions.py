@@ -271,3 +271,38 @@ def test_canonicalize_url_rules(spark):
         [("https://h.io/x?sid=9&a=1",)], "u string"
     ).select(canonicalize_url("u", tracking_param_re="^(sid)=").alias("c"))
     assert custom.collect()[0]["c"] == "https://h.io/x?a=1"
+
+
+def test_registrable_domain_psl_and_join(spark):
+    """Multi-label public suffixes resolve to the true registrant
+    boundary in both the inlined-predicate and broadcast-join forms;
+    single-label TLDs keep the last-two-labels rule; the join form
+    stays shuffle-free on the corpus side."""
+    from pasta_pipeline_spark.functions.urls import (
+        psl_suffix_frame,
+        registrable_domain_join,
+        registrable_domain_psl,
+    )
+
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),                # bare suffix: fallback rule
+        ("www.hillside.act.edu.au", "hillside.act.edu.au"),  # 3-label suffix
+        ("act.edu.au", "edu.au"),          # 3-label suffix, no registrant → 2-label rule
+        ("cdn.assets.example.com", "example.com"),
+        ("example.org", "example.org"),
+        ("localhost", ""),                 # single label: no registrable domain
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in df.select(registrable_domain_psl("host").alias("d")).collect()]
+    assert got == [want for _, want in cases]
+
+    psl = psl_suffix_frame(spark)
+    jg = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_join(df, "host", psl).collect()
+    }
+    assert jg == dict(cases)
+    plan = registrable_domain_join(df, "host", psl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(host" not in plan  # corpus never shuffles
