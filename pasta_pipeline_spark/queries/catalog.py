@@ -6309,3 +6309,89 @@ def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "pair_ttl_report",
+    """
+    WITH h AS (
+      SELECT doc_id AS a, doc_id + 1000000 AS b, CAST(doc_id % 7 AS BIGINT) AS bt
+      FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id + 1000000,
+             CAST(doc_id % 7 + 1 + doc_id % 4 AS BIGINT)
+      FROM documents
+    ), det AS (
+      SELECT DISTINCT a, b, bt FROM h
+    ), fb AS (
+      SELECT a, b, bt, MIN(bt) OVER (PARTITION BY a, b) AS first_b FROM det
+    ), bs AS (
+      SELECT bt,
+             SUM(CASE WHEN first_b = bt THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN first_b < bt THEN 1 ELSE 0 END) AS n_redetected
+      FROM fb GROUP BY 1
+    ), marked AS (
+      SELECT a, b, bt,
+             CASE WHEN bt > COALESCE(MAX(bt + 2) OVER (
+                    PARTITION BY a, b ORDER BY bt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9999) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM det
+    ), isl AS (
+      SELECT a, b, bt,
+             SUM(brk) OVER (PARTITION BY a, b ORDER BY bt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ), iv AS (
+      SELECT a, b, island, MIN(bt) AS s, MAX(bt) + 2 AS e
+      FROM isl GROUP BY 1, 2, 3
+    ), deltas AS (
+      SELECT s AS bt, 1 AS d FROM iv
+      UNION ALL
+      SELECT e + 1, -1 FROM iv
+    ), dsum AS (
+      SELECT bt, SUM(d) AS d FROM deltas GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT MIN(bt) FROM det),
+                                    (SELECT MAX(bt) FROM det))) AS bt
+    ), act AS (
+      SELECT spine.bt,
+             SUM(COALESCE(dsum.d, 0)) OVER (ORDER BY spine.bt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_active
+      FROM spine LEFT JOIN dsum ON spine.bt = dsum.bt
+    )
+    SELECT CAST(act.bt AS BIGINT) AS batch_id,
+           CAST(COALESCE(bs.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(bs.n_redetected, 0) AS BIGINT) AS n_redetected,
+           CAST(act.n_active AS BIGINT) AS n_active
+    FROM act LEFT JOIN bs ON act.bt = bs.bt
+    """,
+    doc="Dedup-pair lifecycle report under a TTL (operators/pair_ttl.py "
+    "pair_history_report — the batch consumer of the streaming LSH "
+    "index's pair history): per batch, NEW pairs, re-confirmations, "
+    "and the TTL-active working set. Active counts are delta-encoded "
+    "— per-pair alive-intervals merge via gaps-and-islands (the "
+    "duplicated_spans idiom), each island emits +1/-1 boundary deltas, "
+    "and a running sum over the batch SPINE (time-range-bounded "
+    "metadata, not corpus mass) produces the counts — no detection×TTL "
+    "explosion, no range join. History synthesized deterministically: "
+    "two detections per pair at id-derived batches, ttl=3, so islands "
+    "both merge and split.",
+)
+def q_pair_ttl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.pair_ttl import pair_history_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h1 = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+        (F.col("doc_id") % 7).cast("long").alias("batch_id"),
+    )
+    h2 = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+        (F.col("doc_id") % 7 + 1 + F.col("doc_id") % 4).cast("long").alias("batch_id"),
+    )
+    # cached det table stays attached; the harness releases after
+    # materializing (the standard attach_cached_deps contract)
+    return pair_history_report(h1.unionByName(h2), ttl=3)

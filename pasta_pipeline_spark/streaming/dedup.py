@@ -67,6 +67,7 @@ def lsh_index_batch(
     batch: "DataFrame",
     index_store,
     pairs_dir: str | None = None,
+    batch_id: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -175,7 +176,13 @@ def lsh_index_batch(
     # retains the predecessor version it was built on.
     index_store.merge_partitioned(with_bkt, key="doc", partition_col="__bkt")
     if pairs_dir is not None:
-        pairs.write.mode("append").parquet(pairs_dir)
+        to_write = pairs
+        if batch_id is not None:
+            # tag the history row with its micro-batch: the lifecycle
+            # analytics (operators/pair_ttl.py pair_history_report)
+            # key their TTL windows on it
+            to_write = pairs.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        to_write.write.mode("append").parquet(pairs_dir)
     sh.unpersist()
     sigs_new.unpersist()
     return pairs
@@ -218,6 +225,7 @@ def incremental_lsh_dedup(
             batch,
             index_store,
             pairs_dir=pairs_dir,
+            batch_id=batch_id,
             id_col=id_col,
             text_col=text_col,
             **lsh_kwargs,

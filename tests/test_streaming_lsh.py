@@ -132,3 +132,42 @@ def test_incremental_lsh_dedup_streaming_e2e(spark, tmp_table_dir):
     assert store.read().count() == 3
     got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()}
     assert (1, 50) in got
+
+
+def test_pair_history_ttl_report_end_to_end(spark, tmp_table_dir):
+    """lsh_index_batch tags appended pairs with their batch id; the
+    pair_history_report consumer computes new/redetected/active counts
+    per batch, with TTL islands merging across re-detections."""
+    from pasta_pipeline_spark.operators.pair_ttl import pair_history_report
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    store = TableStore(spark, f"{tmp_table_dir}/ttl_idx")
+    pairs_dir = f"{tmp_table_dir}/ttl_pairs"
+    # batch 0: two docs, one duplicate pair within the batch
+    b0 = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_A)], "doc_id long, text string"
+    )
+    lsh_index_batch(b0, store, pairs_dir=pairs_dir, batch_id=0)
+    # batch 1: doc 3 duplicates doc 1 (new pair 1-3 and new pair 2-3)
+    b1 = spark.createDataFrame([(3, TEXT_A)], "doc_id long, text string")
+    lsh_index_batch(b1, store, pairs_dir=pairs_dir, batch_id=1)
+    # batch 5: replay doc 2 -> re-detects (1,2) after a gap
+    b5 = spark.createDataFrame([(2, TEXT_A)], "doc_id long, text string")
+    lsh_index_batch(b5, store, pairs_dir=pairs_dir, batch_id=5)
+
+    history = spark.read.parquet(pairs_dir)
+    assert "batch_id" in history.columns
+    rep = pair_history_report(history, ttl=2)
+    rows = {r["batch_id"]: r for r in rep.collect()}
+    release_cached_deps(rep)
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]  # full spine incl. silent batches
+    assert rows[0]["n_new"] == 1 and rows[0]["n_redetected"] == 0
+    assert rows[1]["n_new"] == 2
+    # replay detections of already-known pairs are redetections
+    assert rows[5]["n_new"] == 0 and rows[5]["n_redetected"] >= 1
+    # ttl=2: alive interval [d, d+1] — (1,2) from batch 0 is active
+    # through 1; the two batch-1 pairs through 2; all gone by 3
+    assert rows[1]["n_active"] == 3
+    assert rows[2]["n_active"] == 2
+    assert rows[3]["n_active"] == 0 and rows[4]["n_active"] == 0
+    assert rows[5]["n_active"] >= 1
