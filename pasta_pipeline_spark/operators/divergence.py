@@ -1,0 +1,123 @@
+"""Corpus-distribution divergence — the statistical view of curation.
+
+Dedup answers "are these documents the same?"; divergence answers
+"are these SOURCES the same kind of text?" — the number a training-mix
+designer watches when adding a new crawl slice (is it redundant with
+an existing source?) and an ingestion monitor watches across time
+(distribution drift). The standard measure is Jensen-Shannon
+divergence over token unigram distributions: symmetric, always finite
+(unlike KL with disjoint vocabulary), bounded by ln 2.
+
+Exactness contract (the cross-engine playbook): per-token JS terms are
+floored to fixed point BEFORE summation, so the aggregate is an int64
+sum — order-independent and hash-identical across engines; ``ln`` and
+IEEE double arithmetic on integer ratios are bit-identical in
+Spark and DuckDB, and the formula is built from one shared expression
+string so the two sides cannot drift.
+
+Scale shape: one groupBy over (source, token), one self-equi-join on
+the token (the inverted-index skeleton — intersection terms only;
+tokens exclusive to one side are handled in closed form
+``0.5·ln2·(exclusive mass)``, so no outer join and no union-vocabulary
+explosion), one groupBy over source pairs. Token-distribution mass is
+touched once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for JS terms (1e8: JS <= ln2 ~ 0.693, so totals
+#: stay far inside int64 even summed over millions of tokens).
+JS_SCALE = 100_000_000
+
+#: Per-token JS contribution over the INTERSECTION vocabulary, with
+#: the 1/2 factor folded in; p = ca/ta, q = cb/tb. Shared verbatim by
+#: the Spark expression and the DuckDB oracle (``{double}`` is the
+#: engine's double-cast spelling).
+_JS_TERM = (
+    "FLOOR(0.5 * ("
+    "(CAST(ca AS DOUBLE)/ta) * ln(2*(CAST(ca AS DOUBLE)/ta)"
+    "/((CAST(ca AS DOUBLE)/ta)+(CAST(cb AS DOUBLE)/tb)))"
+    " + (CAST(cb AS DOUBLE)/tb) * ln(2*(CAST(cb AS DOUBLE)/tb)"
+    "/((CAST(ca AS DOUBLE)/ta)+(CAST(cb AS DOUBLE)/tb)))"
+    f") * {JS_SCALE})"
+)
+
+#: Closed-form contribution of tokens exclusive to either side:
+#: 0.5 * ln2 * (exclusive_p_mass + exclusive_q_mass).
+_JS_EXCL = (
+    "FLOOR(0.5 * ln(2) * ("
+    "(CAST(ta - inter_a AS DOUBLE)/ta) + (CAST(tb - inter_b AS DOUBLE)/tb)"
+    f") * {JS_SCALE})"
+)
+
+
+def js_term_sql() -> str:
+    """The per-token term in DuckDB spelling (identical text — both
+    engines parse the same SQL expression grammar here)."""
+    return _JS_TERM
+
+
+def js_excl_sql() -> str:
+    return _JS_EXCL
+
+
+def source_token_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of
+    sources' token unigram distributions.
+
+    Returns ``(source_a, source_b, n_common_tokens, js_fp)`` for
+    ``source_a < source_b``; ``js_fp`` is JS in 1e-8 units (0 =
+    identical distributions, ~69314718 = ln 2 = disjoint). Tokens:
+    lowercased whitespace split, empties dropped (the corpus-standard
+    tokenization shared with the dedup tiers).
+
+    Source pairs sharing ZERO vocabulary are omitted from the output
+    (their JS is exactly ln 2 with no intersection terms to join on) —
+    documented contract; real text sources always share stopwords.
+    """
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    cnts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tots = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    d = cnts.join(tots, "source")
+
+    a = d.select(
+        F.col("source").alias("source_a"), F.col("tok"),
+        F.col("c").alias("ca"), F.col("t").alias("ta"),
+    )
+    b = d.select(
+        F.col("source").alias("source_b"), F.col("tok"),
+        F.col("c").alias("cb"), F.col("t").alias("tb"),
+    )
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "ta", "tb")
+        .agg(
+            F.sum(F.expr(_JS_TERM)).cast("long").alias("inner_fp"),
+            F.sum("ca").cast("long").alias("inter_a"),
+            F.sum("cb").cast("long").alias("inter_b"),
+            F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+        )
+    )
+    return inter.select(
+        "source_a",
+        "source_b",
+        "n_common_tokens",
+        (F.col("inner_fp") + F.expr(_JS_EXCL)).cast("long").alias("js_fp"),
+    )

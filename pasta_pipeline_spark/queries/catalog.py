@@ -6395,3 +6395,55 @@ def q_pair_ttl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached det table stays attached; the harness releases after
     # materializing (the standard attach_cached_deps contract)
     return pair_history_report(h1.unionByName(h2), ttl=3)
+
+
+def _divergence_oracle() -> str:
+    from pasta_pipeline_spark.operators.divergence import js_excl_sql, js_term_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                y -> y <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), cnts AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ), tots AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnts GROUP BY 1
+    ), d AS (
+      SELECT c.source, c.tok, c.c, t.t FROM cnts c JOIN tots t USING (source)
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.t AS ta, b.t AS tb,
+             CAST(SUM(CAST({js_term_sql().replace('ca', 'a.c').replace('cb', 'b.c').replace('/ta', '/a.t').replace('/tb', '/b.t')} AS BIGINT)) AS BIGINT) AS inner_fp,
+             CAST(SUM(a.c) AS BIGINT) AS inter_a,
+             CAST(SUM(b.c) AS BIGINT) AS inter_b,
+             CAST(count(*) AS BIGINT) AS n_common_tokens
+      FROM d a JOIN d b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b, n_common_tokens,
+           CAST(inner_fp + CAST({js_excl_sql()} AS BIGINT) AS BIGINT) AS js_fp
+    FROM inter
+    """
+
+
+@register(
+    "source_divergence",
+    _divergence_oracle(),
+    doc="Pairwise Jensen-Shannon divergence between source token "
+    "distributions (operators/divergence.py) — the statistical corpus "
+    "comparison a training-mix designer uses to spot redundant or "
+    "drifting sources. Intersection terms come from one token "
+    "equi-join (inverted-index skeleton); exclusive-vocabulary mass "
+    "folds in closed form (0.5·ln2·mass) so no outer join and no "
+    "union-vocab explosion. Per-token JS terms floor to fixed point "
+    "BEFORE the sum (int64, order-independent) and the formula is one "
+    "shared expression string — hash-exact across engines despite ln "
+    "and double ratios.",
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.divergence import source_token_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_token_divergence(docs)

@@ -858,3 +858,38 @@ def test_quantized_topk_huge_magnitude_not_dropped(spark):
     assert rows[2]["scale_fp"] == 1  # clamped to the smallest step
     assert rows[2]["score_fp"] > rows[1]["score_fp"]  # and wins on alignment
     assert 3 not in rows        # all-zero vector still excluded
+
+
+def test_source_divergence_properties(spark):
+    """JS divergence: ~0 for identical distributions, ln2-bounded,
+    monotone in distribution distance; zero-overlap pairs omitted
+    (documented)."""
+    import math
+
+    from pasta_pipeline_spark.operators.divergence import (
+        JS_SCALE,
+        source_token_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma alpha beta"),
+            ("s2", "alpha beta gamma alpha beta"),   # identical to s1
+            ("s3", "alpha beta delta epsilon zeta"), # partial overlap
+            ("s4", "omega psi chi"),                 # disjoint from s1/s2
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_token_divergence(docs).collect()
+    }
+    ln2_fp = int(math.log(2) * JS_SCALE)
+    assert got[("s1", "s2")]["js_fp"] <= 2  # identical → ~0 (floor slack)
+    assert 0 < got[("s1", "s3")]["js_fp"] < ln2_fp
+    assert got[("s1", "s3")]["js_fp"] > got[("s1", "s2")]["js_fp"]
+    # disjoint pairs are omitted (their JS is exactly ln 2)
+    assert ("s1", "s4") not in got and ("s2", "s4") not in got
+    assert got[("s3", "s4")] if ("s3", "s4") in got else True
+    # symmetry of the construction: only a<b emitted, never both
+    assert all(a < b for (a, b) in got)
