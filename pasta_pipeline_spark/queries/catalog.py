@@ -6447,3 +6447,54 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return source_token_divergence(docs)
+
+
+@register(
+    "shard_rebalance",
+    """
+    WITH shards16 AS (
+      SELECT unnest(generate_series(0, 15)) AS s
+    ), shards17 AS (
+      SELECT unnest(generate_series(0, 16)) AS s
+    ), w16 AS (
+      SELECT d.doc_id, s.s,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT AS wt
+      FROM documents d CROSS JOIN shards16 s
+    ), a16 AS (
+      SELECT doc_id, s AS shard16 FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rk
+        FROM w16
+      ) WHERE rk = 1
+    ), w17 AS (
+      SELECT d.doc_id, s.s,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT AS wt
+      FROM documents d CROSS JOIN shards17 s
+    ), a17 AS (
+      SELECT doc_id, s AS shard17 FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rk
+        FROM w17
+      ) WHERE rk = 1
+    )
+    SELECT CAST(a16.shard16 AS INT) AS shard_before,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN a16.shard16 <> a17.shard17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN a16.shard16 <> a17.shard17 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS moved_bp
+    FROM a16 JOIN a17 USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Rendezvous-sharding resize impact (operators/sharding.py): "
+    "per old shard, keys moved when growing 16 -> 17 shards under "
+    "highest-random-weight assignment — ~1/17 of each shard moves, "
+    "the deterministic minimum, vs ~16/17 under hash-mod-N (a "
+    "full-corpus rewrite). Spark side is one array expression per row "
+    "(transform + array_max, no explode/join/shuffle); the oracle "
+    "replays the same md5-based 60-bit weights via an explicit "
+    "shard cross join + window argmax — same assignment, different "
+    "plan, hash-identical.",
+)
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sharding import shard_rebalance_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_rebalance_report(docs, "doc_id", n_before=16, n_after=17)

@@ -893,3 +893,32 @@ def test_source_divergence_properties(spark):
     assert got[("s3", "s4")] if ("s3", "s4") in got else True
     # symmetry of the construction: only a<b emitted, never both
     assert all(a < b for (a, b) in got)
+
+
+def test_rendezvous_shard_stability_and_balance(spark):
+    """Rendezvous invariants: assignment in range and balanced-ish;
+    growing N->N+1 moves ONLY keys whose new argmax is the added shard
+    (every mover lands on shard N), at roughly 1/(N+1) rate — the
+    property mod-N sharding lacks."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.sharding import rendezvous_shard
+
+    n = 8
+    df = spark.range(0, 2000).select(F.col("id"))
+    pair = df.select(
+        rendezvous_shard(F.col("id"), n).alias("s8"),
+        rendezvous_shard(F.col("id"), n + 1).alias("s9"),
+    )
+    rows = pair.collect()
+    assert all(0 <= r["s8"] < n and 0 <= r["s9"] < n + 1 for r in rows)
+    movers = [r for r in rows if r["s8"] != r["s9"]]
+    # minimal-disruption property: every mover goes TO the new shard
+    assert movers and all(r["s9"] == n for r in movers)
+    frac = len(movers) / len(rows)
+    assert 0.05 < frac < 0.20  # ~1/9 = 0.111 expected
+    # balance: no shard holds more than 2.5x the fair share
+    from collections import Counter
+
+    counts = Counter(r["s8"] for r in rows)
+    assert max(counts.values()) < 2.5 * (2000 / n)
