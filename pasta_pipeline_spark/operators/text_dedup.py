@@ -568,6 +568,7 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     max_iterations: int = 50,
     checkpoint_every: int = 0,
+    doubling: bool = False,
 ) -> DataFrame:
     """Assign every document to its duplicate cluster: the transitive
     closure of the near-dup pair graph, labeled by the smallest doc id
@@ -588,6 +589,15 @@ def duplicate_clusters(
     off locally (tiny graphs converge in 2-4 rounds); set 1-5 at scale
     (a cluster deployment would use reliable ``checkpoint()`` with a
     checkpoint dir instead — same call site).
+
+    ``doubling=True`` adds pointer-jumping to each round: besides its
+    neighbors' labels, every node also takes its LABEL'S label (one
+    extra self-join on the label frame per round). Convergence drops
+    from O(diameter) to O(log diameter) rounds — irrelevant for the
+    tiny near-dup components this defaults for, decisive when a
+    pathological chain (template families, boilerplate ladders) pushes
+    diameters into the hundreds at corpus scale. Identical fixpoint —
+    equivalence is pytest-pinned against the default mode.
 
     The returned frame is materialized (the fixpoint loop already ran
     the plan); no intermediate caches survive the call.
@@ -614,6 +624,22 @@ def duplicate_clusters(
             "node",
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
         )
+        if doubling:
+            # pointer jumping: node also adopts its label's label
+            parent = labels.select(
+                F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+            )
+            new_labels = (
+                new_labels.join(
+                    parent, new_labels["lbl"] == parent["p_node"], "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+            )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:

@@ -436,3 +436,36 @@ def test_ivf_trained_centroids_improve_recall(spark):
     emb.unpersist()
     assert trained > seeded, f"trained {trained} not above seeded {seeded}"
     assert trained >= 0.95
+
+
+def test_duplicate_clusters_doubling_equivalent_and_fewer_rounds(spark):
+    """Pointer-jumping mode reaches the identical fixpoint as plain
+    min-label propagation on a long chain, in ~log(diameter) rounds
+    instead of ~diameter."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters
+
+    n = 33  # path graph 0-1-2-...-32: diameter 32
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(ids, pairs, checkpoint_every=4).collect()
+    }
+    assert set(plain.values()) == {0}  # one component, min-labeled
+
+    doubled = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(ids, pairs, checkpoint_every=4, doubling=True).collect()
+    }
+    assert doubled == plain  # identical fixpoint
+
+    # round-count evidence: cap iterations below the chain diameter —
+    # plain propagation CANNOT converge, doubling can
+    partial = duplicate_clusters(ids, pairs, max_iterations=8, checkpoint_every=4, doubling=False)
+    assert {r["cluster_id"] for r in partial.collect()} != {0}
+    converged = duplicate_clusters(ids, pairs, max_iterations=8, checkpoint_every=4, doubling=True)
+    assert {r["cluster_id"] for r in converged.collect()} == {0}
