@@ -6498,3 +6498,46 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return shard_rebalance_report(docs, "doc_id", n_before=16, n_after=17)
+
+
+@register(
+    "equidepth_histogram",
+    """
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(FLOOR(MIN(l_extendedprice) * 100) AS BIGINT) AS lo_cents,
+           CAST(FLOOR(MAX(l_extendedprice) * 100) AS BIGINT) AS hi_cents
+    FROM ranked GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram (each bucket holds ~the same row count; "
+    "bucket BOUNDARIES adapt to the data) — the complement of the "
+    "fixed-width price_histogram and the mergeable-quantile state: "
+    "this is the shape ANALYZE-style statistics and range-partition "
+    "planners consume. ntile over a TOTAL order (value + key "
+    "tiebreaks, so the assignment is deterministic cross-engine), "
+    "fixed-point cent boundaries. NB the global sort is the point of "
+    "the query (statistics pass, not a hot path); the mergeable "
+    "histogram/quantile operators are the no-sort alternatives.",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.floor(F.min("l_extendedprice") * 100).cast("long").alias("lo_cents"),
+            F.floor(F.max("l_extendedprice") * 100).cast("long").alias("hi_cents"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo_cents", "hi_cents")
+    )

@@ -428,6 +428,57 @@ class TableStore:
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
+    # -- write-audit-publish ------------------------------------------
+
+    def stage(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Write-audit-publish, step one: write a complete immutable
+        version WITHOUT flipping the pointer. Readers keep seeing the
+        current snapshot; the returned version id hands to
+        :meth:`read` (audit the staged data with any query) and then
+        to :meth:`publish` — or to :meth:`discard` if the audit fails.
+        This is the lakehouse WAP pattern (Iceberg's stage-commit /
+        branch-audit-publish) on the same version-dir machinery every
+        other write here uses: publish is a pointer flip, so the
+        gate adds zero data movement.
+
+        Staged versions are invisible to GC-triggering writes only
+        until the next ``overwrite``/``merge_partitioned`` commit runs
+        GC — stage/audit/publish is a single logical transaction, not
+        long-lived parallel branches (documented contract)."""
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.path, version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        os.makedirs(self.path, exist_ok=True)
+        return version
+
+    def publish(self, version: str) -> None:
+        """Write-audit-publish, final step: atomically flip the live
+        pointer to a previously :meth:`stage`-d version (the audit
+        passed). Identical crash semantics to ``overwrite``'s flip;
+        the superseded version is retained for in-flight readers and
+        GC'd on the next write."""
+        if not os.path.isdir(os.path.join(self.path, version)):
+            raise FileNotFoundError(
+                f"cannot publish {version}: not staged in {self.path}"
+            )
+        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_path())  # atomic flip
+
+    def discard(self, version: str) -> None:
+        """Drop a staged version whose audit failed. Refuses to remove
+        the LIVE version or anything a live manifest references."""
+        keep = {self.current_version()} | self._referenced_versions(
+            self.current_version()
+        )
+        if version in keep:
+            raise ValueError(f"refusing to discard live/referenced version {version}")
+        shutil.rmtree(os.path.join(self.path, version), ignore_errors=True)
+
     def versions(self) -> list[str]:
         """Version dirs currently on disk (live, predecessor, and any
         manifest-referenced physical homes), sorted; the set

@@ -575,3 +575,36 @@ def test_manifest_legacy_typeless_read_anchor(spark, monkeypatch, tmp_table_dir)
         4: (None, "ADD-null"),
     }
     assert dict(store.read().dtypes)["cat"] == "string"
+
+
+def test_write_audit_publish(spark, tmp_table_dir):
+    """WAP: a staged version is readable for auditing but invisible to
+    readers until publish; a failed audit discards it without touching
+    the live snapshot; publish is the same atomic flip as overwrite."""
+    import pytest as _pytest
+
+    store = TableStore(spark, f"{tmp_table_dir}/wap")
+    store.overwrite(spark.range(10))
+    live = store.current_version()
+
+    # stage a bad batch, audit, discard
+    bad = store.stage(spark.range(0))  # audit rule: must be non-empty
+    assert store.current_version() == live          # readers unaffected
+    assert store.read(version=bad).count() == 0     # audit the staged data
+    assert store.read().count() == 10
+    store.discard(bad)
+    assert bad not in store.versions()
+
+    # stage a good batch, audit, publish
+    good = store.stage(spark.range(25))
+    assert store.read().count() == 10               # still pre-publish
+    assert store.read(version=good).count() == 25
+    store.publish(good)
+    assert store.current_version() == good
+    assert store.read().count() == 25
+
+    # guard rails
+    with _pytest.raises(ValueError, match="refusing to discard"):
+        store.discard(good)
+    with _pytest.raises(FileNotFoundError, match="not staged"):
+        store.publish("v-nonexistent00")
