@@ -704,3 +704,110 @@ def quantized_topk(
         .limit(k)
         .select(id_col, "qdot", "scale_fp", "score_fp")
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al., TPAMI'11 — the
+    memory tier below int8): vectors compress to ``n_subspaces`` code
+    ids (here 4 bytes per 64-dim vector, a 64× reduction over f32),
+    and query scoring is ADC — one distance-table lookup per subspace
+    instead of a full dot product. The scan moves CODES, not vectors:
+    at 100 TB this is the difference between scanning the corpus and
+    scanning 1/64th of it, with the exact tier (cosine_topk) as the
+    rerank stage over the ADC short-list.
+
+    Codebooks here are SEED codebooks — subvectors of the first
+    ``n_codes`` vectors by id (k-means/Lloyd's training slots in
+    without changing the query shape, exactly like ivf_topk's note).
+    Everything downstream of the doubles is deterministic: subspace
+    L2² distances use the dot-product decomposition
+    ``a·a - 2a·b + b·b`` (sequential folds, bit-identical to DuckDB
+    ``list_dot_product``), floor to fixed point PER TABLE ENTRY, and
+    the ADC score is an int64 sum of per-subspace entries — so code
+    assignment, the distance table, and the final ranking are all
+    hash-exact and the 'approximate' path replays fully in SQL.
+
+    Returns ``(vec_id, adc_fp)`` — the ``k`` smallest approximate
+    squared distances (ascending, id tiebreak), fixed-point 1e7.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    dim_probe = n_subspaces  # subspace width derived from the vector at plan time?
+    # subspace width must be static for slice(); derive from schema
+    # (ArrayType has no length) via the documented 64-dim contract of
+    # the embeddings table — parameterized for other dims:
+    sub = 64 // n_subspaces
+
+    def slices(col):
+        return F.posexplode(
+            F.array(*[F.slice(col, m * sub + 1, sub) for m in range(n_subspaces)])
+        )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def l2fp(a, b):
+        return F.floor(
+            (dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)) * F.lit(10_000_000.0)
+        ).cast("long")
+
+    from pyspark.sql import Window
+
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    cb = (
+        embeddings.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col), vd.alias("v"))
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy(id_col)) - 1,
+        )
+        .select("code", slices(F.col("v")).alias("m", "cv"))
+    )
+    corpus = ensure_parallelism(
+        embeddings.select(F.col(id_col), vd.alias("v"))
+    ).select(id_col, slices(F.col("v")).alias("m", "sv"))
+
+    # encode: per (vector, subspace), the nearest codebook entry —
+    # broadcast join + one groupBy; min_by on an (fp, code) struct
+    # keeps it a single shuffle with integer-deterministic ties
+    enc = (
+        corpus.join(F.broadcast(cb), "m")
+        .select(
+            id_col, "m", "code", l2fp(F.col("sv"), F.col("cv")).alias("fp")
+        )
+        .groupBy(id_col, "m")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("fp"), F.col("code"))
+            ).alias("code")
+        )
+    )
+    qsub = query.select(
+        slices(F.transform(F.col(query_vec_col), lambda v: v.cast("double"))).alias(
+            "m", "sv"
+        )
+    )
+    dist_table = qsub.join(F.broadcast(cb), "m").select(
+        "m", "code", l2fp(F.col("sv"), F.col("cv")).alias("qfp")
+    )
+    return (
+        enc.join(F.broadcast(dist_table), ["m", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qfp").cast("long").alias("adc_fp"))
+        .orderBy(F.asc("adc_fp"), F.asc(id_col))
+        .limit(k)
+    )

@@ -6541,3 +6541,77 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo_cents", "hi_cents")
     )
+
+
+def _pq_oracle(n_subspaces: int = 4, n_codes: int = 16, k: int = 10) -> str:
+    """Exact DuckDB twin of q_pq_topk: seed codebooks, L2² via the
+    dot-product decomposition (list_dot_product folds sequentially
+    like F.aggregate — bit-identical doubles), per-entry fixed-point
+    floor, integer ADC sum."""
+    sub = 64 // n_subspaces
+
+    def l2fp(a, b):
+        return (
+            f"CAST(FLOOR((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b})) * 10000000) AS BIGINT)"
+        )
+
+    return f"""
+    WITH ms AS (
+      SELECT unnest(generate_series(0, {n_subspaces - 1})) AS m
+    ), cb_src AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings ORDER BY vec_id LIMIT {n_codes}
+    ), cb0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM cb_src
+    ), cb AS (
+      SELECT code, m, v[(m*{sub}+1):(m*{sub}+{sub})] AS cv
+      FROM cb0 CROSS JOIN ms
+    ), corpus AS (
+      SELECT vec_id, m, (embedding::DOUBLE[])[(m*{sub}+1):(m*{sub}+{sub})] AS sv
+      FROM embeddings CROSS JOIN ms
+    ), l2 AS (
+      SELECT c.vec_id, c.m, b.code, {l2fp('c.sv', 'b.cv')} AS fp
+      FROM corpus c JOIN cb b USING (m)
+    ), enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY fp, code) AS rk
+        FROM l2
+      ) WHERE rk = 1
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+    ), qm AS (
+      SELECT m, qv[(m*{sub}+1):(m*{sub}+{sub})] AS sv FROM q CROSS JOIN ms
+    ), dt AS (
+      SELECT b.m, b.code, {l2fp('qm.sv', 'b.cv')} AS qfp
+      FROM qm JOIN cb b USING (m)
+    )
+    SELECT e.vec_id, CAST(SUM(d.qfp) AS BIGINT) AS adc_fp
+    FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
+    GROUP BY e.vec_id
+    ORDER BY adc_fp ASC, e.vec_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "pq_topk",
+    _pq_oracle(),
+    doc="Product-quantization ANN top-k (similarity.pq_topk, Jégou et "
+    "al. TPAMI'11) — the memory tier below int8: 4 code bytes per "
+    "64-dim vector (64x less scanned than f32) and ADC scoring (one "
+    "table lookup per subspace, no per-vector dot product). Seed "
+    "codebooks (first n_codes vectors' subvectors; Lloyd's slots in "
+    "like ivf_topk); subspace L2² via the a·a - 2a·b + b·b "
+    "decomposition (sequential folds, bit-identical to "
+    "list_dot_product), floored to fixed point PER TABLE ENTRY so "
+    "code assignment, the distance table, and the int64 ADC ranking "
+    "all replay hash-exactly in SQL.",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return pq_topk(emb, query, k=10)

@@ -135,3 +135,33 @@ def test_cross_corpus_cosine_pairs_planted_leak(spark):
     got = cross_corpus_cosine_pairs(train, ev, threshold=0.95, dim=8, num_planes=3).collect()
     assert [(r["train_id"], r["eval_id"]) for r in got] == [(0, 1)]
     assert abs(got[0]["sim"] - 1.0) < 1e-9
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ-ADC ranking is a real approximation: the query's own vector
+    ranks first at distance 0, scores ascend, and on a corpus with
+    actual cluster structure (driver embeddings are uniform-random, so
+    a clustered fixture is synthesized) ADC top-10 recovers most of
+    the exact top-10."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import cosine_topk, pq_topk
+
+    # 120 vectors in 4 well-separated clusters, deterministic jitter
+    rows = []
+    for i in range(120):
+        c = i % 4
+        base = [10.0 if d // 16 == c else 0.0 for d in range(64)]
+        vec = [base[d] + ((i * 31 + d * 7) % 13) / 13.0 for d in range(64)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+
+    adc = pq_topk(emb, query, k=10).collect()
+    assert adc[0]["vec_id"] == 0 and adc[0]["adc_fp"] == 0  # self-distance
+    assert [r["adc_fp"] for r in adc] == sorted(r["adc_fp"] for r in adc)
+    # all top-10 come from the query's cluster (ids ≡ 0 mod 4)
+    assert all(r["vec_id"] % 4 == 0 for r in adc)
+    exact_ids = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    adc_ids = {r["vec_id"] for r in adc}
+    assert len(exact_ids & adc_ids) >= 6  # real recall on clustered data
