@@ -712,6 +712,7 @@ def pq_topk(
     k: int = 10,
     n_subspaces: int = 4,
     n_codes: int = 16,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
@@ -741,11 +742,11 @@ def pq_topk(
     """
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
-    dim_probe = n_subspaces  # subspace width derived from the vector at plan time?
-    # subspace width must be static for slice(); derive from schema
-    # (ArrayType has no length) via the documented 64-dim contract of
-    # the embeddings table — parameterized for other dims:
-    sub = 64 // n_subspaces
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    # subspace width must be a plan-time constant for slice()
+    # (ArrayType carries no length), hence the explicit dim parameter
+    sub = dim // n_subspaces
 
     def slices(col):
         return F.posexplode(
