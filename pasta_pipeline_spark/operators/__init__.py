@@ -41,6 +41,15 @@ from pasta_pipeline_spark.operators.normalize import zscore_by_label
 from pasta_pipeline_spark.operators.multimodal import (
     extract_media_features,
     frame_sample_stub,
+    sample_video_frames,
+)
+from pasta_pipeline_spark.operators.text_dedup import cluster_merge_text
+from pasta_pipeline_spark.operators.similarity import pq_topk
+from pasta_pipeline_spark.operators.divergence import source_token_divergence
+from pasta_pipeline_spark.operators.pair_ttl import pair_history_report
+from pasta_pipeline_spark.operators.sharding import (
+    rendezvous_shard,
+    shard_rebalance_report,
 )
 
 __all__ = [
@@ -73,4 +82,11 @@ __all__ = [
     "zscore_by_label",
     "extract_media_features",
     "frame_sample_stub",
+    "sample_video_frames",
+    "cluster_merge_text",
+    "pq_topk",
+    "source_token_divergence",
+    "pair_history_report",
+    "rendezvous_shard",
+    "shard_rebalance_report",
 ]
