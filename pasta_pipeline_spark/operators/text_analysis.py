@@ -537,3 +537,47 @@ def encoding_profile(text: Column | str) -> dict[str, Column]:
             F.array_max(F.transform(toks, F.length)), F.lit(0)
         ).cast("long"),
     }
+
+
+def quality_score_lang(text: Column | str, lang: Column | str) -> Column:
+    """Language-aware :func:`quality_score`: the stopword component
+    counts hits against the DOCUMENT'S language profile instead of
+    assuming English — an English-stopword gate scores every French or
+    German document as low-quality noise, the classic multilingual
+    curation bug. Languages without a profile (e.g. zh, where
+    whitespace stopwords are the wrong model entirely) fall back to
+    the BEST hit count across all profiles (greatest), which degrades
+    to "contains function words of some supported language" rather
+    than punishing the document for not being English.
+
+    Same integer-count discipline as quality_score — cross-engine
+    exact; the per-language CASE is generated from the same STOPWORDS
+    constant in the SQL twin."""
+    c = F.col(text) if isinstance(text, str) else text
+    lc = F.col(lang) if isinstance(lang, str) else lang
+    toks = tokenize_ws(c, lowercase=True)
+    n_tok = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-zА-Яа-я一-鿿]+", ""))
+
+    hits_by_lang = {lg: stopword_hits(toks, lg) for lg in STOPWORDS}
+    hits = F.greatest(*hits_by_lang.values())
+    for lg, h in hits_by_lang.items():
+        hits = F.when(lc == lg, h).otherwise(hits)
+
+    length_c = F.least(n_tok.cast("double") / 64.0, F.lit(1.0))
+    alpha_c = F.when(
+        n_nonspace > 0, n_alpha.cast("double") / n_nonspace.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_c = F.when(
+        n_tok > 0,
+        F.least(4.0 * hits.cast("double") / n_tok.cast("double"), F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tok > 0, n_nonspace.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    len_c = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    score = (length_c + alpha_c + stop_c + len_c) / 4.0
+    return F.when(c.isNull() | (F.trim(c) == ""), F.lit(0.0)).otherwise(score)

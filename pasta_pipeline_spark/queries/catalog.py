@@ -6615,3 +6615,65 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
     return pq_topk(emb, query, k=10)
+
+
+
+def _quality_lang_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_analysis import STOPWORDS
+
+    hit_cols = []
+    for lg, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS h_{lg}"
+        )
+    case = " ".join(f"WHEN lang = '{lg}' THEN h_{lg}" for lg in STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in STOPWORDS) + ")"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS toks
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, lang, text,
+             len(toks) AS n_tok,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+             length(regexp_replace(text, '[^A-Za-zА-Яа-я一-鿿]+', '', 'g')) AS n_alpha,
+             {", ".join(hit_cols)}
+      FROM base
+    ), hits AS (
+      SELECT *, CASE {case} ELSE {best} END AS h FROM counted
+    )
+    SELECT doc_id, lang,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0 ELSE
+             (least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+              + (CASE WHEN n_nonspace > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_nonspace AS DOUBLE) ELSE 0.0 END)
+              + (CASE WHEN n_tok > 0 THEN least(4.0 * CAST(h AS DOUBLE) / CAST(n_tok AS DOUBLE), 1.0) ELSE 0.0 END)
+              + (CASE WHEN n_tok > 0
+                       AND CAST(n_nonspace AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 3.0
+                       AND CAST(n_nonspace AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 12.0
+                      THEN 1.0 ELSE 0.0 END)
+             ) / 4.0
+           END AS score
+    FROM hits
+    """
+
+
+@register(
+    "quality_score_lang",
+    _quality_lang_oracle(),
+    doc="Language-aware quality score (text_analysis.quality_score_lang): "
+    "the stopword component counts the DOCUMENT'S language profile "
+    "instead of assuming English — the multilingual-curation fix for "
+    "the classic bug where an English-stopword gate rejects every "
+    "non-English document. Unprofiled languages (zh in the driver "
+    "data) fall back to the best hit count across profiles. Per-lang "
+    "CASE generated from the same STOPWORDS constant in both engines.",
+)
+def q_quality_score_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import quality_score_lang
+
+    docs = _tp(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", quality_score_lang("text", "lang").alias("score")
+    )

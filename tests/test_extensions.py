@@ -469,3 +469,40 @@ def test_duplicate_clusters_doubling_equivalent_and_fewer_rounds(spark):
     assert {r["cluster_id"] for r in partial.collect()} != {0}
     converged = duplicate_clusters(ids, pairs, max_iterations=8, checkpoint_every=4, doubling=True)
     assert {r["cluster_id"] for r in converged.collect()} == {0}
+
+
+def test_quality_score_lang_profiles(spark):
+    """The stopword component follows the document's language: a
+    stopword-dense German text scores the same as the equivalent
+    English one (quality_score would punish it), and an unprofiled
+    language falls back to the best profile instead of zero."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.text_analysis import (
+        quality_score,
+        quality_score_lang,
+    )
+
+    en = "the cat and the dog in the house of the king is that good for all"
+    de = "der hund und die katze ist nicht ein tier mit haus auf dem zu gut"
+    df = spark.createDataFrame(
+        [(1, en, "en"), (2, de, "de"), (3, de, "xx"), (4, de, "en")],
+        "id long, text string, lang string",
+    )
+    rows = {
+        r["id"]: (r["sl"], r["s"])
+        for r in df.select(
+            "id",
+            quality_score_lang("text", "lang").alias("sl"),
+            quality_score("text").alias("s"),
+        ).collect()
+    }
+    # language-aware: German text under its own profile matches the
+    # English text's stopword saturation
+    assert abs(rows[1][0] - rows[2][0]) < 0.06
+    # plain quality_score punishes the German text (en stopwords only)
+    assert rows[2][0] > rows[2][1] + 0.15
+    # unprofiled lang falls back to best-profile (== de here)
+    assert rows[3][0] == rows[2][0]
+    # declaring the WRONG profiled language does punish
+    assert rows[4][0] < rows[2][0]
