@@ -121,3 +121,61 @@ def source_token_divergence(
         "n_common_tokens",
         (F.col("inner_fp") + F.expr(_JS_EXCL)).cast("long").alias("js_fp"),
     )
+
+
+def token_distribution(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(tok, c)`` unigram counts of a corpus slice — the input shape
+    :func:`js_between` compares. Build one per slice (a time window, a
+    source, pre/post a filter change) and persist small ones; counts
+    are mergeable by addition, so incremental maintenance is a
+    groupBy-sum away."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def js_between(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence between two token-count frames
+    (``(tok, c)`` each — from :func:`token_distribution` or any
+    persisted count state): ONE row ``(n_common_tokens, js_fp)``.
+
+    The drift-detection form of :func:`source_token_divergence`:
+    compare this week's ingest distribution against a frozen
+    reference, or a corpus before/after a filter change — same shared
+    formula, same fixed-point exactness, same intersection-join +
+    closed-form-exclusive-mass shape. Fully disjoint vocabularies
+    yield js_fp = ln2 exactly (the totals still join — no omission,
+    unlike the pairwise form's inner join over sources)."""
+    ta = a_counts.agg(F.sum("c").cast("long").alias("ta"))
+    tb = b_counts.agg(F.sum("c").cast("long").alias("tb"))
+    joined = (
+        a_counts.select("tok", F.col("c").alias("ca"))
+        .join(b_counts.select("tok", F.col("c").alias("cb")), "tok")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    inter = joined.agg(
+        F.coalesce(F.sum(F.expr(_JS_TERM)), F.lit(0)).cast("long").alias("inner_fp"),
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("inter_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("inter_b"),
+        F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+    )
+    return (
+        inter.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "n_common_tokens",
+            (F.col("inner_fp") + F.expr(_JS_EXCL)).cast("long").alias("js_fp"),
+        )
+    )

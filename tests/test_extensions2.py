@@ -922,3 +922,37 @@ def test_rendezvous_shard_stability_and_balance(spark):
 
     counts = Counter(r["s8"] for r in rows)
     assert max(counts.values()) < 2.5 * (2000 / n)
+
+
+def test_js_between_matches_pairwise_and_handles_disjoint(spark):
+    """js_between on two slices' count frames equals the pairwise
+    source_token_divergence entry for the same two sources; fully
+    disjoint vocabularies yield exactly ln2 (no omission)."""
+    import math
+
+    from pasta_pipeline_spark.operators.divergence import (
+        JS_SCALE,
+        js_between,
+        source_token_divergence,
+        token_distribution,
+    )
+
+    docs = spark.createDataFrame(
+        [("s1", "alpha beta gamma alpha"), ("s2", "alpha beta delta")],
+        "source string, text string",
+    )
+    pairwise = source_token_divergence(docs).collect()[0]
+    a = token_distribution(docs.where("source = 's1'"))
+    b = token_distribution(docs.where("source = 's2'"))
+    direct = js_between(a, b).collect()[0]
+    assert direct["js_fp"] == pairwise["js_fp"]
+    assert direct["n_common_tokens"] == pairwise["n_common_tokens"]
+
+    # disjoint vocabularies: exactly ln2 (the pairwise form omits)
+    c = token_distribution(
+        spark.createDataFrame([("x", "omega psi chi")], "source string, text string")
+    )
+    dj = js_between(a, c).collect()[0]
+    assert dj["n_common_tokens"] == 0
+    assert dj["js_fp"] == int(0.5 * math.log(2) * 2 * JS_SCALE) or \
+        abs(dj["js_fp"] - math.log(2) * JS_SCALE) <= 1
