@@ -6677,3 +6677,68 @@ def q_quality_score_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", quality_score_lang("text", "lang").alias("score")
     )
+
+
+_SPLIT_SQL = (
+    "(CASE WHEN ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1000 "
+    "THEN 'holdout' ELSE 'train' END)"
+)
+
+
+@register(
+    "split_leakage",
+    f"""
+    WITH pairs AS ({_JACCARD_ORACLE})
+    SELECT doc_a, doc_b,
+           {_SPLIT_SQL.format(c='doc_a')} AS split_a,
+           {_SPLIT_SQL.format(c='doc_b')} AS split_b
+    FROM pairs
+    WHERE {_SPLIT_SQL.format(c='doc_a')} <> {_SPLIT_SQL.format(c='doc_b')}
+    """,
+    doc="Train/holdout LEAKAGE measurement (operators/splits.py): "
+    "near-dup pairs (3-gram Jaccard >= 0.5) whose sides land in "
+    "different splits of a deterministic 10% id-hash holdout — each "
+    "row is a document whose near-copy leaks across the evaluation "
+    "boundary, the failure that silently inflates benchmark numbers. "
+    "Split membership is the package's md5 bucket (pure function of "
+    "the id, replayed exactly in SQL).",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.splits import split_leakage
+    from pasta_pipeline_spark.operators.text_dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # shingle cache attached by jaccard_pairs; harness releases it
+    return split_leakage(pairs, holdout_frac=0.1)
+
+
+@register(
+    "cluster_split",
+    f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE})
+    SELECT doc_id, cluster_id,
+           {_SPLIT_SQL.format(c='cluster_id')} AS split
+    FROM clusters
+    """,
+    doc="Leakage-FREE split assignment (operators/splits.py "
+    "cluster_split): the holdout hash is taken on the duplicate-"
+    "CLUSTER id, so every member of a cluster — and therefore both "
+    "sides of every near-dup pair — inherits the same split by "
+    "construction (the fix for split_leakage's finding; "
+    "zero-crossing property pytest-pinned). Singleton clusters "
+    "degrade to the per-document split.",
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.splits import cluster_split
+    from pasta_pipeline_spark.operators.text_dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    release_cached_deps(pairs)
+    return cluster_split(clusters, holdout_frac=0.1)

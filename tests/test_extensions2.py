@@ -956,3 +956,41 @@ def test_js_between_matches_pairwise_and_handles_disjoint(spark):
     assert dj["n_common_tokens"] == 0
     assert dj["js_fp"] == int(0.5 * math.log(2) * 2 * JS_SCALE) or \
         abs(dj["js_fp"] - math.log(2) * JS_SCALE) <= 1
+
+
+def test_cluster_split_eliminates_leakage(spark):
+    """The id-hash split leaks near-dup pairs across the boundary on
+    the driver corpus; the cluster-keyed split produces ZERO crossing
+    pairs by construction while holding the holdout rate near target."""
+    from pasta_pipeline_spark.operators.splits import cluster_split, split_leakage
+    from pasta_pipeline_spark.operators.text_dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+    from pasta_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).persist()
+    leaks = split_leakage(pairs, holdout_frac=0.1).count()
+    assert leaks > 0  # the naive split DOES leak on this corpus
+
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    release_cached_deps(pairs)
+    pairs.unpersist()
+    assigned = cluster_split(clusters, holdout_frac=0.1)
+    # zero near-dup pairs cross: both members of every pair share a
+    # cluster, and split is a function of the cluster id
+    a = assigned.selectExpr("doc_id AS doc_a", "split AS sa")
+    b = assigned.selectExpr("doc_id AS doc_b", "split AS sb")
+    crossing = (
+        jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        .join(a, "doc_a").join(b, "doc_b")
+        .where("sa <> sb")
+        .count()
+    )
+    assert crossing == 0
+    # holdout rate stays near the 10% target
+    total = assigned.count()
+    held = assigned.where("split = 'holdout'").count()
+    assert 0.04 < held / total < 0.2
