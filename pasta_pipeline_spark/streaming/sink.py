@@ -228,3 +228,62 @@ def incremental_heavy_hitter_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_token_distribution_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n_buckets: int = 32,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained corpus token distribution: each
+    micro-batch's unigram counts (operators/divergence.py
+    token_distribution — mergeable by addition) fold into a persisted
+    ``(tok, c)`` table, bucketed on a token hash so the merge is
+    differential (merge_partitioned rewrites only touched buckets).
+    The streaming completion of drift detection: compare the live
+    store against a frozen reference with ``js_between`` at any
+    moment — no corpus rescans, state linear in VOCABULARY (not
+    corpus) size.
+
+    Replay caveat (same as the other accumulate sinks): counts add,
+    so feed from the deduplicated stream; a re-delivered batch
+    double-counts."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.divergence import token_distribution
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_token_distribution_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        counts = token_distribution(batch, text_col=text_col)
+        if store.exists():
+            # counts ADD (merge_partitioned upserts are last-writer-
+            # wins), so fold in the previous counts of ONLY the
+            # batch's tokens — a semi-join keeps the re-aggregation
+            # linear in the BATCH vocabulary, not the corpus's
+            prev_touched = (
+                store.read().drop("__bkt")
+                .join(counts.select("tok"), "tok", "semi")
+            )
+            counts = (
+                prev_touched.unionByName(counts)
+                .groupBy("tok")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        with_bkt = counts.withColumn(
+            "__bkt", F.pmod(F.xxhash64(F.col("tok")), F.lit(n_buckets)).cast("int")
+        )
+        store.merge_partitioned(with_bkt, key="tok", partition_col="__bkt")
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -455,3 +455,52 @@ def test_stream_interval_join_batch_form_matches(spark):
         buys, clicks, "user_id", "ts", "ts", "30 minutes", "1 hour", "1 hour"
     )
     assert [(r["value"], r["value_r"]) for r in out.collect()] == [(5.0, 0.0)]
+
+
+def test_incremental_token_distribution_sink(spark, tmp_table_dir):
+    """Streaming drift state: micro-batched token counts fold into a
+    bucketed store whose contents equal a from-scratch distribution
+    over all ingested text; js_between against a frozen reference then
+    works without corpus rescans."""
+    import os
+
+    from pasta_pipeline_spark.operators.divergence import (
+        js_between,
+        token_distribution,
+    )
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        incremental_token_distribution_sink,
+    )
+
+    src_dir = f"{tmp_table_dir}/tok_src"
+    rows1 = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    rows2 = [(3, "alpha delta"), (4, "gamma gamma epsilon")]
+    spark.createDataFrame(rows1, "id long, text string").write.parquet(
+        src_dir, mode="append"
+    )
+    store = TableStore(spark, f"{tmp_table_dir}/tok_store")
+    ckpt = f"{tmp_table_dir}/tok_ckpt"
+
+    stream = spark.readStream.schema("id long, text string").parquet(src_dir)
+    q = incremental_token_distribution_sink(stream, store, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(rows2, "id long, text string").write.parquet(
+        src_dir, mode="append"
+    )
+    stream = spark.readStream.schema("id long, text string").parquet(src_dir)
+    q = incremental_token_distribution_sink(stream, store, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    got = {r["tok"]: r["c"] for r in store.read().drop("__bkt").collect()}
+    all_docs = spark.createDataFrame(rows1 + rows2, "id long, text string")
+    want = {r["tok"]: r["c"] for r in token_distribution(all_docs).collect()}
+    assert got == want  # maintained state == from-scratch distribution
+
+    # drift check against a frozen reference runs off the live store
+    ref = token_distribution(
+        spark.createDataFrame([(9, "alpha beta gamma")], "id long, text string")
+    )
+    drift = js_between(store.read().drop("__bkt"), ref).collect()[0]
+    assert drift["n_common_tokens"] == 3 and drift["js_fp"] > 0
