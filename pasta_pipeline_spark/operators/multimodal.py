@@ -8,13 +8,16 @@ Decode modes:
 - ``decode="stub"``  → deterministic fake features derived from the
   bytes themselves (length, md5, pseudo-dimensions) so the pipeline is
   end-to-end testable and oracle-checkable;
-- ``decode="real"``  → REAL pure-Python header+payload decode for the
-  container formats that need no codec library: WAV/RIFF audio (true
-  sample rate, channel count, duration from the fmt/data chunks) and
-  binary PPM (P6) images (true width/height from the header). Other
-  formats fall back to the stub features (compressed codecs — JPEG,
-  MP4, FLAC — need Pillow/ffmpeg, which this container doesn't ship;
-  the dispatch point is where they'd slot in).
+- ``decode="real"``  → REAL pure-Python header+payload decode, no
+  codec library: WAV/RIFF (rate, channels, duration from the chunk
+  walk), binary PPM (dimensions), PNG IHDR (dimensions), FLAC
+  STREAMINFO (rate, duration), YUV4MPEG2 (dimensions, duration,
+  per-frame luma via :func:`sample_video_frames`), JPEG SOF
+  (dimensions from the marker walk), MP4/ISO-BMFF mvhd (duration
+  from the box walk). What legitimately still needs the codec
+  library is PIXEL/SAMPLE decode of the compressed formats
+  (entropy-coded JPEG data, H.264 frames); those fall back to the
+  stub features at the same dispatch point.
 
 Everything runs through ``mapInPandas``: one Arrow round-trip per
 partition, batch-columnar on both sides, no per-row Python overhead
@@ -201,6 +204,132 @@ def decode_flac(raw: bytes) -> dict | None:
     return None
 
 
+def decode_jpeg(raw: bytes) -> dict | None:
+    """Pure-Python JPEG dimension decode: walk the marker segments
+    (0xFFD8 SOI, then 0xFF<marker> + big-endian length) to the first
+    SOF frame header (0xC0–0xCF excluding the DHT/DAC/RST markers
+    C4/C8/CC), which carries height and width as big-endian u16 —
+    true dimensions with no codec library (only the entropy-coded
+    pixel DATA needs one). Returns None if not a JPEG or no SOF."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seglen = int.from_bytes(raw[pos + 2:pos + 4], "big")
+        if seglen < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(raw):
+                return None
+            height = int.from_bytes(raw[pos + 5:pos + 7], "big")
+            width = int.from_bytes(raw[pos + 7:pos + 9], "big")
+            if width == 0 or height == 0:
+                return None
+            return {
+                "n_bytes": len(raw),
+                "content_md5": hashlib.md5(raw).hexdigest(),
+                "width": width,
+                "height": height,
+                "duration_ms": None,
+                "sample_rate": None,
+            }
+        pos += 2 + seglen
+    return None
+
+
+def decode_mp4(raw: bytes) -> dict | None:
+    """Pure-Python MP4/ISO-BMFF duration decode: walk the top-level
+    box list (big-endian u32 size + fourcc) to ``moov``, then its
+    children to ``mvhd``, whose timescale and duration fields give the
+    true presentation duration — ``duration * 1000 div timescale``,
+    integer and engine-exact. Handles mvhd versions 0 (u32 fields) and
+    1 (u64). Returns None if not an ISO-BMFF file or no mvhd."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(raw[pos:pos + 4], "big")
+            if size < 8 or pos + size > hi:
+                return
+            yield raw[pos + 4:pos + 8], pos + 8, pos + size
+            pos += size
+
+    for btype, body, end in walk(0, len(raw)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, _cend in walk(body, end):
+            if ctype != b"mvhd":
+                continue
+            version = raw[cbody]
+            if version == 1:
+                if cbody + 32 > len(raw):
+                    return None
+                timescale = int.from_bytes(raw[cbody + 20:cbody + 24], "big")
+                duration = int.from_bytes(raw[cbody + 24:cbody + 32], "big")
+            else:
+                if cbody + 20 > len(raw):
+                    return None
+                timescale = int.from_bytes(raw[cbody + 12:cbody + 16], "big")
+                duration = int.from_bytes(raw[cbody + 16:cbody + 20], "big")
+            if timescale == 0:
+                return None
+            return {
+                "n_bytes": len(raw),
+                "content_md5": hashlib.md5(raw).hexdigest(),
+                "width": None,
+                "height": None,
+                "duration_ms": duration * 1000 // timescale,
+                "sample_rate": None,
+            }
+    return None
+
+
+def _synth_jpeg(mid: int) -> bytes:
+    """Structurally valid JPEG header prefix: SOI, a COM segment of
+    ``20 + id % 50`` filler bytes, an SOF0 frame header with true
+    dimensions (width ``64 + id % 512``, height ``48 + (id div 3) %
+    256``, 3 components), EOI. Total bytes ``47 + id % 50``."""
+    w = 64 + mid % 512
+    h = 48 + (mid // 3) % 256
+    fill = bytes((i * 19 + mid) % 256 for i in range(20 + mid % 50))
+    com = b"\xff\xfe" + (2 + len(fill)).to_bytes(2, "big") + fill
+    sof_body = (
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    )
+    sof = b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+
+
+def _synth_mp4(mid: int) -> bytes:
+    """Minimal ISO-BMFF file: ftyp, moov(mvhd v0 with true timescale
+    ``1000 + (id % 4) * 500`` and duration ``3000 + (id % 77) * 100``
+    units), mdat with ``10 + id % 80`` filler bytes. Total bytes
+    ``150 + id % 80``."""
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big")
+    timescale = 1000 + (mid % 4) * 500
+    duration = 3000 + (mid % 77) * 100
+    mvhd_body = (
+        bytes(1) + bytes(3)                    # version 0 + flags
+        + (0).to_bytes(4, "big") * 2           # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(100 - 20)                      # rate..next_track_id zeroed
+    )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    payload = bytes((i * 23 + mid) % 256 for i in range(10 + mid % 80))
+    mdat = (8 + len(payload)).to_bytes(4, "big") + b"mdat" + payload
+    return ftyp + moov + mdat
+
+
 def _decode_batch(pdf: pd.DataFrame, real: bool) -> pd.DataFrame:
     """One Arrow batch of (media_id, media_type, payload) → features.
     ``real=True`` dispatches on magic bytes (WAV, PPM, PNG, FLAC) and
@@ -223,7 +352,8 @@ def _decode_batch(pdf: pd.DataFrame, real: bool) -> pd.DataFrame:
                 feats = (
                     decode_wav(raw) or decode_ppm(raw)
                     or decode_png(raw) or decode_flac(raw)
-                    or decode_y4m(raw)
+                    or decode_y4m(raw) or decode_jpeg(raw)
+                    or decode_mp4(raw)
                 )
             if feats is None:
                 feats = _stub_features(raw)
@@ -329,7 +459,10 @@ def synthesize_media(
       (:func:`_synth_flac`);
     - ``"video"``: every id becomes a true YUV4MPEG2 stream
       (:func:`_synth_y4m`) with id-derived geometry, frame rate,
-      frame count, and per-frame luma bytes.
+      frame count, and per-frame luma bytes;
+    - ``"codecs"`` (codec-container headers): even ids JPEG with a
+      true SOF0 frame header (:func:`_synth_jpeg`), odd ids
+      MP4/ISO-BMFF with a true moov/mvhd box (:func:`_synth_mp4`).
 
     Because the parameters derive from the id alone, an oracle can
     compute the expected DECODED features (duration, dimensions, byte
@@ -337,9 +470,10 @@ def synthesize_media(
     path end-to-end hash-checkable. Runs as the same Arrow-batched
     mapInPandas shape a real ingest stage uses.
     """
-    if variant not in ("wav_ppm", "containers", "video"):
+    if variant not in ("wav_ppm", "containers", "video", "codecs"):
         raise ValueError(
-            f"variant must be 'wav_ppm', 'containers' or 'video', got {variant!r}"
+            "variant must be 'wav_ppm', 'containers', 'video' or 'codecs', "
+            f"got {variant!r}"
         )
 
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
@@ -371,6 +505,14 @@ def synthesize_media(
                 if variant == "video":
                     out["media_type"].append("video/x-yuv4mpeg")
                     out["payload"].append(_synth_y4m(mid))
+                    continue
+                if variant == "codecs":
+                    if mid % 2 == 0:
+                        out["media_type"].append("image/jpeg")
+                        out["payload"].append(_synth_jpeg(mid))
+                    else:
+                        out["media_type"].append("video/mp4")
+                        out["payload"].append(_synth_mp4(mid))
                     continue
                 if mid % 2 == 0:
                     channels = 1 + (mid // 2) % 2

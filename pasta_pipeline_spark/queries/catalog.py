@@ -6742,3 +6742,48 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = duplicate_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
     release_cached_deps(pairs)
     return cluster_split(clusters, holdout_frac=0.1)
+
+
+_MEDIA_CODEC_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'video/mp4' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 47 + doc_id % 50
+                ELSE 150 + doc_id % 80
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id % 512 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48 + (doc_id // 3) % 256 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1
+                THEN (3000 + (doc_id % 77) * 100) * 1000
+                     // (1000 + (doc_id % 4) * 500)
+           END AS BIGINT) AS duration_ms
+    FROM documents
+"""
+
+
+@register(
+    "media_codec_headers",
+    _MEDIA_CODEC_ORACLE,
+    doc="REAL codec-container header decode, end-to-end hash-checked: "
+    "synthesize_media(variant='codecs') builds JPEGs with a true SOF0 "
+    "frame header behind a COM segment (even ids) and MP4/ISO-BMFF "
+    "files with a true moov/mvhd box (odd ids); "
+    "extract_media_features(decode='real') walks the actual marker/"
+    "box structure back — SOF big-endian dims, mvhd "
+    "timescale/duration — and the oracle computes expected features "
+    "from the ids alone. With PNG/FLAC/Y4M this completes the "
+    "header-level real tier for every major container; only "
+    "entropy-coded PIXEL/SAMPLE decode still needs the codec "
+    "library. operators/multimodal.py decode_jpeg / decode_mp4.",
+)
+def q_media_codec_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(F.col("doc_id"))
+    media = synthesize_media(docs, id_col="doc_id", variant="codecs")
+    return extract_media_features(media, decode="real").select(
+        "media_id", "media_type", "n_bytes", "width", "height", "duration_ms"
+    )

@@ -347,6 +347,90 @@ def test_sample_video_frames_decodes_ground_truth(spark):
     assert sample_video_frames(wav_media).count() == 0
 
 
+def test_real_jpeg_decode_marker_walk():
+    """decode_jpeg walks marker segments to SOF, skipping APP/COM
+    segments, handling progressive SOF2, and rejecting non-JPEGs."""
+    from pasta_pipeline_spark.operators.multimodal import decode_jpeg
+
+    def jpeg(w, h, sof=0xC0, pre=b""):
+        sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+        seg = bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+        return b"\xff\xd8" + pre + seg + b"\xff\xd9"
+
+    app0 = b"\xff\xe0" + (7).to_bytes(2, "big") + b"JFIF\x00"
+    got = decode_jpeg(jpeg(1920, 1080, pre=app0))
+    assert (got["width"], got["height"]) == (1920, 1080)
+    got = decode_jpeg(jpeg(33, 44, sof=0xC2))  # progressive
+    assert (got["width"], got["height"]) == (33, 44)
+    # DHT (C4) is NOT a frame header — must be skipped, then SOF found
+    dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+    got = decode_jpeg(jpeg(5, 6, pre=dht))
+    assert (got["width"], got["height"]) == (5, 6)
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no SOF
+    assert decode_jpeg(b"GIF89a") is None
+
+
+def test_real_mp4_decode_box_walk():
+    """decode_mp4 walks top-level boxes to moov/mvhd, handles a
+    preceding child box, mvhd version 1 (64-bit duration), and
+    rejects malformed sizes."""
+    from pasta_pipeline_spark.operators.multimodal import decode_mp4
+
+    def mp4(timescale, duration, v=0, pre_child=b""):
+        if v == 1:
+            body = bytes([1]) + bytes(3) + bytes(16) + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") + bytes(80)
+        else:
+            body = bytes([0]) + bytes(3) + bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + bytes(80)
+        mvhd = (8 + len(body)).to_bytes(4, "big") + b"mvhd" + body
+        moov = (8 + len(pre_child) + len(mvhd)).to_bytes(4, "big") + b"moov" + pre_child + mvhd
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+        return ftyp + moov
+
+    got = decode_mp4(mp4(1000, 90_000))
+    assert got["duration_ms"] == 90_000
+    # an iods child before mvhd: the walk skips it
+    iods = (12).to_bytes(4, "big") + b"iods" + bytes(4)
+    got = decode_mp4(mp4(600, 1234, pre_child=iods))
+    assert got["duration_ms"] == 1234 * 1000 // 600
+    # version 1: 64-bit duration beyond 2^32
+    got = decode_mp4(mp4(1000, 2**33, v=1))
+    assert got["duration_ms"] == 2**33
+    assert decode_mp4(b"\x00\x00\x00\x08ftyp") is None  # truncated
+    assert decode_mp4(b"RIFFxxxxWAVE") is None
+
+
+def test_synthesize_codecs_roundtrip(spark):
+    """synthesize_media(variant='codecs') JPEG/MP4 fixtures decode
+    back to the id-derived ground truth through the real path."""
+    from pasta_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 16).selectExpr("id AS media_id")
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            synthesize_media(ids, variant="codecs"), decode="real"
+        ).collect()
+    }
+    for mid in range(0, 16, 2):  # JPEG
+        r = feats[mid]
+        assert r["media_type"] == "image/jpeg"
+        assert r["width"] == 64 + mid % 512
+        assert r["height"] == 48 + (mid // 3) % 256
+        assert r["n_bytes"] == 47 + mid % 50
+        assert r["duration_ms"] is None
+    for mid in range(1, 16, 2):  # MP4
+        ts = 1000 + (mid % 4) * 500
+        du = 3000 + (mid % 77) * 100
+        r = feats[mid]
+        assert r["media_type"] == "video/mp4"
+        assert r["duration_ms"] == du * 1000 // ts
+        assert r["n_bytes"] == 150 + mid % 80
+        assert r["width"] is None
+
+
 def test_duplicate_clusters_transitive(spark):
     """A-B and B-C pairs must merge into one cluster labeled by the
     smallest id, with everything else a singleton survivor."""
