@@ -1,0 +1,165 @@
+"""robots.txt parsing and URL admission — the crawl-policy gate.
+
+A crawl pipeline must not fetch what the site disallows; at corpus
+scale that is a JOIN problem, not a per-request check: parse every
+host's robots.txt once into a rules table, then admit/deny the whole
+frontier in one broadcast join. Semantics follow RFC 9309 (the
+Robots Exclusion Protocol, published standard):
+
+- groups: one or more consecutive ``User-agent:`` lines followed by
+  ``Allow:`` / ``Disallow:`` rules; a crawler obeys the group for its
+  own token if one exists for the host, else the ``*`` group;
+- matching: rule paths are byte-prefix patterns with ``*`` wildcards
+  and an optional ``$`` end anchor; the MOST SPECIFIC match (longest
+  pattern, in octets) wins; on a specificity tie, ``allow`` wins;
+  no match at all → allowed;
+- an empty ``Disallow:`` matches nothing (allows everything).
+
+The parse is window-based DataFrame code (posexplode lines, running
+group ids — no per-file Python); the matcher converts patterns to
+regexes IN the rules frame (escape, ``*`` → ``.*``, anchor) and
+broadcast-joins the frontier, so admission is one scan of the URLs
+however large the frontier is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_txt(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into a rules table
+    ``(host, agent, rule, pattern, spec_len)`` — one row per
+    (user-agent, allow|disallow) pair, empty-Disallow rows dropped
+    (they match nothing per RFC 9309). Group structure (consecutive
+    UA lines share the rules that follow) is reconstructed with two
+    windows over the line number; comments and unknown directives are
+    ignored."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    ).select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.regexp_replace("line", "#.*$", ""))).alias("l"),
+    )
+    typed = lines.select(
+        "host",
+        "ln",
+        F.when(F.col("l").startswith("user-agent:"), F.lit("ua"))
+        .when(F.col("l").startswith("allow:"), F.lit("allow"))
+        .when(F.col("l").startswith("disallow:"), F.lit("disallow"))
+        .alias("kind"),
+        F.trim(F.regexp_extract("l", r"^[a-z-]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("kind").isNotNull())
+    w = Window.partitionBy("host").orderBy("ln")
+    # a new group starts at a UA line NOT immediately preceded (among
+    # directive lines) by another UA line
+    grouped = typed.withColumn("prev_kind", F.lag("kind").over(w)).withColumn(
+        "grp_start",
+        (
+            (F.col("kind") == "ua")
+            & (F.coalesce(F.col("prev_kind"), F.lit("-")) != "ua")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("grp_start").over(w))
+    uas = grouped.where(F.col("kind") == "ua").select(
+        "host", "grp", F.col("value").alias("agent")
+    )
+    rules = grouped.where(F.col("kind") != "ua").select(
+        "host",
+        "grp",
+        F.col("kind").alias("rule"),
+        F.col("value").alias("pattern"),
+    ).where(F.col("pattern") != "")  # empty Disallow matches nothing
+    return uas.join(rules, ["host", "grp"]).select(
+        "host",
+        "agent",
+        "rule",
+        "pattern",
+        F.length("pattern").cast("long").alias("spec_len"),
+    )
+
+
+def _pattern_regex_expr() -> str:
+    """The conversion as one SQL expression over a column named
+    ``pattern`` — used by BOTH the Spark matcher (F.expr) and the
+    DuckDB oracle, so the two cannot drift. '$' is not a regex
+    metacharacter we escape, so a trailing '$' anchors naturally."""
+    return (
+        "concat('^', regexp_replace("
+        "regexp_replace(pattern, '([.^+?(){}\\\\[\\\\]|\\\\\\\\])', '\\\\\\\\$1'),"
+        " '\\\\*', '.*'))"
+    )
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """Python twin of :func:`_pattern_regex_expr` (same conversion,
+    computed driver-side): used by the oracle generator to inline the
+    expected regexes, so the SQL conversion is pinned against an
+    independent implementation — a drift in either breaks the hash."""
+    import re as _re
+
+    esc = _re.sub(r"([.^+?(){}\[\]|\\])", r"\\\1", pattern)
+    return "^" + esc.replace("*", ".*")
+
+
+def robots_verdict(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Admission verdict per frontier URL: ``(host, path, allowed)``.
+
+    Group selection per RFC 9309: hosts with a group for ``agent``
+    use ONLY that group; others fall back to the ``*`` group; hosts
+    with no rules at all allow everything. Longest-pattern match wins,
+    allow beats disallow on ties, no match → allowed. One broadcast
+    join of the frontier against the (small) rules table."""
+    agent = agent.lower()
+    per_host = rules.groupBy("host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("has_exact")
+    )
+    applicable = (
+        rules.join(per_host, "host")
+        .where(
+            ((F.col("has_exact") == 1) & (F.col("agent") == agent))
+            | ((F.col("has_exact") == 0) & (F.col("agent") == "*"))
+        )
+        .select(
+            F.col("host").alias("r_host"),
+            "rule",
+            "spec_len",
+            F.expr(_pattern_regex_expr()).alias("rx"),
+        )
+    )
+    j = urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    ).join(
+        F.broadcast(applicable),
+        F.col("host") == F.col("r_host"),
+        "left",
+    )
+    matched = j.withColumn(
+        "hit", F.col("rx").isNotNull() & F.expr("path RLIKE rx")
+    )
+    w = Window.partitionBy("host", "path").orderBy(
+        F.desc("hit"),
+        F.desc("spec_len"),
+        F.asc(F.col("rule") == "disallow"),  # allow wins ties
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "host",
+            "path",
+            F.when(F.col("hit") & (F.col("rule") == "disallow"), F.lit(False))
+            .otherwise(F.lit(True))
+            .alias("allowed"),
+        )
+    )

@@ -6787,3 +6787,93 @@ def q_media_codec_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media, decode="real").select(
         "media_id", "media_type", "n_bytes", "width", "height", "duration_ms"
     )
+
+
+#: Crawl-policy fixture shared by the robots_admission query and its
+#: oracle: (host, agent, rule, pattern).
+_ROBOTS_RULES = (
+    ("host0.com", "*", "disallow", "/private/"),
+    ("host0.com", "*", "allow", "/private/pub*"),
+    ("host0.com", "*", "disallow", "/*.json$"),
+    ("host1.com", "*", "disallow", "/tmp/"),
+    ("host1.com", "goodbot", "disallow", "/"),
+)
+
+
+def _robots_oracle() -> str:
+    from pasta_pipeline_spark.operators.robots import robots_pattern_regex
+
+    rule_rows = ", ".join(
+        f"('{h}', '{a}', '{r}', '{robots_pattern_regex(p)}', {len(p)})"
+        for h, a, r, p in _ROBOTS_RULES
+    )
+    return f"""
+    WITH rules(host, agent, rule, rx, spec_len) AS (
+      VALUES {rule_rows}
+    ), urls AS (
+      SELECT 'host' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/pub/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/api/doc' || CAST(doc_id AS VARCHAR) || '.json'
+               ELSE '/page/doc' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    ), applicable AS (
+      -- agent='*' resolution: the exact group IS the star group, so
+      -- the Spark side's has_exact branching collapses to this filter
+      SELECT host, rule, rx, spec_len FROM rules WHERE agent = '*'
+    ), j AS (
+      SELECT u.host, u.path, a.rule, a.rx, a.spec_len,
+             (a.rx IS NOT NULL AND regexp_matches(u.path, a.rx)) AS hit
+      FROM urls u LEFT JOIN applicable a ON u.host = a.host
+    ), ranked AS (
+      SELECT host, path, rule, hit,
+             ROW_NUMBER() OVER (
+               PARTITION BY host, path
+               ORDER BY hit DESC, spec_len DESC,
+                        (rule = 'disallow') ASC
+             ) AS rk
+      FROM j
+    )
+    SELECT host, path,
+           (NOT (hit AND rule = 'disallow')) AS allowed
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register(
+    "robots_admission",
+    _robots_oracle(),
+    doc="Crawl-frontier admission under RFC 9309 robots rules "
+    "(operators/robots.py robots_verdict): the whole URL frontier is "
+    "admitted/denied in ONE broadcast join against the parsed rules "
+    "table — longest-pattern match wins, allow beats disallow on "
+    "specificity ties, wildcard * and $ anchors honored, no-rule "
+    "hosts allow. The oracle inlines regexes from an independent "
+    "Python twin of the SQL pattern conversion, so a drift in either "
+    "implementation breaks the hash. The parse side (UA-group "
+    "reconstruction via windows over line numbers) is pytest-covered "
+    "with a real robots.txt fixture.",
+)
+def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.robots import robots_verdict
+
+    rules = spark.createDataFrame(
+        [(h, a, r, p, len(p)) for h, a, r, p in _ROBOTS_RULES],
+        "host string, agent string, rule string, pattern string, spec_len long",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 3).cast("string"), F.lit(".com")).alias("host"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/private/doc"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/pub/doc"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/tmp/doc"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/api/doc"), F.col("doc_id").cast("string"), F.lit(".json")))
+        .otherwise(F.concat(F.lit("/page/doc"), F.col("doc_id").cast("string"))).alias("path"),
+    )
+    return robots_verdict(urls, rules, agent="*")

@@ -994,3 +994,62 @@ def test_cluster_split_eliminates_leakage(spark):
     total = assigned.count()
     held = assigned.where("split = 'holdout'").count()
     assert 0.04 < held / total < 0.2
+
+
+def test_robots_parse_and_verdict(spark):
+    """RFC 9309 semantics end-to-end: UA group reconstruction from raw
+    robots.txt (windows over line numbers), exact-agent group
+    preference over *, longest-match with allow winning ties, $
+    anchors, empty Disallow dropped, rule-less hosts allowed."""
+    from pasta_pipeline_spark.operators.robots import (
+        parse_robots_txt,
+        robots_pattern_regex,
+        robots_verdict,
+    )
+
+    robots = (
+        "# policy\n"
+        "User-agent: goodbot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/pub*\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /tmp/\n"
+        "Disallow: /*.json$\n"
+        "Disallow:\n"          # empty: matches nothing, dropped
+        "Allow: /tmp/ok\n"
+    )
+    df = spark.createDataFrame(
+        [("example.com", robots), ("open.net", "")], "host string, robots_txt string"
+    )
+    rules = parse_robots_txt(df)
+    parsed = {(r["agent"], r["rule"], r["pattern"]) for r in rules.collect()}
+    assert ("goodbot", "disallow", "/private/") in parsed
+    assert ("*", "allow", "/tmp/ok") in parsed
+    assert not any(p == "" for (_, _, p) in parsed)  # empty Disallow gone
+
+    urls = spark.createDataFrame(
+        [("example.com", "/private/x"), ("example.com", "/private/pub/ok"),
+         ("example.com", "/tmp/anything"), ("example.com", "/tmp/ok/sub"),
+         ("example.com", "/data.json"), ("example.com", "/data.json.txt"),
+         ("nobots.org", "/x")],
+        "host string, path string",
+    )
+    star = {(r["host"], r["path"]): r["allowed"]
+            for r in robots_verdict(urls, rules, agent="*").collect()}
+    assert star[("example.com", "/private/x")] is True      # goodbot group doesn't apply
+    assert star[("example.com", "/tmp/anything")] is False
+    assert star[("example.com", "/tmp/ok/sub")] is True     # longer allow wins
+    assert star[("example.com", "/data.json")] is False     # $ anchor
+    assert star[("example.com", "/data.json.txt")] is True  # anchor respected
+    assert star[("nobots.org", "/x")] is True               # no rules → allow
+
+    good = {(r["host"], r["path"]): r["allowed"]
+            for r in robots_verdict(urls, rules, agent="goodbot").collect()}
+    assert good[("example.com", "/private/x")] is False     # exact group applies
+    assert good[("example.com", "/private/pub/ok")] is True # wildcard allow, longest
+    assert good[("example.com", "/tmp/anything")] is True   # star group NOT mixed in
+
+    # the Python regex twin agrees with the SQL conversion's behavior
+    assert robots_pattern_regex("/*.json$") == "^/.*\\.json$"
+    assert robots_pattern_regex("/a+b") == "^/a\\+b"
