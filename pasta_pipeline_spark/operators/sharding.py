@@ -80,3 +80,55 @@ def shard_rebalance_report(
             F.expr("n_moved * 10000 div n_keys").cast("long").alias("moved_bp"),
         )
     )
+
+
+def allocate_budget(
+    weights: DataFrame,
+    total: int,
+    key_col: str = "key",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer budget apportionment by largest remainder (Hamilton's
+    method — the public apportionment standard): split ``total``
+    units (fetch slots, token quotas, sampling budgets) across keys
+    proportionally to integer ``weight_col``, with every unit
+    assigned and no fractional drift. Each key gets
+    ``floor(total * w / W)``; the leftover units go to the largest
+    fractional remainders (``total * w mod W``, ties by key
+    ascending) — all int64 arithmetic, so the allocation is exact,
+    deterministic, and hash-comparable.
+
+    Returns ``(key, weight, budget)`` with ``SUM(budget) == total``
+    exactly. One 1-row aggregate handoff (the weight total) + one
+    metadata-scale window over the KEY table (hosts/sources — not
+    corpus rows)."""
+    w_total = weights.agg(
+        F.sum(F.col(weight_col)).cast("long").alias("__W")
+    )
+    base = (
+        weights.select(
+            F.col(key_col), F.col(weight_col).cast("long").alias("weight")
+        )
+        .crossJoin(F.broadcast(w_total))
+        .select(
+            key_col,
+            "weight",
+            F.expr(f"({total} * weight) div __W").cast("long").alias("__q"),
+            F.expr(f"({total} * weight) % __W").cast("long").alias("__r"),
+            F.col("__W"),
+        )
+    )
+    from pyspark.sql import Window
+
+    leftover = F.lit(total) - F.sum("__q").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = base.withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy(F.desc("__r"), F.asc(key_col))),
+    ).withColumn("__left", leftover)
+    return ranked.select(
+        key_col,
+        "weight",
+        (F.col("__q") + (F.col("__rk") <= F.col("__left")).cast("long")).alias("budget"),
+    )

@@ -6877,3 +6877,45 @@ def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("/page/doc"), F.col("doc_id").cast("string"))).alias("path"),
     )
     return robots_verdict(urls, rules, agent="*")
+
+
+@register(
+    "crawl_budget",
+    """
+    WITH w AS (
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(weight) AS BIGINT) AS W FROM w
+    ), base AS (
+      SELECT key, weight,
+             (100000 * weight) // W AS q,
+             (100000 * weight) % W AS r
+      FROM w CROSS JOIN tot
+    ), ranked AS (
+      SELECT key, weight, q, r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, key ASC) AS rk,
+             (SELECT 100000 - SUM(q) FROM base) AS leftover
+      FROM base
+    )
+    SELECT key, weight,
+           CAST(q + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS budget
+    FROM ranked
+    """,
+    doc="Crawl/token budget apportionment by largest remainder "
+    "(Hamilton's method; operators/sharding.py allocate_budget): "
+    "100k fetch slots split across sources proportionally to doc "
+    "counts, floor quota + leftover units to the largest integer "
+    "remainders (key tiebreak) — every unit assigned, zero "
+    "fractional drift, all int64, SUM(budget) == total exactly. The "
+    "window runs over the KEY table (sources/hosts — metadata "
+    "scale), never corpus rows.",
+)
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sharding import allocate_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy(F.col("source").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    return allocate_budget(w, total=100_000)

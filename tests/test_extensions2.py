@@ -1053,3 +1053,28 @@ def test_robots_parse_and_verdict(spark):
     # the Python regex twin agrees with the SQL conversion's behavior
     assert robots_pattern_regex("/*.json$") == "^/.*\\.json$"
     assert robots_pattern_regex("/a+b") == "^/a\\+b"
+
+
+def test_allocate_budget_exact_apportionment(spark):
+    """Largest-remainder invariants: SUM(budget) == total exactly,
+    every key within 1 unit of its exact proportional share, and a
+    known tie-break case distributes leftovers to the largest
+    remainders with key-ascending ties."""
+    from pasta_pipeline_spark.operators.sharding import allocate_budget
+
+    w = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "key string, weight long"
+    )
+    got = {r["key"]: r["budget"] for r in allocate_budget(w, total=10).collect()}
+    # 10/3: quotas 3,3,3; remainders equal → leftover to 'a' (key asc)
+    assert got == {"a": 4, "b": 3, "c": 3}
+    assert sum(got.values()) == 10
+
+    w2 = spark.createDataFrame(
+        [("x", 7), ("y", 2), ("z", 1)], "key string, weight long"
+    )
+    got2 = {r["key"]: r["budget"] for r in allocate_budget(w2, total=97).collect()}
+    assert sum(got2.values()) == 97
+    for k, wt in {"x": 7, "y": 2, "z": 1}.items():
+        exact = 97 * wt / 10
+        assert abs(got2[k] - exact) < 1  # within one unit of proportionality
