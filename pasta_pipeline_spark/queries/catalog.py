@@ -6919,3 +6919,65 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("weight")
     )
     return allocate_budget(w, total=100_000)
+
+
+@register(
+    "sitemap_frontier",
+    """
+    WITH bodies AS (
+      SELECT 'host' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host,
+             '<?xml version="1.0"?><urlset>' ||
+             '<url><loc>https://h.com/p/' || CAST(doc_id AS VARCHAR) ||
+             '</loc><lastmod>2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+             '-01</lastmod></url>' ||
+             '<url><loc> https://h.com/q/' || CAST(doc_id AS VARCHAR) ||
+             ' </loc></url>' ||
+             CASE WHEN doc_id % 3 = 0
+               THEN '<url><lastmod>2026-01-01</lastmod></url>' ELSE '' END ||
+             '</urlset>' AS sitemap_xml
+      FROM documents
+    ), entries AS (
+      SELECT host, unnest(regexp_extract_all(sitemap_xml,
+               '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS entry
+      FROM bodies
+    )
+    SELECT host,
+           regexp_extract(entry, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+           CASE WHEN regexp_extract(entry, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) <> ''
+                THEN regexp_extract(entry, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)
+           END AS lastmod
+    FROM entries
+    WHERE regexp_extract(entry, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+    """,
+    doc="Sitemap-protocol frontier ingestion (operators/sitemaps.py "
+    "parse_sitemap): sitemap bodies (synthesized deterministically "
+    "from doc ids — entries with lastmod, without, whitespace-padded "
+    "locs, and loc-less entries that must be dropped) explode into "
+    "(host, loc, lastmod) rows via portable dotall regexes — no XML "
+    "library, no UDF. The discovery half of the crawl frontier; "
+    "feeds canonicalize_url -> robots_verdict -> work-selection "
+    "anti-join.",
+)
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>https://h.com/p/"), d,
+        F.lit("</loc><lastmod>2026-0"),
+        (F.lit(1) + F.col("doc_id") % 9).cast("string"),
+        F.lit("-01</lastmod></url>"),
+        F.lit("<url><loc> https://h.com/q/"), d, F.lit(" </loc></url>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<url><lastmod>2026-01-01</lastmod></url>"),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    bodies = docs.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 4).cast("string"), F.lit(".com")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    return parse_sitemap(bodies)

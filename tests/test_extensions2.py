@@ -1078,3 +1078,34 @@ def test_allocate_budget_exact_apportionment(spark):
     for k, wt in {"x": 7, "y": 2, "z": 1}.items():
         exact = 97 * wt / 10
         assert abs(got2[k] - exact) < 1  # within one unit of proportionality
+
+
+def test_parse_sitemap_entries_and_index(spark):
+    """Sitemap parse: multiline entries, whitespace-padded locs,
+    optional lastmod, loc-less entries dropped, and sitemap-INDEX
+    files parse through the same path (recursion hook)."""
+    from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url>\n    <loc>https://a.com/x</loc>\n"
+        "    <lastmod>2026-08-01</lastmod>\n  </url>\n"
+        "  <url><loc>  https://a.com/y  </loc></url>\n"
+        "  <url><lastmod>2026-01-01</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://b.com/sitemap1.xml</loc>"
+        "<lastmod>2026-02-02</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index)], "host string, sitemap_xml string"
+    )
+    rows = {(r["host"], r["loc"]): r["lastmod"] for r in parse_sitemap(df).collect()}
+    assert rows == {
+        ("a.com", "https://a.com/x"): "2026-08-01",
+        ("a.com", "https://a.com/y"): None,
+        ("b.com", "https://b.com/sitemap1.xml"): "2026-02-02",
+    }
