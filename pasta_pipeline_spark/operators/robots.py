@@ -44,17 +44,29 @@ def parse_robots_txt(
     ).select(
         "host",
         "ln",
-        F.lower(F.trim(F.regexp_replace("line", "#.*$", ""))).alias("l"),
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("l"),
     )
+    # directive NAMES and user-agent tokens are case-insensitive (RFC
+    # 9309 §2.2.1/§2.2.2); rule PATHS are case-SENSITIVE — so the kind
+    # test runs on a lowercased copy while the value keeps its case,
+    # and only UA values are folded
+    low = F.lower(F.col("l"))
     typed = lines.select(
         "host",
         "ln",
-        F.when(F.col("l").startswith("user-agent:"), F.lit("ua"))
-        .when(F.col("l").startswith("allow:"), F.lit("allow"))
-        .when(F.col("l").startswith("disallow:"), F.lit("disallow"))
+        F.when(low.startswith("user-agent:"), F.lit("ua"))
+        .when(low.startswith("allow:"), F.lit("allow"))
+        .when(low.startswith("disallow:"), F.lit("disallow"))
         .alias("kind"),
-        F.trim(F.regexp_extract("l", r"^[a-z-]+:(.*)$", 1)).alias("value"),
-    ).where(F.col("kind").isNotNull())
+        F.trim(F.regexp_extract("l", r"^[A-Za-z-]+:(.*)$", 1)).alias("raw_value"),
+    ).where(F.col("kind").isNotNull()).select(
+        "host",
+        "ln",
+        "kind",
+        F.when(F.col("kind") == "ua", F.lower(F.col("raw_value")))
+        .otherwise(F.col("raw_value"))
+        .alias("value"),
+    )
     w = Window.partitionBy("host").orderBy("ln")
     # a new group starts at a UA line NOT immediately preceded (among
     # directive lines) by another UA line

@@ -1054,6 +1054,23 @@ def test_robots_parse_and_verdict(spark):
     assert robots_pattern_regex("/*.json$") == "^/.*\\.json$"
     assert robots_pattern_regex("/a+b") == "^/a\\+b"
 
+    # rule PATHS are case-sensitive (RFC 9309); directive names and
+    # UA tokens are not
+    cs = spark.createDataFrame(
+        [("c.com", "USER-AGENT: GoodBot\nDISALLOW: /Private/\n")],
+        "host string, robots_txt string",
+    )
+    cs_rules = parse_robots_txt(cs)
+    assert {(r["agent"], r["pattern"]) for r in cs_rules.collect()} == {
+        ("goodbot", "/Private/")
+    }
+    cs_urls = spark.createDataFrame(
+        [("c.com", "/Private/x"), ("c.com", "/private/x")], "host string, path string"
+    )
+    v = {r["path"]: r["allowed"]
+         for r in robots_verdict(cs_urls, cs_rules, agent="goodbot").collect()}
+    assert v == {"/Private/x": False, "/private/x": True}
+
 
 def test_allocate_budget_exact_apportionment(spark):
     """Largest-remainder invariants: SUM(budget) == total exactly,
