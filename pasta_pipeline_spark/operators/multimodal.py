@@ -652,6 +652,8 @@ def sample_video_frames(
     dispatch). 1→N mapInPandas: output partitions by sampled frame,
     not by media row, so one long video doesn't pin one task
     downstream."""
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)

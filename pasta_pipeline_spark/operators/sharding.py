@@ -101,7 +101,9 @@ def allocate_budget(
     Returns ``(key, weight, budget)`` with ``SUM(budget) == total``
     exactly. One 1-row aggregate handoff (the weight total) + one
     metadata-scale window over the KEY table (hosts/sources — not
-    corpus rows)."""
+    corpus rows). Degenerate all-zero weights yield budget 0 for
+    every key (integer div by a zero total is NULL → coalesced),
+    never an error mid-pipeline."""
     w_total = weights.agg(
         F.sum(F.col(weight_col)).cast("long").alias("__W")
     )
@@ -113,8 +115,12 @@ def allocate_budget(
         .select(
             key_col,
             "weight",
-            F.expr(f"({total} * weight) div __W").cast("long").alias("__q"),
-            F.expr(f"({total} * weight) % __W").cast("long").alias("__r"),
+            # ANSI mode: div/% by a zero total throws — guard so the
+            # degenerate case yields NULL→0 budgets instead
+            F.expr(f"CASE WHEN __W > 0 THEN ({total} * weight) div __W END")
+            .cast("long").alias("__q"),
+            F.expr(f"CASE WHEN __W > 0 THEN ({total} * weight) % __W END")
+            .cast("long").alias("__r"),
             F.col("__W"),
         )
     )
@@ -130,5 +136,8 @@ def allocate_budget(
     return ranked.select(
         key_col,
         "weight",
-        (F.col("__q") + (F.col("__rk") <= F.col("__left")).cast("long")).alias("budget"),
+        F.coalesce(
+            F.col("__q") + (F.col("__rk") <= F.col("__left")).cast("long"),
+            F.lit(0),
+        ).cast("long").alias("budget"),
     )

@@ -739,6 +739,8 @@ def pq_topk(
 
     Returns ``(vec_id, adc_fp)`` — the ``k`` smallest approximate
     squared distances (ascending, id tiebreak), fixed-point 1e7.
+    ``query`` must be a single row (the same contract as cosine_topk;
+    for query batches run one call per query or use knn_join's shape).
     """
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 

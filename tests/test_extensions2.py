@@ -1126,3 +1126,14 @@ def test_parse_sitemap_entries_and_index(spark):
         ("a.com", "https://a.com/y"): None,
         ("b.com", "https://b.com/sitemap1.xml"): "2026-02-02",
     }
+
+
+def test_allocate_budget_zero_weights_degenerate(spark):
+    """All-zero weights yield budget 0 everywhere (no mid-pipeline
+    error), and SUM(budget) is 0, not total — the documented
+    degenerate contract."""
+    from pasta_pipeline_spark.operators.sharding import allocate_budget
+
+    w = spark.createDataFrame([("a", 0), ("b", 0)], "key string, weight long")
+    got = {r["key"]: r["budget"] for r in allocate_budget(w, total=10).collect()}
+    assert got == {"a": 0, "b": 0}
