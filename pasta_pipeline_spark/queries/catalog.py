@@ -6981,3 +6981,56 @@ def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         xml.alias("sitemap_xml"),
     )
     return parse_sitemap(bodies)
+
+
+@register(
+    "data_expectations",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+             CAST(SUM(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_min,
+             CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_max,
+             CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+             CAST(SUM(CASE WHEN NOT COALESCE(l_shipdate >= l_orderdate_proxy, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_pred,
+             CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT) AS v_uni
+      FROM (SELECT l.*, TIMESTAMP '1992-01-01 00:00:00' AS l_orderdate_proxy
+            FROM lineitem l)
+    )
+    SELECT r.rule, a.n_rows, r.n_violations, (r.n_violations = 0) AS passed
+    FROM agg a CROSS JOIN LATERAL (VALUES
+      ('in_set_l_returnflag', a.v_set),
+      ('max_l_discount', a.v_max),
+      ('min_l_quantity', a.v_min),
+      ('not_null_l_orderkey', a.v_nn),
+      ('ship_after_epoch', a.v_pred),
+      ('unique_l_orderkey', a.v_uni)
+    ) AS r(rule, n_violations)
+    ORDER BY r.rule
+    """,
+    doc="Declarative data-quality expectations in ONE shared "
+    "conditional-aggregate scan (+1 distinct pass for uniqueness) — "
+    "the audit step of write-audit-publish "
+    "(operators/expectations.py): not-null, range, set-membership, "
+    "cross-column predicate, and uniqueness rules over lineitem with "
+    "per-rule violation counts and verdicts. Rules are chosen so "
+    "both passing and failing verdicts appear in the result "
+    "(discount > 0.08 and duplicate comments DO occur).",
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators import expectations as E
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_orderdate_proxy", F.lit("1992-01-01 00:00:00").cast("timestamp")
+    )
+    rules = [
+        E.not_null("l_orderkey"),
+        E.min_value("l_quantity", 1),
+        E.max_value("l_discount", 0.08),
+        E.in_set("l_returnflag", ["A", "N", "R"]),
+        E.predicate("l_shipdate >= l_orderdate_proxy", "ship_after_epoch"),
+        E.unique("l_orderkey"),
+    ]
+    return E.check_expectations(li, rules)

@@ -608,3 +608,71 @@ def test_write_audit_publish(spark, tmp_table_dir):
         store.discard(good)
     with _pytest.raises(FileNotFoundError, match="not staged"):
         store.publish("v-nonexistent00")
+
+
+def test_wap_with_expectations_gate(spark, tmp_table_dir):
+    """The full write-audit-publish loop with the expectations suite
+    as the audit: a staged batch violating the rules is discarded
+    (readers never see it); a clean batch publishes."""
+    from pasta_pipeline_spark.operators import expectations as E
+
+    store = TableStore(spark, f"{tmp_table_dir}/wapx")
+    store.overwrite(
+        spark.createDataFrame([(1, 50), (2, 70)], "id long, score long")
+    )
+    rules = [E.not_null("id"), E.unique("id"), E.min_value("score", 0),
+             E.max_value("score", 100)]
+
+    def audit_ok(version):
+        rep = E.check_expectations(store.read(version=version), rules)
+        return rep.where("NOT passed").count() == 0
+
+    bad = store.stage(
+        spark.createDataFrame([(3, 120), (3, -5)], "id long, score long")
+    )  # duplicate id, out-of-range scores
+    assert not audit_ok(bad)
+    store.discard(bad)
+    assert store.read().count() == 2  # untouched
+
+    good = store.stage(
+        spark.createDataFrame([(3, 80), (4, 90)], "id long, score long")
+    )
+    assert audit_ok(good)
+    store.publish(good)
+    assert store.read().count() == 2 and set(
+        r["id"] for r in store.read().collect()
+    ) == {3, 4}
+
+
+def test_check_expectations_kinds(spark):
+    """Each rule kind counts its violations in the shared scan; empty
+    frames pass everything."""
+    from pasta_pipeline_spark.operators import expectations as E
+
+    df = spark.createDataFrame(
+        [(1, "a", 5, "x1"), (2, None, 50, "x2"), (2, "c", -1, "zz")],
+        "id long, name string, v long, code string",
+    )
+    rules = [
+        E.not_null("name"),
+        E.unique("id"),
+        E.min_value("v", 0),
+        E.max_value("v", 10),
+        E.in_set("name", ["a", "b", "c"]),
+        E.matches("code", "^x[0-9]$"),
+        E.predicate("v >= id", "v_at_least_id"),
+    ]
+    rep = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in E.check_expectations(df, rules).collect()}
+    assert rep["not_null_name"] == (1, False)
+    assert rep["unique_id"] == (1, False)
+    assert rep["min_v"] == (1, False)
+    assert rep["max_v"] == (1, False)
+    assert rep["in_set_name"] == (0, True)   # NULL ignored
+    assert rep["matches_code"] == (1, False)
+    assert rep["v_at_least_id"] == (1, False)  # v=-1 < id=2
+
+    empty = spark.createDataFrame([], "id long, name string, v long, code string")
+    rep0 = E.check_expectations(empty, rules)
+    assert rep0.count() == len(rules)
+    assert rep0.where("NOT passed").count() == 0
