@@ -61,6 +61,7 @@ SCALAR_CROSSJOIN_OK = {
     "training_corpus": "1-row totals inside temperature mixing",
     "constraint_checks": "1-row expected-total scalar for the rule report",
     "dormant_rich_customers": "1-row Q22 balance-threshold scalar subquery",
+    "crawl_budget": "1-row weight-total scalar for the apportionment",
     "unigram_nll": "1-row corpus token total for the unigram model",
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",
     "important_parts": "1-row grand-total/part-count scalar for the Q11 share test",
