@@ -1,0 +1,85 @@
+"""Crawl-frontier capstone — the discovery-to-workload pipeline.
+
+The crawl-side composite (the acquisition mirror of
+plans/training_data.py's curation capstone): sitemap discovery →
+URL canonicalization → robots admission → already-crawled anti-join →
+per-host budget apportionment, each stage an existing oracle-checked
+operator, composed as ONE lazy plan:
+
+1. ``parse_sitemap``            — (host, loc, lastmod) discovery rows;
+2. ``canonicalize_url``         — crawl variants collapse (tracking
+   params, ports, fragments, param order); keep-first per canonical;
+3. ``robots_verdict``           — RFC 9309 admission, broadcast join;
+4. anti-join against the processed set — only genuinely new work;
+5. ``allocate_budget``          — fetch slots per host by largest
+   remainder over the surviving frontier mass, and a per-host
+   row_number cap enforcing them.
+
+Every step is pure DataFrame plumbing: no collect, the only windows
+run per host (frontier keys, not corpus mass), the rules/processed
+sides broadcast. Output: the admitted, deduplicated, budget-capped
+fetch list — exactly what sources/fetch.py consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pasta_pipeline_spark.functions.urls import canonicalize_url
+from pasta_pipeline_spark.operators.robots import robots_verdict
+from pasta_pipeline_spark.operators.sharding import allocate_budget
+from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
+
+
+def build_frontier(
+    sitemaps: DataFrame,
+    robots_rules: DataFrame,
+    processed: DataFrame,
+    total_budget: int = 10_000,
+    agent: str = "*",
+) -> DataFrame:
+    """Compose the five stages; see module docstring. ``sitemaps`` is
+    (host, sitemap_xml); ``robots_rules`` the parse_robots_txt shape;
+    ``processed`` a single-column ``url`` frame of completed fetches.
+    Returns ``(host, url, budget_rank)`` — admitted URLs with their
+    per-host rank under the apportioned budget."""
+    discovered = parse_sitemap(sitemaps)
+    canon = (
+        discovered.select(
+            "host", canonicalize_url(F.col("loc")).alias("url")
+        )
+        .where(F.col("url").isNotNull())
+        .dropDuplicates(["url"])
+    )
+    path = F.regexp_extract("url", r"^[a-z]+://[^/?#]*(/[^?#]*)", 1)
+    with_path = canon.withColumn(
+        "path", F.when(path == "", F.lit("/")).otherwise(path)
+    )
+    # verdicts over DISTINCT (host, path): several canonical urls can
+    # share a path (query strings differ) — dedup before the verdict
+    # join so no row multiplies
+    verdicts = robots_verdict(
+        with_path.select("host", "path").distinct(), robots_rules, agent=agent
+    )
+    admitted = (
+        with_path.join(verdicts, ["host", "path"])
+        .where(F.col("allowed"))
+        .select("host", "url")
+    )
+    fresh = admitted.join(
+        processed.select(F.col("url")), "url", "left_anti"
+    )
+    weights = fresh.groupBy(F.col("host").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    budgets = allocate_budget(weights, total=total_budget).select(
+        F.col("key").alias("host"), F.col("budget")
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        fresh.withColumn("budget_rank", F.row_number().over(w))
+        .join(F.broadcast(budgets), "host")
+        .where(F.col("budget_rank") <= F.col("budget"))
+        .select("host", "url", F.col("budget_rank").cast("long").alias("budget_rank"))
+    )

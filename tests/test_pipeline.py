@@ -112,3 +112,56 @@ def test_maintenance_after_batch(spark, tmp_table_dir):
     # failed urls DO have content rows (status tracking), so no orphans
     assert stats["cleaned_links"] == 0
     assert pipe.content.read().count() == 5
+
+
+def test_crawl_frontier_capstone(spark):
+    """Discovery-to-workload composition: sitemap parse →
+    canonicalization (variants collapse) → robots admission → 
+    processed anti-join → per-host budget cap, one lazy plan."""
+    from pasta_pipeline_spark.operators.robots import parse_robots_txt
+    from pasta_pipeline_spark.plans.frontier import build_frontier
+
+    sitemaps = spark.createDataFrame(
+        [
+            ("a.com",
+             "<urlset>"
+             "<url><loc>https://A.COM/keep/1?utm_source=x</loc></url>"
+             "<url><loc>https://a.com/keep/1</loc></url>"        # canonical dup
+             "<url><loc>https://a.com/keep/2#frag</loc></url>"
+             "<url><loc>https://a.com/private/x</loc></url>"     # robots-denied
+             "<url><loc>https://a.com/done/1</loc></url>"        # already crawled
+             "</urlset>"),
+            ("b.com",
+             "<urlset>"
+             + "".join(f"<url><loc>https://b.com/p/{i}</loc></url>" for i in range(6))
+             + "</urlset>"),
+        ],
+        "host string, sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_txt(robots)
+    processed = spark.createDataFrame(
+        [("https://a.com/done/1",)], "url string"
+    )
+    out = build_frontier(
+        sitemaps, rules, processed, total_budget=6
+    ).collect()
+    urls = {r["url"] for r in out}
+    # canonical dup collapsed to ONE url; fragment stripped
+    assert "https://a.com/keep/1" in urls
+    assert "https://a.com/keep/2" in urls
+    assert not any("utm" in u or "#" in u for u in urls)
+    # robots-denied and already-processed urls excluded
+    assert not any("/private/" in u for u in urls)
+    assert "https://a.com/done/1" not in urls
+    # budget: 6 slots over frontier mass {a.com: 2, b.com: 6} →
+    # largest-remainder gives a.com 2 (wait: 6*2/8=1.5→1, 6*6/8=4.5→4;
+    # remainders equal → leftover to a.com by key) → a:2, b:4
+    per_host = {}
+    for r in out:
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+    assert per_host == {"a.com": 2, "b.com": 4}
+    assert all(r["budget_rank"] >= 1 for r in out)
