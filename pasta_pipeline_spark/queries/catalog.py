@@ -7034,3 +7034,88 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.unique("l_orderkey"),
     ]
     return E.check_expectations(li, rules)
+
+
+def _main_text_oracle() -> str:
+    from pasta_pipeline_spark.operators.main_text import (
+        _BLOCK_TAG_RE,
+        _ENTITIES,
+        _SUBTREE_TAGS,
+    )
+
+    def clean(col: str) -> str:
+        c = f"regexp_replace({col}, '<[^>]*>', ' ', 'g')"
+        for ent, rep in _ENTITIES:
+            rep_sql = rep.replace("'", "''")
+            c = f"replace({c}, '{ent}', '{rep_sql}')"
+        return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+    seg = "html"
+    for t in _SUBTREE_TAGS:
+        seg = f"regexp_replace({seg}, '(?is)<{t}[^>]*>.*?</{t}>', ' ', 'g')"
+    seg = f"regexp_replace({seg}, '{_BLOCK_TAG_RE}', chr(10), 'g')"
+
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><script>ignore("x")</script></head><body>' ||
+             '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">More</a></nav>' ||
+             '<p>' || text || '</p>' ||
+             '<div><a>T</a> <a>P</a></div></body></html>' AS html
+      FROM documents WHERE text IS NOT NULL
+    ), seg AS (
+      SELECT doc_id, string_split({seg}, chr(10)) AS ls FROM pages
+    ), lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS raw
+      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM seg)
+    ), scored AS (
+      SELECT doc_id, pos, {clean('raw')} AS text,
+             COALESCE(list_sum(list_transform(
+               regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+               s -> length({clean('s')}))), 0) AS link_chars
+      FROM lines
+    ), kept AS (
+      SELECT doc_id, pos, text,
+             (length(text) >= 40 AND
+              link_chars * 10000 <= 3000 * greatest(length(text), 1)) AS keep
+      FROM scored WHERE text <> ''
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(text, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '') AS main_text,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_kept,
+           CAST(count(*) AS BIGINT) AS n_blocks_total
+    FROM kept GROUP BY doc_id
+    """
+
+
+@register(
+    "main_text_extraction",
+    _main_text_oracle(),
+    doc="Main-text extraction (boilerpipe/jusText heuristic as pure "
+    "expressions; operators/main_text.py): script/style subtree "
+    "removal, block segmentation on structural tags, per-block link "
+    "density (anchor char mass, integer basis points) and length "
+    "gates, kept blocks reassembled in document order. Pages "
+    "synthesized around documents.text with nav/footer link "
+    "boilerplate that must be dropped and an article block that must "
+    "survive; the oracle replays the ENTIRE pipeline — subtree "
+    "removal, segmentation, entity decode, density gate, ordered "
+    "reassembly — from the same regex/entity constants, so any drift "
+    "breaks the hash. Backreference-free regexes (RE2-portable); no "
+    "UDF, no HTML parser dependency.",
+)
+def q_main_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.main_text import extract_main_text
+
+    docs = _tp(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>ignore("x")</script></head><body>'),
+            F.lit('<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">More</a></nav>'),
+            F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            F.lit("<div><a>T</a> <a>P</a></div></body></html>"),
+        ).alias("html"),
+    )
+    return extract_main_text(pages)

@@ -590,3 +590,39 @@ def test_quality_score_lang_profiles(spark):
     assert rows[3][0] == rows[2][0]
     # declaring the WRONG profiled language does punish
     assert rows[4][0] < rows[2][0]
+
+
+def test_extract_main_text_boilerplate_removal(spark):
+    """Block heuristic end-to-end: scripts/styles vanish (including
+    fake tags inside string literals), nav/footer link farms drop,
+    prose with a low-density inline anchor survives, entity decode
+    and whitespace collapse apply, all-boilerplate pages yield ''."""
+    from pasta_pipeline_spark.operators.main_text import extract_main_text
+
+    body = (
+        "This is the actual article body with plenty of prose and enough "
+        "characters to pass the minimum threshold, including an inline "
+        '<a href="x">reference link</a> that stays under the density gate.'
+    )
+    html = (
+        '<html><head><script>var x = "<p>fake</p>";</script>'
+        "<style>.nav{color:red}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a> <a>More</a></nav>'
+        f"<p>  {body}  </p>"
+        "<p>Second &amp; final paragraph&nbsp;with entities, long enough to "
+        "be kept by the length gate of the extractor heuristic.</p>"
+        '<div class="footer"><a>Terms</a> <a>Privacy</a></div></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<div><a>only</a> <a>links</a> <a>here</a></div>")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in extract_main_text(df).collect()}
+    main = rows[1]["main_text"]
+    assert "actual article body" in main and "reference link" in main
+    assert "Second & final paragraph with entities" in main  # entities + nbsp
+    assert "Home" not in main and "Terms" not in main        # boilerplate gone
+    assert "fake" not in main and "color:red" not in main    # subtrees gone
+    assert rows[1]["n_blocks_kept"] == 2
+    assert main.index("actual article") < main.index("Second &")  # order kept
+    assert rows[2]["main_text"] == "" and rows[2]["n_blocks_kept"] == 0
