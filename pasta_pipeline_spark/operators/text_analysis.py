@@ -581,3 +581,47 @@ def quality_score_lang(text: Column | str, lang: Column | str) -> Column:
     )
     score = (length_c + alpha_c + stop_c + len_c) / 4.0
     return F.when(c.isNull() | (F.trim(c) == ""), F.lit(0.0)).otherwise(score)
+
+
+#: Unicode script ranges for the script-mix histogram (char-class
+#: regexes shared verbatim with the SQL twin; portable — no
+#: properties like \p{Script=...}, just explicit BMP ranges).
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "А-Яа-яЁё"),
+    ("cjk", "一-鿿぀-ヿ가-힣"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("greek", "Ͱ-Ͽ"),
+)
+
+
+def script_mix(text: Column | str) -> list[Column]:
+    """Per-script character share of a document in integer basis
+    points (share of LETTER mass, whitespace/digits/punctuation
+    excluded) — the script histogram that catches mixed-script spam,
+    transliteration artifacts, and wrong-language routing that
+    whole-document language ID misses (a 90% Latin page with a
+    Cyrillic spam footer keeps lang='en' but shows a nonzero
+    cyrillic_bp). Returns one ``<script>_bp`` column per entry in
+    ``SCRIPT_RANGES`` plus ``n_script_chars``; all integer counts —
+    cross-engine exact."""
+    c = F.col(text) if isinstance(text, str) else text
+    counts = {
+        name: F.length(F.regexp_replace(c, f"[^{rng}]+", ""))
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    total_c = F.coalesce(total, F.lit(0))
+    out = [total_c.cast("long").alias("n_script_chars")]
+    for name, col in counts.items():
+        # count*10000/total: both operands exact in double and the
+        # IEEE quotient of exact integers is correctly rounded, so
+        # floor == integer division — matches the oracle's `//`
+        share = F.when(
+            total_c > 0, F.floor(col * 10000 / total_c).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        out.append(share.alias(f"{name}_bp"))
+    return out

@@ -7119,3 +7119,62 @@ def q_main_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return extract_main_text(pages)
+
+
+def _script_mix_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_analysis import SCRIPT_RANGES
+
+    cnt_cols = ", ".join(
+        f"length(regexp_replace(adorned, '[^{rng}]+', '', 'g')) AS c_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"c_{name}" for name, _ in SCRIPT_RANGES)
+    shares = ", ".join(
+        f"CAST(CASE WHEN total > 0 THEN c_{name} * 10000 // total ELSE 0 END AS BIGINT)"
+        f" AS {name}_bp"
+        for name, _ in SCRIPT_RANGES
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' Привет мир спам'
+               WHEN 1 THEN ' 世界和平文本'
+               ELSE '' END AS adorned
+      FROM documents WHERE text IS NOT NULL
+    ), counted AS (
+      SELECT doc_id, {cnt_cols} FROM src
+    ), tot AS (
+      SELECT doc_id, *, {total} AS total FROM counted
+    )
+    SELECT doc_id, CAST(total AS BIGINT) AS n_script_chars, {shares}
+    FROM tot
+    """
+
+
+@register(
+    "script_mix",
+    _script_mix_oracle(),
+    doc="Unicode-script mix histogram (text_analysis.script_mix): "
+    "per-document share of letter mass per script in integer basis "
+    "points — catches mixed-script spam and transliteration "
+    "artifacts that whole-document language ID misses (a Latin page "
+    "with a Cyrillic spam footer keeps lang='en' but shows nonzero "
+    "cyrillic_bp). Documents adorned deterministically with Cyrillic "
+    "and CJK tails so every range is exercised; ranges shared as one "
+    "constant between engine and oracle.",
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import script_mix
+
+    docs = _tp(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    adorned = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" Привет мир спам"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" 世界和平文本"))
+            .otherwise(F.lit("")),
+        ).alias("adorned"),
+    )
+    return adorned.select("doc_id", *script_mix("adorned"))

@@ -626,3 +626,25 @@ def test_extract_main_text_boilerplate_removal(spark):
     assert rows[1]["n_blocks_kept"] == 2
     assert main.index("actual article") < main.index("Second &")  # order kept
     assert rows[2]["main_text"] == "" and rows[2]["n_blocks_kept"] == 0
+
+
+def test_script_mix_shares(spark):
+    """Script histogram: shares over LETTER mass only (digits and
+    punctuation excluded), exact basis points, zero-letter and NULL
+    documents yield all-zero rows."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.text_analysis import script_mix
+
+    df = spark.createDataFrame(
+        [(1, "hello мир 世界"), (2, "123 !!!"), (3, None), (4, "καλημέρα")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in df.select("id", *script_mix("text")).collect()}
+    assert rows[1]["n_script_chars"] == 10
+    assert rows[1]["latin_bp"] == 5000
+    assert rows[1]["cyrillic_bp"] == 3000
+    assert rows[1]["cjk_bp"] == 2000
+    assert rows[2]["n_script_chars"] == 0 and rows[2]["latin_bp"] == 0
+    assert rows[3]["n_script_chars"] == 0
+    assert rows[4]["greek_bp"] == 10000
