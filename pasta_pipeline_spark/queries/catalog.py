@@ -7178,3 +7178,66 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("adorned"),
     )
     return adorned.select("doc_id", *script_mix("adorned"))
+
+
+@register(
+    "ingest_anomaly",
+    """
+    WITH batched AS (
+      SELECT source, doc_id % 7 AS batch, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, doc_id % 7
+    ), hist AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_hist,
+             CAST(SUM(n_docs) AS BIGINT) AS sx,
+             CAST(SUM(n_docs * n_docs) AS BIGINT) AS sx2
+      FROM batched WHERE batch < 6 GROUP BY source
+    ), cur AS (
+      SELECT source,
+             CAST(n_docs + CASE WHEN source LIKE '%0' THEN 40 ELSE 0 END AS BIGINT)
+               AS cur_count
+      FROM batched WHERE batch = 6
+    ), j AS (
+      SELECT c.source, h.n_hist, h.sx, h.sx2, c.cur_count,
+             h.n_hist * c.cur_count - h.sx AS dev,
+             h.n_hist * (h.n_hist * h.sx2 - h.sx * h.sx) AS radicand
+      FROM cur c LEFT JOIN hist h USING (source)
+    )
+    SELECT source,
+           CAST(COALESCE(n_hist, 0) AS BIGINT) AS n_hist,
+           CAST(COALESCE(sx, 0) AS BIGINT) AS hist_total,
+           cur_count,
+           CAST(COALESCE(dev, 0) AS BIGINT) AS dev,
+           CAST(CASE WHEN n_hist >= 2 AND radicand > 0
+                THEN FLOOR(dev * 10000 / sqrt(CAST(radicand AS DOUBLE)))
+           END AS BIGINT) AS z_fp,
+           CASE WHEN n_hist >= 2 AND radicand > 0
+                THEN abs(CAST(FLOOR(dev * 10000 / sqrt(CAST(radicand AS DOUBLE))) AS BIGINT)) > 30000
+           END AS is_anomaly
+    FROM j
+    """,
+    doc="Per-source ingest-rate anomaly report "
+    "(operators/anomaly.py ingest_anomaly): the newest batch's row "
+    "count z-scored against that source's own batch history using "
+    "exact int64 moment sums — numerator and radicand pure integers, "
+    "sqrt bit-identical, one floor at the end (the package's moments "
+    "recipe). Batches derived from doc_id % 7 (history = 0..5, "
+    "current = 6); sources ending in '0' get +40 injected into the "
+    "current batch so both anomalous and normal verdicts appear; "
+    "degenerate histories yield NULL z, never divide-by-zero.",
+)
+def q_ingest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
+
+    docs = _t(spark, sf_dir, "documents")
+    batched = docs.groupBy(
+        "source", (F.col("doc_id") % 7).alias("batch")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    hist = batched.where(F.col("batch") < 6)
+    cur = batched.where(F.col("batch") == 6).select(
+        "source",
+        (
+            F.col("n_docs")
+            + F.when(F.col("source").endswith("0"), F.lit(40)).otherwise(F.lit(0))
+        ).alias("n_docs"),
+    )
+    return ingest_anomaly(hist, cur)

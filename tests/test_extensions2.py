@@ -1137,3 +1137,33 @@ def test_allocate_budget_zero_weights_degenerate(spark):
     w = spark.createDataFrame([("a", 0), ("b", 0)], "key string, weight long")
     got = {r["key"]: r["budget"] for r in allocate_budget(w, total=10).collect()}
     assert got == {"a": 0, "b": 0}
+
+
+def test_ingest_anomaly_detection(spark):
+    """Spike and collapse both flag; a steady source doesn't; a new
+    source (no history) and a zero-variance history yield NULL z
+    instead of errors."""
+    from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
+
+    hist = spark.createDataFrame(
+        [("steady", b, 100 + (b % 3)) for b in range(6)]
+        + [("spiky", b, 100 + (b % 3)) for b in range(6)]
+        + [("dying", b, 100 + (b % 3)) for b in range(6)]
+        + [("flat", b, 50) for b in range(6)],
+        "source string, batch long, n_docs long",
+    )
+    cur = spark.createDataFrame(
+        [("steady", 101), ("spiky", 500), ("dying", 2), ("flat", 55),
+         ("brand_new", 10)],
+        "source string, n_docs long",
+    )
+    rows = {r["source"]: r for r in ingest_anomaly(hist, cur).collect()}
+    assert rows["steady"]["is_anomaly"] is False
+    assert rows["spiky"]["is_anomaly"] is True and rows["spiky"]["z_fp"] > 0
+    assert rows["dying"]["is_anomaly"] is True and rows["dying"]["z_fp"] < 0
+    # zero-variance history: NULL z (dev still reports the shift)
+    assert rows["flat"]["z_fp"] is None and rows["flat"]["dev"] == 6 * 55 - 300
+    # no history at all: NULL z, NULL verdict, zeros for the sums
+    assert rows["brand_new"]["z_fp"] is None
+    assert rows["brand_new"]["is_anomaly"] is None
+    assert rows["brand_new"]["n_hist"] == 0
