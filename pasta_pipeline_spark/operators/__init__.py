@@ -48,8 +48,24 @@ from pasta_pipeline_spark.operators.similarity import pq_topk
 from pasta_pipeline_spark.operators.divergence import source_token_divergence
 from pasta_pipeline_spark.operators.pair_ttl import pair_history_report
 from pasta_pipeline_spark.operators.sharding import (
+    allocate_budget,
     rendezvous_shard,
     shard_rebalance_report,
+)
+from pasta_pipeline_spark.operators.divergence import js_between, token_distribution
+from pasta_pipeline_spark.operators.splits import (
+    assign_split,
+    cluster_split,
+    split_leakage,
+)
+from pasta_pipeline_spark.operators.robots import parse_robots_txt, robots_verdict
+from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
+from pasta_pipeline_spark.operators.expectations import check_expectations
+from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
+from pasta_pipeline_spark.operators.main_text import extract_main_text
+from pasta_pipeline_spark.operators.text_analysis import (
+    quality_score_lang,
+    script_mix,
 )
 
 __all__ = [
@@ -89,4 +105,18 @@ __all__ = [
     "pair_history_report",
     "rendezvous_shard",
     "shard_rebalance_report",
+    "allocate_budget",
+    "js_between",
+    "token_distribution",
+    "assign_split",
+    "cluster_split",
+    "split_leakage",
+    "parse_robots_txt",
+    "robots_verdict",
+    "parse_sitemap",
+    "check_expectations",
+    "ingest_anomaly",
+    "extract_main_text",
+    "quality_score_lang",
+    "script_mix",
 ]
