@@ -265,3 +265,108 @@ def merge_heavy_hitters(
         .select(*ks, F.lit(None).cast(kept.schema["item"].dataType).alias("item"), "n")
     )
     return kept.unionByName(dropped)
+
+
+def _cms_bucket(col: Column, row_idx: int, width: int) -> Column:
+    """Row-``row_idx`` bucket of an item: md5-based 60-bit hash of
+    ``"<row>:<item>"`` mod width — the same cross-engine-exact hash
+    recipe as every oracle-checkable operator here (DuckDB twin:
+    ``('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item), 1,
+    15))::BIGINT % width``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row_idx}:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan, 2005): item
+    counts folded into ``depth`` independent hash rows of ``width``
+    buckets — ``depth*width`` int64 cells REGARDLESS of the distinct
+    item count, the fixed-memory complement to the truncated-counter
+    heavy hitters (those keep exact counts for the head; CMS answers
+    point queries about EVERYTHING, with one-sided error ≤ total/width
+    per row, min across rows).
+
+    State rows ``(row_idx, bucket, cnt)`` merge by addition
+    (:func:`merge_cms`) — the same mergeable-int64 contract as the
+    summary/histogram/heavy-hitter tier, so batch and streaming
+    maintenance are the same groupBy-sum. NULL items are ignored
+    (``count(col)`` convention). Every hash is the package's
+    md5-based recipe, so sketch construction AND estimation replay
+    exactly in SQL."""
+    src = df.where(F.col(item_col).isNotNull())
+    rows = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row_idx"),
+                        _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.row_idx").alias("row_idx"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str = "item",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query estimates for ``probes``: per item, the MIN of its
+    ``depth`` bucket counters (absent buckets count 0). Never
+    underestimates the true count; overestimate bounded by collisions.
+    One broadcast of the (depth·width-row) sketch + a projection —
+    the probe side never shuffles."""
+    per_row = probes.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row_idx"),
+                        _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "item", F.col("rb.row_idx").alias("row_idx"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = per_row.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS states built with the same (width, depth): cell
+    counts add — associative, commutative, and EXACTLY equal to the
+    sketch of the concatenated input (counter addition distributes),
+    so batch boundaries never change estimates."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -7241,3 +7241,54 @@ def q_ingest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_docs"),
     )
     return ingest_anomaly(hist, cur)
+
+
+@register(
+    "cms_estimates",
+    """
+    WITH src AS (
+      SELECT l_suppkey AS item FROM lineitem WHERE l_suppkey IS NOT NULL
+    ), rs AS (
+      SELECT unnest(generate_series(0, 3)) AS r
+    ), cells AS (
+      SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+      FROM src CROSS JOIN rs
+    ), sk AS (
+      SELECT r AS row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT l_suppkey AS item FROM lineitem
+      WHERE l_suppkey IS NOT NULL ORDER BY 1 LIMIT 20
+    ), pb AS (
+      SELECT item, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+      FROM probes CROSS JOIN rs
+    )
+    SELECT p.item, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+    FROM pb p LEFT JOIN sk s ON p.r = s.row_idx AND p.bucket = s.bucket
+    GROUP BY p.item
+    """,
+    doc="Count-min sketch point queries (sketches.count_min_sketch / "
+    "cms_estimate, Cormode-Muthukrishnan): supplier counts folded "
+    "into a 4x64-cell int64 sketch (fixed memory at ANY distinct "
+    "count; state merges by addition — the mergeable-sketch family's "
+    "point-query member), then 20 probe items estimated as the min "
+    "across rows. The md5-based bucket hash is the package's "
+    "cross-engine recipe, so construction AND estimation replay "
+    "exactly in SQL — unlike the engine-internal HLL/quantile "
+    "sketches, this one IS hash-oracle-able. Overestimate-only and "
+    "merge==direct properties are pytest-pinned.",
+)
+def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = count_min_sketch(li, "l_suppkey", width=64, depth=4)
+    probes = (
+        li.where(F.col("l_suppkey").isNotNull())
+        .select(F.col("l_suppkey").alias("item"))
+        .distinct()
+        .orderBy("item")
+        .limit(20)
+    )
+    return cms_estimate(sketch, probes, width=64, depth=4)

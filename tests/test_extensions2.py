@@ -1167,3 +1167,49 @@ def test_ingest_anomaly_detection(spark):
     assert rows["brand_new"]["z_fp"] is None
     assert rows["brand_new"]["is_anomaly"] is None
     assert rows["brand_new"]["n_hist"] == 0
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: estimates NEVER underestimate true counts;
+    with width >> distinct items they are exact; merging two
+    half-sketches equals sketching the whole; NULL items ignored."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms,
+    )
+
+    rows = [(f"item{i % 13}",) for i in range(400)] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "v string")
+    exact = {
+        r["v"]: r["n"]
+        for r in df.where("v IS NOT NULL").groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    probes = df.where("v IS NOT NULL").select(F.col("v").alias("item")).distinct()
+
+    sk = count_min_sketch(df, "v", width=256, depth=4)
+    est = {r["item"]: r["est"] for r in cms_estimate(sk, probes, width=256, depth=4).collect()}
+    assert all(est[k] >= exact[k] for k in exact)       # one-sided error
+    assert est == exact                                  # wide sketch → exact
+    # total mass per row equals the non-null input size
+    per_row = {r["row_idx"]: r["s"] for r in
+               sk.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(per_row.values()) == {400}
+
+    # merge == direct under any split
+    h1 = spark.createDataFrame(rows[:200], "v string")
+    h2 = spark.createDataFrame(rows[200:], "v string")
+    merged = merge_cms(
+        count_min_sketch(h1, "v", width=256, depth=4),
+        count_min_sketch(h2, "v", width=256, depth=4),
+    )
+    m_est = {r["item"]: r["est"]
+             for r in cms_estimate(merged, probes, width=256, depth=4).collect()}
+    assert m_est == est
+
+    # narrow sketch: collisions overestimate but never underestimate
+    nk = count_min_sketch(df, "v", width=4, depth=2)
+    n_est = {r["item"]: r["est"] for r in cms_estimate(nk, probes, width=4, depth=2).collect()}
+    assert all(n_est[k] >= exact[k] for k in exact)
