@@ -1,0 +1,157 @@
+"""BPE tokenizer induction — learning the vocabulary FROM the corpus.
+
+Byte-pair encoding (Sennrich et al., ACL 2016 — the public algorithm
+behind GPT/Llama-family tokenizers) is usually trained by a
+single-machine script over a sample; at corpus scale the counting is
+the expensive part and it is exactly what Spark is for. The classic
+algorithm, expressed relationally:
+
+1. pre-aggregate the corpus to its WORD DISTRIBUTION
+   ``(word, count)`` — every later step is vocabulary-scale, not
+   corpus-scale (the standard trick; word frequencies are sufficient
+   statistics for BPE);
+2. each word starts as its character sequence (+ ``</w>`` end marker,
+   per the paper);
+3. per merge round: count adjacent symbol pairs weighted by word
+   count (explode + groupBy), take the argmax (count desc, pair asc —
+   deterministic tie-break), collect that ONE row (a 1-row
+   metadata-scale collect, the same class as a lakehouse commit), and
+   rewrite every word's symbol array with the pair fused — a pure
+   ``aggregate`` fold expression, no UDF;
+4. after ``n_merges`` rounds the merge table IS the tokenizer.
+
+State is persisted and lineage-truncated per round (the fixpoint
+pattern duplicate_clusters uses). ``apply_bpe`` replays the learned
+merge sequence over any text — the same fold expression, so
+training-time and inference-time segmentation cannot diverge.
+Verified by differential pytest against an independent pure-Python
+reference implementation of the paper's algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _merge_pair_expr(symbols: Column, left: str, right: str) -> Column:
+    """Fuse every adjacent (left, right) occurrence in a symbol array:
+    a left-fold that appends each symbol unless it completes the pair
+    with the accumulator's tail, in which case the tail is replaced by
+    the fused symbol. Leftmost-first, non-overlapping — the paper's
+    replacement order."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        # try_element_at: NULL on the empty accumulator (ANSI-safe),
+        # and NULL == left is never true, so the first symbol appends
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left)) & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _word_distribution(
+    docs: DataFrame, text_col: str
+) -> DataFrame:
+    """(word, count, symbols) — the sufficient statistics."""
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("word")
+    )
+    dist = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    symbols = F.concat(
+        F.split(F.col("word"), ""),  # one element per character
+        F.array(F.lit(END)),
+    )
+    return dist.select("word", "cnt", symbols.alias("symbols"))
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[int, str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns
+    ``[(rank, left, right), ...]`` in application order. Driver-side
+    state is one (pair, count) row per round — everything heavy stays
+    distributed. Rounds where no adjacent pair remains (tiny corpora)
+    stop early."""
+    vocab = _word_distribution(docs, text_col).persist()
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right = pairs[0]["l"], pairs[0]["r"]
+        merges.append((rank, left, right))
+        new_vocab = vocab.select(
+            "word", "cnt", _merge_pair_expr(F.col("symbols"), left, right).alias("symbols")
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment documents with a learned merge sequence: per word,
+    start from characters + ``</w>`` and apply every merge in rank
+    order (the same fold expression training used). Returns
+    ``(id, bpe_tokens array<string>, n_tokens)``. Plan depth grows
+    with the merge count — for large vocabularies, segment against
+    the final VOCABULARY with a longest-match strategy instead; this
+    replay form is the exactness reference."""
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "word"),
+    )
+    symbols = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    out = words.select(id_col, "pos", symbols.alias("symbols"))
+    for _rank, left, right in merges:
+        out = out.select(
+            id_col, "pos", _merge_pair_expr(F.col("symbols"), left, right).alias("symbols")
+        )
+    return out.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("symbols")))
+                ),
+                lambda s: s.getField("symbols"),
+            )
+        ).alias(out_col)
+    ).select(
+        id_col, out_col, F.size(out_col).cast("long").alias("n_tokens")
+    )

@@ -648,3 +648,63 @@ def test_script_mix_shares(spark):
     assert rows[2]["n_script_chars"] == 0 and rows[2]["latin_bp"] == 0
     assert rows[3]["n_script_chars"] == 0
     assert rows[4]["greek_bp"] == 10000
+
+
+def test_bpe_learning_differential(spark):
+    """Distributed BPE learning matches an independent pure-Python
+    implementation of Sennrich et al.'s algorithm (same tie-breaks):
+    identical merge sequence AND identical segmentation on replay."""
+    from collections import Counter
+
+    from pasta_pipeline_spark.operators.bpe import END, apply_bpe, learn_bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # --- reference implementation (paper pseudocode, word-dist form)
+    words = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) + [END] for w in words}
+
+    def ref_merges(k):
+        out = []
+        for _ in range(k):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += words[w]
+            if not pairs:
+                break
+            # argmax with (count desc, pair asc) tie-break
+            (l, r), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((l, r))
+            for w, syms in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                vocab[w] = merged
+        return out
+
+    expected = ref_merges(8)
+    got = learn_bpe_merges(df, n_merges=8)
+    assert [(l, r) for _, l, r in got] == expected
+
+    # replaying the learned merges reproduces the reference vocab's
+    # segmentation for every word
+    seg = {r["doc_id"]: r for r in apply_bpe(df, got).collect()}
+    doc0_words = texts[0].split()
+    expect_tokens = [t for w in doc0_words for t in vocab[w]]
+    assert seg[0]["bpe_tokens"] == expect_tokens
+    assert seg[0]["n_tokens"] == len(expect_tokens)
+    # frequent 'low' must have fused into few symbols
+    assert vocab["low"] == ["low</w>"] or len(vocab["low"]) <= 2
