@@ -287,3 +287,44 @@ def incremental_token_distribution_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_cms_sink(
+    stream: DataFrame,
+    store: TableStore,
+    item_col: str,
+    checkpoint_dir: str,
+    width: int = 256,
+    depth: int = 4,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained count-min sketch: each micro-batch's
+    sketch (operators/sketches.py count_min_sketch) adds into a
+    persisted depth×width cell table — streaming point-query counts
+    with FIXED state (depth·width int64 cells) no matter how many
+    distinct items the stream ever carries, the unbounded-cardinality
+    complement to incremental_heavy_hitter_sink. Because cell merge is
+    exact addition, the maintained sketch EQUALS the sketch of all
+    data ever ingested, under any batch boundaries. Same replay caveat
+    as every accumulate sink: feed from the deduplicated stream."""
+    from pasta_pipeline_spark.operators.sketches import count_min_sketch, merge_cms
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_cms_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        part = count_min_sketch(batch, item_col, width=width, depth=depth)
+        if store.exists():
+            merged = merge_cms(store.read(), part)
+        else:
+            merged = part
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -504,3 +504,39 @@ def test_incremental_token_distribution_sink(spark, tmp_table_dir):
     )
     drift = js_between(store.read().drop("__bkt"), ref).collect()[0]
     assert drift["n_common_tokens"] == 3 and drift["js_fp"] > 0
+
+
+def test_incremental_cms_sink(spark, tmp_table_dir):
+    """Streaming CMS: two micro-batches fold into a sketch equal to
+    sketching all ingested rows at once; estimates never
+    underestimate and are exact at this width."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.sketches import cms_estimate, count_min_sketch
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_cms_sink
+
+    src_dir = f"{tmp_table_dir}/cms_src"
+    rows1 = [(i, f"item{i % 5}") for i in range(40)]
+    rows2 = [(100 + i, f"item{i % 7}") for i in range(35)]
+    spark.createDataFrame(rows1, "id long, v string").write.parquet(src_dir, mode="append")
+    store = TableStore(spark, f"{tmp_table_dir}/cms_store")
+    ckpt = f"{tmp_table_dir}/cms_ckpt"
+
+    stream = spark.readStream.schema("id long, v string").parquet(src_dir)
+    incremental_cms_sink(stream, store, "v", checkpoint_dir=ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, "id long, v string").write.parquet(src_dir, mode="append")
+    stream = spark.readStream.schema("id long, v string").parquet(src_dir)
+    incremental_cms_sink(stream, store, "v", checkpoint_dir=ckpt).awaitTermination(120)
+
+    all_df = spark.createDataFrame(rows1 + rows2, "id long, v string")
+    direct = count_min_sketch(all_df, "v")
+    maintained = store.read()
+    d = {(r["row_idx"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    m = {(r["row_idx"], r["bucket"]): r["cnt"] for r in maintained.collect()}
+    assert d == m  # maintained sketch == from-scratch sketch
+
+    probes = all_df.select(F.col("v").alias("item")).distinct()
+    est = {r["item"]: r["est"] for r in cms_estimate(maintained, probes).collect()}
+    exact = {r["v"]: r["n"] for r in all_df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert est == exact
