@@ -155,3 +155,83 @@ def apply_bpe(
     ).select(
         id_col, out_col, F.size(out_col).cast("long").alias("n_tokens")
     )
+
+
+def apply_bpe_batched(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Merge-replay segmentation with CONSTANT plan depth: the same
+    algorithm as :func:`apply_bpe` (every learned merge applied in
+    rank order, leftmost-first), executed inside one Arrow-batched
+    ``mapInPandas`` stage instead of one plan operator per merge —
+    the form that scales to real vocabularies (tens of thousands of
+    merges would otherwise nest tens of thousands of projections).
+    Per-word results are memoized within each batch (corpus word
+    distributions are Zipfian; the cache hit rate is the point).
+    Output equals :func:`apply_bpe` row for row — pinned by the
+    equivalence pytest, which is what makes the expression form the
+    exactness reference and this the production path."""
+    from pasta_pipeline_spark.operators.util import (
+        ensure_package_on_workers,
+        ensure_parallelism,
+    )
+
+    ensure_package_on_workers(docs.sparkSession)
+    ranked = [(left, right) for _rank, left, right in sorted(merges)]
+    src = ensure_parallelism(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField(out_col, T.ArrayType(T.StringType()), False),
+            T.StructField("n_tokens", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def segment_word(word: str) -> list[str]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + [END]
+            for left, right in ranked:
+                out, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            ids, toks, counts = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in str(text).lower().split() if w != ""]
+                seg = [t for w in words for t in segment_word(w)]
+                ids.append(did)
+                toks.append(seg)
+                counts.append(len(seg))
+            yield pd.DataFrame(
+                {"doc_id": ids, out_col: toks, "n_tokens": counts}
+            )
+
+    return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)

@@ -708,3 +708,25 @@ def test_bpe_learning_differential(spark):
     assert seg[0]["n_tokens"] == len(expect_tokens)
     # frequent 'low' must have fused into few symbols
     assert vocab["low"] == ["low</w>"] or len(vocab["low"]) <= 2
+
+
+def test_apply_bpe_batched_equals_expression_form(spark):
+    """The Arrow-batched merge replay (constant plan depth — the
+    production path) produces exactly the expression form's output;
+    tokenization regex parity included (lowercase whitespace split)."""
+    from pasta_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        apply_bpe_batched,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "new newest  wide"), (2, "LOW NEW low")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(df, n_merges=6)
+    expr_form = {r["doc_id"]: (r["bpe_tokens"], r["n_tokens"])
+                 for r in apply_bpe(df, merges).collect()}
+    batched = {r["doc_id"]: (r["bpe_tokens"], r["n_tokens"])
+               for r in apply_bpe_batched(df, merges).collect()}
+    assert batched == expr_form
