@@ -62,6 +62,11 @@ from pasta_pipeline_spark.operators.robots import parse_robots_txt, robots_verdi
 from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
 from pasta_pipeline_spark.operators.expectations import check_expectations
 from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
+from pasta_pipeline_spark.operators.sketches import (
+    hll_estimate,
+    hll_state,
+    merge_hll,
+)
 from pasta_pipeline_spark.operators.main_text import extract_main_text
 from pasta_pipeline_spark.operators.text_analysis import (
     quality_score_lang,
@@ -116,6 +121,9 @@ __all__ = [
     "parse_sitemap",
     "check_expectations",
     "ingest_anomaly",
+    "hll_state",
+    "hll_estimate",
+    "merge_hll",
     "extract_main_text",
     "quality_score_lang",
     "script_mix",

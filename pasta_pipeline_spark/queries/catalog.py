@@ -7292,3 +7292,66 @@ def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(sketch, probes, width=64, depth=4)
+
+
+def _hll_oracle(m: int = 64, cap: int = 36) -> str:
+    """Exact DuckDB twin of q_hll_distinct: md5 registers, MAX merge,
+    integer harmonic sum, fixed-point alpha, linear-counting branch —
+    the CASE expressions are generated by the SAME functions the Spark
+    operator uses (sketches.hll_rho_case_sql / hll_pow2_case_sql), so
+    the two engines cannot drift."""
+    from pasta_pipeline_spark.operators.sketches import (
+        _hll_alpha_fp,
+        hll_pow2_case_sql,
+        hll_rho_case_sql,
+    )
+
+    num = _hll_alpha_fp(m) * m * m * (1 << cap)
+    rho = hll_rho_case_sql(f"h // {m}", cap)
+    pow2 = hll_pow2_case_sql("r", cap)
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ), b AS (
+      SELECT l_returnflag, h % {m} AS bucket, {rho} AS rho FROM h
+    ), st AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS r FROM b GROUP BY 1, 2
+    ), ag AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS filled_buckets,
+             CAST(SUM({pow2}) AS BIGINT) AS sum_pow
+      FROM st GROUP BY 1
+    ), es AS (
+      SELECT l_returnflag, filled_buckets, {m} - filled_buckets AS v,
+             CAST({num} // (10000 * (sum_pow + ({m} - filled_buckets) * {1 << cap})) AS BIGINT) AS est_raw
+      FROM ag
+    )
+    SELECT l_returnflag, filled_buckets, est_raw,
+           CAST(CASE WHEN v > 0 AND 2 * est_raw <= {5 * m}
+                THEN CAST(FLOOR({m}.0 * ln({m}.0 / v)) AS BIGINT)
+                ELSE est_raw END AS BIGINT) AS est
+    FROM es
+    """
+
+
+@register(
+    "hll_distinct",
+    _hll_oracle(),
+    doc="HyperLogLog distinct-count estimates (sketches.hll_state / "
+    "hll_estimate, Flajolet et al. AofA'07): per-returnflag distinct "
+    "part counts from 64 md5-derived registers — state is <= 64 "
+    "(bucket, max-rho) rows per key at ANY cardinality, merges by "
+    "idempotent MAX (re-delivery-proof, stronger than the additive "
+    "CMS contract), and the estimator (integer harmonic sum, "
+    "fixed-point alpha, ln-of-int-ratio linear-counting branch) "
+    "hash-replays in SQL. The error-bound contract vs exact "
+    "countDistinct is pytest-pinned; this query pins the sketch "
+    "pipeline itself bit-for-bit.",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sketches import hll_estimate, hll_state
+
+    li = _t(spark, sf_dir, "lineitem")
+    state = hll_state(li, "l_partkey", keys=["l_returnflag"], m=64)
+    return hll_estimate(state, keys=["l_returnflag"], m=64)

@@ -328,3 +328,45 @@ def incremental_cms_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_hll_sink(
+    stream: DataFrame,
+    store: TableStore,
+    item_col: str,
+    keys: list[str] | None = None,
+    checkpoint_dir: str = "",
+    m: int = 64,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained HyperLogLog registers: each
+    micro-batch's state (operators/sketches.py hll_state) MAXes into a
+    persisted register table — streaming per-key distinct counts with
+    <= m rows of state per key at ANY cardinality. Unlike every
+    additive accumulate sink in this module, register merge is
+    IDEMPOTENT (MAX), so this sink tolerates at-least-once delivery:
+    a re-delivered batch changes nothing, and the maintained state
+    EQUALS the state of all data ever ingested under any batch
+    boundaries or replays. Query it with hll_estimate at any moment."""
+    from pasta_pipeline_spark.operators.sketches import hll_state, merge_hll
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_hll_sink requires checkpoint_dir")
+    ks = list(keys) if keys else []
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        part = hll_state(batch, item_col, keys=ks or None, m=m)
+        if store.exists():
+            merged = merge_hll(store.read(), part, keys=ks or None)
+        else:
+            merged = part
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

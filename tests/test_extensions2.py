@@ -1213,3 +1213,49 @@ def test_count_min_sketch_properties(spark):
     nk = count_min_sketch(df, "v", width=4, depth=2)
     n_est = {r["item"]: r["est"] for r in cms_estimate(nk, probes, width=4, depth=2).collect()}
     assert all(n_est[k] >= exact[k] for k in exact)
+
+
+def test_hll_sketch_properties(spark):
+    """HLL invariants: estimate within the ~1.04/sqrt(m) error band of
+    the true cardinality; merge is idempotent AND equals the direct
+    sketch of the union (even with overlapping halves); small
+    cardinalities route through linear counting and land near-exact;
+    NULL items ignored; state is bounded by m rows per key."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_state,
+        merge_hll,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"val-{i}") for i in range(n)] + [("g0", None)] * 9,
+        "k string, v string",
+    )
+    state = hll_state(df, "v", keys=["k"], m=64)
+    assert state.groupBy("k").count().agg(F.max("count")).collect()[0][0] <= 64
+    est = {r["k"]: r["est"] for r in hll_estimate(state, keys=["k"], m=64).collect()}
+    for k, true in (("g0", n // 2), ("g1", n // 2)):
+        assert abs(est[k] - true) / true < 0.40, (k, est[k], true)
+
+    # merge of OVERLAPPING halves == direct sketch of the union
+    h1 = df.where("v IS NULL OR substr(v, 5) % 3 != 2")
+    h2 = df.where("v IS NOT NULL AND substr(v, 5) % 3 != 0")
+    merged = merge_hll(
+        hll_state(h1, "v", keys=["k"], m=64),
+        hll_state(h2, "v", keys=["k"], m=64),
+        keys=["k"],
+    )
+    direct = {tuple(r) for r in state.collect()}
+    assert {tuple(r) for r in merged.collect()} == direct
+    # idempotence: merging a state with itself is a no-op
+    self_merged = merge_hll(state, state, keys=["k"])
+    assert {tuple(r) for r in self_merged.collect()} == direct
+
+    # small range → linear counting, near-exact at tiny cardinality
+    small = spark.createDataFrame([(f"x{i}",) for i in range(8)], "v string")
+    s_est = hll_estimate(hll_state(small, "v", m=64), m=64).collect()[0]
+    assert abs(s_est["est"] - 8) <= 2
+    assert s_est["filled_buckets"] <= 8

@@ -540,3 +540,43 @@ def test_incremental_cms_sink(spark, tmp_table_dir):
     est = {r["item"]: r["est"] for r in cms_estimate(maintained, probes).collect()}
     exact = {r["v"]: r["n"] for r in all_df.groupBy("v").agg(F.count("*").alias("n")).collect()}
     assert est == exact
+
+
+def test_incremental_hll_sink(spark, tmp_table_dir):
+    """Streaming HLL: micro-batches MAX into a register table equal to
+    sketching all ingested rows at once — and because register merge
+    is idempotent, re-processing the same data (fresh checkpoint, same
+    source) leaves the state byte-identical: the one accumulate sink
+    that is at-least-once-safe by construction."""
+    from pasta_pipeline_spark.operators.sketches import hll_estimate, hll_state
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_hll_sink
+
+    src_dir = f"{tmp_table_dir}/hll_src"
+    rows1 = [(i, "a", f"u{i}") for i in range(300)]
+    rows2 = [(1000 + i, "b", f"u{i % 50}") for i in range(200)]
+    schema = "id long, k string, v string"
+    spark.createDataFrame(rows1, schema).write.parquet(src_dir, mode="append")
+    store = TableStore(spark, f"{tmp_table_dir}/hll_store")
+    ckpt = f"{tmp_table_dir}/hll_ckpt"
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    incremental_hll_sink(stream, store, "v", keys=["k"], checkpoint_dir=ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).write.parquet(src_dir, mode="append")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    incremental_hll_sink(stream, store, "v", keys=["k"], checkpoint_dir=ckpt).awaitTermination(120)
+
+    all_df = spark.createDataFrame(rows1 + rows2, schema)
+    direct = {tuple(r) for r in hll_state(all_df, "v", keys=["k"]).collect()}
+    assert {tuple(r) for r in store.read().collect()} == direct
+
+    # replay the WHOLE source under a fresh checkpoint: idempotent MAX
+    # means the maintained state does not move
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    incremental_hll_sink(
+        stream, store, "v", keys=["k"], checkpoint_dir=f"{tmp_table_dir}/hll_ckpt2"
+    ).awaitTermination(120)
+    assert {tuple(r) for r in store.read().collect()} == direct
+
+    est = {r["k"]: r["est"] for r in hll_estimate(store.read(), keys=["k"]).collect()}
+    assert abs(est["a"] - 300) / 300 < 0.4 and abs(est["b"] - 50) / 50 < 0.4
