@@ -44,7 +44,11 @@ from pasta_pipeline_spark.operators.multimodal import (
     sample_video_frames,
 )
 from pasta_pipeline_spark.operators.text_dedup import cluster_merge_text
-from pasta_pipeline_spark.operators.similarity import pq_topk
+from pasta_pipeline_spark.operators.similarity import (
+    pq_distortion,
+    pq_topk,
+    train_pq_codebooks,
+)
 from pasta_pipeline_spark.operators.divergence import source_token_divergence
 from pasta_pipeline_spark.operators.pair_ttl import pair_history_report
 from pasta_pipeline_spark.operators.sharding import (
@@ -121,6 +125,8 @@ __all__ = [
     "parse_sitemap",
     "check_expectations",
     "ingest_anomaly",
+    "train_pq_codebooks",
+    "pq_distortion",
     "hll_state",
     "hll_estimate",
     "merge_hll",

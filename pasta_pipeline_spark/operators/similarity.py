@@ -706,6 +706,148 @@ def quantized_topk(
     )
 
 
+def _pq_slices(col, n_subspaces: int, sub: int):
+    """posexplode a dim-length vector into (m, subvector) rows; the
+    subspace width must be a plan-time constant for slice()."""
+    return F.posexplode(
+        F.array(*[F.slice(col, m * sub + 1, sub) for m in range(n_subspaces)])
+    )
+
+
+def _pq_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_l2fp(a, b):
+    """Fixed-point (1e7) subspace L2² via the a·a - 2a·b + b·b
+    decomposition — sequential folds, bit-identical to DuckDB
+    list_dot_product, one floor."""
+    return F.floor(
+        (_pq_dot(a, a) - F.lit(2.0) * _pq_dot(a, b) + _pq_dot(b, b))
+        * F.lit(10_000_000.0)
+    ).cast("long")
+
+
+def _pq_seed_codebooks(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    sub: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Seed codebooks: per subspace, the subvectors of the ``n_codes``
+    lowest-id vectors. Returns (m, code, cv: array<double>)."""
+    w = Window.orderBy(F.asc(id_col))
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    return (
+        embeddings.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col), vd.alias("v"))
+        .withColumn("code", F.row_number().over(w) - 1)
+        .select("code", _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "cv"))
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd's trainer for PQ codebooks (Jégou et al.
+    TPAMI'11 §III: PQ training IS k-means run independently in each
+    subspace). Deterministic, no RNG: seeds are the subvectors of the
+    ``n_codes`` lowest-id vectors; each round assigns every (vector,
+    subspace) slice to its nearest code by the same fixed-point L2²
+    the query path uses (broadcast codebook, one corpus scan) and
+    recomputes per-(subspace, code) dimension means; codes that lose
+    every member keep their previous centroid.
+
+    All ``n_subspaces`` k-means problems train in the SAME scan —
+    subspace is just a grouping column — so training cost doesn't grow
+    with n_subspaces. The codebook (n_subspaces·n_codes rows) is the
+    broadcast-sized shared state, localCheckpointed per round exactly
+    like train_ivf_centroids; at 100 TB train on a deterministic
+    sample (vec_id % s == 0) — codebook quality converges long before
+    the corpus is seen. Returns (m, code, cv: array<double>)."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    sub = dim // n_subspaces
+    cb = _pq_seed_codebooks(
+        embeddings, n_subspaces, sub, n_codes, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    corpus = embeddings.select(F.col(id_col), vd.alias("v")).select(
+        id_col, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv")
+    )
+    for _ in range(iterations):
+        scored = corpus.join(F.broadcast(cb), "m").select(
+            id_col, "m", "sv", "code", _pq_l2fp(F.col("sv"), F.col("cv")).alias("fp")
+        )
+        wa = Window.partitionBy(id_col, "m").orderBy(F.asc("fp"), F.asc("code"))
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(wa))
+            .filter(F.col("rk") == 1)
+            .select("m", "code", "sv")
+        )
+        means = (
+            assigned.select("m", "code", F.posexplode(F.col("sv")).alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+        )
+        new_cb = means.groupBy("m", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+            ).alias("cv")
+        )
+        cb = (
+            cb.alias("o")
+            .join(new_cb.alias("n"), ["m", "code"], "left")
+            .select("m", "code", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Total PQ quantization distortion: SUM over (vector, subspace)
+    of the min-code fixed-point L2² — the k-means objective Lloyd's
+    minimizes, as a 1-row DataFrame ``(distortion_fp)``. The codebook
+    quality dial: compare seed vs trained codebooks, or n_codes
+    candidates, before paying for a full corpus encode. One broadcast
+    join + one aggregate; int64 end-to-end (each term is already the
+    floored fixed-point the assignment path ranks by)."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    sub = dim // n_subspaces
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    corpus = embeddings.select(F.col(id_col), vd.alias("v")).select(
+        id_col, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv")
+    )
+    per_slice = (
+        corpus.join(F.broadcast(codebooks), "m")
+        .select(id_col, "m", _pq_l2fp(F.col("sv"), F.col("cv")).alias("fp"))
+        .groupBy(id_col, "m")
+        .agg(F.min("fp").alias("fp"))
+    )
+    return per_slice.agg(F.sum("fp").cast("long").alias("distortion_fp"))
+
+
 def pq_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -716,6 +858,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
+    train_iterations: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al., TPAMI'11 — the
     memory tier below int8): vectors compress to ``n_subspaces`` code
@@ -726,10 +869,14 @@ def pq_topk(
     scanning 1/64th of it, with the exact tier (cosine_topk) as the
     rerank stage over the ADC short-list.
 
-    Codebooks here are SEED codebooks — subvectors of the first
-    ``n_codes`` vectors by id (k-means/Lloyd's training slots in
-    without changing the query shape, exactly like ivf_topk's note).
-    Everything downstream of the doubles is deterministic: subspace
+    Default codebooks are SEED codebooks — subvectors of the first
+    ``n_codes`` vectors by id; with ``train_iterations > 0`` they are
+    Lloyd's-trained per subspace by :func:`train_pq_codebooks` without
+    changing the query shape (exactly like ivf_topk's knob). Training
+    improves recall — balanced codes mean the ADC distance table
+    separates the true neighbors — and the query path stays
+    hash-deterministic either way. Everything downstream of the
+    doubles is deterministic: subspace
     L2² distances use the dot-product decomposition
     ``a·a - 2a·b + b·b`` (sequential folds, bit-identical to DuckDB
     ``list_dot_product``), floor to fixed point PER TABLE ENTRY, and
@@ -749,40 +896,20 @@ def pq_topk(
     # subspace width must be a plan-time constant for slice()
     # (ArrayType carries no length), hence the explicit dim parameter
     sub = dim // n_subspaces
+    l2fp = _pq_l2fp
 
-    def slices(col):
-        return F.posexplode(
-            F.array(*[F.slice(col, m * sub + 1, sub) for m in range(n_subspaces)])
+    if train_iterations > 0:
+        cb = train_pq_codebooks(
+            embeddings, n_subspaces, n_codes, dim, train_iterations, id_col, vec_col
         )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    else:
+        cb = _pq_seed_codebooks(
+            embeddings, n_subspaces, sub, n_codes, id_col, vec_col
         )
-
-    def l2fp(a, b):
-        return F.floor(
-            (dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)) * F.lit(10_000_000.0)
-        ).cast("long")
-
-    from pyspark.sql import Window
-
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    cb = (
-        embeddings.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col), vd.alias("v"))
-        .withColumn(
-            "code",
-            F.row_number().over(Window.orderBy(id_col)) - 1,
-        )
-        .select("code", slices(F.col("v")).alias("m", "cv"))
-    )
     corpus = ensure_parallelism(
         embeddings.select(F.col(id_col), vd.alias("v"))
-    ).select(id_col, slices(F.col("v")).alias("m", "sv"))
+    ).select(id_col, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv"))
 
     # encode: per (vector, subspace), the nearest codebook entry —
     # broadcast join + one groupBy; min_by on an (fp, code) struct
@@ -800,9 +927,11 @@ def pq_topk(
         )
     )
     qsub = query.select(
-        slices(F.transform(F.col(query_vec_col), lambda v: v.cast("double"))).alias(
-            "m", "sv"
-        )
+        _pq_slices(
+            F.transform(F.col(query_vec_col), lambda v: v.cast("double")),
+            n_subspaces,
+            sub,
+        ).alias("m", "sv")
     )
     dist_table = qsub.join(F.broadcast(cb), "m").select(
         "m", "code", l2fp(F.col("sv"), F.col("cv")).alias("qfp")

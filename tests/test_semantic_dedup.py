@@ -165,3 +165,59 @@ def test_pq_topk_recall_vs_exact(spark):
     exact_ids = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
     adc_ids = {r["vec_id"] for r in adc}
     assert len(exact_ids & adc_ids) >= 6  # real recall on clustered data
+
+
+def test_train_pq_codebooks_improves_recall(spark):
+    """Lloyd's-trained PQ codebooks vs seed codebooks on a fixture
+    built to break the seeds: ids are ordered so the first n_codes
+    vectors (the seeds) all come from ONE cluster, leaving the other
+    clusters unrepresented until training moves codes there. Training
+    must strictly reduce the k-means objective (pq_distortion), more
+    iterations must never increase it, ADC recall must not degrade,
+    and iterations=0 keeps the seed path; codebooks stay n_codes rows
+    per subspace."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import (
+        _pq_seed_codebooks,
+        cosine_topk,
+        pq_distortion,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    # 4 well-separated clusters; ids 0..29 ALL in cluster 0 (seed
+    # poisoning), ids 30.. round-robin the rest; aperiodic jitter
+    rows = []
+    for i in range(120):
+        c = 0 if i < 30 else (i % 3) + 1
+        base = [10.0 if d // 16 == c else 0.0 for d in range(64)]
+        vec = [base[d] + ((i * 37 + d * 13) % 101) / 101.0 * 3.0 for d in range(64)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seed_cb = _pq_seed_codebooks(emb, 4, 16, 8, "vec_id", "embedding")
+    t1_cb = train_pq_codebooks(emb, n_codes=8, iterations=1)
+    t3_cb = train_pq_codebooks(emb, n_codes=8, iterations=3)
+    d_seed = pq_distortion(emb, seed_cb).collect()[0][0]
+    d_t1 = pq_distortion(emb, t1_cb).collect()[0][0]
+    d_t3 = pq_distortion(emb, t3_cb).collect()[0][0]
+    # Lloyd's: strict improvement over poisoned seeds, monotone in
+    # iteration count (each round never increases the objective)
+    assert d_t1 < d_seed * 0.8, (d_t1, d_seed)
+    assert d_t3 <= d_t1
+
+    per_m = {r["m"]: r["n"] for r in t3_cb.groupBy("m").agg(F.count("*").alias("n")).collect()}
+    assert per_m == {0: 8, 1: 8, 2: 8, 3: 8}
+    assert all(len(r["cv"]) == 16 for r in t3_cb.collect())
+
+    # recall never degrades vs the seed path on an unseen cluster
+    query = emb.where("vec_id = 31").select(F.col("embedding").alias("qv"))
+    exact_ids = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    seed_ids = {r["vec_id"] for r in pq_topk(emb, query, k=10, n_codes=8).collect()}
+    trained_ids = {
+        r["vec_id"]
+        for r in pq_topk(emb, query, k=10, n_codes=8, train_iterations=3).collect()
+    }
+    assert len(trained_ids & exact_ids) >= len(seed_ids & exact_ids)
+    assert len(trained_ids & exact_ids) >= 8
