@@ -171,3 +171,60 @@ def test_pair_history_ttl_report_end_to_end(spark, tmp_table_dir):
     assert rows[2]["n_active"] == 2
     assert rows[3]["n_active"] == 0 and rows[4]["n_active"] == 0
     assert rows[5]["n_active"] >= 1
+
+
+def test_pair_lifecycle_sink_equals_batch_report(spark, tmp_table_dir):
+    """Streaming lifecycle maintenance == batch pair_history_report
+    over the full history, under a scenario that exercises every state
+    transition: new pairs, same-batch redetection, island extension,
+    island closure + reopening past the TTL, multi-source-batch
+    micro-batches, and batches with no detections in the spine."""
+    from pasta_pipeline_spark.operators.pair_ttl import pair_history_report
+    from pasta_pipeline_spark.streaming.pair_lifecycle import (
+        lifecycle_report,
+        pair_lifecycle_sink,
+    )
+
+    # (doc_a, doc_b, batch_id) detection history; ttl=2
+    hist = [
+        (1, 2, 0), (3, 4, 0),          # two new pairs
+        (1, 2, 1),                     # extension (island stays open)
+        (5, 6, 4),                     # new pair after a silent gap
+        (1, 2, 5),                     # reopens PAST ttl → old island closed
+        (3, 4, 5), (3, 4, 5),         # duplicate detection rows collapse
+        (7, 8, 8), (1, 2, 8),         # another wave
+    ]
+    schema = "doc_a long, doc_b long, batch_id long"
+    batch_df = spark.createDataFrame(hist, schema)
+    expected = {
+        tuple(r)
+        for r in pair_history_report(batch_df, ttl=2).collect()
+    }
+
+    from pasta_pipeline_spark.sources.tables import TableStore
+
+    src = f"{tmp_table_dir}/pl_src"
+    state = TableStore(spark, f"{tmp_table_dir}/pl_state")
+    aux = f"{tmp_table_dir}/pl_aux"
+    ckpt = f"{tmp_table_dir}/pl_ckpt"
+
+    # feed in three waves; the middle wave spans TWO source batch ids
+    # inside one micro-batch (the fold must merge them in order)
+    waves = [
+        [r for r in hist if r[2] <= 1],
+        [r for r in hist if 2 <= r[2] <= 5],
+        [r for r in hist if r[2] > 5],
+    ]
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src)
+        pair_lifecycle_sink(
+            stream, state, aux, checkpoint_dir=ckpt, ttl=2
+        ).awaitTermination(120)
+
+    got = {tuple(r) for r in lifecycle_report(spark, state, aux).collect()}
+    assert got == expected
+
+    # state is bounded: one open island per distinct pair
+    st = state.read().collect()
+    assert len(st) == 4 and all(r["e"] >= r["s"] for r in st)
