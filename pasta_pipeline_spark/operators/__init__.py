@@ -66,6 +66,7 @@ from pasta_pipeline_spark.operators.robots import parse_robots_txt, robots_verdi
 from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
 from pasta_pipeline_spark.operators.expectations import check_expectations
 from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
+from pasta_pipeline_spark.operators.mixture import mixture_allocation
 from pasta_pipeline_spark.operators.sketches import (
     hll_estimate,
     hll_state,
@@ -125,6 +126,7 @@ __all__ = [
     "parse_sitemap",
     "check_expectations",
     "ingest_anomaly",
+    "mixture_allocation",
     "train_pq_codebooks",
     "pq_distortion",
     "hll_state",

@@ -7355,3 +7355,90 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     state = hll_state(li, "l_partkey", keys=["l_returnflag"], m=64)
     return hll_estimate(state, keys=["l_returnflag"], m=64)
+
+
+_MIXTURE_ORACLE = """
+    WITH dom AS (
+      SELECT source AS key,
+             CAST(CAST(right(source, 1) AS INT) % 4 AS BIGINT) AS weight,
+             CAST(SUM(n_chars) AS BIGINT) AS avail
+      FROM documents GROUP BY 1
+    ), tt AS (
+      SELECT CAST((SUM(avail) * 6) // 10 AS BIGINT) AS total FROM dom
+    ), pos AS (
+      SELECT * FROM dom WHERE weight > 0
+    ), ws AS (
+      SELECT CAST(SUM(weight) AS BIGINT) AS w_all FROM pos
+    ), ordered AS (
+      SELECT p.key, p.weight, p.avail, t.total, w.w_all,
+             COALESCE(SUM(p.avail) OVER (
+               ORDER BY p.avail * 1.0 / p.weight, p.key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap,
+             COALESCE(SUM(p.weight) OVER (
+               ORDER BY p.avail * 1.0 / p.weight, p.key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cwp
+      FROM pos p CROSS JOIN ws w CROSS JOIN tt t
+    ), sat AS (
+      SELECT *,
+             MIN(CASE WHEN avail * (w_all - cwp) <= (total - cap) * weight
+                 THEN 1 ELSE 0 END) OVER (
+               ORDER BY avail * 1.0 / weight, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS saturated
+      FROM ordered
+    ), rem AS (
+      SELECT CAST(MAX(total) - COALESCE(SUM(CASE WHEN saturated THEN avail END), 0) AS BIGINT) AS b_rem,
+             CAST(MAX(w_all) - COALESCE(SUM(CASE WHEN saturated THEN weight END), 0) AS BIGINT) AS w_rem
+      FROM sat
+    ), unsat AS (
+      SELECT s.key, s.weight, s.avail, s.saturated,
+             CASE WHEN r.w_rem > 0 THEN (r.b_rem * s.weight) // r.w_rem END AS q,
+             CASE WHEN r.w_rem > 0 THEN (r.b_rem * s.weight) % r.w_rem END AS rr,
+             r.b_rem
+      FROM sat s CROSS JOIN rem r WHERE NOT s.saturated
+    ), ua AS (
+      SELECT key, weight, avail, saturated,
+             CAST(COALESCE(q + CASE WHEN ROW_NUMBER() OVER (ORDER BY rr DESC, key)
+                                        <= b_rem - SUM(q) OVER () THEN 1 ELSE 0 END,
+                           0) AS BIGINT) AS alloc
+      FROM unsat
+    )
+    SELECT key, weight, avail, saturated, CAST(avail AS BIGINT) AS alloc
+    FROM sat WHERE saturated
+    UNION ALL
+    SELECT key, weight, avail, saturated, alloc FROM ua
+    UNION ALL
+    SELECT key, weight, avail, FALSE AS saturated, CAST(0 AS BIGINT) AS alloc
+    FROM dom WHERE weight <= 0
+    """
+
+
+@register(
+    "mixture_allocation",
+    _MIXTURE_ORACLE,
+    doc="Training-mixture water-filling (operators/mixture.py "
+    "mixture_allocation): target per-source shares (weights derived "
+    "from the source id's last digit, including zero-weight sources) "
+    "against per-source available character mass, budget = 60% of "
+    "total availability (sf-stable). Saturated sources are the "
+    "PREFIX of the avail/weight order found by one cross-multiplied "
+    "int64 predicate over running sums (prefix-AND enforced); the "
+    "remainder is Hamilton-apportioned among unsaturated sources — "
+    "SUM(alloc) == min(total, SUM(avail)) exactly, every decision "
+    "integer, whole cascade hash-replayed in SQL. Invariants "
+    "(cap-respect, exact total, proportionality within 1 unit) are "
+    "pytest-pinned.",
+)
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.mixture import mixture_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    doms = docs.groupBy(F.col("source").alias("key")).agg(
+        F.sum("n_chars").cast("long").alias("avail")
+    ).withColumn(
+        "weight",
+        (F.expr("CAST(right(key, 1) AS INT)") % 4).cast("long"),
+    )
+    # 1-row metadata handoff: the budget is 60% of total availability
+    # (sf-stable by construction, mirrored exactly in the oracle)
+    total = int(doms.agg(F.sum("avail")).collect()[0][0] * 6 // 10)
+    return mixture_allocation(doms, total, "key", "weight", "avail")

@@ -1259,3 +1259,45 @@ def test_hll_sketch_properties(spark):
     s_est = hll_estimate(hll_state(small, "v", m=64), m=64).collect()[0]
     assert abs(s_est["est"] - 8) <= 2
     assert s_est["filled_buckets"] <= 8
+
+
+def test_mixture_allocation_water_filling(spark):
+    """Water-filling invariants: saturated domains get exactly their
+    availability, nothing exceeds availability, the total is exact,
+    unsaturated allocations stay proportional within 1 unit, and the
+    recursive redistribution matches the closed form (a hand-computed
+    cascade where one domain's cap overflows into the rest)."""
+    from pasta_pipeline_spark.operators.mixture import mixture_allocation
+
+    # weights 5/3/2, avail caps: tiny(a) saturates, then b, c absorbs
+    doms = spark.createDataFrame(
+        [("a", 5, 100), ("b", 3, 600), ("c", 2, 10_000), ("z", 0, 50)],
+        "key string, weight long, avail long",
+    )
+    got = {r["key"]: r for r in mixture_allocation(doms, 2000, "key", "weight", "avail").collect()}
+    # hand cascade: a wants 1000 has 100 -> saturated; remaining 1900
+    # over w 3:2 -> b wants 1140 has 600 -> saturated; c gets 1300
+    assert (got["a"]["saturated"], got["a"]["alloc"]) == (True, 100)
+    assert (got["b"]["saturated"], got["b"]["alloc"]) == (True, 600)
+    assert (got["c"]["saturated"], got["c"]["alloc"]) == (False, 1300)
+    assert (got["z"]["saturated"], got["z"]["alloc"]) == (False, 0)
+    assert sum(r["alloc"] for r in got.values()) == 2000
+
+    # budget exceeds availability: everything saturates at its cap
+    got2 = {r["key"]: r["alloc"] for r in mixture_allocation(doms, 10**9).collect()}
+    assert got2 == {"a": 100, "b": 600, "c": 10_000, "z": 0}
+
+    # no caps bind: pure Hamilton apportionment, exact total
+    loose = spark.createDataFrame(
+        [(f"d{i}", 1 + i % 3, 10**9) for i in range(7)],
+        "key string, weight long, avail long",
+    )
+    rows = mixture_allocation(loose, 1001).collect()
+    assert sum(r["alloc"] for r in rows) == 1001
+    W = sum(r["weight"] for r in rows)
+    for r in rows:
+        assert abs(r["alloc"] - 1001 * r["weight"] / W) <= 1
+        assert not r["saturated"]
+
+    # total = 0 allocates nothing but still returns every domain
+    assert all(r["alloc"] == 0 for r in mixture_allocation(doms, 0).collect())
