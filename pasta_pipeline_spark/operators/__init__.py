@@ -67,6 +67,7 @@ from pasta_pipeline_spark.operators.sitemaps import parse_sitemap
 from pasta_pipeline_spark.operators.expectations import check_expectations
 from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
 from pasta_pipeline_spark.operators.mixture import mixture_allocation
+from pasta_pipeline_spark.operators.politeness import politeness_schedule
 from pasta_pipeline_spark.operators.sketches import (
     hll_estimate,
     hll_state,
@@ -127,6 +128,7 @@ __all__ = [
     "check_expectations",
     "ingest_anomaly",
     "mixture_allocation",
+    "politeness_schedule",
     "train_pq_codebooks",
     "pq_distortion",
     "hll_state",

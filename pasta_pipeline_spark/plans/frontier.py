@@ -13,7 +13,11 @@ operator, composed as ONE lazy plan:
 4. anti-join against the processed set — only genuinely new work;
 5. ``allocate_budget``          — fetch slots per host by largest
    remainder over the surviving frontier mass, and a per-host
-   row_number cap enforcing them.
+   row_number cap enforcing them;
+6. ``politeness_schedule``      — (optional, ``schedule=True``) each
+   surviving URL gets a deterministic fetch wave + timestamp under
+   the per-host crawl delay, so the fetch list is directly
+   executable by an uncoordinated worker fleet.
 
 Every step is pure DataFrame plumbing: no collect, the only windows
 run per host (frontier keys, not corpus mass), the rules/processed
@@ -38,12 +42,17 @@ def build_frontier(
     processed: DataFrame,
     total_budget: int = 10_000,
     agent: str = "*",
+    schedule: bool = False,
+    crawl_delay_s: int = 1,
+    per_host_concurrency: int = 1,
+    start_ts_s: int = 0,
 ) -> DataFrame:
-    """Compose the five stages; see module docstring. ``sitemaps`` is
+    """Compose the stages; see module docstring. ``sitemaps`` is
     (host, sitemap_xml); ``robots_rules`` the parse_robots_txt shape;
     ``processed`` a single-column ``url`` frame of completed fetches.
     Returns ``(host, url, budget_rank)`` — admitted URLs with their
-    per-host rank under the apportioned budget."""
+    per-host rank under the apportioned budget — plus
+    ``(host_rank, wave, fetch_at_s)`` when ``schedule=True``."""
     discovered = parse_sitemap(sitemaps)
     canon = (
         discovered.select(
@@ -77,9 +86,19 @@ def build_frontier(
         F.col("key").alias("host"), F.col("budget")
     )
     w = Window.partitionBy("host").orderBy("url")
-    return (
+    capped = (
         fresh.withColumn("budget_rank", F.row_number().over(w))
         .join(F.broadcast(budgets), "host")
         .where(F.col("budget_rank") <= F.col("budget"))
         .select("host", "url", F.col("budget_rank").cast("long").alias("budget_rank"))
+    )
+    if not schedule:
+        return capped
+    from pasta_pipeline_spark.operators.politeness import politeness_schedule
+
+    return politeness_schedule(
+        capped,
+        default_delay_s=crawl_delay_s,
+        per_host_concurrency=per_host_concurrency,
+        start_ts_s=start_ts_s,
     )

@@ -7442,3 +7442,57 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sf-stable by construction, mirrored exactly in the oracle)
     total = int(doms.agg(F.sum("avail")).collect()[0][0] * 6 // 10)
     return mixture_allocation(doms, total, "key", "weight", "avail")
+
+
+@register(
+    "politeness_schedule",
+    """
+    WITH frontier AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CAST(n_chars AS BIGINT) AS priority,
+             CAST(1 + (doc_id % 7) % 3 AS BIGINT) AS delay_s
+      FROM documents
+    ), ranked AS (
+      SELECT host, url, priority, delay_s,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY priority DESC, url ASC
+             ) AS BIGINT) AS host_rank
+      FROM frontier
+    )
+    SELECT host, url, priority, delay_s, host_rank,
+           CAST((host_rank - 1) // 2 AS BIGINT) AS wave,
+           CAST(100 + ((host_rank - 1) // 2) * delay_s AS BIGINT) AS fetch_at_s
+    FROM ranked
+    """,
+    doc="Per-host politeness scheduling (operators/politeness.py "
+    "politeness_schedule): admitted URLs (synthesized hosts from "
+    "doc_id, priority = n_chars, per-host crawl-delay 1-3s) get "
+    "deterministic fetch timestamps — rank within host by priority, "
+    "wave = rank div concurrency(2), fetch_at = start + wave * delay "
+    "— turning the reference crawler's operational ~1 req/s sleep "
+    "loop (message_scraper.py envelope) into planned schedule DATA a "
+    "worker fleet executes coordination-free. One window per host, "
+    "all integer arithmetic, full-hash SQL replay.",
+)
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.politeness import politeness_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").cast("long").alias("priority"),
+        (F.lit(1) + (F.col("doc_id") % 7) % 3).cast("long").alias("delay_s"),
+    )
+    return politeness_schedule(
+        frontier,
+        delay_col="delay_s",
+        per_host_concurrency=2,
+        priority_col="priority",
+        start_ts_s=100,
+    )

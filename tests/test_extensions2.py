@@ -1301,3 +1301,36 @@ def test_mixture_allocation_water_filling(spark):
 
     # total = 0 allocates nothing but still returns every domain
     assert all(r["alloc"] == 0 for r in mixture_allocation(doms, 0).collect())
+
+
+def test_politeness_schedule_contract(spark):
+    """Politeness invariants: never more than per_host_concurrency
+    fetches inside any delay window on one host, priority order
+    respected within a host, hosts scheduled independently, NULL
+    crawl-delay falls back to the default."""
+    from pasta_pipeline_spark.operators.politeness import politeness_schedule
+
+    rows = [
+        ("a.com", f"https://a.com/{i}", 100 - i, 5 if i % 2 else None)
+        for i in range(6)
+    ] + [("b.org", f"https://b.org/{i}", 0, 2) for i in range(4)]
+    # NB delay is a HOST property; give a.com a mixed column to test
+    # the per-row fallback (NULL -> default 5)
+    df = spark.createDataFrame(rows, "host string, url string, priority long, delay_s long")
+    got = politeness_schedule(
+        df, delay_col="delay_s", default_delay_s=5,
+        per_host_concurrency=2, priority_col="priority",
+    ).collect()
+
+    a = sorted((r for r in got if r["host"] == "a.com"), key=lambda r: r["host_rank"])
+    # priority desc == url asc here; ranks 1..6, waves 0,0,1,1,2,2
+    assert [r["url"][-1] for r in a] == ["0", "1", "2", "3", "4", "5"]
+    assert [r["wave"] for r in a] == [0, 0, 1, 1, 2, 2]
+    assert all(r["fetch_at_s"] == r["wave"] * 5 for r in a)
+    # no more than 2 concurrent per wave per host
+    from collections import Counter
+
+    per_wave = Counter((r["host"], r["wave"]) for r in got)
+    assert max(per_wave.values()) <= 2
+    b = sorted((r for r in got if r["host"] == "b.org"), key=lambda r: r["host_rank"])
+    assert [r["fetch_at_s"] for r in b] == [0, 0, 2, 2]

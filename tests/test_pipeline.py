@@ -165,3 +165,13 @@ def test_crawl_frontier_capstone(spark):
         per_host[r["host"]] = per_host.get(r["host"], 0) + 1
     assert per_host == {"a.com": 2, "b.com": 4}
     assert all(r["budget_rank"] >= 1 for r in out)
+
+    # schedule=True: same frontier, now with executable fetch times —
+    # concurrency 1 with a 3s delay staggers each host's queue
+    sched = build_frontier(
+        sitemaps, rules, processed, total_budget=6,
+        schedule=True, crawl_delay_s=3, start_ts_s=1000,
+    ).collect()
+    assert {r["url"] for r in sched} == urls
+    b = sorted((r for r in sched if r["host"] == "b.com"), key=lambda r: r["host_rank"])
+    assert [r["fetch_at_s"] for r in b] == [1000, 1003, 1006, 1009]
