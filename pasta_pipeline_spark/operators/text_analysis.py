@@ -625,3 +625,64 @@ def script_mix(text: Column | str) -> list[Column]:
         ).otherwise(F.lit(0).cast("long"))
         out.append(share.alias(f"{name}_bp"))
     return out
+
+
+# Unicode confusables (public UTS #39 data, the high-frequency
+# Cyrillic->Latin lookalikes used in practice for mixed-script
+# spoofing). Keys: Cyrillic characters visually identical to Latin;
+# values: the Latin skeleton character. Shared with the SQL oracle
+# (the DuckDB twin generates a replace() chain from this same dict).
+CONFUSABLE_CYR2LAT = {
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "у": "y",
+    "х": "x", "і": "i", "ѕ": "s", "ј": "j", "һ": "h",
+    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H",
+    "О": "O", "Р": "P", "С": "C", "Т": "T", "У": "Y", "Х": "X",
+}
+
+#: Regexes shared with the oracle (RE2-portable \x{} escapes).
+HAS_LATIN_RE = "[A-Za-z]"
+HAS_CYRILLIC_RE = "[\\x{0400}-\\x{04FF}]"
+PURE_LATIN_RE = "^[A-Za-z]+$"
+
+
+def confusable_stats(text: Column | str) -> list[Column]:
+    """Mixed-script / homoglyph-spoof signals per document:
+
+    - ``n_ws_tokens``: whitespace tokens;
+    - ``n_mixed_script``: tokens containing BOTH Latin and Cyrillic
+      letters — legitimate in bilingual text, but the carrier class
+      for spoofing;
+    - ``n_spoofable``: mixed tokens whose Cyrillic letters are ALL
+      Latin lookalikes (the UTS #39 skeleton maps the token to pure
+      Latin) — 'pаypal' with a Cyrillic а is spoofable, a genuine
+      Russian word is not;
+    - ``spoof_bp``: spoofable share of tokens in basis points.
+
+    The signal `script_mix` cannot give: a document can be 99% Latin
+    by character mass yet carry one spoofed token — exactly the spam
+    / phishing / poisoning artifact corpus filters care about.
+    Expression-only (split + HOF filters + one translate): no
+    explode, no shuffle, no UDF — a projection over the corpus scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    src = "".join(CONFUSABLE_CYR2LAT.keys())
+    dst = "".join(CONFUSABLE_CYR2LAT.values())
+    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    mixed = F.filter(
+        toks, lambda x: x.rlike(HAS_LATIN_RE) & x.rlike(HAS_CYRILLIC_RE)
+    )
+    spoof = F.filter(
+        mixed, lambda x: F.translate(x, src, dst).rlike(PURE_LATIN_RE)
+    )
+    n_toks = F.size(toks).cast("long")
+    n_mixed = F.size(mixed).cast("long")
+    n_spoof = F.size(spoof).cast("long")
+    spoof_bp = F.when(
+        n_toks > 0, F.floor(n_spoof * 10000 / n_toks).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return [
+        n_toks.alias("n_ws_tokens"),
+        n_mixed.alias("n_mixed_script"),
+        n_spoof.alias("n_spoofable"),
+        spoof_bp.alias("spoof_bp"),
+    ]

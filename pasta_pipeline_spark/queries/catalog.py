@@ -7496,3 +7496,77 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority_col="priority",
         start_ts_s=100,
     )
+
+
+def _confusable_oracle() -> str:
+    """DuckDB twin of q_confusable_spoof: the skeleton map is a
+    replace() chain generated from the SAME CONFUSABLE_CYR2LAT
+    constant the Spark operator translates with; token predicates are
+    the same RE2-portable regex constants."""
+    from pasta_pipeline_spark.operators.text_analysis import (
+        CONFUSABLE_CYR2LAT,
+        HAS_CYRILLIC_RE,
+        HAS_LATIN_RE,
+        PURE_LATIN_RE,
+    )
+
+    skel = "x"
+    for cyr, lat in CONFUSABLE_CYR2LAT.items():
+        skel = f"replace({skel}, '{cyr}', '{lat}')"
+    inject = (
+        "text || CASE WHEN doc_id % 10 = 0 THEN ' pаypal оffer' "
+        "WHEN doc_id % 10 = 5 THEN ' словоmix' ELSE '' END"
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {inject} AS t FROM documents
+    ), lists AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks
+      FROM src
+    ), cls AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+             list_filter(toks, x -> regexp_matches(x, '{HAS_LATIN_RE}')
+                                AND regexp_matches(x, '{HAS_CYRILLIC_RE}')) AS mixed
+      FROM lists
+    )
+    SELECT doc_id, n_ws_tokens,
+           CAST(len(mixed) AS BIGINT) AS n_mixed_script,
+           CAST(len(list_filter(mixed, x -> regexp_matches({skel}, '{PURE_LATIN_RE}')))
+             AS BIGINT) AS n_spoofable,
+           CAST(CASE WHEN n_ws_tokens > 0
+                THEN (len(list_filter(mixed, x -> regexp_matches({skel}, '{PURE_LATIN_RE}')))
+                      * 10000) // n_ws_tokens
+                ELSE 0 END AS BIGINT) AS spoof_bp
+    FROM cls
+    """
+
+
+@register(
+    "confusable_spoof",
+    _confusable_oracle(),
+    doc="Homoglyph-spoof detection (text_analysis.confusable_stats, "
+    "UTS #39 confusables): per-document counts of mixed-script "
+    "tokens and of SPOOFABLE tokens — mixed tokens whose Cyrillic "
+    "letters are all Latin lookalikes, so the skeleton map folds "
+    "them to pure Latin ('pаypal' flags, a real Russian word does "
+    "not). Injected spoof/mixed tokens on a doc_id stride make both "
+    "classes appear at any sf. Expression-only (split + HOF filters "
+    "+ one translate; no explode/shuffle/UDF); skeleton map and "
+    "regexes shared with the oracle, which replays token "
+    "classification with a generated replace() chain.",
+)
+def q_confusable_spoof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import confusable_stats
+
+    docs = _tp(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" pаypal оffer"))
+        .when(F.col("doc_id") % 10 == 5, F.lit(" словоmix"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t2.alias("t")).select(
+        "doc_id", *confusable_stats("t")
+    )

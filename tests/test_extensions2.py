@@ -1334,3 +1334,26 @@ def test_politeness_schedule_contract(spark):
     assert max(per_wave.values()) <= 2
     b = sorted((r for r in got if r["host"] == "b.org"), key=lambda r: r["host_rank"])
     assert [r["fetch_at_s"] for r in b] == [0, 0, 2, 2]
+
+
+def test_confusable_stats_classification(spark):
+    """Skeleton semantics: a Latin word with Cyrillic lookalikes is
+    spoofable; genuine bilingual mixing is mixed-but-not-spoofable;
+    pure single-script text and empty text are clean; share is in
+    basis points of whitespace tokens."""
+    from pasta_pipeline_spark.operators.text_analysis import confusable_stats
+
+    rows = [
+        (1, "visit pаypal for your аccоunt"),   # 2 spoofable (Cyr а/о)
+        (2, "привет мир it works"),              # bilingual, unmixed tokens
+        (3, "словоmix ok"),                      # mixed, not confusable-only
+        (4, "plain latin only"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select("doc_id", *confusable_stats("text")).collect()}
+    assert (got[1]["n_mixed_script"], got[1]["n_spoofable"]) == (2, 2)
+    assert got[1]["spoof_bp"] == 2 * 10000 // 5
+    assert (got[2]["n_mixed_script"], got[2]["n_spoofable"]) == (0, 0)
+    assert (got[3]["n_mixed_script"], got[3]["n_spoofable"]) == (1, 0)
+    assert got[4]["n_spoofable"] == 0 and got[5]["n_ws_tokens"] == 0
