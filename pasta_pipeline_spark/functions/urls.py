@@ -195,6 +195,124 @@ def registrable_domain_join(
     return joined.withColumn(out_col, domain).drop("__c2", "__c3", "__s2", "__s3")
 
 
+def parse_psl_lines(lines, value_col: str = "value"):
+    """Parse raw publicsuffix.org list lines (the
+    ``public_suffix_list.dat`` format: ``spark.read.text`` the file
+    and pass the result) into a typed rules frame
+    ``(suffix, n_labels, kind)``:
+
+    - ``kind='rule'``      — a literal suffix (``com``, ``co.uk``);
+    - ``kind='wildcard'``  — ``*.ck`` style; ``suffix`` holds the part
+      AFTER ``*.`` and ``n_labels`` counts the ``*`` label, matching
+      the spec ("the wildcard matches exactly one label");
+    - ``kind='exception'`` — ``!www.ck`` style; ``suffix`` without
+      the ``!``.
+
+    Comments (``//``), blank lines, and surrounding whitespace are
+    dropped per the spec ("each line is only read up to the first
+    whitespace"). Pure expressions over the lines frame — the full
+    ~15k-line file parses in one projection and stays broadcast-sized.
+    """
+    t = F.regexp_extract(F.trim(F.col(value_col)), r"^(\S+)", 1)
+    rules = lines.select(t.alias("__raw")).where(
+        (F.col("__raw") != "") & ~F.col("__raw").startswith("//")
+    )
+    body = F.when(
+        F.col("__raw").startswith("!"), F.expr("substr(__raw, 2)")
+    ).otherwise(F.col("__raw"))
+    kind = (
+        F.when(F.col("__raw").startswith("!"), F.lit("exception"))
+        .when(body.startswith("*."), F.lit("wildcard"))
+        .otherwise(F.lit("rule"))
+    )
+    suffix = F.when(body.startswith("*."), F.expr("substr(__body, 3)")).otherwise(
+        F.col("__body")
+    )
+    return (
+        rules.withColumn("__body", body)
+        .select(
+            suffix.alias("suffix"),
+            F.size(F.split(F.col("__body"), r"\.")).alias("n_labels"),
+            kind.alias("kind"),
+        )
+        .where(F.col("suffix") != "")
+    )
+
+
+def registrable_domain_psl_full(df, host_col: str, rules, out_col: str = "domain"):
+    """Registrable domain (eTLD+1) under the COMPLETE publicsuffix.org
+    algorithm — literal rules, ``*.`` wildcard rules, and ``!``
+    exception rules from :func:`parse_psl_lines` — as a chain of
+    broadcast left joins (no shuffle of the corpus; the rules table is
+    kilobytes).
+
+    Per the spec: any matching exception rule prevails and the
+    registrable domain IS the exception's suffix; otherwise the
+    longest matching rule wins and the domain is the suffix plus one
+    label; a wildcard's ``*`` consumes exactly one host label;
+    unmatched hosts fall back to the implicit ``*`` rule (TLD = last
+    label → domain = last two labels). Hosts that ARE a public suffix
+    (no registrant label left) keep the practical last-(w+1 capped at
+    n) fallback rather than NULLing out mid-pipeline. Rule widths up
+    to 3 effective labels are resolved (every entry in today's PSL);
+    wider rules would add one more join each."""
+    h = F.col(host_col)
+    ls = F.split(h, r"\.")
+    n = F.size(ls)
+
+    def last(k):
+        return F.when(n >= k, F.array_join(F.slice(ls, n - (k - 1), k), "."))
+
+    def side(kind, w, alias):
+        # wildcard rules with n_labels=w match on the last w-1 labels
+        width = w - 1 if kind == "wildcard" else w
+        cand = last(width)
+        guard = n >= w if kind == "wildcard" else F.lit(True)
+        r = rules.filter(
+            (F.col("kind") == kind) & (F.col("n_labels") == w)
+        ).select(F.col("suffix").alias(alias))
+        return cand, guard, F.broadcast(r)
+
+    joined = df
+    matches = {}
+    for kind, w, alias in [
+        ("exception", 3, "__e3"),
+        ("exception", 2, "__e2"),
+        ("rule", 3, "__r3"),
+        ("wildcard", 3, "__w3"),
+        ("rule", 2, "__r2"),
+        ("wildcard", 2, "__w2"),
+        ("rule", 1, "__r1"),
+    ]:
+        cand, guard, r = side(kind, w, alias)
+        ccol = f"__c{alias}"
+        joined = joined.withColumn(ccol, F.when(guard, cand)).join(
+            r, F.col(ccol) == F.col(alias), "left"
+        )
+        matches[alias] = (kind, w)
+
+    ls2 = F.split(F.col(host_col), r"\.")
+    n2 = F.size(ls2)
+
+    def last2(k):
+        # cap at the host's own label count: a host that IS the suffix
+        # keeps itself instead of going NULL
+        kk = F.least(F.lit(k), n2)
+        return F.array_join(F.slice(ls2, n2 - (kk - 1), kk), ".")
+
+    domain = (
+        F.when(F.col("__e3").isNotNull(), F.col("__e3"))
+        .when(F.col("__e2").isNotNull(), F.col("__e2"))
+        .when(F.col("__r3").isNotNull() | F.col("__w3").isNotNull(), last2(4))
+        .when(F.col("__r2").isNotNull() | F.col("__w2").isNotNull(), last2(3))
+        .when(F.col("__r1").isNotNull(), last2(2))
+        .otherwise(last2(2))
+    )
+    out = joined.withColumn(out_col, domain)
+    drop = [a for a in matches] + [f"__c{a}" for a in matches]
+    return out.drop(*drop)
+
+
 def filter_blocked_domains(df, url_col: str, blocked: list[str], keep_blocked: bool = False):
     """Drop (or keep, for auditing) rows whose registrable domain is on
     the blocklist. Small lists inline into the scan predicate (isin →

@@ -7570,3 +7570,87 @@ def q_confusable_spoof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", t2.alias("t")).select(
         "doc_id", *confusable_stats("t")
     )
+
+
+_PSL_FULL_LINES = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "",
+    "com",
+    "co.uk",
+    "jp",
+    "*.ck",
+    "!www.ck",
+    "*.kobe.jp",
+    "!city.kobe.jp",
+]
+
+
+@register(
+    "psl_full_domains",
+    """
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.shop.com'
+               WHEN 1 THEN 'b' || CAST(doc_id AS VARCHAR) || '.x.co.uk'
+               WHEN 2 THEN 'c' || CAST(doc_id AS VARCHAR) || '.that.ck'
+               WHEN 3 THEN 'www.ck'
+               WHEN 4 THEN 'd' || CAST(doc_id AS VARCHAR) || '.www.ck'
+               WHEN 5 THEN 'e' || CAST(doc_id AS VARCHAR) || '.y.kobe.jp'
+               WHEN 6 THEN 'f' || CAST(doc_id AS VARCHAR) || '.city.kobe.jp'
+               ELSE 'g' || CAST(doc_id AS VARCHAR) || '.unknowntld'
+             END AS host
+      FROM documents
+    ), t AS (
+      SELECT doc_id, host, string_split(host, '.') AS sp,
+             len(string_split(host, '.')) AS n
+      FROM hosts
+    )
+    SELECT doc_id, host,
+      CASE
+        WHEN host = 'www.ck' OR host LIKE '%.www.ck' THEN 'www.ck'
+        WHEN host = 'city.kobe.jp' OR host LIKE '%.city.kobe.jp' THEN 'city.kobe.jp'
+        WHEN n >= 3 AND array_to_string(list_slice(sp, n - 1, n), '.') = 'kobe.jp'
+          THEN array_to_string(list_slice(sp, greatest(n - 3, 1), n), '.')
+        WHEN n >= 2 AND array_to_string(list_slice(sp, n - 1, n), '.') = 'co.uk'
+          THEN array_to_string(list_slice(sp, greatest(n - 2, 1), n), '.')
+        WHEN n >= 2 AND sp[n] = 'ck'
+          THEN array_to_string(list_slice(sp, greatest(n - 2, 1), n), '.')
+        ELSE array_to_string(list_slice(sp, greatest(n - 1, 1), n), '.')
+      END AS domain
+    FROM t
+    """,
+    doc="Complete publicsuffix.org algorithm end-to-end "
+    "(functions/urls.py parse_psl_lines + "
+    "registrable_domain_psl_full): the raw .dat format (comments, "
+    "blanks, literal / *.wildcard / !exception rules) parses in one "
+    "projection, and hosts synthesized over every rule class "
+    "(literal 1- and 2-label suffixes, wildcard-consumed labels, "
+    "exceptions at and below the exception host, unknown-TLD "
+    "fallback) resolve eTLD+1 through a chain of broadcast joins — "
+    "no corpus shuffle. The oracle replays the prevailing-rule "
+    "semantics as a priority CASE over the same rule constants; the "
+    "spec's ck / kobe.jp worked examples are pytest-pinned.",
+)
+def q_psl_full_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import (
+        parse_psl_lines,
+        registrable_domain_psl_full,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    host = (
+        F.when(F.col("doc_id") % 8 == 0, F.concat(F.lit("a"), ds, F.lit(".shop.com")))
+        .when(F.col("doc_id") % 8 == 1, F.concat(F.lit("b"), ds, F.lit(".x.co.uk")))
+        .when(F.col("doc_id") % 8 == 2, F.concat(F.lit("c"), ds, F.lit(".that.ck")))
+        .when(F.col("doc_id") % 8 == 3, F.lit("www.ck"))
+        .when(F.col("doc_id") % 8 == 4, F.concat(F.lit("d"), ds, F.lit(".www.ck")))
+        .when(F.col("doc_id") % 8 == 5, F.concat(F.lit("e"), ds, F.lit(".y.kobe.jp")))
+        .when(F.col("doc_id") % 8 == 6, F.concat(F.lit("f"), ds, F.lit(".city.kobe.jp")))
+        .otherwise(F.concat(F.lit("g"), ds, F.lit(".unknowntld")))
+    )
+    lines = spark.createDataFrame([(x,) for x in _PSL_FULL_LINES], "value string")
+    rules = parse_psl_lines(lines)
+    hosts = docs.select("doc_id", host.alias("host"))
+    return registrable_domain_psl_full(hosts, "host", rules)

@@ -44,3 +44,59 @@ def test_gopher_rules_single_projection_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_psl_full_format_parse_and_match(spark):
+    """Complete publicsuffix.org semantics on real-format input:
+    comments/blanks dropped, wildcard and exception rules parsed and
+    applied per the spec's ck / kobe.jp worked examples, literal
+    multi-label suffixes resolved, unknown TLDs fall back to the
+    implicit * rule."""
+    from pasta_pipeline_spark.functions.urls import (
+        parse_psl_lines,
+        registrable_domain_psl_full,
+    )
+
+    dat = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "com",
+        "co.uk",
+        "  jp  ",            # whitespace-trimmed
+        "*.ck",
+        "!www.ck",
+        "*.kobe.jp",
+        "!city.kobe.jp",
+        "// a trailing comment",
+    ]
+    lines = spark.createDataFrame([(x,) for x in dat], "value string")
+    rules = parse_psl_lines(lines)
+    parsed = {(r["suffix"], r["n_labels"], r["kind"]) for r in rules.collect()}
+    assert parsed == {
+        ("com", 1, "rule"),
+        ("co.uk", 2, "rule"),
+        ("jp", 1, "rule"),
+        ("ck", 2, "wildcard"),
+        ("www.ck", 2, "exception"),
+        ("kobe.jp", 3, "wildcard"),
+        ("city.kobe.jp", 3, "exception"),
+    }
+
+    hosts = [
+        ("foo.bar.com", "bar.com"),            # literal 1-label rule
+        ("sub.foo.co.uk", "foo.co.uk"),        # literal 2-label rule
+        ("this.that.ck", "this.that.ck"),      # *.ck -> that.ck is TLD
+        ("www.ck", "www.ck"),                  # exception beats wildcard
+        ("deep.www.ck", "www.ck"),             # exception suffix IS domain
+        ("x.y.kobe.jp", "x.y.kobe.jp"),        # *.kobe.jp worked example
+        ("city.kobe.jp", "city.kobe.jp"),      # exception
+        ("a.city.kobe.jp", "city.kobe.jp"),    # exception under subdomain
+        ("just.jp", "just.jp"),                # plain jp rule
+        ("x.unknowntld", "x.unknowntld"),      # implicit * fallback
+        ("single", "single"),                  # degenerate 1-label host
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {r["host"]: r["domain"] for r in
+           registrable_domain_psl_full(df, "host", rules).collect()}
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
