@@ -69,8 +69,11 @@ from pasta_pipeline_spark.operators.anomaly import ingest_anomaly
 from pasta_pipeline_spark.operators.mixture import mixture_allocation
 from pasta_pipeline_spark.operators.politeness import politeness_schedule
 from pasta_pipeline_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
     hll_estimate,
     hll_state,
+    merge_bloom,
     merge_hll,
 )
 from pasta_pipeline_spark.operators.main_text import extract_main_text
@@ -134,6 +137,9 @@ __all__ = [
     "hll_state",
     "hll_estimate",
     "merge_hll",
+    "bloom_build",
+    "bloom_probe",
+    "merge_bloom",
     "extract_main_text",
     "quality_score_lang",
     "script_mix",

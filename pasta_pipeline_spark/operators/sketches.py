@@ -510,3 +510,119 @@ def hll_estimate(
         (v_col > 0) & (F.col("est_raw") * 2 <= 5 * m), linear
     ).otherwise(F.col("est_raw"))
     return withs.select(*ks, "filled_buckets", "est_raw", est.alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcast membership for decontamination prefilters
+# ---------------------------------------------------------------------------
+#
+# The contamination scans (operators/text_analysis.py) join corpus
+# shingles against the benchmark's — correct, but the corpus side
+# shuffles its distinct shingles even when NOTHING is contaminated.
+# A Bloom filter over the SMALL side (the benchmark) inverts that:
+# kilobytes of bit-words broadcast to every executor, each corpus row
+# probed with pure expressions, and only the (rare) bloom hits
+# proceed to the exact verification join. One-sided error: no false
+# negatives ever (a contaminated row cannot slip through), false
+# positives bounded by (1 - e^{-kn/m})^k and resolved by the exact
+# stage. Words use 63 bits (bit 63 untouched) so every mask stays a
+# positive int64 in BOTH engines — DuckDB range-checks `<< 63`.
+
+#: Bits per filter word (sign bit unused for cross-engine safety).
+_BLOOM_WORD_BITS = 63
+
+
+def _bloom_slot(col: Column, i: int, n_words: int):
+    """(word_idx, mask) of hash i for an item: the package's md5
+    60-bit recipe on "<i>:<item>", mod the filter's bit count."""
+    bit = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % (n_words * _BLOOM_WORD_BITS)
+    )
+    # integer division / modulo on a computed positive long
+    widx = F.floor(bit / F.lit(_BLOOM_WORD_BITS)).cast("int")
+    # 2^pos for pos <= 62: every power of two up to 2^62 is exactly
+    # representable in double, so pow->long is bit-exact (shiftleft's
+    # Python API wants a literal shift amount, not a column)
+    mask = F.pow(F.lit(2.0), (bit % _BLOOM_WORD_BITS).cast("double")).cast("long")
+    return widx, mask
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, n_words: int = 256, k: int = 4
+) -> DataFrame:
+    """Build Bloom-filter state ``(word_idx, word)`` over the distinct
+    non-NULL values of ``item_col`` — at most ``n_words`` rows (int64
+    each) regardless of input size. State merges with
+    :func:`merge_bloom` (bitwise OR — idempotent like HLL, so
+    at-least-once construction is safe). The md5 slot recipe makes
+    construction AND probing replay exactly in SQL."""
+    src = df.where(F.col(item_col).isNotNull())
+    slots = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        _bloom_slot(F.col(item_col), i, n_words)[0].alias("word_idx"),
+                        _bloom_slot(F.col(item_col), i, n_words)[1].alias("mask"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("s")
+    )
+    return (
+        slots.groupBy(F.col("s.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("s.mask")).cast("long").alias("word"))
+    )
+
+
+def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two Bloom filters of the same (n_words, k):
+    idempotent, commutative; merge == build-over-union exactly."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("word").cast("long").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    item_col: str,
+    bloom: DataFrame,
+    n_words: int = 256,
+    k: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe every row's ``item_col`` against a built filter: ``k``
+    broadcast left joins on word index (the filter is <= n_words rows
+    — kilobytes), bit-tests as pure expressions, no explode and no
+    shuffle of the probe side. ``out_col`` is TRUE iff all k bits are
+    set: guaranteed TRUE for every item the filter was built over
+    (no false negatives), occasionally TRUE for absent items (false
+    positives — send hits to the exact join). NULL items probe
+    FALSE."""
+    out = df
+    tests = []
+    for i in range(k):
+        widx, mask = _bloom_slot(F.col(item_col), i, n_words)
+        w_alias = f"__bw{i}"
+        bl = bloom.select(
+            F.col("word_idx").alias(f"__bi{i}"), F.col("word").alias(w_alias)
+        )
+        out = out.withColumn(f"__bx{i}", widx).join(
+            F.broadcast(bl), F.col(f"__bx{i}") == F.col(f"__bi{i}"), "left"
+        )
+        tests.append(
+            F.col(w_alias).isNotNull()
+            & (F.col(w_alias).bitwiseAND(mask) == mask)
+        )
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    member = F.when(F.col(item_col).isNull(), F.lit(False)).otherwise(member)
+    drop = [c for i in range(k) for c in (f"__bx{i}", f"__bi{i}", f"__bw{i}")]
+    return out.withColumn(out_col, member).drop(*drop)

@@ -7654,3 +7654,78 @@ def q_psl_full_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_psl_lines(lines)
     hosts = docs.select("doc_id", host.alias("host"))
     return registrable_domain_psl_full(hosts, "host", rules)
+
+
+def _bloom_oracle(n_words: int = 2, k: int = 2) -> str:
+    """DuckDB twin of q_bloom_contamination: build + probe replayed
+    from the same md5 slot recipe and 63-bit word layout."""
+    nbits = n_words * 63
+
+    def slot(i: int, src: str) -> tuple[str, str]:
+        bit = f"(('0x' || substr(md5('{i}:' || {src}), 1, 15))::BIGINT % {nbits})"
+        return (
+            f"CAST({bit} // 63 AS INTEGER)",
+            f"(CAST(1 AS BIGINT) << CAST({bit} % 63 AS INTEGER))",
+        )
+
+    slot_rows = " UNION ALL ".join(
+        f"SELECT {slot(i, 'text')[0]} AS word_idx, {slot(i, 'text')[1]} AS mask FROM ev"
+        for i in range(k)
+    )
+    tests = []
+    joins = []
+    for i in range(k):
+        widx, mask = slot(i, "p.text")
+        joins.append(f"LEFT JOIN words w{i} ON w{i}.word_idx = {widx}")
+        tests.append(f"(w{i}.word IS NOT NULL AND (w{i}.word & {mask}) = {mask})")
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT text FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+    ), slots AS (
+      {slot_rows}
+    ), words AS (
+      SELECT word_idx, CAST(bit_or(mask) AS BIGINT) AS word FROM slots GROUP BY 1
+    )
+    SELECT p.doc_id,
+           {" AND ".join(tests)} AS maybe_member,
+           e.text IS NOT NULL AS is_member
+    FROM documents p
+    {" ".join(joins)}
+    LEFT JOIN ev e ON p.text = e.text
+    """
+
+
+@register(
+    "bloom_contamination",
+    _bloom_oracle(),
+    doc="Bloom-filter decontamination prefilter (sketches.bloom_build "
+    "/ bloom_probe): the eval set (doc_id % 97 stride) folds into a "
+    "2x63-bit filter that BROADCASTS to the corpus scan — k broadcast "
+    "joins + bit tests, no shuffle of the probe side — and only bloom "
+    "hits would proceed to the exact verification join. The width is "
+    "deliberately tiny so false positives APPEAR in the result next "
+    "to the exact is_member column: the one-sided contract "
+    "(maybe_member is TRUE for every true member; FPs exist, FNs "
+    "never) is visible in the hash-checked output and pytest-pinned; "
+    "construction and probing replay bit-for-bit in SQL.",
+)
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where((F.col("doc_id") % 97 == 0) & F.col("text").isNotNull()).select(
+        "text"
+    )
+    bl = bloom_build(ev, "text", n_words=2, k=2)
+    probed = bloom_probe(
+        docs.select("doc_id", "text"), "text", bl, n_words=2, k=2
+    )
+    ev_d = ev.distinct().withColumnRenamed("text", "__evt")
+    return (
+        probed.join(F.broadcast(ev_d), probed["text"] == F.col("__evt"), "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.col("__evt").isNotNull().alias("is_member"),
+        )
+    )

@@ -1357,3 +1357,49 @@ def test_confusable_stats_classification(spark):
     assert (got[2]["n_mixed_script"], got[2]["n_spoofable"]) == (0, 0)
     assert (got[3]["n_mixed_script"], got[3]["n_spoofable"]) == (1, 0)
     assert got[4]["n_spoofable"] == 0 and got[5]["n_ws_tokens"] == 0
+
+
+def test_bloom_filter_properties(spark):
+    """Bloom invariants: zero false negatives (every built item
+    probes TRUE), false positives exist at a deliberately tiny width
+    but vanish at a generous one, OR-merge == build-over-union and is
+    idempotent, NULL items probe FALSE, and state never exceeds
+    n_words rows."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        merge_bloom,
+    )
+
+    members = spark.createDataFrame([(f"in-{i}",) for i in range(200)], "v string")
+    others = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(500)] + [(None,)], "v string"
+    )
+    bl = bloom_build(members, "v", n_words=256, k=4)
+    assert bl.count() <= 256
+
+    hits = bloom_probe(members, "v", bl, n_words=256, k=4).collect()
+    assert all(r["maybe_member"] for r in hits)          # no false negatives
+    out_hits = bloom_probe(others, "v", bl, n_words=256, k=4).collect()
+    assert not any(r["maybe_member"] for r in out_hits if r["v"] is None)
+    fp_wide = sum(r["maybe_member"] for r in out_hits if r["v"] is not None)
+    assert fp_wide <= 5                                   # ~0 at this width
+
+    # tiny filter: FPs appear (the approximation is real), FNs never
+    tiny = bloom_build(members, "v", n_words=4, k=2)
+    tiny_in = bloom_probe(members, "v", tiny, n_words=4, k=2).collect()
+    assert all(r["maybe_member"] for r in tiny_in)
+    tiny_out = bloom_probe(others.where("v IS NOT NULL"), "v", tiny, n_words=4, k=2)
+    assert tiny_out.where("maybe_member").count() > 0
+
+    # merge == direct, and self-merge is a no-op
+    h1 = spark.createDataFrame([(f"in-{i}",) for i in range(100)], "v string")
+    h2 = spark.createDataFrame([(f"in-{i}",) for i in range(100, 200)], "v string")
+    merged = merge_bloom(
+        bloom_build(h1, "v", n_words=256, k=4), bloom_build(h2, "v", n_words=256, k=4)
+    )
+    direct = {(r["word_idx"], r["word"]) for r in bl.collect()}
+    assert {(r["word_idx"], r["word"]) for r in merged.collect()} == direct
+    assert {(r["word_idx"], r["word"]) for r in merge_bloom(bl, bl).collect()} == direct
