@@ -14,10 +14,12 @@ Decode modes:
   STREAMINFO (rate, duration), YUV4MPEG2 (dimensions, duration,
   per-frame luma via :func:`sample_video_frames`), JPEG SOF
   (dimensions from the marker walk), MP4/ISO-BMFF mvhd (duration
-  from the box walk). What legitimately still needs the codec
-  library is PIXEL/SAMPLE decode of the compressed formats
-  (entropy-coded JPEG data, H.264 frames); those fall back to the
-  stub features at the same dispatch point.
+  from the box walk) — and FULL PNG pixel decode
+  (:func:`decode_png_pixels`: DEFLATE is in the stdlib, the five
+  scanline filters are spec arithmetic). What legitimately still
+  needs the codec library is PIXEL/SAMPLE decode of the non-stdlib
+  entropy coders (JPEG pixel data, H.264 frames); those fall back
+  to the stub features at the same dispatch point.
 
 Everything runs through ``mapInPandas``: one Arrow round-trip per
 partition, batch-columnar on both sides, no per-row Python overhead
@@ -462,7 +464,11 @@ def synthesize_media(
       frame count, and per-frame luma bytes;
     - ``"codecs"`` (codec-container headers): even ids JPEG with a
       true SOF0 frame header (:func:`_synth_jpeg`), odd ids
-      MP4/ISO-BMFF with a true moov/mvhd box (:func:`_synth_mp4`).
+      MP4/ISO-BMFF with a true moov/mvhd box (:func:`_synth_mp4`);
+    - ``"png_full"``: every id a COMPLETE valid PNG
+      (:func:`_synth_png_full`) — real zlib DEFLATE stream, all five
+      scanline filters — for the full-pixel decode path
+      (:func:`decode_image_pixels`).
 
     Because the parameters derive from the id alone, an oracle can
     compute the expected DECODED features (duration, dimensions, byte
@@ -470,10 +476,10 @@ def synthesize_media(
     path end-to-end hash-checkable. Runs as the same Arrow-batched
     mapInPandas shape a real ingest stage uses.
     """
-    if variant not in ("wav_ppm", "containers", "video", "codecs"):
+    if variant not in ("wav_ppm", "containers", "video", "codecs", "png_full"):
         raise ValueError(
-            "variant must be 'wav_ppm', 'containers', 'video' or 'codecs', "
-            f"got {variant!r}"
+            "variant must be 'wav_ppm', 'containers', 'video', 'codecs' or "
+            f"'png_full', got {variant!r}"
         )
 
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
@@ -505,6 +511,10 @@ def synthesize_media(
                 if variant == "video":
                     out["media_type"].append("video/x-yuv4mpeg")
                     out["payload"].append(_synth_y4m(mid))
+                    continue
+                if variant == "png_full":
+                    out["media_type"].append("image/png")
+                    out["payload"].append(_synth_png_full(mid))
                     continue
                 if variant == "codecs":
                     if mid % 2 == 0:
@@ -873,3 +883,224 @@ def chunk_manifest_sql(
            (chunk_idx = n - 1) AS is_last
     FROM ex
     """
+
+
+# ---------------------------------------------------------------------------
+# PNG FULL pixel decode — DEFLATE + all five scanline filters
+# ---------------------------------------------------------------------------
+#
+# The real-decode tier's last honesty upgrade: PNG's entropy coding is
+# DEFLATE, which the Python standard library ships (zlib), so FULL
+# pixel decode needs no codec library — chunk walk, IDAT inflate, and
+# the PNG spec's five scanline filters (None/Sub/Up/Average/Paeth)
+# are public-knowledge pure Python. Only formats whose entropy coders
+# are NOT in the stdlib (JPEG arithmetic/Huffman pixel data, H.264)
+# still stop at header level.
+
+PIXEL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("pixel_sum", LongType(), True),
+        StructField("luma_sum", LongType(), True),
+    ]
+)
+
+
+def _png_unfilter(decomp: bytes, w: int, h: int, bpp: int = 3) -> bytearray | None:
+    """Reverse PNG scanline filtering (spec §9, filters 0-4) over the
+    inflated IDAT stream: each row is one filter-type byte + w*bpp
+    filtered bytes; reconstruction references the left (a), up (b),
+    and up-left (c) reconstructed bytes. Returns the raw pixel bytes
+    or None on a malformed stream."""
+    stride = w * bpp
+    if len(decomp) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ftype = decomp[pos]
+        pos += 1
+        row = decomp[pos:pos + stride]
+        pos += stride
+        base = y * stride
+        prev = base - stride
+        if ftype == 0:
+            out[base:base + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (row[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev + x] if y > 0 else 0
+                out[base + x] = (row[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                b = out[prev + x] if y > 0 else 0
+                out[base + x] = (row[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                b = out[prev + x] if y > 0 else 0
+                c = out[prev + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[base + x] = (row[x] + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+def decode_png_pixels(raw: bytes) -> dict | None:
+    """FULL PNG decode for 8-bit truecolor (color type 2, no
+    interlace): chunk walk concatenates every IDAT, zlib inflates the
+    stream, and the five scanline filters reconstruct the pixels.
+    Features are integer functions of the actual pixel bytes —
+    ``pixel_sum`` (all channel bytes) and ``luma_sum``
+    (sum of 299*R + 587*G + 114*B per pixel, the integer Rec.601
+    weights) — so any inflate, stride, or predictor bug changes the
+    output. Returns None for non-PNGs or unsupported color modes."""
+    import zlib
+
+    if len(raw) < 33 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos:pos + 4])
+        ctype = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            if bit_depth != 8 or color_type != 2 or data[12] != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if not w or not h or not idat:
+        return None
+    try:
+        decomp = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    px = _png_unfilter(decomp, w, h)
+    if px is None:
+        return None
+    pixel_sum = sum(px)
+    luma = 0
+    for i in range(0, len(px), 3):
+        luma += 299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "pixel_sum": pixel_sum,
+        "luma_sum": luma,
+    }
+
+
+def _synth_png_full(mid: int) -> bytes:
+    """COMPLETE valid PNG (any viewer opens it): 8-bit truecolor,
+    width ``4 + id % 12``, height ``4 + (id div 3) % 10``, pixel
+    byte ``(x, y, c) -> (id*7 + y*31 + x*13 + c*5) % 256``, scanline
+    filter type ``y % 5`` — every filter including Paeth is exercised
+    and round-tripped through a real zlib DEFLATE stream. The pixel
+    recipe is a closed form of the id, so an oracle can compute
+    pixel/luma sums without touching a byte."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    w = 4 + mid % 12
+    h = 4 + (mid // 3) % 10
+    bpp = 3
+    stride = w * bpp
+
+    def pix(x: int, y: int, c: int) -> int:
+        return (mid * 7 + y * 31 + x * 13 + c * 5) % 256
+
+    rows = []
+    prev_row = bytes(stride)
+    for y in range(h):
+        cur = bytes(pix(x // bpp, y, x % bpp) for x in range(stride))
+        ftype = y % 5
+        filt = bytearray()
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev_row[x]
+            c = prev_row[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt.append((cur[x] - pred) & 0xFF)
+        rows.append(bytes([ftype]) + bytes(filt))
+        prev_row = cur
+    idat = zlib.compress(b"".join(rows), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_pixels(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Full-pixel image features over a media frame: per payload, the
+    complete PNG decode (:func:`decode_png_pixels`). Non-PNG or
+    unsupported payloads produce no row (same convention as
+    sample_video_frames). Arrow-batched mapInPandas."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in
+                    ("media_id", "width", "height", "n_pixels", "pixel_sum", "luma_sum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                feats = decode_png_pixels(bytes(payload))
+                if feats is None:
+                    continue
+                rows["media_id"].append(int(mid))
+                for k in ("width", "height", "n_pixels", "pixel_sum", "luma_sum"):
+                    rows[k].append(feats[k])
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in rows}
+            )
+
+    return src.mapInPandas(run, PIXEL_FEATURES_SCHEMA)

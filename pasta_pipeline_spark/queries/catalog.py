@@ -7729,3 +7729,57 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__evt").isNotNull().alias("is_member"),
         )
     )
+
+
+@register(
+    "media_png_pixels",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 12 AS w,
+             4 + (doc_id // 3) % 10 AS h
+      FROM documents
+    ), xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM ids
+    ), ys AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+    ), cs AS (
+      SELECT media_id, x, y, unnest([0, 1, 2]) AS c FROM ys
+    ), vals AS (
+      SELECT media_id, c,
+             (media_id * 7 + y * 31 + x * 13 + c * 5) % 256 AS v
+      FROM cs
+    )
+    SELECT i.media_id,
+           CAST(i.w AS INTEGER) AS width,
+           CAST(i.h AS INTEGER) AS height,
+           CAST(i.w * i.h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM((CASE c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) * v)
+             AS BIGINT) AS luma_sum
+    FROM vals JOIN ids i USING (media_id)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="FULL PNG pixel decode (multimodal.decode_image_pixels / "
+    "decode_png_pixels): complete valid PNGs — real zlib DEFLATE "
+    "IDAT, scanline filter y % 5 so all five spec filters incl. "
+    "Paeth round-trip — synthesized from the doc_id recipe, then "
+    "decoded end-to-end (chunk walk, inflate, unfilter) to integer "
+    "pixel and Rec.601 luma sums. The oracle computes the SAME sums "
+    "from the closed-form pixel recipe WITHOUT touching a byte, so "
+    "any inflate/stride/predictor bug hash-mismatches. The last "
+    "honesty upgrade for compressed media: DEFLATE is stdlib; only "
+    "non-stdlib entropy coders (JPEG pixel data, H.264) still stop "
+    "at header level.",
+)
+def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
+    )
+    return decode_image_pixels(media)

@@ -730,3 +730,58 @@ def test_apply_bpe_batched_equals_expression_form(spark):
     batched = {r["doc_id"]: (r["bpe_tokens"], r["n_tokens"])
                for r in apply_bpe_batched(df, merges).collect()}
     assert batched == expr_form
+
+
+def test_png_full_pixel_decode(spark):
+    """Complete PNG decode: synth fixtures round-trip through a real
+    zlib stream and all five scanline filters; pixel and luma sums
+    equal the closed-form recipe; corrupted DEFLATE data, truncated
+    streams, and non-PNG payloads yield no row instead of crashing;
+    multi-IDAT payloads concatenate correctly."""
+    from pasta_pipeline_spark.operators.multimodal import (
+        _synth_png_full,
+        decode_image_pixels,
+        decode_png_pixels,
+    )
+
+    # pure-Python contract incl. multi-IDAT splitting
+    raw = _synth_png_full(42)
+    f = decode_png_pixels(raw)
+    w, h = 4 + 42 % 12, 4 + (42 // 3) % 10
+    exp = sum((42 * 7 + y * 31 + x * 13 + c * 5) % 256
+              for y in range(h) for x in range(w) for c in range(3))
+    assert (f["width"], f["height"], f["pixel_sum"]) == (w, h, exp)
+
+    import struct as st
+    import zlib
+
+    # split the IDAT into two chunks — decoders must concatenate
+    sig_ihdr = raw[:8 + 25]
+    (ilen,) = st.unpack(">I", raw[33:37])
+    idat_data = raw[41:41 + ilen]
+    mid_pt = len(idat_data) // 2
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    two = (sig_ihdr + chunk(b"IDAT", idat_data[:mid_pt])
+           + chunk(b"IDAT", idat_data[mid_pt:]) + chunk(b"IEND", b""))
+    assert decode_png_pixels(two) == f
+
+    # corruption / malformed inputs -> None, never an exception
+    assert decode_png_pixels(sig_ihdr + chunk(b"IDAT", b"\x00bogus") + chunk(b"IEND", b"")) is None
+    assert decode_png_pixels(b"not a png at all") is None
+    assert decode_png_pixels(raw[:40]) is None
+
+    # Spark path: mixed batch of valid PNGs + junk -> rows only for valid
+    rows = [(i, bytearray(_synth_png_full(i))) for i in range(6)]
+    rows.append((99, bytearray(b"JUNK")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_image_pixels(df).collect()}
+    assert set(got) == set(range(6))
+    for i in range(6):
+        wi, hi = 4 + i % 12, 4 + (i // 3) % 10
+        expi = sum((i * 7 + y * 31 + x * 13 + c * 5) % 256
+                   for y in range(hi) for x in range(wi) for c in range(3))
+        assert (got[i]["width"], got[i]["height"], got[i]["pixel_sum"]) == (wi, hi, expi)
