@@ -889,15 +889,9 @@ def pq_topk(
     ``query`` must be a single row (the same contract as cosine_topk;
     for query batches run one call per query or use knn_join's shape).
     """
-    from pasta_pipeline_spark.operators.util import ensure_parallelism
-
     if dim % n_subspaces != 0:
         raise ValueError("dim must be divisible by n_subspaces")
-    # subspace width must be a plan-time constant for slice()
-    # (ArrayType carries no length), hence the explicit dim parameter
     sub = dim // n_subspaces
-    l2fp = _pq_l2fp
-
     if train_iterations > 0:
         cb = train_pq_codebooks(
             embeddings, n_subspaces, n_codes, dim, train_iterations, id_col, vec_col
@@ -906,18 +900,41 @@ def pq_topk(
         cb = _pq_seed_codebooks(
             embeddings, n_subspaces, sub, n_codes, id_col, vec_col
         )
+    enc = pq_encode(embeddings, cb, n_subspaces, dim, id_col, vec_col)
+    return pq_adc_topk(
+        enc, query, cb, k, n_subspaces, dim, id_col, query_vec_col
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against a codebook: per (vector, subspace),
+    the nearest code by fixed-point L2² — broadcast join + one groupBy
+    with integer-deterministic (fp, code) ties. Returns
+    ``(id, m, code)``, the table you PERSIST: at 100 TB the corpus is
+    encoded once (n_subspaces small ints per vector — the 64×
+    compression), written next to the corpus, and every subsequent
+    query runs :func:`pq_adc_topk` over the stored codes without ever
+    touching the float vectors again."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    from pasta_pipeline_spark.operators.util import ensure_parallelism
+
+    sub = dim // n_subspaces
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     corpus = ensure_parallelism(
         embeddings.select(F.col(id_col), vd.alias("v"))
     ).select(id_col, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv"))
-
-    # encode: per (vector, subspace), the nearest codebook entry —
-    # broadcast join + one groupBy; min_by on an (fp, code) struct
-    # keeps it a single shuffle with integer-deterministic ties
-    enc = (
-        corpus.join(F.broadcast(cb), "m")
+    return (
+        corpus.join(F.broadcast(codebooks), "m")
         .select(
-            id_col, "m", "code", l2fp(F.col("sv"), F.col("cv")).alias("fp")
+            id_col, "m", "code", _pq_l2fp(F.col("sv"), F.col("cv")).alias("fp")
         )
         .groupBy(id_col, "m")
         .agg(
@@ -926,6 +943,26 @@ def pq_topk(
             ).alias("code")
         )
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """ADC scoring over PRE-ENCODED codes (:func:`pq_encode`): the
+    query builds its n_subspaces×n_codes distance table (fixed-point
+    L2² per entry), broadcasts it, and the ranking is one scan of the
+    CODES table — an int64 sum of table lookups, no float vectors
+    read. Same hash-exact contract and return shape as pq_topk."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    sub = dim // n_subspaces
     qsub = query.select(
         _pq_slices(
             F.transform(F.col(query_vec_col), lambda v: v.cast("double")),
@@ -933,11 +970,11 @@ def pq_topk(
             sub,
         ).alias("m", "sv")
     )
-    dist_table = qsub.join(F.broadcast(cb), "m").select(
-        "m", "code", l2fp(F.col("sv"), F.col("cv")).alias("qfp")
+    dist_table = qsub.join(F.broadcast(codebooks), "m").select(
+        "m", "code", _pq_l2fp(F.col("sv"), F.col("cv")).alias("qfp")
     )
     return (
-        enc.join(F.broadcast(dist_table), ["m", "code"])
+        codes.join(F.broadcast(dist_table), ["m", "code"])
         .groupBy(id_col)
         .agg(F.sum("qfp").cast("long").alias("adc_fp"))
         .orderBy(F.asc("adc_fp"), F.asc(id_col))

@@ -221,3 +221,42 @@ def test_train_pq_codebooks_improves_recall(spark):
     }
     assert len(trained_ids & exact_ids) >= len(seed_ids & exact_ids)
     assert len(trained_ids & exact_ids) >= 8
+
+
+def test_pq_encode_persisted_codes_equal_direct(spark, tmp_path):
+    """The at-scale PQ shape: encode once, persist the codes table,
+    query many times over stored codes — pq_adc_topk over
+    round-tripped parquet codes must equal pq_topk run direct, and
+    the codes table is n_subspaces rows per vector of small ints."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import (
+        _pq_seed_codebooks,
+        pq_adc_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    rows = []
+    for i in range(80):
+        c = i % 4
+        base = [10.0 if d // 16 == c else 0.0 for d in range(64)]
+        vec = [base[d] + ((i * 37 + d * 13) % 101) / 101.0 for d in range(64)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = emb.where("vec_id = 2").select(F.col("embedding").alias("qv"))
+
+    cb = _pq_seed_codebooks(emb, 4, 16, 16, "vec_id", "embedding").localCheckpoint()
+    codes = pq_encode(emb, cb)
+    assert codes.count() == 80 * 4
+
+    path = str(tmp_path / "pq_codes")
+    codes.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    direct = [(r["vec_id"], r["adc_fp"]) for r in pq_topk(emb, query, k=10).collect()]
+    via_store = [
+        (r["vec_id"], r["adc_fp"])
+        for r in pq_adc_topk(stored, query, cb, k=10).collect()
+    ]
+    assert via_store == direct
