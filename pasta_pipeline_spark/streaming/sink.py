@@ -370,3 +370,61 @@ def incremental_hll_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_reservoir_sink(
+    stream: DataFrame,
+    store: TableStore,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Streaming fixed-size weighted sample per group: maintain, per
+    ``group_col``, the ``k`` rows a full-corpus
+    ``sampling.weighted_sample_topk`` would pick over ALL data ever
+    ingested — without ever rescanning it. Works because A-ES
+    priorities are a deterministic function of the row id (no RNG
+    state): the per-group top-k BY PRIORITY is a mergeable aggregate,
+    so each micro-batch scores its own rows, unions with the stored
+    <= k survivors, and re-takes the top-k. State is k rows per group
+    at ANY stream length, and because a row's priority never changes,
+    re-delivered rows merge idempotently (a duplicate loses the
+    row-id tiebreak against itself harmlessly).
+
+    The maintained sample EXACTLY equals the batch operator over the
+    concatenated input (pytest-pinned) — the streaming member of the
+    sampling ladder."""
+    from pasta_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_reservoir_sink requires checkpoint_dir")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        cols = batch.columns
+        if store.exists():
+            prev = store.read().select(*cols).dropDuplicates([group_col, id_col])
+            pool = batch.select(*cols).unionByName(prev)
+        else:
+            pool = batch
+        survivors = weighted_sample_topk(
+            pool.dropDuplicates([group_col, id_col]),
+            id_col,
+            weight_col,
+            k,
+            group_col=group_col,
+        )
+        store.overwrite(survivors)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -580,3 +580,45 @@ def test_incremental_hll_sink(spark, tmp_table_dir):
 
     est = {r["k"]: r["est"] for r in hll_estimate(store.read(), keys=["k"]).collect()}
     assert abs(est["a"] - 300) / 300 < 0.4 and abs(est["b"] - 50) / 50 < 0.4
+
+
+def test_incremental_reservoir_sink(spark, tmp_table_dir):
+    """Streaming reservoir == batch weighted_sample_topk over all
+    ingested data, because A-ES priorities are id-deterministic and
+    per-group top-k-by-priority is mergeable. Re-delivering the whole
+    source is a no-op (idempotent merge); state stays k rows/group."""
+    from pasta_pipeline_spark.operators.sampling import weighted_sample_topk
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_reservoir_sink
+
+    schema = "doc_id long, src string, w long"
+    waves = [
+        [(i, f"s{i % 3}", 1 + i % 5) for i in range(60)],
+        [(100 + i, f"s{i % 3}", 1 + i % 7) for i in range(45)],
+    ]
+    src_dir = f"{tmp_table_dir}/rsv_src"
+    store = TableStore(spark, f"{tmp_table_dir}/rsv_store")
+    ckpt = f"{tmp_table_dir}/rsv_ckpt"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        incremental_reservoir_sink(
+            stream, store, "doc_id", "w", k=5, group_col="src", checkpoint_dir=ckpt
+        ).awaitTermination(120)
+
+    all_df = spark.createDataFrame(waves[0] + waves[1], schema)
+    expect = {
+        (r["src"], r["doc_id"])
+        for r in weighted_sample_topk(all_df, "doc_id", "w", 5, group_col="src").collect()
+    }
+    got = {(r["src"], r["doc_id"]) for r in store.read().collect()}
+    assert got == expect
+    assert store.read().groupBy("src").count().agg({"count": "max"}).collect()[0][0] <= 5
+
+    # replay everything under a fresh checkpoint: state unchanged
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    incremental_reservoir_sink(
+        stream, store, "doc_id", "w", k=5, group_col="src",
+        checkpoint_dir=f"{tmp_table_dir}/rsv_ckpt2",
+    ).awaitTermination(120)
+    assert {(r["src"], r["doc_id"]) for r in store.read().collect()} == expect
