@@ -92,3 +92,65 @@ def normalize_documents(
     return df.withColumn(out_col, norm).withColumn(
         "changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair — UTF-8 bytes mis-decoded as Windows-1252
+# ---------------------------------------------------------------------------
+#
+# The classic web-corpus corruption (ftfy's headline case): a page's
+# UTF-8 bytes were decoded as cp1252 somewhere upstream, so "é"
+# (UTF-8 C3 A9) arrives as "Ã©". The repair table is COMPUTED, not
+# guessed: for each target character, the mojibake sequence is the
+# round trip ``target.encode('utf-8').decode('cp1252')`` (latin-1 for
+# the five bytes cp1252 leaves unmapped) — the same derivation both
+# the Spark replace chain and the SQL oracle twin are generated from,
+# so the two engines cannot drift.
+
+#: Characters whose cp1252-mojibake forms are repaired, most frequent
+#: web-text victims first. Longer sequences (3-char punctuation) are
+#: applied before 2-char accents so a prefix can never shadow them.
+MOJIBAKE_TARGETS = (
+    "’‘“”–—…€"  # ’ ‘ “ ” – — … €
+    "éèêàâäöüñ"  # é è ê à â ä ö ü ñ
+    "áóúíçß«»©"  # á ó ú í ç ß « » ©
+    "ïîìôòûùë "  # ï î ì ô ò û ù ë nbsp
+)
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    pairs = []
+    for ch in MOJIBAKE_TARGETS:
+        raw = ch.encode("utf-8")
+        try:
+            moji = raw.decode("cp1252")
+        except UnicodeDecodeError:
+            moji = raw.decode("latin-1")
+        pairs.append((moji, ch))
+    # longest mojibake first: "â€™" must run before any 2-char rule
+    # that could consume its prefix
+    pairs.sort(key=lambda p: -len(p[0]))
+    return pairs
+
+
+def repair_mojibake(text: Column | str) -> Column:
+    """Undo cp1252 mojibake for the computed repair table: one chained
+    ``replace`` per target character, longest sequences first. Pure
+    expressions — stays in codegen, no UDF; text without mojibake
+    passes through byte-identical. (Full ftfy also handles doubly
+    encoded text and other legacy codepages; this covers the dominant
+    single-pass cp1252 case.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    for moji, ch in _mojibake_pairs():
+        c = F.replace(c, F.lit(moji), F.lit(ch))
+    return c
+
+
+def mojibake_repair_sql(expr: str) -> str:
+    """DuckDB twin of :func:`repair_mojibake`, generated from the same
+    computed pairs (single-quote escaping applied)."""
+    for moji, ch in _mojibake_pairs():
+        m = moji.replace("'", "''")
+        t = ch.replace("'", "''")
+        expr = f"replace({expr}, '{m}', '{t}')"
+    return expr

@@ -7783,3 +7783,65 @@ def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
     )
     return decode_image_pixels(media)
+
+
+def _mojibake_oracle() -> str:
+    from pasta_pipeline_spark.operators.normalize_text import mojibake_repair_sql
+
+    inject = (
+        "text || CASE WHEN doc_id % 6 = 0"
+        " THEN ' It\u00e2\u20ac\u2122s d\u00c3\u00a9j\u00c3\u00a0 vu"
+        " \u00e2\u20ac\u201d na\u00c3\u00afve caf\u00c3\u00a9 \u00e2\u201a\u00ac9'"
+        " WHEN doc_id % 6 = 3 THEN ' \u00c3\u00bcber sch\u00c3\u00b6n \u00c3\u00a7ig'"
+        " ELSE '' END"
+    )
+    rep = mojibake_repair_sql("t")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {inject} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length({rep}) AS BIGINT) AS len_after,
+           md5({rep}) AS repaired_md5
+    FROM src
+    """
+
+
+_MOJIBAKE_INJECT_A = (
+    " It\u00e2\u20ac\u2122s d\u00c3\u00a9j\u00c3\u00a0 vu"
+    " \u00e2\u20ac\u201d na\u00c3\u00afve caf\u00c3\u00a9 \u00e2\u201a\u00ac9"
+)
+_MOJIBAKE_INJECT_B = " \u00c3\u00bcber sch\u00c3\u00b6n \u00c3\u00a7ig"
+
+
+@register(
+    "mojibake_repair",
+    _mojibake_oracle(),
+    doc="cp1252 mojibake repair (normalize_text.repair_mojibake, the "
+    "ftfy headline case): the repair table is COMPUTED - each target "
+    "character's corrupt form is its utf-8-bytes-decoded-as-cp1252 "
+    "round trip - and both the Spark replace chain and the SQL twin "
+    "generate from those same pairs, longest sequences first so "
+    "3-char punctuation never loses its prefix to a 2-char accent "
+    "rule. Corrupt fragments injected on doc_id strides; clean text "
+    "passes through byte-identical (len_before == len_after and an "
+    "unchanged md5 on unstrided rows). Pure expressions, no UDF.",
+)
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.normalize_text import repair_mojibake
+
+    docs = _tp(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(_MOJIBAKE_INJECT_A))
+        .when(F.col("doc_id") % 6 == 3, F.lit(_MOJIBAKE_INJECT_B))
+        .otherwise(F.lit("")),
+    )
+    rep = repair_mojibake(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("len_before"),
+        F.length(rep).cast("long").alias("len_after"),
+        F.md5(rep.cast("binary")).alias("repaired_md5"),
+    )
