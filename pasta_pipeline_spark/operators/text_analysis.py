@@ -686,3 +686,106 @@ def confusable_stats(text: Column | str) -> list[Column]:
         n_spoof.alias("n_spoofable"),
         spoof_bp.alias("spoof_bp"),
     ]
+
+
+def bigram_nll(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_docs=None,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    ln_scale: int = 1_000_000_000,
+):
+    """Per-document mean NLL under an interpolated bigram model — the
+    quality filter one rung above :func:`unigram_nll`, and the shape
+    CCNet-style perplexity filtering actually uses: fit the model on a
+    REFERENCE corpus (``model_docs``; e.g. a curated subset) and score
+    the target corpus against it. Boilerplate with predictable
+    transitions scores low; word salad scores high even when its
+    unigrams are common. Default ``model_docs=None`` fits on the
+    scored corpus itself — note the standard self-fit artifact:
+    singleton openers make their one continuation look perfectly
+    predictable, so cross-fit is the discriminative mode.
+
+        p(w2|w1) = \u03bb\u00b7c12/c1 + (1-\u03bb)\u00b7(c2+1)/(T+V)
+
+    with \u03bb = lam_num/lam_den and add-one continuation smoothing
+    (V = model vocab size), so unseen continuations keep nonzero
+    mass. As one ratio of integers,
+
+        p = (lam_num\u00b7c12\u00b7(T+V) + (lam_den-lam_num)\u00b7(c2+1)\u00b7c1)
+            / (lam_den\u00b7c1\u00b7(T+V))
+
+    and each bigram's -ln p is a DIFFERENCE OF TWO FIXED-POINT LNs of
+    int64 products — the whole score replays exactly in SQL (the
+    unigram_nll playbook). Bound: ``lam_den\u00b7c1\u00b7(T+V)`` must fit
+    int64 (~1e9-token models at these defaults).
+
+    Bigrams whose OPENER is out-of-model-vocabulary cannot be
+    conditioned on and are excluded from the mean but counted in
+    ``n_oov_openers``. Returns
+    ``(id, n_bigrams, n_oov_openers, nll2_fp)``; documents with fewer
+    than two tokens are excluded. Scale shape: one explode to
+    bigrams, vocab-scale count tables joined back
+    (AQE-broadcast-eligible), per-doc groupBy; totals broadcast as a
+    single row.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), m),
+        F.slice(toks, F.lit(2), m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = docs.where(F.col(text_col).isNotNull())
+    model = base if model_docs is None else model_docs.where(
+        F.col(text_col).isNotNull()
+    )
+    big = base.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    mbig = model.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = model.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    totals = uni.agg(
+        (F.sum("c2") + F.count(F.lit(1))).cast("long").alias("TV")
+    )
+    c12 = mbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = mbig.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+
+    mu = lam_den - lam_num
+    joined = (
+        big.join(c1, "w1", "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("c1").isNull().alias("oov"),
+            F.when(
+                F.col("c1").isNotNull(),
+                F.expr(
+                    "CAST(FLOOR(ln(CAST(" + f"{lam_den} * c1 * TV"
+                    + " AS DOUBLE)) * " + str(ln_scale) + ") AS BIGINT)"
+                    + " - "
+                    + "CAST(FLOOR(ln(CAST("
+                    + f"{lam_num} * coalesce(c12, 0) * TV + {mu} * (coalesce(c2, 0) + 1) * c1"
+                    + " AS DOUBLE)) * " + str(ln_scale) + ") AS BIGINT)"
+                ),
+            ).alias("t"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.col("oov").cast("long")).cast("long").alias("n_oov_openers"),
+        F.expr(
+            "CASE WHEN count(t) > 0 THEN sum(t) div count(t) END"
+        ).cast("long").alias("nll2_fp"),
+    )

@@ -7845,3 +7845,67 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(rep).cast("long").alias("len_after"),
         F.md5(rep.cast("binary")).alias("repaired_md5"),
     )
+
+
+@register(
+    "bigram_nll",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), bigx AS (
+      SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk FROM base
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM bigx
+    ), mbase AS (
+      SELECT tk FROM base WHERE doc_id % 5 <> 0
+    ), mbigx AS (
+      SELECT unnest(generate_series(1, len(tk) - 1)) AS i, tk FROM mbase
+    ), mbig AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM mbigx
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM (SELECT unnest(tk) AS w FROM mbase) GROUP BY 1
+    ), totals AS (
+      SELECT CAST(SUM(c2) + COUNT(*) AS BIGINT) AS TV FROM uni
+    ), c12t AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM mbig GROUP BY 1, 2
+    ), c1t AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM mbig GROUP BY 1
+    ), scored AS (
+      SELECT b.doc_id,
+             c1t.c1 IS NULL AS oov,
+             CASE WHEN c1t.c1 IS NOT NULL THEN
+               CAST(FLOOR(ln(CAST(10 * c1t.c1 * t.TV AS DOUBLE)) * 1000000000) AS BIGINT)
+               - CAST(FLOOR(ln(CAST(7 * COALESCE(c12t.c12, 0) * t.TV
+                   + 3 * (COALESCE(u2.c2, 0) + 1) * c1t.c1 AS DOUBLE)) * 1000000000) AS BIGINT)
+             END AS tt
+      FROM big b
+      LEFT JOIN c1t ON b.w1 = c1t.w1
+      LEFT JOIN c12t ON b.w1 = c12t.w1 AND b.w2 = c12t.w2
+      LEFT JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN totals t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_openers,
+           CAST(CASE WHEN COUNT(tt) > 0 THEN SUM(tt) // COUNT(tt) END AS BIGINT) AS nll2_fp
+    FROM scored GROUP BY 1
+    """,
+    doc="Interpolated bigram LM scoring (text_analysis.bigram_nll, "
+    "the CCNet perplexity-filter shape): the model fits on the "
+    "reference slice (doc_id % 5 != 0) and scores EVERY document "
+    "against it — p(w2|w1) = 0.7*c12/c1 + 0.3*(c2+1)/(T+V) with "
+    "add-one continuation smoothing, each -ln p a difference of two "
+    "fixed-point lns of int64 products (the unigram_nll playbook), "
+    "so the whole cross-fit score replays exactly in SQL. "
+    "OOV-opener bigrams are excluded from the mean but counted. "
+    "Conforming-vs-shuffled discrimination is pytest-pinned.",
+)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import bigram_nll
+
+    docs = _tp(spark, sf_dir, "documents")
+    model = docs.where(F.col("doc_id") % 5 != 0)
+    return bigram_nll(docs, model_docs=model)

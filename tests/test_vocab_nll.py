@@ -52,3 +52,36 @@ def test_unigram_nll_matches_python_model(spark):
 def test_unigram_nll_excludes_empty_docs(spark):
     docs = _docs(spark, [(1, "a b"), (2, "   "), (3, None)])
     assert [r["doc_id"] for r in unigram_nll(docs).collect()] == [1]
+
+
+def test_bigram_nll_cross_fit_discrimination(spark):
+    """Reference-model bigram scoring: text conforming to the model's
+    transitions scores lower than same-vocabulary text with shuffled
+    transitions; OOV openers are counted and excluded from the mean;
+    sub-2-token docs are excluded; an all-OOV doc reports NULL nll."""
+    from pasta_pipeline_spark.operators.text_analysis import bigram_nll
+
+    model = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the door")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the door sat to the cat on mat"),
+            (3, "xylophone qubit zonk plinth"),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_nll(score, model_docs=model).collect()}
+    assert out[1]["nll2_fp"] < out[2]["nll2_fp"]
+    assert out[1]["n_oov_openers"] == 0
+    assert out[3]["n_oov_openers"] == 3 and out[3]["nll2_fp"] is None
+    assert 4 not in out
+
+    # self-fit mode still runs and scores every >=2-token doc
+    self_out = bigram_nll(score).collect()
+    assert {r["doc_id"] for r in self_out} == {1, 2, 3}
+    assert all(r["nll2_fp"] is not None for r in self_out)
