@@ -105,3 +105,56 @@ def pseudonymize_columns(
     for c in cols:
         out = out.withColumn(c, pseudonymize(c, salt, length))
     return out
+
+
+#: Credit-card CANDIDATES: 13-19 digits allowing single space/dash
+#: group separators, word-bounded. A regex alone over-matches any
+#: long number; the Luhn checksum below is what separates real card
+#: numbers from ids/timestamps — the precision upgrade every
+#: production PII scanner applies.
+CC_CANDIDATE_PATTERN = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def luhn_valid(c: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) as pure expressions: strip
+    non-digits, then from the RIGHT double every second digit
+    (subtracting 9 above 9) and require the sum ≡ 0 mod 10, with the
+    13-19 digit length gate. HOF transform + aggregate — no UDF, no
+    explode; runs inside an array filter so a document's candidate
+    list validates in one projection. Guard order matters: the length
+    gate short-circuits the sequence() so the empty-string descending
+    -sequence quirk can never fire."""
+    d = F.regexp_replace(c, "[^0-9]", "")
+    length = F.length(d)
+
+    def term(i):
+        v = F.ascii(d.substr(length - i + 1, F.lit(1))) - 48
+        dbl = v * 2
+        return F.when(i % 2 == 1, v).otherwise(
+            dbl - F.when(dbl > 9, F.lit(9)).otherwise(F.lit(0))
+        )
+
+    checksum = F.aggregate(
+        F.transform(F.sequence(F.lit(1), length), term),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        (length >= 13) & (length <= 19), checksum % 10 == 0
+    ).otherwise(F.lit(False))
+
+
+def scan_credit_cards(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document credit-card report: candidate count (regex) and
+    Luhn-VALID count — the number that matters; regex-only scanners
+    flag ~10% of arbitrary long numbers, the checksum eliminates them
+    at 9-in-10 odds per candidate. Expression-only projection."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CC_CANDIDATE_PATTERN), F.lit(0)
+    )
+    valid = F.filter(cands, luhn_valid)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_cc_candidates"),
+        F.size(valid).cast("long").alias("n_cc_valid"),
+    )

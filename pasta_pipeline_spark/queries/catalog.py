@@ -7909,3 +7909,63 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     model = docs.where(F.col("doc_id") % 5 != 0)
     return bigram_nll(docs, model_docs=model)
+
+
+@register(
+    "pii_luhn_cards",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             text || CASE doc_id % 7
+               WHEN 0 THEN ' card 4111111111111111 ok'
+               WHEN 2 THEN ' num 4111111111111112 bad'
+               WHEN 4 THEN ' pay 4111 1111 1111 1111 now'
+               ELSE '' END AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '\b[0-9](?:[ -]?[0-9]){12,18}\b') AS cands
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+           CAST(len(list_filter(cands, s ->
+             length(regexp_replace(s, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+             AND list_sum(list_transform(
+                   generate_series(1, length(regexp_replace(s, '[^0-9]', '', 'g'))),
+                   i -> CASE WHEN i % 2 = 1
+                        THEN ascii(substr(regexp_replace(s, '[^0-9]', '', 'g'),
+                             length(regexp_replace(s, '[^0-9]', '', 'g')) - i + 1, 1)) - 48
+                        ELSE CASE WHEN (ascii(substr(regexp_replace(s, '[^0-9]', '', 'g'),
+                             length(regexp_replace(s, '[^0-9]', '', 'g')) - i + 1, 1)) - 48) * 2 > 9
+                             THEN (ascii(substr(regexp_replace(s, '[^0-9]', '', 'g'),
+                                  length(regexp_replace(s, '[^0-9]', '', 'g')) - i + 1, 1)) - 48) * 2 - 9
+                             ELSE (ascii(substr(regexp_replace(s, '[^0-9]', '', 'g'),
+                                  length(regexp_replace(s, '[^0-9]', '', 'g')) - i + 1, 1)) - 48) * 2
+                        END END)) % 10 = 0
+           )) AS BIGINT) AS n_cc_valid
+    FROM ex
+    """,
+    doc="Credit-card detection with Luhn validation (operators/pii.py "
+    "scan_credit_cards): 13-19 digit candidates from the word-bounded "
+    "regex, then the ISO/IEC 7812 checksum as a HOF "
+    "transform+aggregate — no UDF, no explode — separating real card "
+    "numbers (injected Visa/spaced-Visa test numbers) from "
+    "checksum-failing near-misses and arbitrary long ids. The SQL "
+    "twin replays the checksum with list_transform/list_sum; "
+    "candidate-vs-valid behavior is pytest-pinned.",
+)
+def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.pii import scan_credit_cards
+
+    docs = _tp(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" card 4111111111111111 ok"))
+        .when(F.col("doc_id") % 7 == 2, F.lit(" num 4111111111111112 bad"))
+        .when(F.col("doc_id") % 7 == 4, F.lit(" pay 4111 1111 1111 1111 now"))
+        .otherwise(F.lit("")),
+    )
+    return scan_credit_cards(
+        docs.select("doc_id", t.alias("t")), "doc_id", "t"
+    )

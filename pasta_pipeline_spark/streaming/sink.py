@@ -428,3 +428,44 @@ def incremental_reservoir_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_bloom_sink(
+    stream: DataFrame,
+    store: TableStore,
+    item_col: str,
+    checkpoint_dir: str,
+    n_words: int = 256,
+    k: int = 4,
+    trigger_once: bool = True,
+):
+    """Incrementally maintained Bloom filter: each micro-batch's
+    filter ORs into the persisted word table — the streaming
+    decontamination/dedup-prefilter side of sketches.bloom_build.
+    Like the HLL sink (and unlike every additive sink), bitwise-OR
+    merge is IDEMPOTENT, so at-least-once delivery and replays cannot
+    corrupt the state, and the maintained filter EQUALS the filter of
+    all data ever ingested under any batch boundaries. Probe the live
+    store with bloom_probe at any moment — e.g. 'has this URL/text
+    hash ever been seen' at O(n_words) broadcast cost."""
+    from pasta_pipeline_spark.operators.sketches import bloom_build, merge_bloom
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_bloom_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        part = bloom_build(batch, item_col, n_words=n_words, k=k)
+        if store.exists():
+            merged = merge_bloom(store.read(), part)
+        else:
+            merged = part
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

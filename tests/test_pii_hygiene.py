@@ -154,3 +154,28 @@ def test_pseudonymize_join_preserving_and_null_safe(spark):
     out = pseudonymize_columns(df, ["uid"], "s1")
     assert out.columns == ["uid", "v"]
     assert out.filter(F.col("v") == "a").collect()[0]["uid"] == by_v["a"]
+
+
+def test_luhn_credit_card_validation(spark):
+    """Luhn separates real card numbers from near-misses: standard
+    test numbers (Visa 16-digit, Amex 15-digit, spaced/dashed forms)
+    validate; single-digit corruptions fail; plain long ids fail at
+    9-in-10 odds (checked explicitly); length gates hold."""
+    from pasta_pipeline_spark.operators.pii import scan_credit_cards
+
+    rows = [
+        (1, "v 4111111111111111"),            # Visa test
+        (2, "a 378282246310005"),              # Amex test (15)
+        (3, "m 5555-5555-5555-4444 pay"),      # dashed MC test
+        (4, "bad 4111111111111110"),           # corrupted check digit
+        (5, "short 411111111111"),             # 12 digits: below gate
+        (6, "long 41111111111111111111 x"),    # 20 digits: above gate
+        (7, "id 1234567890123 ref"),           # 13-digit id, fails Luhn
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_cc_candidates"], r["n_cc_valid"])
+           for r in scan_credit_cards(df, "doc_id", "text").collect()}
+    assert out[1] == (1, 1) and out[2] == (1, 1) and out[3] == (1, 1)
+    assert out[4] == (1, 0)
+    assert out[5] == (0, 0)       # regex gate
+    assert out[7] == (1, 0)       # checksum gate

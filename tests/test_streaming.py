@@ -622,3 +622,37 @@ def test_incremental_reservoir_sink(spark, tmp_table_dir):
         checkpoint_dir=f"{tmp_table_dir}/rsv_ckpt2",
     ).awaitTermination(120)
     assert {(r["src"], r["doc_id"]) for r in store.read().collect()} == expect
+
+
+def test_incremental_bloom_sink(spark, tmp_table_dir):
+    """Streaming Bloom: batches OR into a filter equal to building
+    over all ingested rows at once; full-source replay under a fresh
+    checkpoint is a no-op; probing the live store finds every
+    ingested item (no false negatives)."""
+    from pasta_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_bloom_sink
+
+    schema = "id long, v string"
+    waves = [[(i, f"u-{i}") for i in range(120)],
+             [(200 + i, f"w-{i}") for i in range(80)]]
+    src_dir = f"{tmp_table_dir}/bl_src"
+    store = TableStore(spark, f"{tmp_table_dir}/bl_store")
+    ckpt = f"{tmp_table_dir}/bl_ckpt"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        incremental_bloom_sink(stream, store, "v", checkpoint_dir=ckpt).awaitTermination(120)
+
+    all_df = spark.createDataFrame(waves[0] + waves[1], schema)
+    direct = {(r["word_idx"], r["word"]) for r in bloom_build(all_df, "v").collect()}
+    assert {(r["word_idx"], r["word"]) for r in store.read().collect()} == direct
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    incremental_bloom_sink(
+        stream, store, "v", checkpoint_dir=f"{tmp_table_dir}/bl_ckpt2"
+    ).awaitTermination(120)
+    assert {(r["word_idx"], r["word"]) for r in store.read().collect()} == direct
+
+    probed = bloom_probe(all_df, "v", store.read())
+    assert probed.where("NOT maybe_member").count() == 0
