@@ -676,3 +676,36 @@ def test_check_expectations_kinds(spark):
     rep0 = E.check_expectations(empty, rules)
     assert rep0.count() == len(rules)
     assert rep0.where("NOT passed").count() == 0
+
+
+def test_table_diff_classifies_changes(spark, tmp_table_dir):
+    """Version diff over the time-travel machinery: upserted keys read
+    as changed, new keys as added, dropped keys as removed, untouched
+    keys as unchanged; the key-derived __bkt partition column never
+    counts as payload."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, f"{tmp_table_dir}/diff")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, v long",
+    ).withColumn("__bkt", (F.col("id") % 2).cast("int"))
+    store.overwrite(base, partition_by=["__bkt"])
+    v1 = store.current_version()
+
+    nxt = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged
+         (2, "b", 99),          # changed value
+         (3, "cc", 30),         # changed name
+         (5, "e", 50)],         # added (4 removed)
+        "id long, name string, v long",
+    ).withColumn("__bkt", (F.col("id") % 2).cast("int"))
+    store.overwrite(nxt, partition_by=["__bkt"])
+
+    got = {r["id"]: r["change"] for r in store.diff("id", v1).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+
+    # diff of a version against itself: everything unchanged
+    same = store.diff("id", store.current_version(), store.current_version())
+    assert {r["change"] for r in same.collect()} == {"unchanged"}
