@@ -69,6 +69,8 @@ SCALAR_CROSSJOIN_OK = {
     "key_skew_profile": "1-row total/max/n_keys scalar for the skew factor",
     "mixture_allocation": "1-row weight-total and remaining-budget scalars "
     "over the metadata-scale domain table (water-fill handoffs)",
+    "bigram_nll": "1-row model token+vocab total (T+V) scalar for the "
+    "interpolated-probability denominator",
 }
 
 
