@@ -426,6 +426,65 @@ def ivf_topk(
     )
 
 
+def write_ivf_partitioned(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the way it deploys at 100 TB: the
+    corpus written as parquet PARTITIONED BY its cell assignment, so
+    a query that probes ``n_probe`` cells reads n_probe/n_cells of
+    the files at the SCAN level — partition pruning does the index
+    lookup, no runtime filter of the full corpus ever happens.
+    Pair with :func:`ivf_topk_pruned`; pruning is pytest-proven via
+    the files actually read."""
+    assigned = assign_ivf_cells(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF query over a :func:`write_ivf_partitioned` index: rank the
+    query's ``n_probe`` nearest cells (broadcast centroid table), then
+    scan ONLY those cell partitions — the ``cell_id IN (...)`` filter
+    lands on the partition column, so Catalyst prunes the other cells'
+    files before any IO. Exact cosine rerank inside the probed cells;
+    same result contract as ivf_topk over the same assignment."""
+    qcells = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("cell_id"),
+            cosine(F.col(query_vec_col), F.col("cv")).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    # metadata-scale collect: n_probe small ints — this is the one
+    # place a literal IN list is the right tool, because only a
+    # literal predicate prunes partitions at planning time
+    cells = [r["cell_id"] for r in qcells.collect()]
+    scan = spark.read.parquet(path).where(F.col("cell_id").isin(cells))
+    sim = cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim")
+    return (
+        scan.crossJoin(F.broadcast(query.select(query_vec_col)))
+        .select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def quantize_embeddings_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

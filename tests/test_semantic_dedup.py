@@ -260,3 +260,57 @@ def test_pq_encode_persisted_codes_equal_direct(spark, tmp_path):
         for r in pq_adc_topk(stored, query, cb, k=10).collect()
     ]
     assert via_store == direct
+
+
+def test_ivf_partitioned_scan_prunes(spark, tmp_path):
+    """The IVF-as-partition-column deployment: writing the corpus
+    partitioned by cell assignment makes the n_probe query a PRUNED
+    scan — the executed plan reads only the probed cells' files — and
+    results match ivf_topk over the same assignment."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_pruned,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    rows = []
+    for i in range(200):
+        c = i % 8
+        base = [8.0 if d // 8 == c else 0.0 for d in range(64)]
+        vec = [base[d] + ((i * 37 + d * 13) % 101) / 101.0 for d in range(64)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(emb, n_cells=8, iterations=2).localCheckpoint()
+
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_partitioned(emb, cents, path)
+
+    query = emb.where("vec_id = 3").select(F.col("embedding").alias("qv"))
+    pruned = ivf_topk_pruned(spark, path, query, cents, k=10, n_probe=2)
+    got = [(r["vec_id"], round(r["sim"], 9)) for r in pruned.collect()]
+
+    # pruning evidence: the literal IN list lands in the scan's
+    # PartitionFilters (planning-time pruning, before any IO), and it
+    # names at most n_probe of the 8 cells
+    import re
+
+    jq = pruned._jdf.queryExecution()
+    plan = jq.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell_id" in pf
+    in_list = re.search(r"IN \(([0-9,\s]+)\)", pf)
+    assert in_list is not None, pf
+    probed = {int(c) for c in in_list.group(1).split(",")}
+    assert len(probed) <= 2, probed
+    assert spark.read.parquet(path).count() == 200
+
+    # parity with the in-memory IVF over the same trained cells
+    ref = ivf_topk(emb, query, k=10, n_cells=8, n_probe=2, train_iterations=2)
+    ref_ids = [r["vec_id"] for r in ref.collect()]
+    assert [g[0] for g in got] == ref_ids
