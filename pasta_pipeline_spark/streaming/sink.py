@@ -469,3 +469,50 @@ def incremental_bloom_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_pq_codes_sink(
+    stream: DataFrame,
+    store: TableStore,
+    codebooks: DataFrame,
+    checkpoint_dir: str,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    trigger_once: bool = True,
+):
+    """Streaming maintenance of the PQ codes table: each micro-batch
+    of new embeddings encodes against the FROZEN codebook
+    (similarity.pq_encode) and upserts into the persisted
+    ``(vec_id, m, code)`` store via bucket-keyed differential merge —
+    the ANN index ingests continuously while queries
+    (similarity.pq_adc_topk) run over the live store without touching
+    float vectors. Because encoding is a pure function of (vector,
+    codebook), re-delivered rows upsert to identical codes —
+    effectively idempotent. Freeze the codebook (train once, persist)
+    before pointing a stream here: retraining would silently re-home
+    codes for OLD vectors, which is a batch re-encode, not a
+    streaming operation."""
+    from pasta_pipeline_spark.operators.similarity import pq_encode
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_pq_codes_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        codes = pq_encode(
+            batch, codebooks, n_subspaces, dim, id_col, vec_col
+        ).withColumn(
+            "__bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+        )
+        store.merge_partitioned(codes, key=[id_col, "m"], partition_col="__bkt")
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

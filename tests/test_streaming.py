@@ -656,3 +656,62 @@ def test_incremental_bloom_sink(spark, tmp_table_dir):
 
     probed = bloom_probe(all_df, "v", store.read())
     assert probed.where("NOT maybe_member").count() == 0
+
+
+def test_incremental_pq_codes_sink(spark, tmp_table_dir):
+    """Streaming PQ index maintenance: batches encode against a
+    frozen codebook and upsert into the codes store; maintained codes
+    == batch pq_encode over all vectors; ADC queries over the live
+    store match the direct path; replay is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import (
+        _pq_seed_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_pq_codes_sink
+
+    def vec(i):
+        c = i % 4
+        base = [10.0 if d // 16 == c else 0.0 for d in range(64)]
+        return [base[d] + ((i * 37 + d * 13) % 101) / 101.0 for d in range(64)]
+
+    waves = [[(i, vec(i)) for i in range(40)], [(40 + i, vec(40 + i)) for i in range(30)]]
+    schema = "vec_id long, embedding array<double>"
+    all_df = spark.createDataFrame(waves[0] + waves[1], schema)
+    cb = _pq_seed_codebooks(
+        spark.createDataFrame(waves[0], schema), 4, 16, 16, "vec_id", "embedding"
+    ).localCheckpoint(eager=True)  # frozen codebook from the first wave
+
+    src_dir = f"{tmp_table_dir}/pq_src"
+    store = TableStore(spark, f"{tmp_table_dir}/pq_store")
+    ckpt = f"{tmp_table_dir}/pq_ckpt"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        incremental_pq_codes_sink(stream, store, cb, checkpoint_dir=ckpt).awaitTermination(120)
+
+    direct = {(r["vec_id"], r["m"], r["code"]) for r in pq_encode(all_df, cb).collect()}
+    got = {(r["vec_id"], r["m"], r["code"]) for r in store.read().drop("__bkt").collect()}
+    assert got == direct
+
+    # replay everything: idempotent upsert, state unchanged
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    incremental_pq_codes_sink(
+        stream, store, cb, checkpoint_dir=f"{tmp_table_dir}/pq_ckpt2"
+    ).awaitTermination(120)
+    assert {(r["vec_id"], r["m"], r["code"]) for r in store.read().drop("__bkt").collect()} == direct
+
+    # live ADC query over the store == direct path
+    query = all_df.where("vec_id = 41").select(F.col("embedding").alias("qv"))
+    via_store = [
+        (r["vec_id"], r["adc_fp"])
+        for r in pq_adc_topk(store.read().drop("__bkt"), query, cb, k=8).collect()
+    ]
+    direct_q = [
+        (r["vec_id"], r["adc_fp"])
+        for r in pq_adc_topk(pq_encode(all_df, cb), query, cb, k=8).collect()
+    ]
+    assert via_store == direct_q
