@@ -314,3 +314,91 @@ def remove_duplicated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    delimiter: str = "\n",
+    frac_bp: int = 5000,
+    min_docs: int = 3,
+    keep_blank: bool = True,
+) -> DataFrame:
+    """GROUP-scoped template removal (the RefinedWeb/quality-pipeline
+    companion to :func:`remove_duplicated_lines`): a line is
+    boilerplate when it appears in at least ``frac_bp`` basis points
+    of its OWN group's documents (site navigation, footers, cookie
+    banners — repeated within one site, often unique corpus-wide, so
+    the global frequency rule never catches them) and in at least
+    ``min_docs`` documents (small groups can't convict on 2-of-3).
+    Membership is per-DOCUMENT (a doc repeating its own footer twice
+    counts once), so a single spammy doc cannot promote a line to
+    boilerplate.
+
+    Returns one row per input document:
+    ``(id, group, text_kept, n_lines, n_removed)`` with original line
+    order preserved and stable row count (same contract as the
+    corpus-level operator).
+
+    Scale shape: distinct (group, line-hash, doc) then a groupBy on
+    (group, line-hash) — shuffles md5 keys, not text; per-group doc
+    counts broadcast back; reassembly is the same single doc-id
+    groupBy with an in-array sort. The boilerplate decision is pure
+    integer arithmetic (d * 10000 >= frac_bp * n_docs), oracle-exact.
+    """
+    lines = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.col("line")))
+    docs_per_line = (
+        lines.select(group_col, "__lh", id_col)
+        .distinct()
+        .groupBy(group_col, "__lh")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    group_sizes = (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    )
+    bp = (
+        docs_per_line.join(F.broadcast(group_sizes), group_col)
+        .where(
+            (F.col("__d") * 10000 >= F.lit(frac_bp) * F.col("__nd"))
+            & (F.col("__d") >= min_docs)
+        )
+        .select(group_col, "__lh")
+    )
+    flagged = lines.join(bp, [group_col, "__lh"], "left_semi").select(
+        id_col, "pos"
+    ).withColumn("__bp", F.lit(True))
+    kept_col = F.col("__bp").isNull()
+    if keep_blank:
+        kept_col = kept_col | (F.trim(F.col("line")) == "")
+    merged = lines.join(flagged, [id_col, "pos"], "left").withColumn(
+        "__kept", kept_col
+    )
+    return (
+        merged.groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~F.col("__kept")).cast("long")).cast("long").alias("n_removed"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__kept"), F.struct(F.col("pos"), F.col("line")))
+                )
+            ).alias("__ks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.array_join(
+                F.transform(F.col("__ks"), lambda s: s.getField("line")), delimiter
+            ).alias("text_kept"),
+            "n_lines",
+            "n_removed",
+        )
+    )

@@ -7969,3 +7969,69 @@ def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_credit_cards(
         docs.select("doc_id", t.alias("t")), "doc_id", "t"
     )
+
+
+@register(
+    "boilerplate_lines",
+    """
+    WITH src AS (
+      SELECT doc_id, source,
+             text || chr(10) || 'Footer of ' || source ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || 'Promo ' || source ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL
+    ), lines AS (
+      SELECT doc_id, source, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+      FROM (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM src)
+    ), dpl AS (
+      SELECT source, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+      FROM lines GROUP BY 1, 2
+    ), gs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM src GROUP BY 1
+    ), bp AS (
+      SELECT dpl.source, dpl.line
+      FROM dpl JOIN gs USING (source)
+      WHERE dpl.d * 10000 >= 5000 * gs.nd AND dpl.d >= 3
+    ), flagged AS (
+      SELECT l.doc_id, l.source, l.pos, l.line,
+             (bp.line IS NULL OR trim(l.line) = '') AS kept
+      FROM lines l
+      LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+    )
+    SELECT doc_id, source,
+           coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '')
+             AS text_kept,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY 1, 2
+    """,
+    doc="Group-scoped template removal (subdoc_dedup.py "
+    "remove_boilerplate_lines, the RefinedWeb companion to corpus "
+    "line dedup): a line is boilerplate when it appears in >= 50% of "
+    "its OWN source's documents (and >= 3 docs) — the site-footer / "
+    "nav-menu class that global frequency rules miss. Injected "
+    "per-source footers (100% of docs -> removed) and promo lines "
+    "(25% -> kept) exercise both verdicts; membership is "
+    "per-document so repetition inside one doc cannot convict. "
+    "Reassembly preserves order; integer basis-point decision "
+    "hash-replays in SQL.",
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.subdoc_dedup import remove_boilerplate_lines
+
+    docs = _tp(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit("\n"), F.lit("Footer of "), F.col("source"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("\n"), F.lit("Promo "), F.col("source")),
+        ).otherwise(F.lit("")),
+    )
+    return remove_boilerplate_lines(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", "source", t.alias("t")
+        ),
+        text_col="t",
+        frac_bp=5000,
+        min_docs=3,
+    )

@@ -240,3 +240,36 @@ def test_shared_token_scan_paths_identical(spark):
     sa = {r["doc"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
     sb = {r["doc"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text", token_frame=toks).collect()}
     assert sa == sb
+
+
+def test_remove_boilerplate_lines_group_scoped(spark):
+    """Template removal is GROUP-scoped: a footer covering >= the
+    fraction of its own site's docs is stripped there but survives on
+    a site where it is rare; min_docs prevents tiny-group
+    convictions; per-doc membership means one doc repeating a line
+    cannot promote it; blank lines are exempt; order and row count
+    are stable."""
+    from pasta_pipeline_spark.operators.subdoc_dedup import remove_boilerplate_lines
+
+    rows = [
+        (1, "a", "Nav\nbody one\n\nCopyright"),
+        (2, "a", "Nav\nbody two\nCopyright"),
+        (3, "a", "Nav\nbody three\nCopyright"),
+        (4, "a", "intro\nbody four\nCopyright"),
+        (5, "b", "Nav\nother site\nNav\nNav"),      # Nav x3 in ONE doc only
+        (6, "b", "fresh\ncontent\nhere"),
+        (7, "b", "more\nwords\nthere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, frac_bp=7000, min_docs=3).collect()}
+    # site a: Copyright in 4/4 (>=70%) and Nav in 3/4 (75%) -> both stripped
+    assert out[1]["text_kept"] == "body one\n"      # blank line kept
+    assert out[2]["text_kept"] == "body two"
+    assert out[4]["text_kept"] == "intro\nbody four"
+    # site b: Nav appears in only 1/3 docs (repetition inside doc 5
+    # does not count) -> kept everywhere
+    assert out[5]["text_kept"] == "Nav\nother site\nNav\nNav"
+    assert out[5]["n_removed"] == 0
+    assert len(out) == 7
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
