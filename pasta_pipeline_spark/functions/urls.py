@@ -379,3 +379,35 @@ def canonicalize_url(url: Column | str, tracking_param_re: str | None = None) ->
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
     return F.when((scheme != "") & (host != ""), canon)
+
+
+#: Anchor tags with quoted hrefs: group 1 = href, group 2 = anchor
+#: body (lazy, dotall via inline flag — RE2/Java/Python portable; no
+#: backrefs/lookaround per the portability policy).
+ANCHOR_PATTERN = r"""(?s)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+
+#: Inner markup stripped from anchor bodies.
+_TAG_RE = r"<[^>]+>"
+
+
+def extract_anchors(html: Column | str) -> Column:
+    """Outlink extraction WITH anchor text — the raw material of the
+    link graph (PageRank / domain authority) and of anchor-text
+    relevance signals, straight from crawled HTML: returns
+    ``array<struct<href, anchor>>`` where ``anchor`` is the tag body
+    with inner markup stripped and whitespace collapsed.
+
+    Pure expressions: two group-extractions of the SAME pattern (the
+    engines guarantee match order), zipped positionally — no HTML
+    parser, no UDF, one projection over the crawl scan. The regex
+    requires quoted hrefs (the overwhelming real-world form);
+    unquoted-attribute tags are skipped, not mangled."""
+    c = F.col(html) if isinstance(html, str) else html
+    hrefs = F.regexp_extract_all(c, F.lit(ANCHOR_PATTERN), F.lit(1))
+    bodies = F.regexp_extract_all(c, F.lit(ANCHOR_PATTERN), F.lit(2))
+    clean = lambda b: F.trim(  # noqa: E731 — tiny local expression
+        F.regexp_replace(F.regexp_replace(b, _TAG_RE, ""), r"\s+", " ")
+    )
+    return F.zip_with(
+        hrefs, bodies, lambda h, b: F.struct(h.alias("href"), clean(b).alias("anchor"))
+    )

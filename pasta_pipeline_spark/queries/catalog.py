@@ -8095,3 +8095,80 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("revenue_cents")
     )
+
+
+_ANCHOR_SQL_PATTERN = (
+    "$re$(?s)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>$re$"
+)
+
+
+@register(
+    "anchor_graph",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             '<p>' || text || '</p><a href="https://t' || (doc_id % 5)
+             || '.example/p' || (doc_id % 11) || '">go <b>t' || (doc_id % 5)
+             || '</b> page</a>'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN '<a class="x" href="https://hub.example/h' || (doc_id % 4)
+                       || '">hub  ' || (doc_id % 4) || '</a>'
+                  ELSE '' END AS h
+      FROM documents WHERE text IS NOT NULL
+    ), ex AS (
+      SELECT doc_id,
+             regexp_extract_all(h, {_ANCHOR_SQL_PATTERN}, 1) AS hrefs,
+             regexp_extract_all(h, {_ANCHOR_SQL_PATTERN}, 2) AS bodies
+      FROM src
+    ), z AS (
+      SELECT doc_id, unnest(hrefs) AS href, unnest(bodies) AS body FROM ex
+    ), a AS (
+      SELECT doc_id, href,
+             trim(regexp_replace(regexp_replace(body, '<[^>]+>', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS anchor
+      FROM z
+    )
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(anchor) AS top_anchor
+    FROM a GROUP BY 1
+    """,
+    doc="Anchor-text link graph (functions/urls.py extract_anchors): "
+    "outlinks WITH their anchor text pulled from synthesized HTML by "
+    "two group-extractions of one dotall pattern zipped positionally "
+    "— no HTML parser, no UDF, one projection — then aggregated per "
+    "target (in-link count, distinct referrers, alphabetically-first "
+    "anchor). Inner markup stripped and whitespace collapsed in both "
+    "engines; the raw material of PageRank and anchor-relevance "
+    "signals.",
+)
+def q_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import extract_anchors
+
+    docs = _tp(spark, sf_dir, "documents")
+    h = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p><a href=\"https://t"),
+        (F.col("doc_id") % 5).cast("string"), F.lit(".example/p"),
+        (F.col("doc_id") % 11).cast("string"), F.lit("\">go <b>t"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("</b> page</a>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<a class=\"x\" href=\"https://hub.example/h"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("\">hub  "), (F.col("doc_id") % 4).cast("string"),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    exploded = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(extract_anchors(h)).alias("a"))
+        .select("doc_id", F.col("a.href").alias("href"), F.col("a.anchor").alias("anchor"))
+    )
+    return exploded.groupBy("href").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("anchor").alias("top_anchor"),
+    )

@@ -100,3 +100,25 @@ def test_psl_full_format_parse_and_match(spark):
            registrable_domain_psl_full(df, "host", rules).collect()}
     for h, want in hosts:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_extract_anchors_contract(spark):
+    """Anchor extraction: quoted hrefs in either quote style pair with
+    their tag bodies positionally; inner markup strips; whitespace
+    collapses; href-less anchors and malformed tags are skipped;
+    anchor-free documents yield an empty array."""
+    from pasta_pipeline_spark.functions.urls import extract_anchors
+
+    html = (
+        '<p>x</p><a href="https://a.example/1">One <b>bold</b></a>'
+        "<a class='c' href='https://b.example/2'>two\n  lines</a>"
+        '<a name="skip">no href</a><a href="https://c.example/3"></a>'
+    )
+    df = spark.createDataFrame([(1, html), (2, "<p>plain</p>")], "id long, h string")
+    got = {r["id"]: r["a"] for r in df.select("id", extract_anchors("h").alias("a")).collect()}
+    assert [(x["href"], x["anchor"]) for x in got[1]] == [
+        ("https://a.example/1", "One bold"),
+        ("https://b.example/2", "two lines"),
+        ("https://c.example/3", ""),
+    ]
+    assert got[2] == []
