@@ -8172,3 +8172,108 @@ def q_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("anchor").alias("top_anchor"),
     )
+
+
+def _domain_authority_oracle() -> str:
+    it = """, it{n} AS (
+      SELECT e.dst AS id,
+             CAST(150000 + (85 * CAST(SUM(x.r // d.outdeg) AS BIGINT)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it{p} x ON e.src = x.id JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+    iters = "".join(it.format(n=i, p=i - 1 if i > 1 else 0) for i in (1, 2, 3)).replace(
+        "it0", "r0"
+    )
+    hid = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             '<a href="https://t' || (doc_id % 5) || '.example/p' || (doc_id % 11)
+             || '">x</a>'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN '<a href="https://hub.example/h' || (doc_id % 4) || '">y</a>'
+                  ELSE '' END AS h
+      FROM documents WHERE text IS NOT NULL
+    ), z AS (
+      SELECT doc_id, unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS href
+      FROM src
+    ), pairs AS (
+      SELECT DISTINCT 's' || (doc_id % 6) || '.example' AS src_host,
+             regexp_extract(href, '^https://([^/]+)', 1) AS dst_host
+      FROM z WHERE regexp_extract(href, '^https://([^/]+)', 1) <> ''
+    ), edges AS (
+      SELECT {hid.format(c="src_host")} AS src, {hid.format(c="dst_host")} AS dst
+      FROM pairs
+      UNION ALL
+      SELECT {hid.format(c="dst_host")} AS src, {hid.format(c="src_host")} AS dst
+      FROM pairs
+    ), deg AS (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS r FROM edges
+    ){iters}, names AS (
+      SELECT DISTINCT dst_host AS host, {hid.format(c="dst_host")} AS id FROM pairs
+    )
+    SELECT n.host, x.r AS rank_fp FROM it3 x JOIN names n USING (id)
+    """
+
+
+@register(
+    "domain_authority",
+    _domain_authority_oracle(),
+    doc="Crawl-side authority capstone: anchor hrefs (extract_anchors "
+    "recipe) become a host co-link edge set — distinct pairs CLOSED "
+    "with their reverse edges (the bipartite_edges construction: the "
+    "raw referrer->target set is all-sources-to-all-sinks, where "
+    "directed rank mass dies after one round) — ranked by 3 rounds "
+    "of fixed-point PageRank (operators/graph.py) and joined back to "
+    "host names, the signal crawl prioritization and source "
+    "weighting consume. The oracle chains the iterations as CTEs "
+    "like pagerank_parts; host derivation shares the regex with the "
+    "SQL twin.",
+)
+def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import extract_anchors
+    from pasta_pipeline_spark.operators.graph import pagerank_fixed
+
+    docs = _tp(spark, sf_dir, "documents")
+    h = F.concat(
+        F.lit('<a href="https://t'), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/p"), (F.col("doc_id") % 11).cast("string"),
+        F.lit('">x</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="https://hub.example/h'),
+                (F.col("doc_id") % 4).cast("string"), F.lit('">y</a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    hrefs = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(extract_anchors(h)).alias("a"))
+        .select("doc_id", F.col("a.href").alias("href"))
+    )
+    dst = F.regexp_extract("href", r"^https://([^/]+)", 1)
+    pairs = (
+        hrefs.select(
+            F.concat(
+                F.lit("s"), (F.col("doc_id") % 6).cast("string"), F.lit(".example")
+            ).alias("src_host"),
+            dst.alias("dst_host"),
+        )
+        .where(F.col("dst_host") != "")
+        .distinct()
+    )
+
+    def hid(c):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10).cast("long")
+
+    fwd = pairs.select(hid("src_host").alias("src"), hid("dst_host").alias("dst"))
+    rev = pairs.select(hid("dst_host").alias("src"), hid("src_host").alias("dst"))
+    edges = fwd.unionByName(rev)
+    ranks = pagerank_fixed(edges, iterations=3)
+    names = pairs.select(
+        F.col("dst_host").alias("host"), hid("dst_host").alias("id")
+    ).distinct()
+    return ranks.join(names, "id").select("host", "rank_fp")
