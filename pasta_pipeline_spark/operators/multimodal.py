@@ -982,7 +982,9 @@ def decode_png_pixels(raw: bytes) -> dict | None:
         ctype = raw[pos + 4:pos + 8]
         data = raw[pos + 8:pos + 8 + length]
         if ctype == b"IHDR":
-            if length != 13:
+            # a truncated chunk body must degrade to None, not a
+            # struct.error escaping the batch loop
+            if length != 13 or len(data) < 13:
                 return None
             w, h, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
             if bit_depth != 8 or color_type != 2 or data[12] != 0:
