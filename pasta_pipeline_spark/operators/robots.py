@@ -175,3 +175,62 @@ def robots_verdict(
             .alias("allowed"),
         )
     )
+
+
+def parse_crawl_delays(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Extract ``Crawl-delay`` directives into ``(host, agent,
+    delay_s)`` — the de-facto extension (not in RFC 9309, but honored
+    by major non-Google crawlers and by polite corpus collection).
+    Group association follows the same consecutive-UA-lines
+    reconstruction as :func:`parse_robots_txt`; fractional values
+    round UP (ceil — politeness errs slow); non-numeric values are
+    dropped; several delays in one group keep the LARGEST. Feed the
+    result to politeness_schedule's ``delay_col`` via a broadcast
+    join on host (picking the crawler's agent row, '*' fallback)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    ).select(
+        "host", "ln", F.trim(F.regexp_replace("line", "#.*$", "")).alias("l")
+    )
+    low = F.lower(F.col("l"))
+    typed = lines.select(
+        "host",
+        "ln",
+        F.when(low.startswith("user-agent:"), F.lit("ua"))
+        .when(low.startswith("crawl-delay:"), F.lit("delay"))
+        .when(low.startswith("allow:") | low.startswith("disallow:"), F.lit("rule"))
+        .alias("kind"),
+        F.trim(F.regexp_extract("l", r"^[A-Za-z-]+:(.*)$", 1)).alias("raw_value"),
+    ).where(F.col("kind").isNotNull())
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = (
+        typed.withColumn("prev_kind", F.lag("kind").over(w))
+        .withColumn(
+            "grp_start",
+            (
+                (F.col("kind") == "ua")
+                & (F.coalesce(F.col("prev_kind"), F.lit("-")) != "ua")
+            ).cast("int"),
+        )
+        .withColumn("grp", F.sum("grp_start").over(w))
+    )
+    uas = grouped.where(F.col("kind") == "ua").select(
+        "host", "grp", F.lower(F.col("raw_value")).alias("agent")
+    )
+    delays = (
+        grouped.where(F.col("kind") == "delay")
+        .select(
+            "host",
+            "grp",
+            F.ceil(F.expr("try_cast(raw_value AS DOUBLE)")).cast("long").alias("delay_s"),
+        )
+        .where(F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0))
+    )
+    return (
+        uas.join(delays, ["host", "grp"])
+        .groupBy("host", "agent")
+        .agg(F.max("delay_s").alias("delay_s"))
+    )

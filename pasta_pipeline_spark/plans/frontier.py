@@ -46,6 +46,7 @@ def build_frontier(
     crawl_delay_s: int = 1,
     per_host_concurrency: int = 1,
     start_ts_s: int = 0,
+    crawl_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Compose the stages; see module docstring. ``sitemaps`` is
     (host, sitemap_xml); ``robots_rules`` the parse_robots_txt shape;
@@ -96,9 +97,36 @@ def build_frontier(
         return capped
     from pasta_pipeline_spark.operators.politeness import politeness_schedule
 
-    return politeness_schedule(
+    delay_col = None
+    if crawl_delays is not None:
+        # per-host robots Crawl-delay (operators/robots.py
+        # parse_crawl_delays): prefer the crawler's own agent row,
+        # fall back to '*', then to the default — one broadcast join
+        picked = (
+            crawl_delays.where(
+                F.col("agent").isin(agent.lower(), "*")
+            )
+            .groupBy("host")
+            .agg(
+                F.max(
+                    F.when(F.col("agent") == agent.lower(), F.col("delay_s"))
+                ).alias("__own"),
+                F.max(
+                    F.when(F.col("agent") == "*", F.col("delay_s"))
+                ).alias("__star"),
+            )
+            .select(
+                "host", F.coalesce(F.col("__own"), F.col("__star")).alias("robots_delay_s")
+            )
+        )
+        capped = capped.join(F.broadcast(picked), "host", "left")
+        delay_col = "robots_delay_s"
+
+    out = politeness_schedule(
         capped,
+        delay_col=delay_col,
         default_delay_s=crawl_delay_s,
         per_host_concurrency=per_host_concurrency,
         start_ts_s=start_ts_s,
     )
+    return out.drop("robots_delay_s") if delay_col else out

@@ -175,3 +175,21 @@ def test_crawl_frontier_capstone(spark):
     assert {r["url"] for r in sched} == urls
     b = sorted((r for r in sched if r["host"] == "b.com"), key=lambda r: r["host_rank"])
     assert [r["fetch_at_s"] for r in b] == [1000, 1003, 1006, 1009]
+
+    # robots Crawl-delay overrides the default per host ('*' fallback)
+    from pasta_pipeline_spark.operators.robots import parse_crawl_delays
+
+    delays = parse_crawl_delays(
+        spark.createDataFrame(
+            [("b.com", "User-agent: *\nCrawl-delay: 10\n")],
+            "host string, robots_txt string",
+        )
+    )
+    sched2 = build_frontier(
+        sitemaps, rules, processed, total_budget=6,
+        schedule=True, crawl_delay_s=3, start_ts_s=0, crawl_delays=delays,
+    ).collect()
+    b2 = sorted((r for r in sched2 if r["host"] == "b.com"), key=lambda r: r["host_rank"])
+    a2 = sorted((r for r in sched2 if r["host"] == "a.com"), key=lambda r: r["host_rank"])
+    assert [r["fetch_at_s"] for r in b2] == [0, 10, 20, 30]   # robots delay
+    assert [r["fetch_at_s"] for r in a2] == [0, 3]            # default delay

@@ -122,3 +122,31 @@ def test_extract_anchors_contract(spark):
         ("https://c.example/3", ""),
     ]
     assert got[2] == []
+
+
+def test_parse_crawl_delays(spark):
+    """Crawl-delay extraction: per-(host, agent) delays with
+    consecutive-UA group sharing, ceil of fractional values, largest
+    wins within a group, junk values dropped, hosts without the
+    directive absent."""
+    from pasta_pipeline_spark.operators.robots import parse_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+             "User-agent: fastbot\nUser-agent: otherbot\nCrawl-delay: 0.5\n"),
+            ("b.org", "User-agent: *\nCrawl-delay: junk\nDisallow: /\n"),
+            ("c.net", "User-agent: *\nDisallow: /private\n"),
+            ("d.io", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 7\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r["host"], r["agent"]): r["delay_s"]
+           for r in parse_crawl_delays(robots).collect()}
+    assert got == {
+        ("a.com", "*"): 2,
+        ("a.com", "fastbot"): 1,    # 0.5 ceils to 1; shared UA group
+        ("a.com", "otherbot"): 1,
+        ("d.io", "*"): 7,           # largest in group wins
+    }
