@@ -54,3 +54,62 @@ def parse_sitemap(
         )
         .where(F.col("loc") != "")
     )
+
+
+def refresh_selection(
+    discovered: DataFrame,
+    fetch_log: DataFrame,
+    url_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    fetched_url_col: str = "url",
+    fetched_at_col: str = "fetched_at_s",
+) -> DataFrame:
+    """Re-crawl selection from sitemap freshness: which discovered
+    URLs need (re)fetching? A URL qualifies when it is NEW (no fetch
+    record) or STALE (its sitemap ``lastmod`` is strictly newer than
+    the recorded fetch time). The crawl-side instance of the
+    reference's incremental time-bounded scan (SURVEY S2): the
+    comparison key is epoch seconds on both sides — lastmod parsed
+    from the sitemap's ISO-8601 form (date-only entries count as
+    midnight UTC), fetch times already numeric.
+
+    Returns ``(host, url, lastmod_s, fetched_at_s, reason)`` with
+    ``reason in ('new', 'stale')``; fresh URLs (fetched, not newer)
+    are excluded, as are discovered entries with unparseable lastmod
+    that were already fetched (unverifiable staleness does not
+    trigger a refetch storm). One left join on the URL; the fetch log
+    side is keyed by URL and pre-projected."""
+    # try_to_timestamp: malformed lastmod yields NULL (plain
+    # to_timestamp raises under Spark 4's default ANSI mode); the
+    # 10-char fallback parses date-only entries as midnight UTC
+    lastmod_s = F.unix_timestamp(
+        F.try_to_timestamp(F.col(lastmod_col).substr(F.lit(1), F.lit(19)))
+    ).cast("long")
+    d = discovered.select(
+        "host",
+        F.col(url_col).alias("url"),
+        F.when(
+            F.length(F.col(lastmod_col)) >= 10,
+            F.coalesce(
+                lastmod_s,
+                F.unix_timestamp(
+                    F.try_to_timestamp(F.col(lastmod_col).substr(F.lit(1), F.lit(10)))
+                ).cast("long"),
+            ),
+        ).alias("lastmod_s"),
+    )
+    log = fetch_log.select(
+        F.col(fetched_url_col).alias("url"),
+        F.col(fetched_at_col).cast("long").alias("fetched_at_s"),
+    )
+    j = d.join(log, "url", "left")
+    reason = F.when(F.col("fetched_at_s").isNull(), F.lit("new")).when(
+        F.col("lastmod_s").isNotNull()
+        & (F.col("lastmod_s") > F.col("fetched_at_s")),
+        F.lit("stale"),
+    )
+    return (
+        j.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select("host", "url", "lastmod_s", "fetched_at_s", "reason")
+    )

@@ -8277,3 +8277,67 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst_host").alias("host"), hid("dst_host").alias("id")
     ).distinct()
     return ranks.join(names, "id").select("host", "rank_fp")
+
+
+@register(
+    "sitemap_refresh",
+    """
+    WITH disc AS (
+      SELECT 'h' || (doc_id % 7) AS host,
+             'https://h' || (doc_id % 7) || '.ex/p' || doc_id AS url,
+             CASE WHEN doc_id % 5 = 4 THEN NULL
+                  WHEN doc_id % 2 = 0 THEN '2026-02-15'
+                  ELSE '2026-01-05T06:07:08Z' END AS lastmod
+      FROM documents
+    ), d AS (
+      SELECT host, url,
+             CASE WHEN length(lastmod) >= 10 THEN
+               COALESCE(
+                 CAST(epoch(TRY_CAST(substr(lastmod, 1, 19) AS TIMESTAMP)) AS BIGINT),
+                 CAST(epoch(TRY_CAST(substr(lastmod, 1, 10) AS TIMESTAMP)) AS BIGINT))
+             END AS lastmod_s
+      FROM disc
+    ), log AS (
+      SELECT 'https://h' || (doc_id % 7) || '.ex/p' || doc_id AS url,
+             CAST(1768867200 AS BIGINT) AS fetched_at_s
+      FROM documents WHERE doc_id % 3 <> 1
+    ), j AS (
+      SELECT d.host, d.url, d.lastmod_s, l.fetched_at_s,
+             CASE WHEN l.fetched_at_s IS NULL THEN 'new'
+                  WHEN d.lastmod_s IS NOT NULL AND d.lastmod_s > l.fetched_at_s
+                  THEN 'stale' END AS reason
+      FROM d LEFT JOIN log l USING (url)
+    )
+    SELECT host, url, lastmod_s, fetched_at_s, reason FROM j
+    WHERE reason IS NOT NULL
+    """,
+    doc="Sitemap-freshness re-crawl selection (operators/sitemaps.py "
+    "refresh_selection) — the crawl-side instance of the reference's "
+    "incremental time-bounded scan (S2): discovered URLs refetch "
+    "when NEW (no fetch record) or STALE (lastmod newer than the "
+    "recorded fetch). Synthesized lastmods cover full ISO "
+    "timestamps, date-only entries (midnight UTC), and NULLs; the "
+    "fetch log (2026-01-20) splits Jan lastmods (fresh, excluded) "
+    "from Feb (stale). try_-parsing both engines; one URL-keyed "
+    "left join.",
+)
+def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sitemaps import refresh_selection
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ex/p"), F.col("doc_id").cast("string"),
+    )
+    disc = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        url.alias("loc"),
+        F.when(F.col("doc_id") % 5 == 4, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("2026-02-15"))
+        .otherwise(F.lit("2026-01-05T06:07:08Z"))
+        .alias("lastmod"),
+    )
+    log = docs.where(F.col("doc_id") % 3 != 1).select(
+        url.alias("url"), F.lit(1768867200).cast("long").alias("fetched_at_s")
+    )
+    return refresh_selection(disc, log)

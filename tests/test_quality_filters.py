@@ -150,3 +150,32 @@ def test_parse_crawl_delays(spark):
         ("a.com", "otherbot"): 1,
         ("d.io", "*"): 7,           # largest in group wins
     }
+
+
+def test_refresh_selection_semantics(spark):
+    """Re-crawl selection: unfetched URLs are 'new'; fetched URLs
+    refetch only when lastmod (full ISO or date-only) is strictly
+    newer; unverifiable lastmod on a fetched URL does NOT trigger a
+    refetch; garbage lastmod degrades to NULL, never an error."""
+    from pasta_pipeline_spark.operators.sitemaps import parse_sitemap, refresh_selection
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/new</loc><lastmod>2026-01-02T03:04:05Z</lastmod></url>"
+        "<url><loc>https://a.com/stale</loc><lastmod>2026-02-01</lastmod></url>"
+        "<url><loc>https://a.com/fresh</loc><lastmod>2025-01-01</lastmod></url>"
+        "<url><loc>https://a.com/nolm</loc></url>"
+        "<url><loc>https://a.com/junk</loc><lastmod>not-a-date-at-all</lastmod></url>"
+        "</urlset>"
+    )
+    disc = parse_sitemap(
+        spark.createDataFrame([("a.com", xml)], "host string, sitemap_xml string")
+    )
+    jan1_2026 = 1767225600
+    log = spark.createDataFrame(
+        [("https://a.com/stale", jan1_2026), ("https://a.com/fresh", jan1_2026),
+         ("https://a.com/nolm", 100), ("https://a.com/junk", 100)],
+        "url string, fetched_at_s long",
+    )
+    got = {r["url"]: r["reason"] for r in refresh_selection(disc, log).collect()}
+    assert got == {"https://a.com/new": "new", "https://a.com/stale": "stale"}
