@@ -15,8 +15,11 @@ from pasta_pipeline_spark.functions.text import (
 )
 from pasta_pipeline_spark.functions.hashing import md5_or_empty, content_fingerprint
 from pasta_pipeline_spark.functions.urls import (
+    extract_anchors,
     is_valid_telegraph_url,
     clean_link,
+    parse_psl_lines,
+    registrable_domain_psl_full,
     scalarize_link,
 )
 from pasta_pipeline_spark.functions.timestamps import parse_iso8601, age_predicate
@@ -31,6 +34,9 @@ __all__ = [
     "is_valid_telegraph_url",
     "clean_link",
     "scalarize_link",
+    "extract_anchors",
+    "parse_psl_lines",
+    "registrable_domain_psl_full",
     "parse_iso8601",
     "age_predicate",
 ]

@@ -78,8 +78,24 @@ from pasta_pipeline_spark.operators.sketches import (
 )
 from pasta_pipeline_spark.operators.main_text import extract_main_text
 from pasta_pipeline_spark.operators.text_analysis import (
+    bigram_nll,
+    confusable_stats,
     quality_score_lang,
     script_mix,
+)
+from pasta_pipeline_spark.operators.pii import luhn_valid, scan_credit_cards
+from pasta_pipeline_spark.operators.subdoc_dedup import remove_boilerplate_lines
+from pasta_pipeline_spark.operators.sitemaps import refresh_selection
+from pasta_pipeline_spark.operators.robots import parse_crawl_delays
+from pasta_pipeline_spark.operators.multimodal import (
+    decode_image_pixels,
+    decode_png_pixels,
+)
+from pasta_pipeline_spark.operators.similarity import (
+    ivf_topk_pruned,
+    pq_adc_topk,
+    pq_encode,
+    write_ivf_partitioned,
 )
 
 __all__ = [
@@ -143,4 +159,17 @@ __all__ = [
     "extract_main_text",
     "quality_score_lang",
     "script_mix",
+    "bigram_nll",
+    "confusable_stats",
+    "luhn_valid",
+    "scan_credit_cards",
+    "remove_boilerplate_lines",
+    "refresh_selection",
+    "parse_crawl_delays",
+    "decode_image_pixels",
+    "decode_png_pixels",
+    "ivf_topk_pruned",
+    "pq_adc_topk",
+    "pq_encode",
+    "write_ivf_partitioned",
 ]
