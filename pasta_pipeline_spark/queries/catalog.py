@@ -48,6 +48,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def wrap(fn):
+        # registration is append-only (the driver's correctness window
+        # keys on position): a duplicate name would silently SHADOW an
+        # earlier query's implementation and oracle — fail loud instead
+        if name in REGISTRY:
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         REGISTRY[name] = QuerySpec(spark_fn=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -1721,20 +1726,42 @@ def q_set_ops_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_revenue",
     """
-    SELECT l_returnflag, l_linestatus,
-           SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS revenue,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
     """,
-    doc="Grouping-sets surface: ROLLUP subtotals + grand total (NULL group "
-    "markers are standard in both engines); fixed-point-bridged sums.",
+    doc="ROLLUP subtotal surface: revenue at (region, nation), per-region "
+    "subtotal, and grand total in ONE aggregation pass — Spark plans a "
+    "single Expand + hash aggregate, not three scans; grouping id "
+    "disambiguates genuine NULL keys from subtotal rows. Fixed-point "
+    "cents keep every level hash-exact. Dims broadcast; one fact "
+    "shuffle.",
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        _xsum(F.col("l_extendedprice")).alias("revenue"),
-        F.count(F.lit(1)).alias("n"),
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select("r_name", "n_name", "gid", "revenue_cents", "n_orders")
     )
 
 
@@ -5635,48 +5662,6 @@ def q_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_revenue",
-    """
-    SELECT r_name, n_name,
-           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP(r_name, n_name)
-    """,
-    doc="ROLLUP subtotal surface: revenue at (region, nation), per-region "
-    "subtotal, and grand total in ONE aggregation pass — Spark plans a "
-    "single Expand + hash aggregate, not three scans; grouping id "
-    "disambiguates genuine NULL keys from subtotal rows. Fixed-point "
-    "cents keep every level hash-exact. Dims broadcast; one fact "
-    "shuffle.",
-)
-def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    j = (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
-        .join(region, nation["n_regionkey"] == region["r_regionkey"])
-    )
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    return (
-        j.rollup("r_name", "n_name")
-        .agg(
-            F.grouping_id().cast("int").alias("gid"),
-            F.sum(cents).cast("long").alias("revenue_cents"),
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-        )
-        .select("r_name", "n_name", "gid", "revenue_cents", "n_orders")
-    )
-
-
-@register(
     "pivot_status_by_region",
     """
     SELECT r_name,
@@ -8034,66 +8019,6 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="t",
         frac_bp=5000,
         min_docs=3,
-    )
-
-
-@register(
-    "volume_shipping",
-    """
-    SELECT n1.n_name AS supp_nation,
-           n2.n_name AS cust_nation,
-           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
-             AS BIGINT)) AS BIGINT) AS revenue_cents
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-    GROUP BY 1, 2, 3
-    """,
-    doc="TPC-H Q7 volume shipping: six-table join (fact scans + four "
-    "broadcast dims) computing bilateral trade revenue by year "
-    "between a nation pair in both directions. The disjunctive "
-    "nation-pair predicate applies AFTER both nation joins — the "
-    "classic join-reordering/broadcast exercise; revenue in "
-    "fixed-point cents per the catalog recipe. Nations joined twice "
-    "under different roles (supplier vs customer side).",
-)
-def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    j = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
-        .join(customer, orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .where(
-            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
-            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
-        )
-    )
-    return j.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-    ).agg(
-        F.sum(
-            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-                "long"
-            )
-        ).cast("long").alias("revenue_cents")
     )
 
 
