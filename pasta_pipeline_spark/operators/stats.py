@@ -12,7 +12,7 @@ Scale notes: each stat is one scan with map-side partial aggregation;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,74 @@ def cleanup_summary(parts: dict[str, int]) -> dict:
     collected scalars; no DataFrame work."""
     total = sum(v for v in parts.values() if isinstance(v, int))
     return {**parts, "total_cleaned": total}
+
+
+def source_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+    ln_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Corpus concentration report over ``group_col`` — the one-row
+    diversity audit a training mix needs before anything trains on
+    it ("is this corpus secretly 60% one site?"):
+
+    - ``n_groups``, ``total_w``;
+    - ``hhi_bp2``: Herfindahl-Hirschman index as the int64 sum of
+      squared basis-point shares (10000² = single-source monopoly);
+    - ``entropy_fp``: Shannon entropy of the share distribution in
+      nats, fixed-point — computed as ln(W) - SUM(w·lnfp(w))/W so
+      every term is an int64 product of a weight and a fixed-point
+      ln (the unigram_nll playbook), one division at the end;
+    - ``gini_bp``: Gini coefficient in basis points via the sorted
+      cumulative formula G = (2·Σ(i·w_i) - (n+1)·W) / (n·W) over
+      weights ascending (deterministic group-name tiebreak) —
+      all-equal shares → 0, monopoly → (n-1)/n.
+
+    The window runs over the GROUP table (sources/domains —
+    metadata-scale), never corpus rows; weights default to row
+    counts. Zero/negative-weight groups are excluded."""
+    w_expr = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col)).cast("long")
+    )
+    groups = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(w_expr.alias("w"))
+        .where(F.col("w") > 0)
+    )
+    win = Window.orderBy(F.asc("w"), F.asc("g"))
+    ranked = groups.withColumn("i", F.row_number().over(win).cast("long"))
+    lnfp = f"CAST(FLOOR(ln(CAST(w AS DOUBLE)) * {ln_scale}) AS BIGINT)"
+    return _concentration_agg(ranked, lnfp, ln_scale)
+
+
+def _concentration_agg(ranked: DataFrame, lnfp: str, ln_scale: int) -> DataFrame:
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("w").cast("long").alias("total_w"),
+        F.sum(F.expr(f"w * ({lnfp})")).cast("long").alias("__swl"),
+        F.sum(F.expr("i * w")).cast("long").alias("__siw"),
+    )
+    share_bp = "(w * 10000) div total_w"
+    hhi = ranked.crossJoin(F.broadcast(totals.select("total_w"))).agg(
+        F.sum(F.expr(f"({share_bp}) * ({share_bp})")).cast("long").alias("hhi_bp2")
+    )
+    return (
+        totals.crossJoin(F.broadcast(hhi))
+        .select(
+            "n_groups",
+            "total_w",
+            "hhi_bp2",
+            F.expr(
+                f"CAST(FLOOR(ln(CAST(total_w AS DOUBLE)) * {ln_scale}) AS BIGINT)"
+                " - (__swl div total_w)"
+            ).cast("long").alias("entropy_fp"),
+            F.expr(
+                "CASE WHEN n_groups > 1 THEN"
+                " ((2 * __siw - (n_groups + 1) * total_w) * 10000)"
+                " div (n_groups * total_w) ELSE 0 END"
+            ).cast("long").alias("gini_bp"),
+        )
+    )

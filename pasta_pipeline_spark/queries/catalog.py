@@ -8266,3 +8266,51 @@ def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"), F.lit(1768867200).cast("long").alias("fetched_at_s")
     )
     return refresh_selection(disc, log)
+
+
+@register(
+    "source_concentration",
+    """
+    WITH groups AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    ), ranked AS (
+      SELECT g, w,
+             CAST(ROW_NUMBER() OVER (ORDER BY w ASC, g ASC) AS BIGINT) AS i
+      FROM groups WHERE w > 0
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(w) AS BIGINT) AS total_w,
+             CAST(SUM(w * CAST(FLOOR(ln(CAST(w AS DOUBLE)) * 1000000000) AS BIGINT))
+               AS BIGINT) AS swl,
+             CAST(SUM(i * w) AS BIGINT) AS siw
+      FROM ranked
+    ), h AS (
+      SELECT CAST(SUM(((w * 10000) // t.total_w) * ((w * 10000) // t.total_w))
+               AS BIGINT) AS hhi_bp2
+      FROM ranked, t
+    )
+    SELECT t.n_groups, t.total_w, h.hhi_bp2,
+           CAST(CAST(FLOOR(ln(CAST(t.total_w AS DOUBLE)) * 1000000000) AS BIGINT)
+                - (t.swl // t.total_w) AS BIGINT) AS entropy_fp,
+           CAST(CASE WHEN t.n_groups > 1
+                THEN ((2 * t.siw - (t.n_groups + 1) * t.total_w) * 10000)
+                     // (t.n_groups * t.total_w)
+                ELSE 0 END AS BIGINT) AS gini_bp
+    FROM t, h
+    """,
+    doc="Corpus concentration audit (operators/stats.py "
+    "source_concentration): one row of diversity measures over the "
+    "source distribution — Herfindahl index (sum of squared "
+    "basis-point shares), Shannon entropy in fixed-point nats "
+    "(ln(W) - SUM(w*lnfp(w))/W, the unigram_nll playbook), and Gini "
+    "via the sorted-cumulative formula with deterministic tiebreaks "
+    "— the 'is this corpus secretly one site?' gate before a mix "
+    "trains. The rank window runs over the SOURCE table "
+    "(metadata-scale); all-equal and monopoly extremes are "
+    "pytest-pinned against hand math.",
+)
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stats import source_concentration
+
+    return source_concentration(_t(spark, sf_dir, "documents"))

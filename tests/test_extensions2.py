@@ -1403,3 +1403,32 @@ def test_bloom_filter_properties(spark):
     direct = {(r["word_idx"], r["word"]) for r in bl.collect()}
     assert {(r["word_idx"], r["word"]) for r in merged.collect()} == direct
     assert {(r["word_idx"], r["word"]) for r in merge_bloom(bl, bl).collect()} == direct
+
+
+def test_source_concentration_extremes(spark):
+    """Concentration measures against hand math: equal shares give
+    Gini 0 and HHI n*(10000/n)^2; a 97% monopoly gives Gini > 0.7,
+    HHI near 10000^2, and entropy within a floor-term of the exact
+    Shannon value; weighted mode follows the weight column."""
+    import math
+
+    from pasta_pipeline_spark.operators.stats import source_concentration
+
+    eq = spark.createDataFrame([(f"s{i % 4}",) for i in range(400)], "source string")
+    r = source_concentration(eq).collect()[0]
+    assert r["gini_bp"] == 0 and r["hhi_bp2"] == 4 * 2500 ** 2
+    assert abs(r["entropy_fp"] / 1e9 - math.log(4)) < 1e-6
+
+    mono = spark.createDataFrame(
+        [("big",)] * 97 + [("a",), ("b",), ("c",)], "source string"
+    )
+    m = source_concentration(mono).collect()[0]
+    assert m["gini_bp"] > 7000 and m["hhi_bp2"] > 9000 ** 2
+    exp = -(0.97 * math.log(0.97) + 3 * 0.01 * math.log(0.01))
+    assert abs(m["entropy_fp"] / 1e9 - exp) < 1e-6
+
+    wtd = spark.createDataFrame(
+        [("a", 90), ("b", 5), ("c", 5)], "source string, n_tokens long"
+    )
+    w = source_concentration(wtd, weight_col="n_tokens").collect()[0]
+    assert w["total_w"] == 100 and w["hhi_bp2"] == 9000**2 + 2 * 500**2
