@@ -92,3 +92,55 @@ def extract_violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return df.withColumn("failed_rules", failed).filter(
         F.size("failed_rules") > 0
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a [0, 10000]-basis-point classifier
+    score against binary labels — the audit every score-based corpus
+    filter needs before its threshold means anything: a quality
+    classifier that says 0.9 must be right ~90% of the time, or the
+    threshold is cutting different mass than intended.
+
+    Per equal-width score bin: ``(bin, n, mean_score_bp,
+    pos_rate_bp, gap_bp)`` where ``gap_bp = |mean score - observed
+    positive rate|`` — the per-bin calibration error whose
+    n-weighted average is ECE (:func:`calibration_ece`). All integer
+    arithmetic (scores are basis points; rates integer-divide), one
+    groupBy on the bin — a single corpus scan, hash-exact. Rows with
+    NULL score or label are excluded."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binc = F.least(
+        F.expr(f"CAST({score_col} AS BIGINT) * {n_bins} div 10000"),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    src = df.where(s.isNotNull() & y.isNotNull())
+    agg = src.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"sum(CAST({score_col} AS BIGINT)) div count(1)")
+        .cast("long")
+        .alias("mean_score_bp"),
+        F.expr(f"(sum(CAST({label_col} AS BIGINT)) * 10000) div count(1)")
+        .cast("long")
+        .alias("pos_rate_bp"),
+    )
+    return agg.withColumn(
+        "gap_bp", F.abs(F.col("mean_score_bp") - F.col("pos_rate_bp")).cast("long")
+    )
+
+
+def calibration_ece(report: DataFrame) -> DataFrame:
+    """Expected calibration error from a :func:`calibration_report`
+    frame: the n-weighted mean of per-bin gaps, in basis points —
+    ``SUM(n * gap_bp) div SUM(n)``. One row ``(n_total, ece_bp)``."""
+    return report.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr("sum(n * gap_bp) div sum(n)").cast("long").alias("ece_bp"),
+    )

@@ -8314,3 +8314,50 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.stats import source_concentration
 
     return source_concentration(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "calibration_report",
+    """
+    WITH scored AS (
+      SELECT (doc_id * 37) % 10000 AS s,
+             CASE WHEN (doc_id * 91) % 10000 <
+                       least((doc_id * 37) % 10000 + 2000, 10000)
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), b AS (
+      SELECT least((s * 10) // 10000, 9) AS bin, s, y FROM scored
+    ), agg AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_bp,
+             CAST((SUM(y) * 10000) // COUNT(*) AS BIGINT) AS pos_rate_bp
+      FROM b GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n, mean_score_bp, pos_rate_bp,
+           CAST(abs(mean_score_bp - pos_rate_bp) AS BIGINT) AS gap_bp
+    FROM agg
+    """,
+    doc="Classifier-calibration audit (operators/quality_checks.py "
+    "calibration_report): reliability-diagram bins for a basis-point "
+    "score vs binary labels — mean score, observed positive rate, "
+    "and their gap per equal-width bin, the n-weighted average being "
+    "ECE (calibration_ece). The synthetic labels are deliberately "
+    "MIScalibrated (+2000bp overconfidence, clamped) so the gap "
+    "column carries signal. All integer arithmetic; one scan, one "
+    "groupBy; hash-exact. A near-calibrated synthetic's small ECE is "
+    "pytest-pinned.",
+)
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_checks import calibration_report
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") * 37) % 10000).alias("score_bp"),
+        F.when(
+            (F.col("doc_id") * 91) % 10000
+            < F.least((F.col("doc_id") * 37) % 10000 + 2000, F.lit(10000)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("label"),
+    )
+    return calibration_report(scored, "score_bp", "label")

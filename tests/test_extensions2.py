@@ -1432,3 +1432,37 @@ def test_source_concentration_extremes(spark):
     )
     w = source_concentration(wtd, weight_col="n_tokens").collect()[0]
     assert w["total_w"] == 100 and w["hhi_bp2"] == 9000**2 + 2 * 500**2
+
+
+def test_calibration_report_and_ece(spark):
+    """Calibration contracts: a near-calibrated synthetic yields a
+    small ECE; injecting systematic overconfidence inflates it; bins
+    partition all rows; NULL scores/labels are excluded."""
+    from pasta_pipeline_spark.operators.quality_checks import (
+        calibration_ece,
+        calibration_report,
+    )
+
+    rows = []
+    for i in range(8000):
+        s = (i * 7919) % 10000
+        y = 1 if ((i * 104729) % 10000) < s else 0
+        rows.append((s, y))
+    rows.append((None, 1))
+    rows.append((5000, None))
+    df = spark.createDataFrame(rows, "score_bp long, label long")
+    rep = calibration_report(df, "score_bp", "label")
+    good = calibration_ece(rep).collect()[0]
+    assert good["n_total"] == 8000
+    assert good["ece_bp"] < 300
+
+    # overconfident variant: same scores, labels drawn at s - 3000
+    bad_rows = [
+        ((i * 7919) % 10000,
+         1 if ((i * 104729) % 10000) < max((i * 7919) % 10000 - 3000, 0) else 0)
+        for i in range(8000)
+    ]
+    bdf = spark.createDataFrame(bad_rows, "score_bp long, label long")
+    bad = calibration_ece(calibration_report(bdf, "score_bp", "label")).collect()[0]
+    assert bad["ece_bp"] > 2000 > good["ece_bp"]
+    assert rep.agg({"n": "sum"}).collect()[0][0] == 8000
