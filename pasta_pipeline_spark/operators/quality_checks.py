@@ -144,3 +144,48 @@ def calibration_ece(report: DataFrame) -> DataFrame:
         F.sum("n").cast("long").alias("n_total"),
         F.expr("sum(n * gap_bp) div sum(n)").cast("long").alias("ece_bp"),
     )
+
+
+def auc_report(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC by the Mann-Whitney rank-sum identity —
+    discrimination, the complement of calibration (a filter can be
+    perfectly calibrated yet useless at separating good from bad, and
+    vice versa):
+
+        AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+
+    with AVERAGE ranks on ties, computed tie-exactly in integers:
+    scores aggregate to (score, n, n_pos) rows, a cumulative window
+    over the DISTINCT-score table assigns each tie group its doubled
+    average rank ``2r̄ = (first + last)``, and
+    ``auc_bp = (2R_pos - n_pos(n_pos+1)) * 10000 div (2 n_pos n_neg)``.
+    One groupBy on the score + one window over score cardinality
+    (bounded by the score's resolution, not the corpus). Returns
+    ``(n_pos, n_neg, auc_bp)``; degenerate single-class inputs yield
+    NULL auc_bp."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    per_score = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).cast("long").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn("cum", F.sum("n").over(w).cast("long")).withColumn(
+        # doubled average rank of the tie group [cum-n+1 .. cum]
+        "avg2", (2 * F.col("cum") - F.col("n") + 1).cast("long")
+    )
+    return ranked.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("n_neg"),
+        F.expr(
+            "CASE WHEN sum(n_pos) > 0 AND sum(n) - sum(n_pos) > 0 THEN"
+            " ((sum(n_pos * avg2) - sum(n_pos) * (sum(n_pos) + 1)) * 10000)"
+            " div (2 * sum(n_pos) * (sum(n) - sum(n_pos))) END"
+        ).cast("long").alias("auc_bp"),
+    )

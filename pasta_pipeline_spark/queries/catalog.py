@@ -8361,3 +8361,53 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)).alias("label"),
     )
     return calibration_report(scored, "score_bp", "label")
+
+
+@register(
+    "classifier_auc",
+    """
+    WITH scored AS (
+      SELECT (doc_id * 37) % 10000 AS s,
+             CASE WHEN (doc_id * 91) % 10000 <
+                       least((doc_id * 37) % 10000 + 2000, 10000)
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), per_score AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1
+    ), ranked AS (
+      SELECT n, n_pos,
+             CAST(2 * SUM(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n + 1
+               AS BIGINT) AS avg2
+      FROM per_score
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(n_pos) AS BIGINT) AS n_neg,
+           CAST(CASE WHEN SUM(n_pos) > 0 AND SUM(n) - SUM(n_pos) > 0 THEN
+             ((SUM(n_pos * avg2) - SUM(n_pos) * (SUM(n_pos) + 1)) * 10000)
+             // (2 * SUM(n_pos) * (SUM(n) - SUM(n_pos))) END AS BIGINT) AS auc_bp
+    FROM ranked
+    """,
+    doc="Exact ROC AUC via the Mann-Whitney rank-sum identity with "
+    "tie-averaged ranks (quality_checks.auc_report) — discrimination "
+    "as the complement of the calibration audit, over the same "
+    "synthetic score/label recipe. Doubled average ranks keep "
+    "everything int64; the window runs over DISTINCT scores (the "
+    "score's resolution, not corpus rows). Perfect / reversed / "
+    "all-tied / single-class extremes are pytest-pinned at 10000 / 0 "
+    "/ 5000 / NULL.",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_checks import auc_report
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") * 37) % 10000).alias("score_bp"),
+        F.when(
+            (F.col("doc_id") * 91) % 10000
+            < F.least((F.col("doc_id") * 37) % 10000 + 2000, F.lit(10000)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("label"),
+    )
+    return auc_report(scored, "score_bp", "label")

@@ -1466,3 +1466,31 @@ def test_calibration_report_and_ece(spark):
     bad = calibration_ece(calibration_report(bdf, "score_bp", "label")).collect()[0]
     assert bad["ece_bp"] > 2000 > good["ece_bp"]
     assert rep.agg({"n": "sum"}).collect()[0][0] == 8000
+
+
+def test_auc_report_extremes(spark):
+    """AUC via rank-sum: perfect separation 10000, reversed 0,
+    all-tied 5000 exactly, single-class NULL; tie-averaging is exact
+    (a half-overlap fixture lands at the hand-computed value)."""
+    from pasta_pipeline_spark.operators.quality_checks import auc_report
+
+    perf = spark.createDataFrame(
+        [(i, 1 if i >= 50 else 0) for i in range(100)], "s long, y long"
+    )
+    assert auc_report(perf, "s", "y").collect()[0]["auc_bp"] == 10000
+    rev = spark.createDataFrame(
+        [(i, 0 if i >= 50 else 1) for i in range(100)], "s long, y long"
+    )
+    assert auc_report(rev, "s", "y").collect()[0]["auc_bp"] == 0
+    tie = spark.createDataFrame([(7, i % 2) for i in range(100)], "s long, y long")
+    assert auc_report(tie, "s", "y").collect()[0]["auc_bp"] == 5000
+    one = spark.createDataFrame([(i, 1) for i in range(10)], "s long, y long")
+    assert auc_report(one, "s", "y").collect()[0]["auc_bp"] is None
+
+    # hand case: scores {0:(neg), 1:(one pos one neg), 2:(pos)}
+    # pairs: (pos=1 vs neg=0): win; (pos=1 vs neg=1): tie 0.5;
+    # (pos=2 vs both negs): 2 wins -> U = 3.5 of 4 -> 8750
+    hand = spark.createDataFrame(
+        [(0, 0), (1, 1), (1, 0), (2, 1)], "s long, y long"
+    )
+    assert auc_report(hand, "s", "y").collect()[0]["auc_bp"] == 8750
