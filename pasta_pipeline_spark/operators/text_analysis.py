@@ -789,3 +789,120 @@ def bigram_nll(
             "CASE WHEN count(t) > 0 THEN sum(t) div count(t) END"
         ).cast("long").alias("nll2_fp"),
     )
+
+
+def lexical_diversity(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 25,
+):
+    """Type-token diversity metrics per document — the
+    template/keyword-stuffing signal repetition counts miss:
+
+    - ``ttr_bp``: distinct tokens / tokens, basis points (length-
+      sensitive: long documents trend low naturally);
+    - ``mattr_bp``: moving-average TTR (Covington & McFall, JQL
+      2010) — mean TTR over every full sliding window of ``window``
+      tokens, which removes the length bias and is the form corpus
+      quality work actually compares across documents. Windows are
+      exact (each window's distinct count via slice + array_distinct
+      — expression-only), and the mean is the integer average of
+      per-window basis-point TTRs. Documents shorter than ``window``
+      fall back to whole-document TTR.
+
+    One projection plus one explode bounded by token count (window
+    starts), no shuffle beyond the final shape; hash-exact."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    ttr_bp = F.when(
+        n > 0, F.expr(f"size(array_distinct(filter(split({text_col}, '\\\\s+'), x -> x != ''))) * 10000 div size(filter(split({text_col}, '\\\\s+'), x -> x != ''))")
+    ).otherwise(F.lit(None)).cast("long")
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__toks"), n.alias("n_tokens"), ttr_bp.alias("ttr_bp")
+    )
+    starts = F.sequence(F.lit(1), F.col("n_tokens") - F.lit(window) + 1)
+    win_ttrs = F.transform(
+        starts,
+        lambda s: F.size(F.array_distinct(F.slice(F.col("__toks"), s, window)))
+        * 10000
+        / F.lit(window),
+    )
+    mattr = F.when(
+        F.col("n_tokens") >= window,
+        F.floor(
+            F.aggregate(
+                win_ttrs, F.lit(0.0), lambda acc, v: acc + F.floor(v)
+            )
+            / (F.col("n_tokens") - window + 1)
+        ),
+    ).otherwise(F.col("ttr_bp"))
+    return base.select(
+        id_col, "n_tokens", "ttr_bp", mattr.cast("long").alias("mattr_bp")
+    )
+
+
+COMPRESSION_SCHEMA = "doc_id long, n_bytes long, n_compressed long, compression_bp long"
+
+
+def compression_ratio(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """DEFLATE compressibility per document — the one repetition
+    signal that sees EVERY kind of redundancy at once (repeated
+    lines, templated spans, character runs, low-entropy filler):
+    highly compressible text is highly redundant, full stop. Used as
+    a cheap quality gate alongside the explicit repetition metrics.
+
+    ``compression_bp = compressed_bytes * 10000 div utf8_bytes``
+    (empty text → NULL). zlib at a FIXED level is deterministic for a
+    given library, so results are stable across runs and
+    partitionings; the cross-engine oracle is a differential pytest
+    against direct ``zlib.compress`` (DuckDB has no DEFLATE surface —
+    this is one of the sanctioned Arrow-batched Python stages, like
+    NFC and media decode: stdlib-only, batch-columnar, no per-row
+    Python beyond the loop inside the batch)."""
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_bytes", LongType(), True),
+            StructField("n_compressed", LongType(), True),
+            StructField("compression_bp", LongType(), True),
+        ]
+    )
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__t")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "n_compressed": [], "compression_bp": []}
+            for did, txt in zip(pdf["doc_id"], pdf["__t"]):
+                out["doc_id"].append(int(did))
+                if txt is None:
+                    out["n_bytes"].append(None)
+                    out["n_compressed"].append(None)
+                    out["compression_bp"].append(None)
+                    continue
+                raw = str(txt).encode("utf-8")
+                comp = zlib.compress(raw, level)
+                out["n_bytes"].append(len(raw))
+                out["n_compressed"].append(len(comp))
+                out["compression_bp"].append(
+                    len(comp) * 10000 // len(raw) if raw else None
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)

@@ -8411,3 +8411,39 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)).alias("label"),
     )
     return auc_report(scored, "score_bp", "label")
+
+
+@register(
+    "lexical_diversity",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) > 0
+                  THEN (len(list_distinct(tk)) * 10000) // len(tk) END AS ttr_bp
+      FROM base
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(ttr_bp AS BIGINT) AS ttr_bp,
+           CAST(CASE WHEN n >= 25 THEN FLOOR(
+               list_sum(list_transform(generate_series(1, n - 24),
+                 s -> FLOOR(len(list_distinct(list_slice(tk, s, s + 24))) * 10000 / 25)))
+               / (n - 24))
+             ELSE ttr_bp END AS BIGINT) AS mattr_bp
+    FROM m
+    """,
+    doc="Lexical diversity (text_analysis.lexical_diversity): raw "
+    "type-token ratio plus MATTR (Covington-McFall moving-average "
+    "TTR over 25-token windows — the length-bias-free form), both in "
+    "basis points. Window TTRs are exact (slice + array_distinct, "
+    "expression-only, no explode-shuffle); per-window floors sum "
+    "exactly in doubles and the mean floors once — hash-exact. "
+    "Short documents fall back to whole-document TTR. The "
+    "keyword-stuffing/template signal repetition counts miss.",
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import lexical_diversity
+
+    return lexical_diversity(_tp(spark, sf_dir, "documents"), window=25)

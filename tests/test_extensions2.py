@@ -1494,3 +1494,61 @@ def test_auc_report_extremes(spark):
         [(0, 0), (1, 1), (1, 0), (2, 1)], "s long, y long"
     )
     assert auc_report(hand, "s", "y").collect()[0]["auc_bp"] == 8750
+
+
+def test_lexical_diversity_mattr(spark):
+    """MATTR semantics: all-distinct text scores 10000 at any length,
+    a single repeated token scores 1/window, short docs fall back to
+    raw TTR, and MATTR is length-stable where raw TTR is not (same
+    repeating pattern at 2x length keeps MATTR, halves-ish TTR)."""
+    from pasta_pipeline_spark.operators.text_analysis import lexical_diversity
+
+    pat = "a b c d e"  # 5-token cycle
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(60))),
+        (2, " ".join("spam" for _ in range(60))),
+        (3, "a b c"),
+        (4, " ".join([pat] * 10)),    # 50 tokens of a 5-cycle
+        (5, " ".join([pat] * 20)),    # 100 tokens, same local structure
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df, window=25).collect()}
+    assert out[1]["mattr_bp"] == 10000
+    assert out[2]["mattr_bp"] == 10000 // 25
+    assert out[3]["mattr_bp"] == out[3]["ttr_bp"] == 10000
+    # length invariance of MATTR vs length sensitivity of TTR
+    assert out[4]["mattr_bp"] == out[5]["mattr_bp"]
+    assert out[5]["ttr_bp"] < out[4]["ttr_bp"]
+
+
+def test_compression_ratio_differential(spark):
+    """Arrow-batched DEFLATE compressibility equals direct
+    zlib.compress byte-for-byte in counts; repetitive text
+    compresses far below varied text; NULL and empty texts degrade
+    to NULL ratios."""
+    import zlib
+
+    from pasta_pipeline_spark.operators.text_analysis import compression_ratio
+
+    texts = [
+        (1, "spam " * 400),
+        (2, " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(400))),
+        (3, ""),
+        (4, None),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for did, txt in texts:
+        if txt is None:
+            assert got[did]["compression_bp"] is None
+            continue
+        raw = txt.encode("utf-8")
+        if not raw:
+            assert got[did]["compression_bp"] is None
+            continue
+        comp = zlib.compress(raw, 6)
+        assert got[did]["n_bytes"] == len(raw)
+        assert got[did]["n_compressed"] == len(comp)
+        assert got[did]["compression_bp"] == len(comp) * 10000 // len(raw)
+    assert got[1]["compression_bp"] < 500 < 2000 < got[2]["compression_bp"]
