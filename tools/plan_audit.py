@@ -71,6 +71,8 @@ SCALAR_CROSSJOIN_OK = {
     "over the metadata-scale domain table (water-fill handoffs)",
     "bigram_nll": "1-row model token+vocab total (T+V) scalar for the "
     "interpolated-probability denominator",
+    "source_concentration": "1-row totals and 1-row HHI handoffs over the "
+    "metadata-scale source table (diversity report)",
 }
 
 
