@@ -132,3 +132,70 @@ def _concentration_agg(ranked: DataFrame, lnfp: str, ln_scale: int) -> DataFrame
             ).cast("long").alias("gini_bp"),
         )
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """The data card — one ``(metric, value)`` frame of corpus-level
+    facts a curation team ships alongside a training corpus: volume
+    (docs, sources, characters, mean length), diversity
+    (languages, top-source share, concentration via
+    :func:`source_concentration`), and exact-duplication mass
+    (docs whose text repeats, distinct duplicated texts). Every value
+    is int64 so the whole card hash-replays in SQL.
+
+    Cost: one scan for the volume/dup aggregates + the
+    metadata-scale concentration window; emitted as a skinny union so
+    downstream can diff cards between corpus versions with
+    TableStore.diff semantics (metric as the key)."""
+    base = df.where(F.col(text_col).isNotNull())
+    vol = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(source_col).cast("long").alias("n_sources"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.expr(f"sum(length({text_col})) div count(1)").cast("long").alias("mean_chars"),
+        (
+            F.countDistinct(lang_col).cast("long")
+            if lang_col
+            else F.lit(None).cast("long")
+        ).alias("n_langs"),
+    )
+    top_share = (
+        base.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.expr("(max(n) * 10000) div sum(n)").cast("long").alias("top_source_bp")
+        )
+    )
+    dup = (
+        base.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum((F.col("n") > 1).cast("long")).cast("long").alias("dup_texts"),
+        )
+    )
+    conc = source_concentration(base, group_col=source_col).select(
+        "hhi_bp2", "entropy_fp", "gini_bp"
+    )
+    wide = (
+        vol.crossJoin(F.broadcast(top_share))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(conc))
+    )
+    metrics = [
+        "n_docs", "n_sources", "total_chars", "mean_chars", "n_langs",
+        "top_source_bp", "dup_docs", "dup_texts",
+        "hhi_bp2", "entropy_fp", "gini_bp",
+    ]
+    stacked = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stacked}) AS (metric, value)"
+    )

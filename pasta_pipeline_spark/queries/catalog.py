@@ -8447,3 +8447,68 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_analysis import lexical_diversity
 
     return lexical_diversity(_tp(spark, sf_dir, "documents"), window=25)
+
+
+@register(
+    "corpus_datacard",
+    """
+    WITH base AS (
+      SELECT doc_id, text, source, lang FROM documents WHERE text IS NOT NULL
+    ), vol AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(SUM(length(text)) // COUNT(*) AS BIGINT) AS mean_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base
+    ), tops AS (
+      SELECT CAST((MAX(n) * 10000) // SUM(n) AS BIGINT) AS top_source_bp
+      FROM (SELECT COUNT(*) AS n FROM base GROUP BY source)
+    ), dup AS (
+      SELECT CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_texts
+      FROM (SELECT COUNT(*) AS n FROM base GROUP BY md5(text))
+    ), groups AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS w FROM base GROUP BY 1
+    ), ranked AS (
+      SELECT g, w, CAST(ROW_NUMBER() OVER (ORDER BY w ASC, g ASC) AS BIGINT) AS i
+      FROM groups WHERE w > 0
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(w) AS BIGINT) AS total_w,
+             CAST(SUM(w * CAST(FLOOR(ln(CAST(w AS DOUBLE)) * 1000000000) AS BIGINT))
+               AS BIGINT) AS swl,
+             CAST(SUM(i * w) AS BIGINT) AS siw
+      FROM ranked
+    ), conc AS (
+      SELECT (SELECT CAST(SUM(((w * 10000) // t.total_w) * ((w * 10000) // t.total_w))
+                       AS BIGINT) FROM ranked, t) AS hhi_bp2,
+             CAST(CAST(FLOOR(ln(CAST(t.total_w AS DOUBLE)) * 1000000000) AS BIGINT)
+                  - (t.swl // t.total_w) AS BIGINT) AS entropy_fp,
+             CAST(CASE WHEN t.n_groups > 1
+                  THEN ((2 * t.siw - (t.n_groups + 1) * t.total_w) * 10000)
+                       // (t.n_groups * t.total_w) ELSE 0 END AS BIGINT) AS gini_bp
+      FROM t
+    )
+    SELECT u.metric, u.value FROM vol, tops, dup, conc,
+    LATERAL (VALUES
+      ('n_docs', n_docs), ('n_sources', n_sources),
+      ('total_chars', total_chars), ('mean_chars', mean_chars),
+      ('n_langs', n_langs), ('top_source_bp', top_source_bp),
+      ('dup_docs', dup_docs), ('dup_texts', dup_texts),
+      ('hhi_bp2', hhi_bp2), ('entropy_fp', entropy_fp),
+      ('gini_bp', gini_bp)) AS u(metric, value)
+    """,
+    doc="The corpus data card (operators/stats.py corpus_datacard): "
+    "one skinny (metric, value) frame of corpus-level facts — "
+    "volume (docs/sources/chars/mean length), diversity (languages, "
+    "top-source share, HHI/entropy/Gini concentration), exact "
+    "duplication mass — every value int64 so the whole card "
+    "hash-replays; metric is a stable key, so cards from two corpus "
+    "versions diff like any keyed table. One corpus scan + the "
+    "metadata-scale concentration window.",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stats import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"))

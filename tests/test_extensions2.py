@@ -1552,3 +1552,21 @@ def test_compression_ratio_differential(spark):
         assert got[did]["n_compressed"] == len(comp)
         assert got[did]["compression_bp"] == len(comp) * 10000 // len(raw)
     assert got[1]["compression_bp"] < 500 < 2000 < got[2]["compression_bp"]
+
+
+def test_corpus_datacard_values(spark):
+    """Data-card facts against hand counts: volumes, language and
+    source counts, top-source share, duplication mass, and the
+    concentration block all reconcile on a constructed corpus."""
+    from pasta_pipeline_spark.operators.stats import corpus_datacard
+
+    rows = [(i, f"text {i % 7}" if i % 3 else "same text",
+             f"s{i % 4}", "en" if i % 2 else "ru") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    card = {r["metric"]: r["value"] for r in corpus_datacard(df).collect()}
+    assert card["n_docs"] == 60 and card["n_sources"] == 4 and card["n_langs"] == 2
+    assert card["top_source_bp"] == 2500        # perfectly balanced sources
+    assert card["dup_texts"] == 8               # 7 cycle texts + 'same text'
+    assert card["dup_docs"] == 60               # every doc's text repeats
+    assert card["gini_bp"] == 0 and card["hhi_bp2"] == 4 * 2500 ** 2
+    assert card["total_chars"] == sum(len(t) for _, t, _, _ in rows)
