@@ -8512,3 +8512,106 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.stats import corpus_datacard
 
     return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
+def _datacard_cte(src_pred: str, prefix: str) -> str:
+    """One full data-card computation as chained CTEs over documents
+    filtered by ``src_pred`` — instantiated twice by the diff oracle
+    (names prefixed to avoid collisions)."""
+    P = prefix
+    return f"""
+    {P}base AS (
+      SELECT doc_id, text, source, lang FROM documents
+      WHERE text IS NOT NULL AND ({src_pred})
+    ), {P}vol AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(SUM(length(text)) // COUNT(*) AS BIGINT) AS mean_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM {P}base
+    ), {P}tops AS (
+      SELECT CAST((MAX(n) * 10000) // SUM(n) AS BIGINT) AS top_source_bp
+      FROM (SELECT COUNT(*) AS n FROM {P}base GROUP BY source)
+    ), {P}dup AS (
+      SELECT CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_texts
+      FROM (SELECT COUNT(*) AS n FROM {P}base GROUP BY md5(text))
+    ), {P}groups AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS w FROM {P}base GROUP BY 1
+    ), {P}ranked AS (
+      SELECT g, w, CAST(ROW_NUMBER() OVER (ORDER BY w ASC, g ASC) AS BIGINT) AS i
+      FROM {P}groups WHERE w > 0
+    ), {P}t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(w) AS BIGINT) AS total_w,
+             CAST(SUM(w * CAST(FLOOR(ln(CAST(w AS DOUBLE)) * 1000000000) AS BIGINT))
+               AS BIGINT) AS swl,
+             CAST(SUM(i * w) AS BIGINT) AS siw
+      FROM {P}ranked
+    ), {P}conc AS (
+      SELECT (SELECT CAST(SUM(((w * 10000) // {P}t.total_w) * ((w * 10000) // {P}t.total_w))
+                       AS BIGINT) FROM {P}ranked, {P}t) AS hhi_bp2,
+             CAST(CAST(FLOOR(ln(CAST({P}t.total_w AS DOUBLE)) * 1000000000) AS BIGINT)
+                  - ({P}t.swl // {P}t.total_w) AS BIGINT) AS entropy_fp,
+             CAST(CASE WHEN {P}t.n_groups > 1
+                  THEN ((2 * {P}t.siw - ({P}t.n_groups + 1) * {P}t.total_w) * 10000)
+                       // ({P}t.n_groups * {P}t.total_w) ELSE 0 END AS BIGINT) AS gini_bp
+      FROM {P}t
+    ), {P}card AS (
+      SELECT u.metric, u.value FROM {P}vol, {P}tops, {P}dup, {P}conc,
+      LATERAL (VALUES
+        ('n_docs', n_docs), ('n_sources', n_sources),
+        ('total_chars', total_chars), ('mean_chars', mean_chars),
+        ('n_langs', n_langs), ('top_source_bp', top_source_bp),
+        ('dup_docs', dup_docs), ('dup_texts', dup_texts),
+        ('hhi_bp2', hhi_bp2), ('entropy_fp', entropy_fp),
+        ('gini_bp', gini_bp)) AS u(metric, value)
+    )"""
+
+
+@register(
+    "datacard_diff",
+    f"""
+    WITH {_datacard_cte("TRUE", "a_")},
+    mean_len AS (
+      SELECT SUM(length(text)) // COUNT(*) AS m FROM documents WHERE text IS NOT NULL
+    ),
+    {_datacard_cte("length(text) >= (SELECT m FROM mean_len)", "b_")}
+    SELECT a.metric,
+           a.value AS before_value,
+           b.value AS after_value,
+           CAST(b.value - a.value AS BIGINT) AS delta
+    FROM a_card a JOIN b_card b USING (metric)
+    """,
+    doc="Data-card DIFF — what a curation pass changed, metric by "
+    "metric: the card before vs after a keep-long-documents filter "
+    "(threshold = mean length, sf-stable) joined on the metric key "
+    "with integer deltas. This is the review artifact a filtering "
+    "PR ships; the oracle instantiates the full card computation "
+    "twice via a shared CTE generator so the two sides cannot "
+    "drift. All int64, full-hash.",
+)
+def q_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stats import corpus_datacard
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("text").isNotNull())
+    mean_len = base.agg(
+        F.expr("sum(length(text)) div count(1)").alias("m")
+    )
+    filtered = base.crossJoin(F.broadcast(mean_len)).where(
+        F.length("text") >= F.col("m")
+    ).drop("m")
+    before = corpus_datacard(base)
+    after = corpus_datacard(filtered)
+    return (
+        before.withColumnRenamed("value", "before_value")
+        .join(after.withColumnRenamed("value", "after_value"), "metric")
+        .select(
+            "metric",
+            "before_value",
+            "after_value",
+            (F.col("after_value") - F.col("before_value")).cast("long").alias("delta"),
+        )
+    )
