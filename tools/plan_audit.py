@@ -73,6 +73,10 @@ SCALAR_CROSSJOIN_OK = {
     "interpolated-probability denominator",
     "source_concentration": "1-row totals and 1-row HHI handoffs over the "
     "metadata-scale source table (diversity report)",
+    "corpus_datacard": "1-row card blocks (volume/top-share/dup/concentration) "
+    "cross-joined into the skinny metric frame",
+    "datacard_diff": "two 1-row card instances plus the 1-row mean-length "
+    "threshold scalar",
 }
 
 
