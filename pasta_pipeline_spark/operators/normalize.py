@@ -82,3 +82,40 @@ def zscore_by_label(
         )
     )
     return src.groupBy("label").applyInPandas(_zscore_group, ZSCORE_SCHEMA)
+
+
+def rank_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "rank_bp",
+) -> DataFrame:
+    """Per-group percentile-rank normalization of a score, in integer
+    basis points: ``(rank - 1) * 10000 div (n - 1)`` with SQL RANK
+    semantics (ties share a rank), 0 for single-row groups — the
+    integer twin of ``percent_rank()``.
+
+    Why a curation pipeline needs it: absolute quality scores are not
+    comparable across sources (a mediocre doc on a great site can
+    outscore a great doc on a weak site), so a single global
+    threshold silently reweights sources; rank-normalizing within
+    source first makes 'keep the top 30%' mean the same thing
+    everywhere. One window per group; NULL scores pass through with
+    NULL ranks."""
+    from pyspark.sql import Window
+
+    # rank over the NON-NULL slice only (NULLs sort first in an
+    # ascending window and would inflate every real rank), then union
+    # the NULL-score rows back with a NULL normalized value
+    scored = df.where(F.col(score_col).isNotNull())
+    nulls = df.where(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("long")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    rk = F.rank().over(w)
+    norm = (
+        F.when(n > 1, ((rk - 1) * 10000 / (n - 1)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return scored.withColumn(out_col, norm).unionByName(nulls)

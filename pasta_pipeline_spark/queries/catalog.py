@@ -8615,3 +8615,40 @@ def q_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("after_value") - F.col("before_value")).cast("long").alias("delta"),
         )
     )
+
+
+@register(
+    "score_rank_normalize",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+      FROM documents WHERE n_chars IS NOT NULL
+    ), per AS (
+      SELECT doc_id, source, score,
+             CAST(RANK() OVER (PARTITION BY source ORDER BY score ASC) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, score,
+           CAST(CASE WHEN n > 1 THEN ((rk - 1) * 10000) // (n - 1)
+                ELSE 0 END AS BIGINT) AS rank_bp
+    FROM per
+    """,
+    doc="Per-source percentile-rank score normalization "
+    "(operators/normalize.py rank_normalize): the integer twin of "
+    "percent_rank() — (rank-1)*10000 div (n-1) with RANK tie "
+    "semantics per source — so 'keep the top 30%' means the same "
+    "thing on every site instead of silently reweighting sources "
+    "through one global threshold. One window per group; NULL "
+    "scores pass through NULL (window NULL-ordering pitfall "
+    "pytest-pinned).",
+)
+def q_score_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.normalize import rank_normalize
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    return rank_normalize(
+        docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("score")),
+        "score",
+        "source",
+    )

@@ -1570,3 +1570,27 @@ def test_corpus_datacard_values(spark):
     assert card["dup_docs"] == 60               # every doc's text repeats
     assert card["gini_bp"] == 0 and card["hhi_bp2"] == 4 * 2500 ** 2
     assert card["total_chars"] == sum(len(t) for _, t, _, _ in rows)
+
+
+def test_rank_normalize_groups_and_nulls(spark):
+    """Rank normalization: per-group percentile ranks with RANK tie
+    semantics, single-row groups at 0, NULL scores preserved as rows
+    with NULL output (the window NULL-ordering pitfall), and the
+    cross-source comparability property — identical within-source
+    positions get identical normalized ranks regardless of the
+    sources' absolute scales."""
+    from pasta_pipeline_spark.operators.normalize import rank_normalize
+
+    rows = [("a", 10), ("a", 20), ("a", 30), ("a", 30), ("a", 50),
+            ("b", 1000), ("b", 2000), ("c", 7), ("a", None)]
+    df = spark.createDataFrame(rows, "src string, score long")
+    out = sorted(
+        ((r["src"], r["score"], r["rank_bp"])
+         for r in rank_normalize(df, "score", "src").collect()),
+        key=lambda x: (x[0], x[1] if x[1] is not None else -1),
+    )
+    assert out == [
+        ("a", None, None), ("a", 10, 0), ("a", 20, 2500), ("a", 30, 5000),
+        ("a", 30, 5000), ("a", 50, 10000),
+        ("b", 1000, 0), ("b", 2000, 10000), ("c", 7, 0),
+    ]
