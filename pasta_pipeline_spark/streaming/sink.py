@@ -516,3 +516,140 @@ def incremental_pq_codes_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_datacard_sink(
+    stream: DataFrame,
+    source_store: TableStore,
+    text_store: TableStore,
+    lang_store: TableStore,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    n_buckets: int = 16,
+    trigger_once: bool = True,
+):
+    """Streaming maintenance of every corpus-data-card component
+    (operators/stats.py corpus_datacard), so the card is available at
+    ANY moment without rescanning the corpus:
+
+    - ``source_store``: per-source (n_docs, total_chars) — additive;
+    - ``text_store``: per-md5(text) occurrence counts — additive,
+      bucketed for differential merges (the duplication-mass input);
+    - ``lang_store``: the distinct language set — idempotent.
+
+    State is linear in sources + DISTINCT texts + languages, not in
+    documents ever ingested. Assemble with
+    :func:`datacard_from_state`; equivalence with the batch card is
+    pytest-pinned. Additive counters share the usual accumulate-sink
+    caveat: feed from the checkpointed stream, a re-delivered batch
+    double-counts."""
+    if not checkpoint_dir:
+        raise ValueError("incremental_datacard_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        base = batch.where(F.col(text_col).isNotNull())
+        src_part = base.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        )
+        if source_store.exists():
+            prev = source_store.read().drop("__bkt").join(
+                src_part.select("source"), "source", "semi"
+            )
+            src_part = (
+                prev.unionByName(src_part)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_chars").cast("long").alias("total_chars"),
+                )
+            )
+        source_store.merge_partitioned(
+            src_part.withColumn("__bkt", F.lit(0).cast("int")),
+            key="source",
+            partition_col="__bkt",
+        )
+
+        txt_part = base.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if text_store.exists():
+            prev = text_store.read().drop("__bkt").join(
+                txt_part.select("h"), "h", "semi"
+            )
+            txt_part = (
+                prev.unionByName(txt_part)
+                .groupBy("h")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        text_store.merge_partitioned(
+            txt_part.withColumn(
+                "__bkt", F.pmod(F.xxhash64("h"), F.lit(n_buckets)).cast("int")
+            ),
+            key="h",
+            partition_col="__bkt",
+        )
+
+        lang_part = base.select(F.col(lang_col).alias("lang")).where(
+            F.col("lang").isNotNull()
+        ).distinct()
+        if lang_store.exists():
+            lang_part = lang_store.read().unionByName(lang_part).distinct()
+        lang_store.overwrite(lang_part)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def datacard_from_state(
+    spark, source_store: TableStore, text_store: TableStore, lang_store: TableStore
+) -> DataFrame:
+    """Assemble the corpus data card from maintained component state —
+    identical (metric, value) output to the batch corpus_datacard
+    over all ingested documents, at state-scan cost (sources +
+    distinct texts + languages, never documents)."""
+    from pasta_pipeline_spark.operators.stats import source_concentration
+
+    src = source_store.read().drop("__bkt")
+    txt = text_store.read().drop("__bkt")
+    langs = lang_store.read()
+    vol = src.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("total_chars").cast("long").alias("total_chars"),
+        F.expr("sum(total_chars) div sum(n_docs)").cast("long").alias("mean_chars"),
+    )
+    n_langs = langs.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    top = src.agg(
+        F.expr("(max(n_docs) * 10000) div sum(n_docs)").cast("long").alias("top_source_bp")
+    )
+    dup = txt.agg(
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_docs"),
+        F.sum((F.col("n") > 1).cast("long")).cast("long").alias("dup_texts"),
+    )
+    conc = source_concentration(
+        src.select("source", "n_docs"), group_col="source", weight_col="n_docs"
+    ).select("hhi_bp2", "entropy_fp", "gini_bp")
+    wide = (
+        vol.crossJoin(F.broadcast(n_langs))
+        .crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(conc))
+    )
+    metrics = [
+        "n_docs", "n_sources", "total_chars", "mean_chars", "n_langs",
+        "top_source_bp", "dup_docs", "dup_texts",
+        "hhi_bp2", "entropy_fp", "gini_bp",
+    ]
+    stacked = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(f"stack({len(metrics)}, {stacked}) AS (metric, value)")

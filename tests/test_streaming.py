@@ -715,3 +715,41 @@ def test_incremental_pq_codes_sink(spark, tmp_table_dir):
         for r in pq_adc_topk(pq_encode(all_df, cb), query, cb, k=8).collect()
     ]
     assert via_store == direct_q
+
+
+def test_incremental_datacard_sink(spark, tmp_table_dir):
+    """Streaming data card: component state folds in micro-batch by
+    micro-batch, and datacard_from_state equals the batch
+    corpus_datacard over everything ingested — every metric,
+    including duplication mass and the concentration block."""
+    from pasta_pipeline_spark.operators.stats import corpus_datacard
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        datacard_from_state,
+        incremental_datacard_sink,
+    )
+
+    schema = "doc_id long, text string, source string, lang string"
+    waves = [
+        [(i, f"text {i % 9}" if i % 4 else "dup text", f"s{i % 3}",
+          "en" if i % 2 else "de") for i in range(40)],
+        [(100 + i, f"more {i % 5}", f"s{i % 5}", "fr" if i % 3 == 0 else "en")
+         for i in range(35)],
+    ]
+    src_dir = f"{tmp_table_dir}/dc_stream_in"
+    stores = [TableStore(spark, f"{tmp_table_dir}/dc_{k}") for k in ("src", "txt", "lang")]
+    ckpt = f"{tmp_table_dir}/dc_ckpt"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        incremental_datacard_sink(
+            stream, *stores, checkpoint_dir=ckpt
+        ).awaitTermination(120)
+
+    all_df = spark.createDataFrame(waves[0] + waves[1], schema)
+    batch = {r["metric"]: r["value"] for r in corpus_datacard(all_df).collect()}
+    live = {r["metric"]: r["value"] for r in datacard_from_state(spark, *stores).collect()}
+    assert live == batch
+    # state is component-scale: sources + distinct texts + langs
+    assert stores[0].read().count() == 5   # s0..s4
+    assert stores[2].read().count() == 3   # en de fr
