@@ -129,3 +129,51 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+def schema_drift(expected, actual) -> list[dict]:
+    """Schema-drift report between an expected StructType (or a
+    DataFrame carrying one) and an incoming frame — the ingestion
+    guard that catches an upstream producer silently adding,
+    dropping, retyping, or re-nullifying a column before the data
+    lands anywhere:
+
+    Returns a list of dicts ``{column, kind, expected, actual}`` with
+    ``kind in ('missing', 'added', 'type_changed',
+    'nullability_tightened')`` — empty when schemas agree.
+    Pure driver-side metadata (no job runs); nullability is only
+    flagged in the DANGEROUS direction (expected non-null arriving
+    nullable); extra nullability on the expected side is fine.
+    Pairs with check_expectations: drift gates the schema, the
+    expectation suite gates the values."""
+    exp_schema = expected.schema if hasattr(expected, "schema") else expected
+    act_schema = actual.schema if hasattr(actual, "schema") else actual
+    exp = {f.name: f for f in exp_schema.fields}
+    act = {f.name: f for f in act_schema.fields}
+    report: list[dict] = []
+    for name, f in exp.items():
+        if name not in act:
+            report.append(
+                {"column": name, "kind": "missing",
+                 "expected": f.dataType.simpleString(), "actual": None}
+            )
+            continue
+        a = act[name]
+        if a.dataType != f.dataType:
+            report.append(
+                {"column": name, "kind": "type_changed",
+                 "expected": f.dataType.simpleString(),
+                 "actual": a.dataType.simpleString()}
+            )
+        if (not f.nullable) and a.nullable:
+            report.append(
+                {"column": name, "kind": "nullability_tightened",
+                 "expected": "NOT NULL", "actual": "nullable"}
+            )
+    for name, a in act.items():
+        if name not in exp:
+            report.append(
+                {"column": name, "kind": "added",
+                 "expected": None, "actual": a.dataType.simpleString()}
+            )
+    return report

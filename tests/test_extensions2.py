@@ -1594,3 +1594,40 @@ def test_rank_normalize_groups_and_nulls(spark):
         ("a", 30, 5000), ("a", 50, 10000),
         ("b", 1000, 0), ("b", 2000, 10000), ("c", 7, 0),
     ]
+
+
+def test_schema_drift_report(spark):
+    """Drift kinds: missing, added, type_changed, and the dangerous
+    nullability direction only; agreement yields an empty report;
+    works from DataFrames or raw StructTypes."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pasta_pipeline_spark.operators.expectations import schema_drift
+
+    expected = StructType([
+        StructField("id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("source", StringType(), True),
+    ])
+    ok = spark.createDataFrame([], expected)
+    assert schema_drift(expected, ok) == []
+
+    drifted = StructType([
+        StructField("id", LongType(), True),          # nullability loosened
+        StructField("text", LongType(), True),        # retyped
+        StructField("extra", StringType(), True),     # new column
+    ])                                                 # source dropped
+    got = {(d["column"], d["kind"]) for d in schema_drift(expected, drifted)}
+    assert got == {
+        ("id", "nullability_tightened"),
+        ("text", "type_changed"),
+        ("source", "missing"),
+        ("extra", "added"),
+    }
+    # expected side MAY be stricter than actual without flagging the
+    # reverse direction
+    looser_exp = StructType([StructField("id", LongType(), True)])
+    stricter_act = StructType([StructField("id", LongType(), False)])
+    assert schema_drift(looser_exp, stricter_act) == []
