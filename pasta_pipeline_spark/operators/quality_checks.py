@@ -189,3 +189,25 @@ def auc_report(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             " div (2 * sum(n_pos) * (sum(n) - sum(n_pos))) END"
         ).cast("long").alias("auc_bp"),
     )
+
+
+def brier_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Brier score — the proper scoring rule that completes the
+    filter-audit triple (calibration_report: reliability; auc_report:
+    discrimination; Brier: both at once, decomposable into them):
+    mean squared error between the basis-point score and the binary
+    outcome, scaled by 1e8 (0 = perfect, 25_000_000 = the
+    always-say-5000 baseline, 1e8 = perfectly wrong).
+
+        brier_e8 = SUM((score_bp - 10000*y)^2) div n
+
+    Pure int64 (each term <= 1e8); one aggregate; NULLs excluded.
+    Returns ``(n, brier_e8)``."""
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    src = df.where(s.isNotNull() & y.isNotNull())
+    d = (s - 10000 * y).alias("__d")
+    return src.select(d).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(__d * __d) div count(1)").cast("long").alias("brier_e8"),
+    )

@@ -8652,3 +8652,40 @@ def q_score_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "source",
     )
+
+
+@register(
+    "brier_score",
+    """
+    WITH scored AS (
+      SELECT (doc_id * 37) % 10000 AS s,
+             CASE WHEN (doc_id * 91) % 10000 <
+                       least((doc_id * 37) % 10000 + 2000, 10000)
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((s - 10000 * y) * (s - 10000 * y)) // COUNT(*) AS BIGINT)
+             AS brier_e8
+    FROM scored
+    """,
+    doc="Brier score (quality_checks.brier_score) — the proper "
+    "scoring rule completing the filter-audit triple over the same "
+    "synthetic score/label recipe as calibration_report and "
+    "classifier_auc: mean squared basis-point error scaled by 1e8, "
+    "pure int64 in one aggregate. Perfect / coin-flip / inverted "
+    "extremes pytest-pinned at 0 / 2.5e7 / 1e8.",
+)
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_checks import brier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") * 37) % 10000).alias("score_bp"),
+        F.when(
+            (F.col("doc_id") * 91) % 10000
+            < F.least((F.col("doc_id") * 37) % 10000 + 2000, F.lit(10000)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("label"),
+    )
+    return brier_score(scored, "score_bp", "label")

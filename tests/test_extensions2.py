@@ -1631,3 +1631,19 @@ def test_schema_drift_report(spark):
     looser_exp = StructType([StructField("id", LongType(), True)])
     stricter_act = StructType([StructField("id", LongType(), False)])
     assert schema_drift(looser_exp, stricter_act) == []
+
+
+def test_brier_score_extremes(spark):
+    """Proper-scoring-rule anchors: perfect 0, coin-flip 2.5e7,
+    perfectly wrong 1e8; NULLs excluded from n."""
+    from pasta_pipeline_spark.operators.quality_checks import brier_score
+
+    perfect = spark.createDataFrame([(10000, 1), (0, 0)] * 5, "s long, y long")
+    assert brier_score(perfect, "s", "y").collect()[0]["brier_e8"] == 0
+    mid = spark.createDataFrame([(5000, 1), (5000, 0)] * 5, "s long, y long")
+    assert brier_score(mid, "s", "y").collect()[0]["brier_e8"] == 25_000_000
+    wrong = spark.createDataFrame([(0, 1), (10000, 0)], "s long, y long")
+    r = brier_score(wrong, "s", "y").collect()[0]
+    assert r["brier_e8"] == 100_000_000 and r["n"] == 2
+    with_null = spark.createDataFrame([(10000, 1), (None, 0), (5000, None)], "s long, y long")
+    assert brier_score(with_null, "s", "y").collect()[0]["n"] == 1
