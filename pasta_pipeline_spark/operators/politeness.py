@@ -66,3 +66,49 @@ def politeness_schedule(
     return ranked.withColumn("wave", wave).withColumn(
         "fetch_at_s", (F.lit(int(start_ts_s)) + F.col("wave") * delay).cast("long")
     )
+
+
+def schedule_compliance(
+    fetch_log: DataFrame,
+    required_delay_s: int = 1,
+    host_col: str = "host",
+    ts_col: str = "fetched_at_s",
+    delay_col: str | None = None,
+) -> DataFrame:
+    """Did the fleet actually behave? Per-host politeness audit over a
+    fetch log: consecutive-fetch gaps (epoch-second BIGINTs, the
+    deterministic (ts, host_rank-free) lag idiom) checked against the
+    host's required delay — per host:
+
+    ``(host, n_fetches, n_gaps, min_gap_s, n_violations,
+    worst_deficit_s)`` where a violation is a gap strictly smaller
+    than the required delay and the deficit is how much was missing.
+    ``delay_col`` (per-row host delay, e.g. joined from
+    parse_crawl_delays) overrides the global ``required_delay_s``.
+
+    The monitoring counterpart of politeness_schedule: the schedule
+    plans politeness, this proves it happened — per-host window +
+    one aggregate, same scale shape."""
+    from pyspark.sql import Window
+
+    ts = F.col(ts_col).cast("long")
+    delay = (
+        F.coalesce(F.col(delay_col).cast("long"), F.lit(int(required_delay_s)))
+        if delay_col
+        else F.lit(int(required_delay_s)).cast("long")
+    )
+    w = Window.partitionBy(host_col).orderBy(ts)
+    gap = ts - F.lag(ts).over(w)
+    src = fetch_log.select(
+        F.col(host_col).alias("host"), gap.alias("gap"), delay.alias("req")
+    )
+    viol = F.col("gap").isNotNull() & (F.col("gap") < F.col("req"))
+    return src.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_s"),
+        F.sum(viol.cast("long")).cast("long").alias("n_violations"),
+        F.max(F.when(viol, F.col("req") - F.col("gap"))).cast("long").alias(
+            "worst_deficit_s"
+        ),
+    )

@@ -8743,3 +8743,46 @@ def q_media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="gif_full"
     )
     return decode_image_pixels(media)
+
+
+@register(
+    "schedule_compliance",
+    """
+    WITH log AS (
+      SELECT 'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS fetched_at_s
+      FROM events
+    ), g AS (
+      SELECT host,
+             fetched_at_s - lag(fetched_at_s)
+               OVER (PARTITION BY host ORDER BY fetched_at_s) AS gap
+      FROM log
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_s,
+           CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < 60 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations,
+           CAST(MAX(CASE WHEN gap IS NOT NULL AND gap < 60 THEN 60 - gap END)
+             AS BIGINT) AS worst_deficit_s
+    FROM g GROUP BY host
+    """,
+    doc="Politeness compliance audit (operators/politeness.py "
+    "schedule_compliance): consecutive-fetch gaps per host (events "
+    "grouped into 7 hosts, epoch-second timestamps) checked against "
+    "a 60s required delay — violation counts and the worst deficit. "
+    "Gap values are diffs of the per-host SORTED timestamp multiset, "
+    "so ties cannot make them nondeterministic. The monitoring "
+    "counterpart of politeness_schedule: the schedule plans "
+    "politeness, this proves the fleet obeyed it.",
+)
+def q_schedule_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.politeness import schedule_compliance
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias("host"),
+        F.expr("unix_micros(ts) div 1000000").cast("long").alias("fetched_at_s"),
+    )
+    return schedule_compliance(log, required_delay_s=60)

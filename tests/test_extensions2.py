@@ -1647,3 +1647,22 @@ def test_brier_score_extremes(spark):
     assert r["brier_e8"] == 100_000_000 and r["n"] == 2
     with_null = spark.createDataFrame([(10000, 1), (None, 0), (5000, None)], "s long, y long")
     assert brier_score(with_null, "s", "y").collect()[0]["n"] == 1
+
+
+def test_schedule_compliance_audit(spark):
+    """Compliance semantics: gaps below the required delay count as
+    violations with their deficit tracked; per-row delay overrides
+    the global one; single-fetch hosts report zero gaps; duplicate
+    timestamps give a deterministic zero gap."""
+    from pasta_pipeline_spark.operators.politeness import schedule_compliance
+
+    rows = [("a", 100, 3), ("a", 103, 3), ("a", 104, 3), ("a", 110, 3),
+            ("b", 50, 10), ("b", 55, 10),      # per-row delay 10 -> violation
+            ("c", 7, 1), ("d", 20, 2), ("d", 20, 2)]
+    df = spark.createDataFrame(rows, "host string, fetched_at_s long, req long")
+    out = {r["host"]: r for r in
+           schedule_compliance(df, required_delay_s=3, delay_col="req").collect()}
+    assert (out["a"]["n_violations"], out["a"]["worst_deficit_s"]) == (1, 2)
+    assert (out["b"]["n_violations"], out["b"]["worst_deficit_s"]) == (1, 5)
+    assert out["c"]["n_gaps"] == 0 and out["c"]["n_violations"] == 0
+    assert (out["d"]["min_gap_s"], out["d"]["n_violations"]) == (0, 1)
