@@ -84,6 +84,32 @@ from pasta_pipeline_spark.operators.text_analysis import (
     script_mix,
 )
 from pasta_pipeline_spark.operators.pii import luhn_valid, scan_credit_cards
+from pasta_pipeline_spark.operators.normalize_text import (
+    clean_text,
+    nfc_normalize,
+    normalize_documents,
+    repair_mojibake,
+)
+from pasta_pipeline_spark.operators.text_analysis import (
+    compression_ratio,
+    lexical_diversity,
+)
+from pasta_pipeline_spark.operators.quality_checks import (
+    auc_report,
+    brier_score,
+    calibration_ece,
+    calibration_report,
+)
+from pasta_pipeline_spark.operators.stats import (
+    corpus_datacard,
+    source_concentration,
+)
+from pasta_pipeline_spark.operators.normalize import rank_normalize
+from pasta_pipeline_spark.operators.expectations import schema_drift
+from pasta_pipeline_spark.operators.politeness import schedule_compliance
+from pasta_pipeline_spark.operators.multimodal import (
+    decode_gif_pixels,
+)
 from pasta_pipeline_spark.operators.subdoc_dedup import remove_boilerplate_lines
 from pasta_pipeline_spark.operators.sitemaps import refresh_selection
 from pasta_pipeline_spark.operators.robots import parse_crawl_delays
@@ -172,4 +198,20 @@ __all__ = [
     "pq_adc_topk",
     "pq_encode",
     "write_ivf_partitioned",
+    "clean_text",
+    "nfc_normalize",
+    "normalize_documents",
+    "repair_mojibake",
+    "compression_ratio",
+    "lexical_diversity",
+    "auc_report",
+    "brier_score",
+    "calibration_ece",
+    "calibration_report",
+    "corpus_datacard",
+    "source_concentration",
+    "rank_normalize",
+    "schema_drift",
+    "schedule_compliance",
+    "decode_gif_pixels",
 ]
