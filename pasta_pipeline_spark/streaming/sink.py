@@ -653,3 +653,58 @@ def datacard_from_state(
     ]
     stacked = ", ".join(f"'{m}', {m}" for m in metrics)
     return wide.selectExpr(f"stack({len(metrics)}, {stacked}) AS (metric, value)")
+
+
+def expectations_gated_merge_sink(
+    stream: DataFrame,
+    store: TableStore,
+    rules,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    key: str = "id",
+    order_col: str | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming write-audit-publish at micro-batch granularity: each
+    batch runs the declarative expectation suite
+    (operators/expectations.py check_expectations) BEFORE touching
+    the table — a fully passing batch merges (last-writer-wins upsert
+    on ``key``); a failing batch is diverted WHOLE to
+    ``quarantine_dir`` as parquet together with nothing written to
+    the live table, so a poisoned producer can never land partial
+    garbage mid-stream. The audit is one conditional-aggregate scan
+    of the batch; the quarantine keeps full rows for replay after the
+    upstream fix (re-ingest the quarantine dir through the same
+    gate).
+
+    The batch-granularity trade is deliberate: per-ROW filtering
+    would silently drop data and desynchronize at-least-once
+    replays; all-or-nothing keeps every batch auditable and
+    re-playable."""
+    from pasta_pipeline_spark.operators.expectations import check_expectations
+
+    if not checkpoint_dir:
+        raise ValueError("expectations_gated_merge_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        report = check_expectations(batch, rules)
+        failed = report.where(~F.col("passed")).count() > 0
+        if failed:
+            batch.withColumn("__batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+                "append"
+            ).parquet(quarantine_dir)
+            return
+        if store.exists():
+            merged = merge_upsert(store.read(), batch, key, order_col=order_col)
+        else:
+            merged = batch
+        store.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

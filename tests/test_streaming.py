@@ -753,3 +753,38 @@ def test_incremental_datacard_sink(spark, tmp_table_dir):
     # state is component-scale: sources + distinct texts + langs
     assert stores[0].read().count() == 5   # s0..s4
     assert stores[2].read().count() == 3   # en de fr
+
+
+def test_expectations_gated_merge_sink(spark, tmp_table_dir):
+    """Streaming WAP: a clean batch merges; a batch violating the
+    expectation suite lands WHOLE in quarantine and leaves the table
+    untouched; a later clean batch still merges; quarantined rows
+    carry their batch id for replay."""
+    from pasta_pipeline_spark.operators.expectations import max_value, not_null
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import expectations_gated_merge_sink
+
+    rules = [not_null("id"), max_value("v", 100)]
+    schema = "id long, v long"
+    src_dir = f"{tmp_table_dir}/gate_in"
+    store = TableStore(spark, f"{tmp_table_dir}/gate_tbl")
+    qdir = f"{tmp_table_dir}/gate_quarantine"
+    ckpt = f"{tmp_table_dir}/gate_ckpt"
+
+    waves = [
+        [(1, 10), (2, 20)],            # clean
+        [(3, 30), (4, 999)],           # range violation -> quarantined
+        [(2, 25), (5, 50)],            # clean, updates id 2
+    ]
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        expectations_gated_merge_sink(
+            stream, store, rules, qdir, checkpoint_dir=ckpt, key="id"
+        ).awaitTermination(120)
+
+    live = {r["id"]: r["v"] for r in store.read().collect()}
+    assert live == {1: 10, 2: 25, 5: 50}          # bad batch never landed
+    q = spark.read.parquet(qdir).collect()
+    assert {(r["id"], r["v"]) for r in q} == {(3, 30), (4, 999)}
+    assert all(r["__batch_id"] is not None for r in q)
