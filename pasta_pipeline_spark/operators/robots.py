@@ -234,3 +234,28 @@ def parse_crawl_delays(
         .groupBy("host", "agent")
         .agg(F.max("delay_s").alias("delay_s"))
     )
+
+
+def parse_sitemap_directives(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives into ``(host, sitemap_url)``
+    rows — the discovery link between the policy file and the
+    frontier: robots.txt advertises the sitemaps, parse_sitemap
+    explodes them, build_frontier does the rest. Per the sitemaps.org
+    protocol the directive is GLOBAL (not scoped to any user-agent
+    group), so this is a flat line parse: case-insensitive directive
+    name, full absolute URL value, comments stripped, duplicates
+    collapsed. One projection + explode, linear in robots bytes."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).select(
+        "host", F.trim(F.regexp_replace("line", "#.*$", "")).alias("l")
+    )
+    url = F.trim(F.regexp_extract("l", r"^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\s*:(.*)$", 1))
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )

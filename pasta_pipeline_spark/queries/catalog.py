@@ -8786,3 +8786,60 @@ def q_schedule_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 1000000").cast("long").alias("fetched_at_s"),
     )
     return schedule_compliance(log, required_delay_s=60)
+
+
+@register(
+    "robots_sitemaps",
+    """
+    WITH robots AS (
+      SELECT 'h' || (doc_id % 9) AS host,
+             'User-agent: *' || chr(10) ||
+             'Disallow: /x' || chr(10) ||
+             'Sitemap: https://h' || (doc_id % 9) || '.ex/sitemap'
+               || (doc_id % 4) || '.xml' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'sitemap: https://h' || (doc_id % 9) || '.ex/news.xml # note'
+                  ELSE '' END AS robots_txt
+      FROM documents
+    ), lines AS (
+      SELECT host, trim(regexp_replace(unnest(string_split(robots_txt, chr(10))),
+                                       '#.*$', '')) AS l
+      FROM robots
+    )
+    SELECT DISTINCT host,
+           trim(regexp_extract(l, '^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\\s*:(.*)$', 1))
+             AS sitemap_url
+    FROM lines
+    WHERE trim(regexp_extract(l, '^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\\s*:(.*)$', 1)) <> ''
+    """,
+    doc="Sitemap-directive extraction (robots.parse_sitemap_directives): "
+    "robots.txt advertises its sitemaps globally (sitemaps.org "
+    "protocol — the directive is NOT user-agent-scoped), so a flat "
+    "case-insensitive line parse with comment stripping and "
+    "duplicate collapse yields the (host, sitemap_url) discovery "
+    "table that seeds build_frontier. Synthesized robots bodies "
+    "cover mixed case, comments, and multi-directive hosts.",
+)
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.robots import parse_sitemap_directives
+
+    docs = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    robots = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *"), nl,
+            F.lit("Disallow: /x"), nl,
+            F.lit("Sitemap: https://h"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".ex/sitemap"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".xml"), nl,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("sitemap: https://h"), (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".ex/news.xml # note"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return parse_sitemap_directives(robots)

@@ -179,3 +179,27 @@ def test_refresh_selection_semantics(spark):
     )
     got = {r["url"]: r["reason"] for r in refresh_selection(disc, log).collect()}
     assert got == {"https://a.com/new": "new", "https://a.com/stale": "stale"}
+
+
+def test_parse_sitemap_directives(spark):
+    """Sitemap directives: case-insensitive name, global (not
+    UA-scoped), comments stripped, duplicates collapsed, hosts
+    without the directive absent."""
+    from pasta_pipeline_spark.operators.robots import parse_sitemap_directives
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /\nSitemap: https://a.com/s1.xml\n"
+             "SITEMAP: https://a.com/s2.xml  # comment\n"
+             "Sitemap: https://a.com/s1.xml\n"),   # duplicate
+            ("b.org", "User-agent: x\nDisallow: /y\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r["host"], r["sitemap_url"])
+           for r in parse_sitemap_directives(robots).collect()}
+    assert got == {
+        ("a.com", "https://a.com/s1.xml"),
+        ("a.com", "https://a.com/s2.xml"),
+    }
