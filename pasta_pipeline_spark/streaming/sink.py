@@ -708,3 +708,100 @@ def expectations_gated_merge_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_compliance_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    required_delay_s: int = 1,
+    host_col: str = "host",
+    ts_col: str = "fetched_at_s",
+    trigger_once: bool = True,
+):
+    """Streaming politeness monitoring: maintain, per host, the same
+    compliance profile operators/politeness.py schedule_compliance
+    computes in batch — fetch/gap/violation counts, min gap, worst
+    deficit — with ONE row of state per host and no log rescans.
+    Each micro-batch contributes its within-batch gaps (window over
+    the batch only) plus the boundary gap against the host's stored
+    last fetch time; counters add, extrema take min/max, and
+    ``last_ts`` advances. Maintained == batch over the whole log
+    when batches arrive in time order per host (the streaming
+    reality; pytest-pinned). One keyed merge per batch."""
+    from pyspark.sql import Window
+
+    if not checkpoint_dir:
+        raise ValueError("incremental_compliance_sink requires checkpoint_dir")
+    req = int(required_delay_s)
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        ts = F.col(ts_col).cast("long")
+        w = Window.partitionBy(host_col).orderBy(ts)
+        gaps = batch.select(
+            F.col(host_col).alias("host"), ts.alias("t"),
+            (ts - F.lag(ts).over(w)).alias("gap"),
+        )
+        viol = F.col("gap").isNotNull() & (F.col("gap") < req)
+        part = gaps.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_s"),
+            F.sum(viol.cast("long")).cast("long").alias("n_violations"),
+            F.max(F.when(viol, req - F.col("gap"))).cast("long").alias("worst_deficit_s"),
+            F.min("t").cast("long").alias("first_ts"),
+            F.max("t").cast("long").alias("last_ts"),
+        )
+        if store.exists():
+            prev = store.read().select(
+                F.col("host"),
+                F.col("n_fetches").alias("p_n"),
+                F.col("n_gaps").alias("p_g"),
+                F.col("min_gap_s").alias("p_min"),
+                F.col("n_violations").alias("p_v"),
+                F.col("worst_deficit_s").alias("p_w"),
+                F.col("last_ts").alias("p_last"),
+            )
+            j = part.join(prev, "host", "full_outer")
+            bgap = F.col("first_ts") - F.col("p_last")  # boundary gap
+            bviol = bgap.isNotNull() & (bgap < req)
+            merged = j.select(
+                "host",
+                (F.coalesce(F.col("n_fetches"), F.lit(0))
+                 + F.coalesce(F.col("p_n"), F.lit(0))).alias("n_fetches"),
+                (F.coalesce(F.col("n_gaps"), F.lit(0))
+                 + F.coalesce(F.col("p_g"), F.lit(0))
+                 + F.when(bgap.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                 ).alias("n_gaps"),
+                F.least(
+                    F.coalesce(F.col("min_gap_s"), F.lit(None)),
+                    F.coalesce(F.col("p_min"), F.lit(None)),
+                    bgap,
+                ).alias("min_gap_s"),
+                (F.coalesce(F.col("n_violations"), F.lit(0))
+                 + F.coalesce(F.col("p_v"), F.lit(0))
+                 + bviol.cast("long")).alias("n_violations"),
+                F.greatest(
+                    F.col("worst_deficit_s"), F.col("p_w"),
+                    F.when(bviol, req - bgap),
+                ).alias("worst_deficit_s"),
+                F.greatest(
+                    F.coalesce(F.col("last_ts"), F.lit(-(1 << 60))),
+                    F.coalesce(F.col("p_last"), F.lit(-(1 << 60))),
+                ).alias("last_ts"),
+            )
+        else:
+            merged = part.drop("first_ts")
+        store.overwrite(merged.select(
+            "host", "n_fetches", "n_gaps", "min_gap_s",
+            "n_violations", "worst_deficit_s", "last_ts",
+        ))
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

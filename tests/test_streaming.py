@@ -788,3 +788,39 @@ def test_expectations_gated_merge_sink(spark, tmp_table_dir):
     q = spark.read.parquet(qdir).collect()
     assert {(r["id"], r["v"]) for r in q} == {(3, 30), (4, 999)}
     assert all(r["__batch_id"] is not None for r in q)
+
+
+def test_incremental_compliance_sink(spark, tmp_table_dir):
+    """Streaming compliance == batch schedule_compliance over the
+    whole fetch log, including gaps that STRADDLE micro-batch
+    boundaries (the boundary gap against stored last_ts) and hosts
+    appearing in only one wave."""
+    from pasta_pipeline_spark.operators.politeness import schedule_compliance
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import incremental_compliance_sink
+
+    schema = "host string, fetched_at_s long"
+    waves = [
+        [("a", 100), ("a", 103), ("b", 50), ("c", 7)],
+        [("a", 104), ("a", 110), ("b", 60)],      # a: boundary gap 1 (violation)
+        [("d", 500), ("d", 501)],                  # new host, violation
+    ]
+    src_dir = f"{tmp_table_dir}/cmp_in"
+    store = TableStore(spark, f"{tmp_table_dir}/cmp_state")
+    ckpt = f"{tmp_table_dir}/cmp_ckpt"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        incremental_compliance_sink(
+            stream, store, checkpoint_dir=ckpt, required_delay_s=3
+        ).awaitTermination(120)
+
+    all_df = spark.createDataFrame([r for w in waves for r in w], schema)
+    batch = {r["host"]: (r["n_fetches"], r["n_gaps"], r["min_gap_s"],
+                         r["n_violations"], r["worst_deficit_s"])
+             for r in schedule_compliance(all_df, required_delay_s=3).collect()}
+    live = {r["host"]: (r["n_fetches"], r["n_gaps"], r["min_gap_s"],
+                        r["n_violations"], r["worst_deficit_s"])
+            for r in store.read().collect()}
+    assert live == batch
+    assert live["a"][3] == 1 and live["d"][3] == 1   # straddling + new-host violations
