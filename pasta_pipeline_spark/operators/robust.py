@@ -93,3 +93,62 @@ def mad_outliers(
         F.min("med").alias("med"),
         F.min("mad").alias("mad"),
     )
+
+
+def winsorized_stats(
+    df,
+    value_col: str,
+    group_col: str | None = None,
+    lo_bp: int = 500,
+    hi_bp: int = 9500,
+):
+    """Winsorized summary per group — the robust mean a skewed metric
+    (doc length, price, score) needs before outliers drive the
+    average: exact percentile bounds at ``lo_bp``/``hi_bp`` basis
+    points (percentile-disc semantics: the value at sorted position
+    ``max(1, (bp·n) div 10000)``, deterministic duplicate-safe
+    row_number order), values clamped to [lo, hi], and the clamped
+    integer mean.
+
+    Returns ``(group?, n, lo_bound, hi_bound, n_clipped_lo,
+    n_clipped_hi, wmean)`` — all int64 (pass an integer value column;
+    fixed-point upstream if needed). One rank window per group + a
+    group-cardinality join back; NULL values excluded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    if not (0 <= lo_bp < hi_bp <= 10000):
+        raise ValueError("need 0 <= lo_bp < hi_bp <= 10000")
+    gs = [group_col] if group_col else []
+    v = F.col(value_col).cast("long")
+    src = df.where(v.isNotNull()).select(*gs, v.alias("v"))
+    w = Window.partitionBy(*gs).orderBy(F.asc("v"))
+    wn = Window.partitionBy(*gs)
+    ranked = src.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    lo_rank = F.greatest(F.lit(1).cast("long"), F.expr(f"({lo_bp} * n) div 10000"))
+    hi_rank = F.greatest(F.lit(1).cast("long"), F.expr(f"({hi_bp} * n) div 10000"))
+    marked = ranked.withColumn("lo_rk", lo_rank).withColumn("hi_rk", hi_rank)
+    bounds = marked.groupBy(*gs).agg(
+        F.min(F.when(F.col("rn") == F.col("lo_rk"), F.col("v"))).alias("lo_bound"),
+        F.min(F.when(F.col("rn") == F.col("hi_rk"), F.col("v"))).alias("hi_bound"),
+    )
+    joined = (
+        src.join(F.broadcast(bounds), gs)
+        if gs
+        else src.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.when(F.col("v") < F.col("lo_bound"), F.col("lo_bound")).when(
+        F.col("v") > F.col("hi_bound"), F.col("hi_bound")
+    ).otherwise(F.col("v"))
+    return joined.select(
+        *gs, "v", "lo_bound", "hi_bound", clipped.alias("cv")
+    ).groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lo_bound").cast("long").alias("lo_bound"),
+        F.min("hi_bound").cast("long").alias("hi_bound"),
+        F.sum((F.col("v") < F.col("lo_bound")).cast("long")).cast("long").alias("n_clipped_lo"),
+        F.sum((F.col("v") > F.col("hi_bound")).cast("long")).cast("long").alias("n_clipped_hi"),
+        F.expr("sum(cv) div count(1)").cast("long").alias("wmean"),
+    )

@@ -8843,3 +8843,59 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return parse_sitemap_directives(robots)
+
+
+@register(
+    "winsorized_prices",
+    """
+    WITH src AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), ranked AS (
+      SELECT g, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM src
+    ), marked AS (
+      SELECT g, v, rn, n,
+             greatest(1, (500 * n) // 10000) AS lo_rk,
+             greatest(1, (9500 * n) // 10000) AS hi_rk
+      FROM ranked
+    ), bounds AS (
+      SELECT g,
+             MIN(CASE WHEN rn = lo_rk THEN v END) AS lo_bound,
+             MIN(CASE WHEN rn = hi_rk THEN v END) AS hi_bound
+      FROM marked GROUP BY g
+    ), clipped AS (
+      SELECT s.g, s.v, b.lo_bound, b.hi_bound,
+             CASE WHEN s.v < b.lo_bound THEN b.lo_bound
+                  WHEN s.v > b.hi_bound THEN b.hi_bound ELSE s.v END AS cv
+      FROM src s JOIN bounds b USING (g)
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(lo_bound) AS BIGINT) AS lo_bound,
+           CAST(MIN(hi_bound) AS BIGINT) AS hi_bound,
+           CAST(SUM(CASE WHEN v < lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN v > hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(cv) // COUNT(*) AS BIGINT) AS wmean
+    FROM clipped GROUP BY g
+    """,
+    doc="Winsorized robust mean (operators/robust.py "
+    "winsorized_stats): per-returnflag price statistics with exact "
+    "p5/p95 percentile-disc bounds (value at sorted position "
+    "max(1, bp*n div 10000) — duplicate-safe row_number order), "
+    "values clamped and the integer mean taken over the clamped "
+    "column — the mean a skewed metric needs before outliers drive "
+    "it. Fixed-point cents; one rank window per group plus a "
+    "group-cardinality broadcast joinback; full-hash SQL replay.",
+)
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.robust import winsorized_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.where(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return winsorized_stats(src, "cents", "g")

@@ -92,3 +92,28 @@ def test_winsorize_join_is_broadcast(spark):
     )
     plan = winsorize(df, "v", ["g"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_winsorized_stats_bounds_and_mean(spark):
+    """Winsorize semantics: exact percentile-disc bounds on a known
+    sequence, outliers clamped into the mean rather than dropped
+    (row count stable), untouched groups report zero clips, and the
+    ungrouped form works."""
+    from pasta_pipeline_spark.operators.robust import winsorized_stats
+
+    rows = [("a", i) for i in range(1, 101)] + [("a", 100000), ("a", -50000)]
+    rows += [("b", 7)] * 10
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in winsorized_stats(df, "v", "g").collect()}
+    a = out["a"]
+    # n=102: lo rank (500*102) div 10000 = 5 -> sorted[-50000,1..100,1e5][5]=4
+    assert (a["lo_bound"], a["hi_bound"]) == (4, 95)
+    assert (a["n_clipped_lo"], a["n_clipped_hi"]) == (4, 6)
+    assert a["n"] == 102
+    # clamped mean: values 4,4,4,4,4..95 capped, outliers pulled in
+    assert 45 <= a["wmean"] <= 55
+    b = out["b"]
+    assert (b["wmean"], b["n_clipped_lo"], b["n_clipped_hi"]) == (7, 0, 0)
+
+    g = winsorized_stats(df.where("g = 'b'"), "v").collect()[0]
+    assert g["n"] == 10 and g["wmean"] == 7
