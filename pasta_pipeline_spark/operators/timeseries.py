@@ -237,3 +237,46 @@ def rolling_range_agg(
         F.count(F.lit(1)).over(w).alias("n_win"),
         F.sum(val_x).over(w).alias("sum_x"),
     ).withColumn("avg_x", F.expr("sum_x div n_win"))
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Maximum simultaneous intervals per group — the capacity
+    question every interval table eventually gets asked (peak
+    concurrent sessions, downloads, active crawl connections): the
+    classic ±1 boundary sweep. Half-open ``[start, end)`` semantics:
+    +1 at start and -1 at end aggregate PER TIMESTAMP before the
+    running sum, so an interval ending exactly when another starts
+    never double-counts.
+
+    Returns ``(group?, peak, at_ts)`` — the peak count and the
+    EARLIEST timestamp it is reached (min_by tiebreak,
+    deterministic). Cost: one groupBy on (group, boundary) + one
+    running-sum window per group over BOUNDARY cardinality (distinct
+    timestamps, not interval mass) + one aggregate — the same
+    delta-encode idiom as the pair-TTL report. NULL or inverted
+    intervals are excluded."""
+    from pyspark.sql import Window
+
+    gs = [group_col] if group_col else []
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    src = intervals.where(s.isNotNull() & e.isNotNull() & (e > s))
+    deltas = src.select(*gs, s.alias("t"), F.lit(1).alias("d")).unionByName(
+        src.select(*gs, e.alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy(*gs, "t").agg(F.sum("d").cast("long").alias("d"))
+    w = Window.partitionBy(*gs).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_t.withColumn("c", F.sum("d").over(w).cast("long"))
+    return cum.groupBy(*gs).agg(
+        F.max("c").cast("long").alias("peak"),
+        F.min_by(F.col("t"), F.struct((-F.col("c")).alias("nc"), F.col("t")))
+        .cast("long")
+        .alias("at_ts"),
+    )

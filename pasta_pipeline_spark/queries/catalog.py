@@ -8899,3 +8899,50 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     return winsorized_stats(src, "cents", "g")
+
+
+@register(
+    "peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             CAST(epoch_us(ts) // 1000000 + 600 AS BIGINT) AS e
+      FROM events
+    ), deltas AS (
+      SELECT g, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT g, e AS t, -1 AS d FROM iv
+    ), per_t AS (
+      SELECT g, t, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, t,
+             CAST(SUM(d) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM per_t
+    )
+    SELECT g, CAST(MAX(c) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN c = (SELECT MAX(c2.c) FROM cum c2 WHERE c2.g = cum.g)
+                    THEN t END) AS BIGINT) AS at_ts
+    FROM cum GROUP BY g
+    """,
+    doc="Peak interval concurrency (operators/timeseries.py "
+    "peak_concurrency): events become 10-minute half-open activity "
+    "intervals per type, and the classic +1/-1 boundary sweep — "
+    "deltas aggregated PER TIMESTAMP before the running sum, so "
+    "touching endpoints never double-count — yields each type's "
+    "maximum simultaneous count and the earliest time it is reached. "
+    "The window runs over boundary cardinality, not interval mass "
+    "(the pair-TTL delta-encode idiom). Half-open and tie semantics "
+    "pytest-pinned.",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("unix_micros(ts) div 1000000").cast("long").alias("s"),
+        (F.expr("unix_micros(ts) div 1000000") + 600).cast("long").alias("e"),
+    )
+    return peak_concurrency(iv, "s", "e", "g")

@@ -240,3 +240,24 @@ def test_range_join_catalog_plan_cartesian_free(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_sweep(spark):
+    """Boundary-sweep semantics: overlap counting with half-open
+    intervals (an end touching a start never double-counts), earliest
+    peak timestamp on ties, degenerate/NULL intervals excluded, and
+    the ungrouped form."""
+    from pasta_pipeline_spark.operators.timeseries import peak_concurrency
+
+    rows = [("a", 0, 10), ("a", 5, 15), ("a", 10, 20), ("a", 6, 8),
+            ("b", 0, 5), ("b", 5, 10),
+            ("c", 1, 1), ("c", None, 4)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    out = {r["g"]: (r["peak"], r["at_ts"])
+           for r in peak_concurrency(df, "s", "e", "g").collect()}
+    assert out["a"] == (3, 6)
+    assert out["b"] == (1, 0)       # half-open: no touch double-count
+    assert "c" not in out
+
+    flat = peak_concurrency(df.where("g = 'a'"), "s", "e").collect()[0]
+    assert (flat["peak"], flat["at_ts"]) == (3, 6)
