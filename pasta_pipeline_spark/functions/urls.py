@@ -253,12 +253,28 @@ def registrable_domain_psl_full(df, host_col: str, rules, out_col: str = "domain
     unmatched hosts fall back to the implicit ``*`` rule (TLD = last
     label → domain = last two labels). Hosts that ARE a public suffix
     (no registrant label left) keep the practical last-(w+1 capped at
-    n) fallback rather than NULLing out mid-pipeline. Rule widths up
-    to 3 effective labels are resolved (every entry in today's PSL);
-    wider rules would add one more join each."""
+    n) fallback rather than NULLing out mid-pipeline.
+
+    The join ladder is derived from the rules frame itself — one
+    metadata-scale ``distinct(kind, n_labels)`` collect over the
+    kilobyte rules table picks exactly the widths present, so the
+    real PSL's 4- and 5-label rules (mostly the private section, e.g.
+    ``*.s3.dualstack.<region>.amazonaws.com``) resolve via their own
+    width instead of silently falling through to a narrower rule."""
     h = F.col(host_col)
     ls = F.split(h, r"\.")
     n = F.size(ls)
+
+    # which (kind, width) combinations exist — drives the ladder;
+    # the rules frame is broadcast-sized, this is a tiny collect
+    present = {
+        (r["kind"], int(r["n_labels"]))
+        for r in rules.select("kind", "n_labels").distinct().collect()
+    }
+    exc_ws = sorted({w for k, w in present if k == "exception"}, reverse=True)
+    sfx_ws = sorted(
+        {w for k, w in present if k in ("rule", "wildcard")}, reverse=True
+    )
 
     def last(k):
         return F.when(n >= k, F.array_join(F.slice(ls, n - (k - 1), k), "."))
@@ -273,23 +289,22 @@ def registrable_domain_psl_full(df, host_col: str, rules, out_col: str = "domain
         ).select(F.col("suffix").alias(alias))
         return cand, guard, F.broadcast(r)
 
+    ladder = [("exception", w, f"__e{w}") for w in exc_ws]
+    for w in sfx_ws:
+        if ("rule", w) in present:
+            ladder.append(("rule", w, f"__r{w}"))
+        if ("wildcard", w) in present:
+            ladder.append(("wildcard", w, f"__w{w}"))
+
     joined = df
-    matches = {}
-    for kind, w, alias in [
-        ("exception", 3, "__e3"),
-        ("exception", 2, "__e2"),
-        ("rule", 3, "__r3"),
-        ("wildcard", 3, "__w3"),
-        ("rule", 2, "__r2"),
-        ("wildcard", 2, "__w2"),
-        ("rule", 1, "__r1"),
-    ]:
+    aliases = []
+    for kind, w, alias in ladder:
         cand, guard, r = side(kind, w, alias)
         ccol = f"__c{alias}"
         joined = joined.withColumn(ccol, F.when(guard, cand)).join(
             r, F.col(ccol) == F.col(alias), "left"
         )
-        matches[alias] = (kind, w)
+        aliases.append(alias)
 
     ls2 = F.split(F.col(host_col), r"\.")
     n2 = F.size(ls2)
@@ -300,17 +315,26 @@ def registrable_domain_psl_full(df, host_col: str, rules, out_col: str = "domain
         kk = F.least(F.lit(k), n2)
         return F.array_join(F.slice(ls2, n2 - (kk - 1), kk), ".")
 
-    domain = (
-        F.when(F.col("__e3").isNotNull(), F.col("__e3"))
-        .when(F.col("__e2").isNotNull(), F.col("__e2"))
-        .when(F.col("__r3").isNotNull() | F.col("__w3").isNotNull(), last2(4))
-        .when(F.col("__r2").isNotNull() | F.col("__w2").isNotNull(), last2(3))
-        .when(F.col("__r1").isNotNull(), last2(2))
-        .otherwise(last2(2))
-    )
+    def hit(alias):
+        return F.col(alias).isNotNull()
+
+    # exceptions prevail at any width (spec: "the prevailing rule is
+    # the exception rule if there is one"), widest first for
+    # determinism; then longest suffix match wins
+    domain = None
+    for w in exc_ws:
+        cond, val = hit(f"__e{w}"), F.col(f"__e{w}")
+        domain = F.when(cond, val) if domain is None else domain.when(cond, val)
+    for w in sfx_ws:
+        parts = [hit(f"__{t}{w}") for t, k in (("r", "rule"), ("w", "wildcard"))
+                 if (k, w) in present]
+        cond = parts[0] if len(parts) == 1 else (parts[0] | parts[1])
+        val = last2(w + 1)
+        domain = F.when(cond, val) if domain is None else domain.when(cond, val)
+    domain = last2(2) if domain is None else domain.otherwise(last2(2))
+
     out = joined.withColumn(out_col, domain)
-    drop = [a for a in matches] + [f"__c{a}" for a in matches]
-    return out.drop(*drop)
+    return out.drop(*aliases, *[f"__c{a}" for a in aliases])
 
 
 def filter_blocked_domains(df, url_col: str, blocked: list[str], keep_blocked: bool = False):

@@ -114,8 +114,18 @@ def rank_normalize(
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
     rk = F.rank().over(w)
-    norm = (
-        F.when(n > 1, ((rk - 1) * 10000 / (n - 1)).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
+    # integer `div`, not float `/` + cast: double division can round an
+    # exact integer quotient across the truncation boundary for huge
+    # groups, diverging from the oracle's integer `//`
+    scored = scored.withColumn("__rk", rk.cast("long")).withColumn(
+        "__n", n.cast("long")
     )
-    return scored.withColumn(out_col, norm).unionByName(nulls)
+    norm = F.when(
+        F.col("__n") > 1,
+        F.expr("((__rk - 1) * 10000) div (__n - 1)").cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        scored.withColumn(out_col, norm)
+        .drop("__rk", "__n")
+        .unionByName(nulls)
+    )

@@ -43,7 +43,13 @@ def politeness_schedule(
       ``per_host_concurrency`` fetches per host per wave;
     - ``fetch_at_s = start_ts_s + wave * delay_s`` where ``delay_s``
       is the host's ``delay_col`` (e.g. parsed crawl-delay), falling
-      back to ``default_delay_s`` when NULL or absent.
+      back to ``default_delay_s`` when NULL or absent. ``delay_col``
+      is per-ROW, so it is first resolved to ONE value per host —
+      ``max`` over the host's non-NULL delays (the conservative,
+      most-polite choice) — otherwise rows of one host carrying
+      different delays (e.g. a left join's NULL→default fallback on
+      some rows) would put two waves at the same wall-clock second
+      and break the per-host min-gap guarantee.
 
     All integer arithmetic; deterministic; one window partitioned by
     host. Returns the frontier plus ``(host_rank, wave, fetch_at_s)``.
@@ -57,7 +63,12 @@ def politeness_schedule(
     )
     w = Window.partitionBy(host_col).orderBy(*order)
     delay: Column = (
-        F.coalesce(F.col(delay_col).cast("long"), F.lit(int(default_delay_s)))
+        F.coalesce(
+            F.max(F.col(delay_col).cast("long")).over(
+                Window.partitionBy(host_col)
+            ),
+            F.lit(int(default_delay_s)),
+        )
         if delay_col
         else F.lit(int(default_delay_s)).cast("long")
     )

@@ -10,6 +10,8 @@ top of at-least-once delivery.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -542,62 +544,24 @@ def incremental_datacard_sink(
     State is linear in sources + DISTINCT texts + languages, not in
     documents ever ingested. Assemble with
     :func:`datacard_from_state`; equivalence with the batch card is
-    pytest-pinned. Additive counters share the usual accumulate-sink
-    caveat: feed from the checkpointed stream, a re-delivered batch
-    double-counts."""
+    pytest-pinned.
+
+    Retry safety: the additive counters are made idempotent under
+    foreachBatch's intra-batch retry by pre-version pinning
+    (streaming/exactly_once.py) — the step reads every store at the
+    version recorded BEFORE the batch's first mutation, so a retry
+    recomputes identical merged rows even when some merges already
+    landed, and re-upserting them is a no-op."""
     if not checkpoint_dir:
         raise ValueError("incremental_datacard_sink requires checkpoint_dir")
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        base = batch.where(F.col(text_col).isNotNull())
-        src_part = base.groupBy(F.col(source_col).alias("source")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        apply_datacard_batch(
+            batch, batch_id, source_store, text_store, lang_store,
+            marker_path=os.path.join(checkpoint_dir, "_datacard_mb.json"),
+            text_col=text_col, source_col=source_col, lang_col=lang_col,
+            n_buckets=n_buckets,
         )
-        if source_store.exists():
-            prev = source_store.read().drop("__bkt").join(
-                src_part.select("source"), "source", "semi"
-            )
-            src_part = (
-                prev.unionByName(src_part)
-                .groupBy("source")
-                .agg(
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                    F.sum("total_chars").cast("long").alias("total_chars"),
-                )
-            )
-        source_store.merge_partitioned(
-            src_part.withColumn("__bkt", F.lit(0).cast("int")),
-            key="source",
-            partition_col="__bkt",
-        )
-
-        txt_part = base.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        )
-        if text_store.exists():
-            prev = text_store.read().drop("__bkt").join(
-                txt_part.select("h"), "h", "semi"
-            )
-            txt_part = (
-                prev.unionByName(txt_part)
-                .groupBy("h")
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-        text_store.merge_partitioned(
-            txt_part.withColumn(
-                "__bkt", F.pmod(F.xxhash64("h"), F.lit(n_buckets)).cast("int")
-            ),
-            key="h",
-            partition_col="__bkt",
-        )
-
-        lang_part = base.select(F.col(lang_col).alias("lang")).where(
-            F.col("lang").isNotNull()
-        ).distinct()
-        if lang_store.exists():
-            lang_part = lang_store.read().unionByName(lang_part).distinct()
-        lang_store.overwrite(lang_part)
 
     writer = (
         stream.writeStream.outputMode("update")
@@ -607,6 +571,82 @@ def incremental_datacard_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_datacard_batch(
+    batch: DataFrame,
+    batch_id: int,
+    source_store: TableStore,
+    text_store: TableStore,
+    lang_store: TableStore,
+    marker_path: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of data-card maintenance — the foreachBatch step
+    body, module-level so tests can drive a simulated intra-batch retry
+    (same ``batch_id`` twice). Idempotent under re-execution via
+    pre-version pinning (streaming/exactly_once.py)."""
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pin = MicroBatchPin(marker_path)
+    base = batch.where(F.col(text_col).isNotNull())
+    pre = pin.pre_versions(
+        batch_id,
+        {"source": source_store, "text": text_store, "lang": lang_store},
+    )
+    src_part = base.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+    )
+    if pre["source"] is not None:
+        prev = source_store.read(version=pre["source"]).drop("__bkt").join(
+            src_part.select("source"), "source", "semi"
+        )
+        src_part = (
+            prev.unionByName(src_part)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_chars").cast("long").alias("total_chars"),
+            )
+        )
+    source_store.merge_partitioned(
+        src_part.withColumn("__bkt", F.lit(0).cast("int")),
+        key="source",
+        partition_col="__bkt",
+    )
+
+    txt_part = base.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if pre["text"] is not None:
+        prev = text_store.read(version=pre["text"]).drop("__bkt").join(
+            txt_part.select("h"), "h", "semi"
+        )
+        txt_part = (
+            prev.unionByName(txt_part)
+            .groupBy("h")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    text_store.merge_partitioned(
+        txt_part.withColumn(
+            "__bkt", F.pmod(F.xxhash64("h"), F.lit(n_buckets)).cast("int")
+        ),
+        key="h",
+        partition_col="__bkt",
+    )
+
+    lang_part = base.select(F.col(lang_col).alias("lang")).where(
+        F.col("lang").isNotNull()
+    ).distinct()
+    if pre["lang"] is not None:
+        lang_part = (
+            lang_store.read(version=pre["lang"]).unionByName(lang_part).distinct()
+        )
+    lang_store.overwrite(lang_part)
 
 
 def datacard_from_state(

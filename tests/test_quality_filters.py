@@ -102,6 +102,50 @@ def test_psl_full_format_parse_and_match(spark):
         assert got[h] == want, (h, got[h], want)
 
 
+def test_psl_full_wide_rules(spark):
+    """4- and 5-label PSL rules (the real list's private section, e.g.
+    ``*.s3.dualstack.<region>.amazonaws.com``) resolve via their OWN
+    width: the join ladder is derived from the parsed rules frame's
+    (kind, n_labels) set, so wide rules are never silently shadowed by
+    a narrower match."""
+    from pasta_pipeline_spark.functions.urls import (
+        parse_psl_lines,
+        registrable_domain_psl_full,
+    )
+
+    dat = [
+        "com",
+        "s3.dualstack.eu-west-1.amazonaws.com",   # literal, 5 labels
+        "*.ew.r.appspot.com",                     # wildcard, 5 labels
+        "!allowed.ew.r.appspot.com",              # exception, 4 labels
+    ]
+    lines = spark.createDataFrame([(x,) for x in dat], "value string")
+    rules = parse_psl_lines(lines)
+
+    hosts = [
+        # 5-label literal beats the 1-label `com` rule
+        ("bucket.s3.dualstack.eu-west-1.amazonaws.com",
+         "bucket.s3.dualstack.eu-west-1.amazonaws.com"),
+        ("x.bucket.s3.dualstack.eu-west-1.amazonaws.com",
+         "bucket.s3.dualstack.eu-west-1.amazonaws.com"),
+        # 5-label wildcard: * consumes one label; host == suffix keeps itself
+        ("proj.ew.r.appspot.com", "proj.ew.r.appspot.com"),
+        ("a.proj.ew.r.appspot.com", "a.proj.ew.r.appspot.com"),
+        ("b.a.proj.ew.r.appspot.com", "a.proj.ew.r.appspot.com"),
+        # 4-label exception prevails over the 5-label wildcard
+        ("allowed.ew.r.appspot.com", "allowed.ew.r.appspot.com"),
+        ("sub.allowed.ew.r.appspot.com", "allowed.ew.r.appspot.com"),
+        # plain com rule still works alongside the wide ladder
+        ("amazonaws.com", "amazonaws.com"),
+        ("foo.bar.com", "bar.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {r["host"]: r["domain"] for r in
+           registrable_domain_psl_full(df, "host", rules).collect()}
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+
+
 def test_extract_anchors_contract(spark):
     """Anchor extraction: quoted hrefs in either quote style pair with
     their tag bodies positionally; inner markup strips; whitespace
