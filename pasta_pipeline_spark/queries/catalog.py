@@ -7753,9 +7753,10 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pixel and Rec.601 luma sums. The oracle computes the SAME sums "
     "from the closed-form pixel recipe WITHOUT touching a byte, so "
     "any inflate/stride/predictor bug hash-mismatches. The last "
-    "honesty upgrade for compressed media: DEFLATE is stdlib; only "
-    "non-stdlib entropy coders (JPEG pixel data, H.264) still stop "
-    "at header level.",
+    "honesty upgrade for compressed media: DEFLATE is stdlib; the "
+    "non-stdlib entropy coders followed (GIF LZW in media_gif_pixels, "
+    "baseline JPEG in media_jpeg_pixels); only video codecs (H.264) "
+    "still stop at header level.",
 )
 def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.multimodal import (
@@ -8946,3 +8947,70 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("unix_micros(ts) div 1000000") + 600).cast("long").alias("e"),
     )
     return peak_concurrency(iv, "s", "e", "g")
+
+
+@register(
+    "media_jpeg_pixels",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + (doc_id // 3) % 2) AS h
+      FROM documents
+    ), blocks AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+      FROM ids
+    ), ycc AS (
+      SELECT media_id, w, h,
+             128 + (media_id * 7 + b * 13) % 200 - 100 AS y,
+             (media_id * 5 + b * 11) % 120 - 60 AS cb,
+             (media_id * 3 + b * 17) % 120 - 60 AS cr
+      FROM blocks
+    ), rgb AS (
+      SELECT media_id, w, h,
+        GREATEST(0, LEAST(255,
+          y + ((91881 * cr + 32768 + 16777216) // 65536 - 256))) AS r,
+        GREATEST(0, LEAST(255,
+          y - ((22554 * cb + 46802 * cr + 32768 + 33554432) // 65536 - 512))) AS g,
+        GREATEST(0, LEAST(255,
+          y + ((116130 * cb + 32768 + 16777216) // 65536 - 256))) AS bl
+      FROM ycc
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(64 * SUM(r + g + bl) AS BIGINT) AS pixel_sum,
+           CAST(64 * SUM(299 * r + 587 * g + 114 * bl) AS BIGINT) AS luma_sum
+    FROM rgb
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="FULL baseline-JPEG pixel decode (multimodal.decode_image_pixels"
+    " / decode_jpeg_pixels, ITU-T T.81): complete valid JPEGs — real "
+    "Huffman entropy-coded scans with Annex K tables in actual DHT "
+    "segments, differential DC, EOB'd AC, byte unstuffing — "
+    "synthesized from the doc_id recipe with DC-only blocks and an "
+    "all-ones quant table so the dequant+IDCT+YCbCr->RGB cascade is "
+    "integer-exact (a DC-only block IDCTs to the flat value DC/8). "
+    "The oracle computes the SAME decoded RGB pixel/Rec.601 luma "
+    "sums from the closed form (16.16 fixed-point color transform "
+    "replicated with a nonnegative-bias //) without touching a byte, "
+    "so any Huffman, predictor, dequant, IDCT, or color-math bug "
+    "hash-mismatches. The general AC/IDCT path is differentially "
+    "pytest-pinned (arbitrary blocks FDCT'd, entropy-coded, and "
+    "reconstructed within the T.81 accuracy envelope). Closes the "
+    "last first-class image stub: JPEG is the dominant web image "
+    "format, and the decoder now covers PNG + GIF + JPEG pixels.",
+)
+def q_media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="jpeg_full"
+    )
+    return decode_image_pixels(media)

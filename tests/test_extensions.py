@@ -827,3 +827,135 @@ def test_gif_full_pixel_decode(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"] for r in decode_image_pixels(df).collect()}
     assert got == {1, 2}
+
+
+def test_jpeg_full_pixel_decode(spark):
+    """Baseline JPEG (ITU T.81) end to end. Three layers:
+
+    1. closed-form fixtures: DC-only blocks through the REAL Huffman
+       scan (differential DC categories, EOB'd AC, byte unstuffing)
+       decode to exactly the id recipe's RGB sums;
+    2. general AC/IDCT path: arbitrary pixel blocks forward-DCT'd,
+       run-length entropy-coded (incl. ZRL runs), and reconstructed
+       within the T.81 accuracy envelope (|err| <= 2 per sample) —
+       both grayscale and 3-component color;
+    3. robustness: truncated scans, non-JPEGs, progressive and
+       subsampled frames yield None; the Spark dispatch handles
+       mixed PNG/GIF/JPEG/junk batches.
+    """
+    import math
+    import random
+
+    from pasta_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _decode_jpeg_planes,
+        _jpeg_encode_scan,
+        _jpeg_wrap_stream,
+        _synth_gif,
+        _synth_jpeg_full,
+        _synth_png_full,
+        decode_image_pixels,
+        decode_jpeg_pixels,
+    )
+
+    def rgb(y, cb, cr):
+        cb -= 128
+        cr -= 128
+        cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+        return (
+            cl(y + ((91881 * cr + 32768) >> 16)),
+            cl(y - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+            cl(y + ((116130 * cb + 32768) >> 16)),
+        )
+
+    # 1. closed-form fixture decode
+    for mid in (0, 7, 42, 977):
+        got = decode_jpeg_pixels(_synth_jpeg_full(mid))
+        w, h = 8 * (1 + mid % 3), 8 * (1 + (mid // 3) % 2)
+        ps = ls = 0
+        for b in range((w // 8) * (h // 8)):
+            r, g, bl = rgb(
+                128 + (mid * 7 + b * 13) % 200 - 100,
+                128 + (mid * 5 + b * 11) % 120 - 60,
+                128 + (mid * 3 + b * 17) % 120 - 60,
+            )
+            ps += 64 * (r + g + bl)
+            ls += 64 * (299 * r + 587 * g + 114 * bl)
+        assert got == {
+            "width": w, "height": h, "n_pixels": w * h,
+            "pixel_sum": ps, "luma_sum": ls,
+        }
+
+    # 2. general path: FDCT -> entropy code -> decode, per-sample bound
+    C = [math.sqrt(0.5)] + [1.0] * 7
+
+    def fdct_zigzag(px):
+        out = [0.0] * 64
+        for u in range(8):
+            for v in range(8):
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (
+                            (px[y * 8 + x] - 128)
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[v * 8 + u] = 0.25 * C[u] * C[v] * s
+        return [int(math.floor(out[_JPEG_ZIGZAG[k]] + 0.5)) for k in range(64)]
+
+    rng = random.Random(23)
+    # sparse blocks force long zero runs (ZRL symbols); dense are random
+    gray_pixels = [
+        [rng.randrange(256) for _ in range(64)],
+        [128] * 32 + [255] * 32,
+        [(x * 37) % 256 for x in range(64)],
+        [0] * 63 + [255],
+    ]
+    blocks = [fdct_zigzag(px) for px in gray_pixels]
+    raw = _jpeg_wrap_stream(16, 16, 1, _jpeg_encode_scan([blocks]), [1] * 64)
+    w, h, planes = _decode_jpeg_planes(raw)
+    assert (w, h) == (16, 16)
+    for bi, px in enumerate(gray_pixels):
+        byy, bxx = divmod(bi, 2)
+        for yy in range(8):
+            for xx in range(8):
+                got = planes[0][(byy * 8 + yy) * 16 + bxx * 8 + xx]
+                assert abs(got - px[yy * 8 + xx]) <= 2
+
+    # color: 3 interleaved components, one block each
+    comp_pixels = [[rng.randrange(256) for _ in range(64)] for _ in range(3)]
+    raw3 = _jpeg_wrap_stream(
+        8, 8, 3,
+        _jpeg_encode_scan([[fdct_zigzag(px)] for px in comp_pixels]),
+        [1] * 64,
+    )
+    w3, h3, planes3 = _decode_jpeg_planes(raw3)
+    assert (w3, h3) == (8, 8)
+    for ci in range(3):
+        for i in range(64):
+            assert abs(planes3[ci][i] - comp_pixels[ci][i]) <= 2
+
+    # 3. robustness
+    full = _synth_jpeg_full(5)
+    assert decode_jpeg_pixels(full[:len(full) // 2]) is None  # truncated scan
+    assert decode_jpeg_pixels(b"not a jpeg") is None
+    # progressive (SOF2) frames are out of scope -> None
+    prog = bytearray(full)
+    sof_at = full.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(prog)) is None
+    # subsampled chroma (2x2 luma sampling factor) -> None
+    sub = bytearray(full)
+    sub[sof_at + 11] = 0x22  # first component's sampling byte
+    assert decode_jpeg_pixels(bytes(sub)) is None
+
+    rows = [
+        (1, bytearray(_synth_jpeg_full(1))),
+        (2, bytearray(_synth_png_full(2))),
+        (3, bytearray(_synth_gif(3))),
+        (4, bytearray(b"JUNK")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"] for r in decode_image_pixels(df).collect()}
+    assert got == {1, 2, 3}
