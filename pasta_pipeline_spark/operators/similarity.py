@@ -972,6 +972,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode the corpus against a codebook: per (vector, subspace),
     the nearest code by fixed-point L2² — broadcast join + one groupBy
@@ -980,22 +981,30 @@ def pq_encode(
     encoded once (n_subspaces small ints per vector — the 64×
     compression), written next to the corpus, and every subsequent
     query runs :func:`pq_adc_topk` over the stored codes without ever
-    touching the float vectors again."""
+    touching the float vectors again.
+
+    ``carry_cols``: extra columns functionally dependent on the id
+    (e.g. an IVF ``cell_id``) carried through the encode groupBy so
+    composites don't need a re-join on the id."""
     if dim % n_subspaces != 0:
         raise ValueError("dim must be divisible by n_subspaces")
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
+    carry = list(carry_cols or [])
     sub = dim // n_subspaces
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     corpus = ensure_parallelism(
-        embeddings.select(F.col(id_col), vd.alias("v"))
-    ).select(id_col, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv"))
+        embeddings.select(F.col(id_col), *carry, vd.alias("v"))
+    ).select(
+        id_col, *carry, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv")
+    )
     return (
         corpus.join(F.broadcast(codebooks), "m")
         .select(
-            id_col, "m", "code", _pq_l2fp(F.col("sv"), F.col("cv")).alias("fp")
+            id_col, *carry, "m", "code",
+            _pq_l2fp(F.col("sv"), F.col("cv")).alias("fp"),
         )
-        .groupBy(id_col, "m")
+        .groupBy(id_col, *carry, "m")
         .agg(
             F.min_by(
                 F.col("code"), F.struct(F.col("fp"), F.col("code"))
@@ -1038,4 +1047,233 @@ def pq_adc_topk(
         .agg(F.sum("qfp").cast("long").alias("adc_fp"))
         .orderBy(F.asc("adc_fp"), F.asc(id_col))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite — the FAISS IVFADC production shape (Jégou et al.
+# TPAMI'11 §V): coarse IVF cells select which inverted lists a query
+# touches, and each list stores RESIDUAL product-quantization codes
+# scored by ADC. At 100 TB both halves matter: IVF pruning means a
+# query scans n_probe/n_cells of the index, and PQ codes mean the
+# scanned bytes are n_subspaces small ints per vector instead of the
+# float corpus. Residual encoding (quantize v - centroid, not v) is
+# what makes a SHARED codebook accurate across cells — residuals from
+# every cell live near the origin, so one n_codes codebook covers
+# them where raw vectors would need per-cell codebooks.
+#
+# Everything stays hash-deterministic (double zip_with subtraction,
+# the a·a - 2a·b + b·b fixed-point L2², int64 ADC sums), so the whole
+# coarse-quantize -> residual -> encode -> probe -> ADC cascade
+# replays exactly in SQL — an 'approximate' index with an exact
+# oracle, like the IVF and PQ tiers it composes.
+# ---------------------------------------------------------------------------
+
+
+def ivf_residuals(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest IVF cell and subtract the
+    centroid: ``(id, cell_id, rv: array<double>)`` — the residual
+    frame IVF-PQ encodes. One corpus scan + broadcast centroid join;
+    element-wise double subtraction (zip_with), bit-identical to the
+    SQL oracle's per-element list arithmetic."""
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    assigned = assign_ivf_cells(embeddings, centroids, id_col, vec_col)
+    return assigned.join(F.broadcast(centroids), "cell_id").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.zip_with(vd, F.col("cv"), lambda x, y: x - y).alias("rv"),
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index build: residual-encode the corpus against the
+    shared PQ codebook, keeping the cell assignment — returns
+    ``(id, cell_id, m, code)``, the inverted-list table you persist
+    (partition by ``cell_id``: :func:`write_ivfpq_index`)."""
+    res = ivf_residuals(embeddings, centroids, id_col, vec_col)
+    return pq_encode(
+        res, codebooks, n_subspaces, dim, id_col, vec_col="rv",
+        carry_cols=["cell_id"],
+    )
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """ADC scoring over an IVF-PQ codes table: the query ranks its
+    ``n_probe`` nearest cells (broadcast centroids), builds ONE
+    distance table per probed cell from its per-cell residual
+    (n_probe × n_subspaces × n_codes fixed-point entries — broadcast),
+    and the ranking is a single scan of the codes table: the inner
+    join on (cell_id, m, code) both prunes to the probed cells and
+    looks up the table entries; the ADC score is an int64 sum.
+    Returns ``(vec_id, adc_fp)`` ascending (id tiebreak), same
+    contract as :func:`pq_adc_topk`. ``query`` must be a single row."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    sub = dim // n_subspaces
+    qd = F.transform(F.col(query_vec_col), lambda v: v.cast("double"))
+    qcells = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(query_vec_col),
+            F.col("cell_id"),
+            F.col("cv"),
+            cosine(F.col(query_vec_col), F.col("cv")).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("cell_id"))
+        .limit(n_probe)
+    )
+    qres = qcells.select(
+        "cell_id", F.zip_with(qd, F.col("cv"), lambda x, y: x - y).alias("qr")
+    )
+    qsub = qres.select(
+        "cell_id", _pq_slices(F.col("qr"), n_subspaces, sub).alias("m", "sv")
+    )
+    dist = qsub.join(F.broadcast(codebooks), "m").select(
+        "cell_id", "m", "code", _pq_l2fp(F.col("sv"), F.col("cv")).alias("qfp")
+    )
+    return (
+        codes.join(F.broadcast(dist), ["cell_id", "m", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qfp").cast("long").alias("adc_fp"))
+        .orderBy(F.asc("adc_fp"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+    train_iterations: int = 0,
+) -> DataFrame:
+    """End-to-end IVF-PQ (IVFADC) top-k: seed (or Lloyd's-train) the
+    coarse centroids exactly as :func:`ivf_topk` does, residual-encode
+    the corpus against a shared seed (or per-subspace-trained) PQ
+    codebook built FROM THE RESIDUALS, then probe + ADC-score. With
+    ``train_iterations > 0`` both quantizers train (coarse k-means,
+    then per-subspace k-means on the residuals) without changing the
+    query shape. Deterministic end to end; the composite's full-hash
+    SQL oracle replays every stage."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must be divisible by n_subspaces")
+    sub = dim // n_subspaces
+    if train_iterations > 0:
+        centroids = train_ivf_centroids(
+            embeddings, n_cells, train_iterations, id_col, vec_col
+        )
+    else:
+        w = Window.orderBy(F.asc(id_col))
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                (F.row_number().over(w) - 1).alias("cell_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+        )
+    res = ivf_residuals(embeddings, centroids, id_col, vec_col)
+    if train_iterations > 0:
+        cb = train_pq_codebooks(
+            res, n_subspaces, n_codes, dim, train_iterations, id_col, "rv"
+        )
+    else:
+        cb = _pq_seed_codebooks(res, n_subspaces, sub, n_codes, id_col, "rv")
+    codes = pq_encode(
+        res, cb, n_subspaces, dim, id_col, vec_col="rv", carry_cols=["cell_id"]
+    )
+    return ivfpq_adc_topk(
+        codes, query, centroids, cb, k, n_probe, n_subspaces, dim,
+        id_col, query_vec_col,
+    )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index the way it deploys at 100 TB:
+    residual codes written as parquet PARTITIONED BY ``cell_id`` —
+    the on-disk form of FAISS's inverted lists. A query then reads
+    n_probe cell directories of n_subspaces-small-int rows: partition
+    pruning does the coarse lookup and the scanned bytes are codes,
+    never float vectors. Pair with :func:`ivfpq_topk_pruned`."""
+    codes = ivfpq_encode(
+        embeddings, centroids, codebooks, n_subspaces, dim, id_col, vec_col
+    )
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ivfpq_topk_pruned(
+    spark,
+    path: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF-PQ query over a :func:`write_ivfpq_index` layout: rank the
+    probed cells, collect their ids (metadata-scale — n_probe small
+    ints, the one sanctioned literal-IN so pruning happens at PLANNING
+    time), scan only those cell partitions of the CODES table, and
+    ADC-score. Same results as :func:`ivfpq_adc_topk` over the full
+    codes frame; the scan reads n_probe/n_cells of the files
+    (pytest-verified via PartitionFilters)."""
+    qcells = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("cell_id"),
+            cosine(F.col(query_vec_col), F.col("cv")).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    cells = [r["cell_id"] for r in qcells.collect()]
+    codes = spark.read.parquet(path).where(F.col("cell_id").isin(cells))
+    return ivfpq_adc_topk(
+        codes, query, centroids, codebooks, k, n_probe, n_subspaces, dim,
+        id_col, query_vec_col,
     )

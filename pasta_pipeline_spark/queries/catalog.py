@@ -9014,3 +9014,119 @@ def q_media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="jpeg_full"
     )
     return decode_image_pixels(media)
+
+
+def _ivfpq_oracle(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+) -> str:
+    """Exact DuckDB twin of q_ivf_pq_topk — the full IVFADC cascade
+    replayed in SQL: seed centroids, argmax-cosine cell assignment,
+    element-wise residual subtraction (list_transform over an index
+    list — per-element IEEE double ops, bit-identical to Spark's
+    zip_with), residual seed codebooks, fixed-point L2² encode,
+    n_probe cell ranking, per-cell query residual distance tables,
+    int64 ADC sum."""
+    sub = dim // n_subspaces
+    cos_cv = _cosine_sql("e.embedding::DOUBLE[]", "c.cv")
+    cos_qc = _cosine_sql("q.qv", "c.cv")
+
+    def l2fp(a, b):
+        return (
+            f"CAST(FLOOR((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b})) * 10000000) AS BIGINT)"
+        )
+
+    return f"""
+    WITH ms AS (
+      SELECT unnest(generate_series(0, {n_subspaces - 1})) AS m
+    ), cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell_id,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT {n_cells})
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+    ), assigned AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_cv} DESC, c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ), res AS (
+      SELECT a.vec_id, a.cell_id,
+             list_transform(generate_series(1, {dim}), i -> a.v[i] - c.cv[i]) AS rv
+      FROM assigned a JOIN cent c USING (cell_id)
+    ), cb_src AS (
+      SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT {n_codes}
+    ), cb0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code, rv
+      FROM cb_src
+    ), cb AS (
+      SELECT code, m, rv[(m*{sub}+1):(m*{sub}+{sub})] AS cv
+      FROM cb0 CROSS JOIN ms
+    ), corpus AS (
+      SELECT vec_id, cell_id, m, rv[(m*{sub}+1):(m*{sub}+{sub})] AS sv
+      FROM res CROSS JOIN ms
+    ), l2 AS (
+      SELECT c.vec_id, c.cell_id, c.m, b.code, {l2fp('c.sv', 'b.cv')} AS fp
+      FROM corpus c JOIN cb b USING (m)
+    ), enc AS (
+      SELECT vec_id, cell_id, m, code FROM (
+        SELECT vec_id, cell_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY fp, code) AS rk
+        FROM l2
+      ) WHERE rk = 1
+    ), qcells AS (
+      SELECT cell_id, cv FROM (
+        SELECT c.cell_id, c.cv, {cos_qc} AS csim FROM q CROSS JOIN cent c
+      ) ORDER BY csim DESC, cell_id ASC LIMIT {n_probe}
+    ), qres AS (
+      SELECT qc.cell_id,
+             list_transform(generate_series(1, {dim}), i -> q.qv[i] - qc.cv[i]) AS qr
+      FROM q CROSS JOIN qcells qc
+    ), qm AS (
+      SELECT cell_id, m, qr[(m*{sub}+1):(m*{sub}+{sub})] AS sv
+      FROM qres CROSS JOIN ms
+    ), dt AS (
+      SELECT qm.cell_id, b.m, b.code, {l2fp('qm.sv', 'b.cv')} AS qfp
+      FROM qm JOIN cb b USING (m)
+    )
+    SELECT e.vec_id, CAST(SUM(d.qfp) AS BIGINT) AS adc_fp
+    FROM enc e JOIN dt d
+      ON e.cell_id = d.cell_id AND e.m = d.m AND e.code = d.code
+    GROUP BY e.vec_id
+    ORDER BY adc_fp ASC, e.vec_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "ivf_pq_topk",
+    _ivfpq_oracle(),
+    doc="IVF-PQ composite ANN (similarity.ivf_pq_topk — the FAISS "
+    "IVFADC production shape, Jégou et al. TPAMI'11 §V): coarse IVF "
+    "cells prune the search to n_probe/n_cells of the index, and the "
+    "pruned scan reads RESIDUAL product-quantization codes scored by "
+    "ADC (per-cell distance tables over the query residual) — at "
+    "100 TB the scan is n_probe cell partitions of 4-small-int rows, "
+    "never float vectors (write_ivfpq_index partitions the codes by "
+    "cell, pruning pytest-verified via PartitionFilters). Residual "
+    "encoding is what lets ONE shared codebook cover all cells. "
+    "Deterministic end to end — double zip_with residuals, "
+    "fixed-point L2² per table entry, int64 ADC — so the whole "
+    "cascade (assign -> residual -> encode -> probe -> per-cell "
+    "tables -> ADC rank) hash-replays in SQL; recall vs exact top-k "
+    "pytest-pinned on a clustered fixture. Lloyd's training for both "
+    "quantizers slots in via train_iterations without changing the "
+    "query shape.",
+)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return ivf_pq_topk(emb, query, k=10)

@@ -314,3 +314,107 @@ def test_ivf_partitioned_scan_prunes(spark, tmp_path):
     ref = ivf_topk(emb, query, k=10, n_cells=8, n_probe=2, train_iterations=2)
     ref_ids = [r["vec_id"] for r in ref.collect()]
     assert [g[0] for g in got] == ref_ids
+
+
+def test_ivfpq_composite_recall_and_pruned_layout(spark, tmp_path):
+    """IVF-PQ (IVFADC) composite. Four layers:
+
+    1. recall: on a clustered fixture the composite's top-10 by ADC
+       over residual codes recovers >= 8 of the exact cosine top-10
+       (the query's own cluster concentrates in the probed cells and
+       the shared residual codebook separates it);
+    2. the persisted layout: write_ivfpq_index partitions the CODES
+       by cell, ivfpq_topk_pruned scans only the probed cells
+       (PartitionFilters evidence, same idiom as the IVF tier) and
+       returns exactly the in-memory composite's rows;
+    3. trained quantizers (train_iterations>0) keep the contract:
+       same return shape, recall at least as good as seeds here;
+    4. the codes table is the scan: n_subspaces rows of small ints
+       per vector, no float vector column.
+    """
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.similarity import (
+        _pq_seed_codebooks,
+        cosine_topk,
+        ivf_pq_topk,
+        ivf_residuals,
+        ivfpq_topk_pruned,
+        train_ivf_centroids,
+        write_ivfpq_index,
+    )
+
+    # 24 interleaved near-duplicate groups of 10 (group = i % 24):
+    # each group has a distinct two-spike base pattern, members differ
+    # only by tiny perturbations — so the exact top-10 of a query IS
+    # its group, the structure an ANN index must recover. Interleaving
+    # puts groups 0..7 at ids 0..7, giving the seed centroids 8
+    # distinct patterns.
+    rows = []
+    for i in range(240):
+        g = i % 24
+        base = [0.0] * 64
+        base[(g * 7) % 64] = 8.0
+        base[(g * 13 + 5) % 64] = 6.0
+        vec = [
+            base[d] + 0.02 * ((i * 37 + d * 13) % 101) / 101.0
+            for d in range(64)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = emb.where("vec_id = 3").select(F.col("embedding").alias("qv"))
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    assert exact == {i for i in range(240) if i % 24 == 3}  # fixture sanity
+
+    got = ivf_pq_topk(
+        emb, query, k=10, n_cells=8, n_probe=2, n_subspaces=4, n_codes=16
+    )
+    got_rows = [(r["vec_id"], r["adc_fp"]) for r in got.collect()]
+    assert len(got_rows) == 10
+    assert len({v for v, _ in got_rows} & exact) >= 8
+
+    # trained coarse + PQ quantizers: same shape, recall holds
+    trained = ivf_pq_topk(
+        emb, query, k=10, n_cells=8, n_probe=2, n_subspaces=4, n_codes=16,
+        train_iterations=2,
+    )
+    assert len({r["vec_id"] for r in trained.collect()} & exact) >= 8
+
+    # persisted inverted lists: codes partitioned by cell, pruned scan
+    cents = train_ivf_centroids(emb, n_cells=8, iterations=2).localCheckpoint()
+    res = ivf_residuals(emb, cents)
+    cb = _pq_seed_codebooks(res, 4, 16, 16, "vec_id", "rv").localCheckpoint()
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(emb, cents, cb, path)
+
+    stored = spark.read.parquet(path)
+    assert stored.count() == 240 * 4
+    assert set(stored.columns) == {"vec_id", "m", "code", "cell_id"}
+
+    pruned = ivfpq_topk_pruned(spark, path, query, cents, cb, k=10, n_probe=2)
+    import re
+
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell_id" in pf
+    in_list = re.search(r"IN \(([0-9,\s]+)\)", pf)
+    assert in_list is not None, pf
+    assert len({int(c) for c in in_list.group(1).split(",")}) <= 2
+
+    # parity: pruned layout == in-memory composite over the same
+    # trained cells + seed residual codebook
+    from pasta_pipeline_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+    )
+
+    mem = ivfpq_adc_topk(
+        ivfpq_encode(emb, cents, cb), query, cents, cb, k=10, n_probe=2
+    )
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
