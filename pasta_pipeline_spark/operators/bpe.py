@@ -12,13 +12,18 @@ algorithm, expressed relationally:
    statistics for BPE);
 2. each word starts as its character sequence (+ ``</w>`` end marker,
    per the paper);
-3. per merge round: count adjacent symbol pairs weighted by word
-   count (explode + groupBy), take the argmax (count desc, pair asc —
-   deterministic tie-break), collect that ONE row (a 1-row
-   metadata-scale collect, the same class as a lakehouse commit), and
-   rewrite every word's symbol array with the pair fused — a pure
-   ``aggregate`` fold expression, no UDF;
-4. after ``n_merges`` rounds the merge table IS the tokenizer.
+3. per round: count adjacent symbol pairs weighted by word count
+   (explode + groupBy), collect the top slice (metadata-scale), and
+   accept the maximal PROVABLY-ORDER-SAFE prefix — up to
+   ``batch_size`` pairwise-symbol-disjoint pairs that strictly beat
+   every conflicting candidate (the public batched-BPE trick; see
+   :func:`learn_bpe_merges_batched` for the safety argument) — then
+   rewrite every word's symbol array with the batch fused, pure
+   ``aggregate`` fold expressions, no UDF. One driver round-trip per
+   round instead of per merge; the learned sequence is IDENTICAL to
+   the classic one-merge-at-a-time algorithm
+   (:func:`learn_bpe_merges_sequential`, the differential reference);
+4. after ``n_merges`` merges the merge table IS the tokenizer.
 
 State is persisted and lineage-truncated per round (the fixpoint
 pattern duplicate_clusters uses). ``apply_bpe`` replays the learned
@@ -78,12 +83,28 @@ def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    batch_size: int = 8,
 ) -> list[tuple[int, str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus; returns
-    ``[(rank, left, right), ...]`` in application order. Driver-side
-    state is one (pair, count) row per round — everything heavy stays
-    distributed. Rounds where no adjacent pair remains (tiny corpora)
-    stop early."""
+    ``[(rank, left, right), ...]`` in application order. The default
+    path is the BATCHED trainer (:func:`learn_bpe_merges_batched` —
+    one driver round-trip per round of up to ``batch_size`` provably
+    order-safe merges, instead of one per merge); the result is
+    guaranteed identical to the sequential algorithm.
+    ``batch_size=1`` degenerates to the classic per-merge loop."""
+    return learn_bpe_merges_batched(docs, text_col, n_merges, batch_size)
+
+
+def learn_bpe_merges_sequential(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[int, str, str]]:
+    """The classic one-merge-per-round loop — kept as the exactness
+    reference the batched trainer is differentially tested against.
+    Driver-side state is one (pair, count) row per round — everything
+    heavy stays distributed. Rounds where no adjacent pair remains
+    (tiny corpora) stop early."""
     vocab = _word_distribution(docs, text_col).persist()
     merges: list[tuple[int, str, str]] = []
     for rank in range(n_merges):
@@ -235,3 +256,117 @@ def apply_bpe_batched(
             )
 
     return src.mapInPandas(run, schema).withColumnRenamed("doc_id", id_col)
+
+
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    batch_size: int = 8,
+    return_rounds: bool = False,
+):
+    """Batched BPE training — the SAME learned merge sequence as
+    :func:`learn_bpe_merges`, with one driver round-trip per ROUND
+    instead of per merge (the public batched-BPE trick; at a real 32k
+    vocabulary the sequential form is 32k Spark jobs).
+
+    Per round, the pair counts are computed once and the top slice
+    collected (a few hundred rows — metadata-scale); the round then
+    accepts the maximal SAFE prefix of the (count desc, pair asc)
+    order, where safe = provably the merges sequential BPE would pick
+    next, in this order:
+
+    - accepted pairs must be pairwise NON-CHAINING: candidate (l, r)
+      conflicts with an accepted (L, R) iff ``r == L`` or ``l == R``
+      (two pair occurrences can only overlap by chaining — "... l r=L
+      R ..." — so only then can one merge destroy the other's
+      occurrences; sharing the same left or same right symbol is
+      harmless, e.g. every word's end pair shares ``</w>`` as a right
+      symbol without interacting). Fused-string coincidences (l, r,
+      or l+r equal to an accepted fused string, or vice versa) also
+      conflict, conservatively;
+    - the prefix stops at the first conflicting candidate, and every
+      accepted pair must beat that candidate's count STRICTLY: a
+      merge of (L, R) only creates pairs involving its fused symbol,
+      each bounded by an existing pair that CHAINS with (L, R) —
+      (t, L) or (R, u) — which, being conflicting, sits at or below
+      the stop candidate in the sort; and it only shrinks pairs that
+      chain with it. Strictness also protects the (count, pair asc)
+      tie-break;
+    - if the fetched slice may be truncated, the last fetched count
+      is a stop bound too (unseen pairs sit below it);
+    - if nothing survives the guards, the round falls back to the
+      plain argmax — the classic sequential step, always safe.
+
+    So each accepted batch is exactly the next |batch| merges of the
+    sequential algorithm (differential pytest pins list equality and
+    the >=4x round reduction on the reference fixture). Vocabulary
+    rewrite applies the whole batch as nested fold expressions in one
+    projection with ONE checkpoint per round."""
+    vocab = _word_distribution(docs, text_col).persist()
+    merges: list[tuple[int, str, str]] = []
+    fetch = max(batch_size * 4, 16)
+    rounds = 0
+    while len(merges) < n_merges:
+        top = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(fetch)
+            .collect()
+        )
+        rounds += 1
+        if not top:
+            break
+        cap = min(batch_size, n_merges - len(merges))
+        accepted: list = []
+        lefts: set[str] = set()
+        rights: set[str] = set()
+        fused: set[str] = set()
+        stop_count = None
+        for row in top:
+            left, right = row["l"], row["r"]
+            both = left + right
+            chains = right in lefts or left in rights
+            coincides = (
+                left in fused
+                or right in fused
+                or both in lefts
+                or both in rights
+                or both in fused
+            )
+            if len(accepted) >= cap or chains or coincides:
+                stop_count = row["n"]
+                break
+            accepted.append(row)
+            lefts.add(left)
+            rights.add(right)
+            fused.add(both)
+        else:
+            if len(top) == fetch:
+                stop_count = top[-1]["n"]
+        if stop_count is not None:
+            accepted = [r for r in accepted if r["n"] > stop_count]
+        if not accepted:
+            accepted = [top[0]]
+        sym = F.col("symbols")
+        for row in accepted:
+            merges.append((len(merges), row["l"], row["r"]))
+            sym = _merge_pair_expr(sym, row["l"], row["r"])
+        new_vocab = vocab.select("word", "cnt", sym.alias("symbols")).localCheckpoint(
+            eager=True
+        )
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return (merges, rounds) if return_rounds else merges

@@ -959,3 +959,69 @@ def test_jpeg_full_pixel_decode(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"] for r in decode_image_pixels(df).collect()}
     assert got == {1, 2, 3}
+
+
+def test_bpe_batched_equals_sequential_with_fewer_rounds(spark):
+    """The batched trainer (default path) learns the IDENTICAL merge
+    sequence to the classic one-merge-per-round loop, in >=4x fewer
+    driver round-trips on a corpus with independent frequent families
+    — and stays identical on the heavily-chained low/new/wide corpus
+    where safety forces small batches."""
+    from pasta_pipeline_spark.operators.bpe import (
+        learn_bpe_merges_batched,
+        learn_bpe_merges_sequential,
+    )
+
+    # 6 families with disjoint alphabets: two words per family share a
+    # suffix letter, so the end pair (y_i, </w>) aggregates ABOVE the
+    # in-word pairs — round 1 safely accepts all six end merges
+    # together (same </w> right symbol never chains), round 2 the
+    # per-family continuations, etc.
+    fams = ["xyz", "abc", "def", "ghi", "jkl", "mno"]
+    words = []
+    for i, f in enumerate(fams):
+        words += [f[0] + f[1]] * (20 + i)       # "xy" etc.
+        words += [f[2] + f[1]] * (14 + 2 * i)   # "zy" etc.
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    seq = learn_bpe_merges_sequential(df, n_merges=12)
+    batched, rounds = learn_bpe_merges_batched(
+        df, n_merges=12, batch_size=8, return_rounds=True
+    )
+    assert batched == seq
+    assert rounds * 4 <= 12, rounds  # >=4x fewer driver round-trips
+
+    # chained corpus: batches shrink to stay safe, sequence still equal
+    df2 = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new newer"),
+         (2, "wide wider widest low new")],
+        "doc_id long, text string",
+    )
+    seq2 = learn_bpe_merges_sequential(df2, n_merges=8)
+    assert learn_bpe_merges_batched(df2, n_merges=8) == seq2
+
+
+def test_bpe_batched_equals_sequential_randomized(spark):
+    """Randomized differential: on arbitrary small corpora (heavy
+    ties, chained merges, self-pairs, shared suffixes) the batched
+    trainer's merge list equals the sequential algorithm's exactly."""
+    import random
+
+    from pasta_pipeline_spark.operators.bpe import (
+        learn_bpe_merges_batched,
+        learn_bpe_merges_sequential,
+    )
+
+    rng = random.Random(31)
+    alphabet = "abcde"
+    for trial in range(6):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(4, 10))
+        ]
+        text = " ".join(w for w in words for _ in range(rng.randint(1, 6)))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        seq = learn_bpe_merges_sequential(df, n_merges=10)
+        bat = learn_bpe_merges_batched(df, n_merges=10, batch_size=4)
+        assert bat == seq, (trial, text, seq, bat)
