@@ -53,7 +53,37 @@ def build_frontier(
     ``processed`` a single-column ``url`` frame of completed fetches.
     Returns ``(host, url, budget_rank)`` — admitted URLs with their
     per-host rank under the apportioned budget — plus
-    ``(host_rank, wave, fetch_at_s)`` when ``schedule=True``."""
+    ``(host_rank, wave, fetch_at_s)`` when ``schedule=True``.
+
+    Composed from :func:`admit_discoveries` (stages 1-4, the per-batch
+    incremental half the streaming frontier reuses) and
+    :func:`frontier_workload` (stages 5-6, a pure function of the
+    maintained fresh-URL set)."""
+    fresh = admit_discoveries(sitemaps, robots_rules, processed, agent=agent)
+    return frontier_workload(
+        fresh,
+        total_budget=total_budget,
+        agent=agent,
+        schedule=schedule,
+        crawl_delay_s=crawl_delay_s,
+        per_host_concurrency=per_host_concurrency,
+        start_ts_s=start_ts_s,
+        crawl_delays=crawl_delays,
+    )
+
+
+def admit_discoveries(
+    sitemaps: DataFrame,
+    robots_rules: DataFrame,
+    processed: DataFrame,
+    agent: str = "*",
+) -> DataFrame:
+    """Stages 1-4 of the frontier: sitemap parse -> canonicalize +
+    URL-dedup -> robots admission -> processed anti-join. Returns the
+    admitted FRESH ``(host, url)`` set — a pure set-valued function of
+    the discoveries, which is what makes the streaming frontier exact:
+    maintaining the UNION of per-batch admissions (keyed by url)
+    equals admitting the union."""
     discovered = parse_sitemap(sitemaps)
     canon = (
         discovered.select(
@@ -77,9 +107,26 @@ def build_frontier(
         .where(F.col("allowed"))
         .select("host", "url")
     )
-    fresh = admitted.join(
+    return admitted.join(
         processed.select(F.col("url")), "url", "left_anti"
     )
+
+
+def frontier_workload(
+    fresh: DataFrame,
+    total_budget: int = 10_000,
+    agent: str = "*",
+    schedule: bool = False,
+    crawl_delay_s: int = 1,
+    per_host_concurrency: int = 1,
+    start_ts_s: int = 0,
+    crawl_delays: DataFrame | None = None,
+) -> DataFrame:
+    """Stages 5-6 of the frontier over an admitted fresh-URL set
+    ``(host, url)``: per-host budget apportionment + rank cap, and the
+    optional politeness schedule. Budgets depend on the WHOLE set's
+    per-host mass, so this half runs over the maintained state, not
+    per micro-batch — host-count-scale work either way."""
     weights = fresh.groupBy(F.col("host").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("weight")
     )
