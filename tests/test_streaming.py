@@ -824,3 +824,96 @@ def test_incremental_compliance_sink(spark, tmp_table_dir):
             for r in store.read().collect()}
     assert live == batch
     assert live["a"][3] == 1 and live["d"][3] == 1   # straddling + new-host violations
+
+
+def test_incremental_frontier_sink_equals_batch(spark, tmp_table_dir):
+    """Streaming frontier == batch build_frontier over the union of
+    all discovery waves, including: canonical dups arriving in
+    DIFFERENT micro-batches (keyed merge dedups them), robots-denied
+    and already-processed urls dropped per batch, budgets
+    re-apportioned over the maintained whole, and the politeness
+    schedule — plus retry safety (a re-applied wave is a merge no-op)."""
+    from pasta_pipeline_spark.operators.robots import parse_robots_txt
+    from pasta_pipeline_spark.plans.frontier import build_frontier
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.frontier import (
+        frontier_from_state,
+        incremental_frontier_sink,
+    )
+
+    waves = [
+        [("a.com",
+          "<urlset>"
+          "<url><loc>https://A.COM/keep/1?utm_source=x</loc></url>"
+          "<url><loc>https://a.com/private/x</loc></url>"
+          "<url><loc>https://a.com/done/1</loc></url>"
+          "</urlset>")],
+        [("a.com",
+          "<urlset>"
+          "<url><loc>https://a.com/keep/1</loc></url>"      # cross-wave dup
+          "<url><loc>https://a.com/keep/2#frag</loc></url>"
+          "</urlset>"),
+         ("b.com",
+          "<urlset>"
+          + "".join(f"<url><loc>https://b.com/p/{i}</loc></url>" for i in range(4))
+          + "</urlset>")],
+        [("b.com",
+          "<urlset>"
+          + "".join(f"<url><loc>https://b.com/p/{i}</loc></url>" for i in range(2, 6))
+          + "</urlset>")],
+    ]
+    schema = "host string, sitemap_xml string"
+    rules = parse_robots_txt(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string",
+        )
+    ).localCheckpoint()
+    processed = spark.createDataFrame([("https://a.com/done/1",)], "url string")
+
+    src = f"{tmp_table_dir}/fr_src"
+    state = TableStore(spark, f"{tmp_table_dir}/fr_state")
+    ckpt = f"{tmp_table_dir}/fr_ckpt"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src)
+        incremental_frontier_sink(
+            stream, rules, processed, state, checkpoint_dir=ckpt
+        ).awaitTermination(120)
+
+    batch_all = build_frontier(
+        spark.createDataFrame([r for w in waves for r in w], schema),
+        rules, processed, total_budget=6,
+    )
+    live = frontier_from_state(state, total_budget=6)
+    assert {tuple(r) for r in live.collect()} == {tuple(r) for r in batch_all.collect()}
+
+    # schedule parity too
+    batch_sched = build_frontier(
+        spark.createDataFrame([r for w in waves for r in w], schema),
+        rules, processed, total_budget=6,
+        schedule=True, crawl_delay_s=3, start_ts_s=100,
+    )
+    live_sched = frontier_from_state(
+        state, total_budget=6, schedule=True, crawl_delay_s=3, start_ts_s=100
+    )
+    assert {tuple(r) for r in live_sched.collect()} == {
+        tuple(r) for r in batch_sched.collect()
+    }
+
+    # retry safety: re-applying the last wave directly is a no-op
+    from pasta_pipeline_spark.streaming.frontier import admit_discoveries
+
+    before = {tuple(r) for r in state.read().drop("__bkt").collect()}
+    import pyspark.sql.functions as SF
+
+    fresh = admit_discoveries(
+        spark.createDataFrame(waves[-1], schema), rules, processed
+    ).withColumn("__bkt", SF.pmod(SF.xxhash64("url"), SF.lit(16)).cast("int"))
+    state.merge_partitioned(fresh, key="url", partition_col="__bkt")
+    assert {tuple(r) for r in state.read().drop("__bkt").collect()} == before
+
+    # read-time processed refresh: a fetch completed after admission
+    done2 = spark.createDataFrame([("https://b.com/p/1",)], "url string")
+    live2 = frontier_from_state(state, total_budget=6, processed=done2)
+    assert "https://b.com/p/1" not in {r["url"] for r in live2.collect()}
