@@ -435,3 +435,73 @@ def extract_anchors(html: Column | str) -> Column:
     return F.zip_with(
         hrefs, bodies, lambda h, b: F.struct(h.alias("href"), clean(b).alias("anchor"))
     )
+
+
+#: spam-heuristic weights (integer points; shared by the SQL twin)
+URL_SPAM_W_DIGIT = 2
+URL_SPAM_W_HYPHEN = 3
+URL_SPAM_W_DEEP_SUBDOMAIN = 5   # > 4 host labels
+URL_SPAM_W_LONG_HOST = 5        # > 40 chars
+URL_SPAM_W_PARAM = 1
+URL_SPAM_W_PCT = 2
+
+
+def url_features(df, url_col: str, prefix: str = ""):
+    """Frontier-prioritization URL features + an integer spam score —
+    the IRLbot-style heuristic tier: hosts stuffed with digits and
+    hyphens, deep subdomain chains, very long hosts, parameter farms,
+    and heavy percent-encoding correlate with crawler traps and spam
+    networks, and a crawl budget should prefer low-score URLs long
+    before any content-based signal exists.
+
+    Appends (all integer, pure expressions, portable regex — host is
+    extracted by pattern, not engine URL functions, so the SQL twin is
+    exact): ``host, host_len, n_host_digits, n_host_hyphens,
+    n_labels, path_depth, n_params, n_pct, spam_points`` where
+    ``spam_points = 2*digits + 3*hyphens + 5*(labels>4) +
+    5*(host_len>40) + params + 2*pct``. A score, not a verdict —
+    threshold per corpus."""
+    u = F.col(url_col)
+    authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", ""
+    )
+    host_len = F.length(host).cast("long")
+    n_digits = (host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))).cast("long")
+    n_hyphens = (host_len - F.length(F.regexp_replace(host, r"-", ""))).cast("long")
+    n_labels = F.when(host == "", F.lit(0)).otherwise(
+        F.size(F.split(host, r"\."))
+    ).cast("long")
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    path_depth = (
+        F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    ).cast("long")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, r"&"))
+    ).cast("long")
+    n_pct = F.coalesce(
+        F.size(F.expr(f"regexp_extract_all({url_col}, '%[0-9A-Fa-f]{{2}}', 0)")),
+        F.lit(0),
+    ).cast("long")
+    spam = (
+        URL_SPAM_W_DIGIT * n_digits
+        + URL_SPAM_W_HYPHEN * n_hyphens
+        + F.when(n_labels > 4, F.lit(URL_SPAM_W_DEEP_SUBDOMAIN)).otherwise(0)
+        + F.when(host_len > 40, F.lit(URL_SPAM_W_LONG_HOST)).otherwise(0)
+        + URL_SPAM_W_PARAM * n_params
+        + URL_SPAM_W_PCT * n_pct
+    ).cast("long")
+    p = prefix
+    return df.select(
+        "*",
+        host.alias(f"{p}host"),
+        host_len.alias(f"{p}host_len"),
+        n_digits.alias(f"{p}n_host_digits"),
+        n_hyphens.alias(f"{p}n_host_hyphens"),
+        n_labels.alias(f"{p}n_labels"),
+        path_depth.alias(f"{p}path_depth"),
+        n_params.alias(f"{p}n_params"),
+        n_pct.alias(f"{p}n_pct"),
+        spam.alias(f"{p}spam_points"),
+    )

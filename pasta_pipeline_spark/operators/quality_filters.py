@@ -167,3 +167,106 @@ def gopher_rules_sql(table: str = "documents", id_col: str = "doc_id", text_col:
             AND (n_stop_distinct >= 2)) AS pass_all
     FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2) — the LINE tier
+# below the page-level rule table: C4's cleaning is famously applied
+# per line BEFORE page verdicts, and the two tiers catch different
+# garbage (navigation crumbs and cookie banners die at line level;
+# template pages die at page level).
+# ---------------------------------------------------------------------------
+
+#: C4 keeps lines that end in terminal punctuation...
+C4_TERMINAL_RE = "[.!?\"']$"
+#: ...and contain at least this many words.
+C4_MIN_LINE_WORDS = 5
+#: Page-level: at least this many sentences after cleaning.
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_clean(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4's cleaning recipe as one projection: keep lines that end in
+    terminal punctuation (. ! ? " ') AND carry >= 5 words; then the
+    page verdicts — no ``lorem ipsum``, no ``{`` (code-page tell),
+    and >= 3 sentences in the CLEANED text (terminal-punct count, the
+    paper's sentence proxy). Returns per document the cleaned text,
+    line bookkeeping, and the named page verdicts + ``page_pass`` —
+    the audit-friendly verdict-table shape gopher_rules set.
+
+    Pure Column expressions (nested higher-order functions — the line
+    filter's word count folds inside the row); the oracle twin
+    (:func:`c4_line_clean_sql`) is generated from the SAME constants,
+    so engine and oracle cannot drift. One codegen stage over the
+    scan; no explode, no shuffle."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def line_kept(line):
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return t.rlike(C4_TERMINAL_RE) & (words >= C4_MIN_LINE_WORDS)
+
+    kept = F.filter(lines, line_kept)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.coalesce(
+        F.size(F.split(cleaned, r"[.!?]")) - 1, F.lit(0)
+    ).cast("long")
+    no_lorem = ~F.lower(F.coalesce(c, F.lit(""))).contains("lorem ipsum")
+    no_brace = ~F.coalesce(c, F.lit("")).contains("{")
+    min_sentences = n_sentences >= C4_MIN_SENTENCES
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+        cleaned.alias("cleaned_text"),
+        n_sentences.alias("n_sentences"),
+        no_lorem.alias("no_lorem"),
+        no_brace.alias("no_brace"),
+        min_sentences.alias("min_sentences"),
+        (no_lorem & no_brace & min_sentences).alias("page_pass"),
+    )
+
+
+def c4_line_clean_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`c4_line_clean`, generated from the same
+    constants. Sentence proxy counts terminal-punct splits the same
+    way (split-array length - 1)."""
+    kept = (
+        f"list_filter(str_split({text_col}, chr(10)), l -> "
+        f"regexp_matches(trim(l), '[.!?\"'']$') AND "
+        f"len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> w <> ''))"
+        f" >= {C4_MIN_LINE_WORDS})"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             str_split({text_col}, chr(10)) AS lines,
+             -- array_to_string collapses the empty list to NULL in
+             -- DuckDB; an empty kept set must stay '' (only a NULL
+             -- input text is NULL), matching Spark's array_join
+             CASE WHEN {text_col} IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string({kept}, chr(10)), '') END AS cleaned,
+             len({kept}) AS n_kept,
+             NOT contains(lower(COALESCE({text_col}, '')), 'lorem ipsum') AS no_lorem,
+             NOT contains(COALESCE({text_col}, ''), '{{') AS no_brace
+      FROM {table}
+    )
+    SELECT {id_col},
+           CAST(COALESCE(len(lines), 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           cleaned AS cleaned_text,
+           CAST(COALESCE(len(str_split_regex(cleaned, '[.!?]')) - 1, 0) AS BIGINT)
+             AS n_sentences,
+           no_lorem, no_brace,
+           COALESCE(len(str_split_regex(cleaned, '[.!?]')) - 1, 0)
+             >= {C4_MIN_SENTENCES} AS min_sentences,
+           no_lorem AND no_brace AND
+             (COALESCE(len(str_split_regex(cleaned, '[.!?]')) - 1, 0)
+              >= {C4_MIN_SENTENCES}) AS page_pass
+    FROM base
+    """

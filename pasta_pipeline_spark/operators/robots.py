@@ -259,3 +259,39 @@ def parse_sitemap_directives(
         .where(F.col("sitemap_url") != "")
         .distinct()
     )
+
+
+def robots_refetch_list(
+    frontier_hosts: DataFrame,
+    robots_cache: DataFrame,
+    now_s: int,
+    max_age_s: int = 86400,
+    host_col: str = "host",
+    fetched_col: str = "fetched_at_s",
+) -> DataFrame:
+    """Which hosts need a robots.txt (re)fetch before the next crawl
+    wave: every frontier host whose cached robots entry is missing or
+    older than ``max_age_s`` (RFC 9309 §2.4 allows caching 'generally
+    up to 24 hours'). Per host: ``(host, last_fetch_s, age_s, stale)``
+    with NULL last_fetch for never-fetched hosts (always stale).
+
+    The staleness audit the crawl stack was missing: admission
+    (robots_verdict) assumes rules are CURRENT; this is the operator
+    that keeps them so — run it against the frontier's host set, fetch
+    the stale list, then admit. Frontier hosts dedupe first; the cache
+    side aggregates to one row per host (latest fetch wins) — both
+    frames are host-cardinality, one broadcast-friendly join."""
+    hosts = frontier_hosts.select(F.col(host_col).alias("host")).distinct()
+    cache = robots_cache.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(F.col(fetched_col).cast("long")).alias("last_fetch_s")
+    )
+    j = hosts.join(cache, "host", "left")
+    age = F.lit(int(now_s)) - F.col("last_fetch_s")
+    return j.select(
+        "host",
+        F.col("last_fetch_s"),
+        age.cast("long").alias("age_s"),
+        (
+            F.col("last_fetch_s").isNull() | (age > F.lit(int(max_age_s)))
+        ).alias("stale"),
+    )

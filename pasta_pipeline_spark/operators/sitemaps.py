@@ -113,3 +113,52 @@ def refresh_selection(
         .where(F.col("reason").isNotNull())
         .select("host", "url", "lastmod_s", "fetched_at_s", "reason")
     )
+
+
+def recrawl_schedule(
+    observations: DataFrame,
+    now_s: int,
+    default_interval_s: int = 604800,
+    min_interval_s: int = 3600,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod_s",
+) -> DataFrame:
+    """Change-rate-driven recrawl scheduling: from a history of
+    observed ``(url, lastmod_s)`` values (sitemap lastmod across
+    refresh fetches, or content-hash change timestamps), estimate each
+    URL's change interval and schedule the next fetch —
+
+    - ``n_obs`` distinct observed modification times;
+    - ``interval_s`` = observed span div (n_obs - 1) — the mean
+      change interval (the uniform-rate estimator a Poisson change
+      model reduces to on a lastmod trail) — clamped below by
+      ``min_interval_s`` (politeness floor); URLs observed changing
+      once or never fall back to ``default_interval_s``;
+    - ``next_due_s`` = last observed change + interval;
+    - ``due_now`` = next_due_s <= now.
+
+    The freshness economics of a 100 TB crawl: refetching everything
+    daily wastes the budget on dead pages, weekly misses news; per-URL
+    rate estimation IS the fix, and it is one groupBy over the
+    observation history (url-cardinality output) with pure integer
+    arithmetic — hash-replayable in SQL."""
+    agg = observations.groupBy(F.col(url_col).alias("url")).agg(
+        F.count_distinct(F.col(lastmod_col).cast("long")).alias("n_obs"),
+        F.min(F.col(lastmod_col).cast("long")).alias("first_s"),
+        F.max(F.col(lastmod_col).cast("long")).alias("last_s"),
+    )
+    est = F.when(
+        F.col("n_obs") >= 2,
+        F.greatest(
+            F.expr("(last_s - first_s) div (n_obs - 1)"),
+            F.lit(int(min_interval_s)),
+        ),
+    ).otherwise(F.lit(int(default_interval_s)))
+    return agg.select(
+        "url",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("last_s").alias("last_change_s"),
+        est.cast("long").alias("interval_s"),
+        (F.col("last_s") + est).cast("long").alias("next_due_s"),
+        ((F.col("last_s") + est) <= F.lit(int(now_s))).alias("due_now"),
+    )

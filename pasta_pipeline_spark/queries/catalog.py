@@ -9130,3 +9130,233 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
     return ivf_pq_topk(emb, query, k=10)
+
+
+#: deterministic multi-line injection — the driver's synthetic texts
+#: carry no newlines or punctuation, which would leave C4's line
+#:  filter unexercised; both engines append the SAME id-keyed lines
+#: (kept sentence / short line / brace page / lorem page).
+_C4_INJECT_SQL = (
+    "text || CASE doc_id % 5"
+    " WHEN 0 THEN chr(10) || 'This is a proper sentence with enough words here.'"
+    "   || chr(10) || 'short line.'"
+    "   || chr(10) || 'Another full sentence that also ends with punctuation today!'"
+    "   || chr(10) || 'And a third complete sentence closes out the page nicely.'"
+    " WHEN 1 THEN chr(10) || 'nav menu home about contact'"
+    "   || chr(10) || 'One single proper sentence with enough words here.'"
+    " WHEN 2 THEN chr(10) || 'var x = { a: 1 } and some trailing words to read.'"
+    " WHEN 3 THEN chr(10) || 'Lorem ipsum dolor sit amet is the classic filler text.'"
+    " ELSE '' END"
+)
+
+
+def _c4_oracle() -> str:
+    from pasta_pipeline_spark.operators.quality_filters import c4_line_clean_sql
+
+    inner = c4_line_clean_sql("src", "doc_id", "t").replace(
+        "WITH base AS", ", base AS", 1
+    )
+    return f"WITH src AS (SELECT doc_id, {_C4_INJECT_SQL} AS t FROM documents)\n{inner}"
+
+
+@register(
+    "c4_line_clean",
+    _c4_oracle(),
+    doc="C4 line-level cleaning (quality_filters.c4_line_clean, Raffel "
+    "et al. 2020 §2.2): keep lines ending in terminal punctuation with "
+    ">= 5 words, then page verdicts — no 'lorem ipsum', no '{', >= 3 "
+    "sentences in the CLEANED text — the famous line tier BELOW the "
+    "gopher_rules page table (navigation crumbs and cookie banners "
+    "die per line; template pages per page). One projection, nested "
+    "higher-order functions, no explode/shuffle; the oracle SQL is "
+    "generated from the same constants so thresholds cannot drift; "
+    "cleaned text itself is part of the hash.",
+)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_filters import c4_line_clean
+
+    docs = _tp(spark, sf_dir, "documents")
+    nl = "\n"
+    inject = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(
+                nl + "This is a proper sentence with enough words here."
+                + nl + "short line."
+                + nl + "Another full sentence that also ends with punctuation today!"
+                + nl + "And a third complete sentence closes out the page nicely."
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit(
+                nl + "nav menu home about contact"
+                + nl + "One single proper sentence with enough words here."
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit(nl + "var x = { a: 1 } and some trailing words to read."),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.lit(nl + "Lorem ipsum dolor sit amet is the classic filler text."),
+        )
+        .otherwise(F.lit("")),
+    )
+    src = docs.select("doc_id", inject.alias("t"))
+    return c4_line_clean(src, "doc_id", "t")
+
+
+@register(
+    "robots_refetch",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host
+      FROM documents
+    ), cache AS (
+      SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host,
+             CAST(1000 + (doc_id * 37) % 500 AS BIGINT) AS fetched_at_s
+      FROM documents WHERE doc_id % 9 < 6
+    ), latest AS (
+      SELECT host, MAX(fetched_at_s) AS last_fetch_s FROM cache GROUP BY host
+    )
+    SELECT h.host, l.last_fetch_s,
+           CAST(1600 - l.last_fetch_s AS BIGINT) AS age_s,
+           (l.last_fetch_s IS NULL OR 1600 - l.last_fetch_s > 300) AS stale
+    FROM hosts h LEFT JOIN latest l USING (host)
+    """,
+    doc="robots.txt cache staleness audit (robots.robots_refetch_list, "
+    "RFC 9309 §2.4 '24 hours' caching): which frontier hosts need a "
+    "robots (re)fetch before the next wave — never-fetched hosts and "
+    "entries older than max_age. Completes the crawl stack's "
+    "admission-is-current contract: robots_verdict assumes fresh "
+    "rules; this is what keeps them fresh. Host-cardinality frames, "
+    "one broadcast-friendly left join, full-hash replay.",
+)
+def q_robots_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.robots import robots_refetch_list
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string"), F.lit(".example")).alias("host")
+    )
+    cache = docs.where(F.col("doc_id") % 9 < 6).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string"), F.lit(".example")).alias("host"),
+        (F.lit(1000) + (F.col("doc_id") * 37) % 500).cast("long").alias("fetched_at_s"),
+    )
+    return robots_refetch_list(hosts, cache, now_s=1600, max_age_s=300)
+
+
+@register(
+    "recrawl_schedule",
+    """
+    WITH obs AS (
+      SELECT 'https://e.example/p' || CAST(event_id % 50 AS VARCHAR) AS url,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS lastmod_s
+      FROM events
+    ), agg AS (
+      SELECT url,
+             CAST(COUNT(DISTINCT lastmod_s) AS BIGINT) AS n_obs,
+             MIN(lastmod_s) AS first_s,
+             MAX(lastmod_s) AS last_s
+      FROM obs GROUP BY url
+    ), est AS (
+      SELECT url, n_obs, last_s,
+             CASE WHEN n_obs >= 2
+                  THEN GREATEST((last_s - first_s) // (n_obs - 1), 3600)
+                  ELSE 604800 END AS interval_s
+      FROM agg
+    )
+    SELECT url, n_obs,
+           CAST(last_s AS BIGINT) AS last_change_s,
+           CAST(interval_s AS BIGINT) AS interval_s,
+           CAST(last_s + interval_s AS BIGINT) AS next_due_s,
+           (last_s + interval_s) <= 1500000000 AS due_now
+    FROM est
+    """,
+    doc="Change-rate recrawl scheduling (sitemaps.recrawl_schedule): "
+    "per-URL mean change interval from the observed lastmod trail "
+    "(span div (n_obs-1), the uniform-rate estimator a Poisson change "
+    "model reduces to), politeness-floored, with next-due timestamps "
+    "and a due-now verdict — the freshness economics of a 100 TB "
+    "crawl (daily refetch wastes budget on dead pages; rate "
+    "estimation fixes it). One groupBy over the observation history, "
+    "URL-cardinality output, pure integer arithmetic, full-hash "
+    "replay.",
+)
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sitemaps import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(F.lit("https://e.example/p"), (F.col("event_id") % 50).cast("string")).alias("url"),
+        F.expr("unix_micros(ts) div 1000000").cast("long").alias("lastmod_s"),
+    )
+    return recrawl_schedule(obs, now_s=1_500_000_000)
+
+
+@register(
+    "url_spam_features",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.h' ||
+             CAST(doc_id % 97 AS VARCHAR) ||
+             repeat('-a', doc_id % 4) || '.example.com/p/x/' ||
+             CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=%20x&c=%2Fy' ELSE '' END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+               '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM urls
+    ), feats AS (
+      SELECT doc_id, url, host,
+             CAST(length(host) AS BIGINT) AS host_len,
+             CAST(length(host) - length(regexp_replace(host, '[0-9]', '', 'g')) AS BIGINT) AS n_host_digits,
+             CAST(length(host) - length(regexp_replace(host, '-', '', 'g')) AS BIGINT) AS n_host_hyphens,
+             CAST(CASE WHEN host = '' THEN 0 ELSE len(str_split(host, '.')) END AS BIGINT) AS n_labels,
+             CAST(length(path) - length(regexp_replace(path, '/', '', 'g')) AS BIGINT) AS path_depth,
+             CAST(CASE WHEN q = '' THEN 0 ELSE len(str_split(q, '&')) END AS BIGINT) AS n_params,
+             CAST(len(regexp_extract_all(url, '%[0-9A-Fa-f][0-9A-Fa-f]')) AS BIGINT) AS n_pct
+      FROM parts
+    )
+    SELECT doc_id, url, host, host_len, n_host_digits, n_host_hyphens,
+           n_labels, path_depth, n_params, n_pct,
+           CAST(2 * n_host_digits + 3 * n_host_hyphens
+                + CASE WHEN n_labels > 4 THEN 5 ELSE 0 END
+                + CASE WHEN host_len > 40 THEN 5 ELSE 0 END
+                + n_params + 2 * n_pct AS BIGINT) AS spam_points
+    FROM feats
+    """,
+    doc="URL spam/trap heuristics for frontier prioritization "
+    "(functions/urls.url_features, IRLbot-style): digit- and "
+    "hyphen-stuffed hosts, deep subdomain chains, long hosts, "
+    "parameter farms, heavy percent-encoding — integer feature "
+    "columns + a weighted spam_points score a crawl budget can rank "
+    "on before any content exists. Host extracted by PORTABLE regex "
+    "(not engine URL functions) so the SQL twin is exact; pure "
+    "expressions, one projection, weights shared via module "
+    "constants.",
+)
+def q_url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.urls import url_features
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".h"), (F.col("doc_id") % 97).cast("string"),
+            F.expr("repeat('-a', CAST(doc_id % 4 AS INT))"),
+            F.lit(".example.com/p/x/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("?a=1&b=%20x&c=%2Fy")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_features(urls, "url")

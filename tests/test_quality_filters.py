@@ -247,3 +247,100 @@ def test_parse_sitemap_directives(spark):
         ("a.com", "https://a.com/s1.xml"),
         ("a.com", "https://a.com/s2.xml"),
     }
+
+
+def test_c4_line_clean_contract(spark):
+    """C4 line cleaning: terminal-punct + min-words line filter, page
+    verdicts (lorem/brace/min-sentences), NULL text safety, and the
+    cleaned text itself."""
+    from pasta_pipeline_spark.operators.quality_filters import c4_line_clean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a proper sentence with enough words.\n"
+                "short.\n"
+                "menu home about contact login\n"
+                "Another good long sentence ends here too!\n"
+                "And a third full sentence completes the page.\n"),
+            (2, "Only one good sentence lives on this page."),  # < 3 sentences
+            (3, "A fine sentence with words to spare right here.\n"
+                "if (x) { return 1; } and some words too."),     # brace page
+            (4, "Lorem ipsum dolor sit amet consectetur filler here."),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_line_clean(docs).collect()}
+
+    # doc 1: 3 lines kept (terminal punct AND >=5 words), others dropped
+    assert got[1]["n_kept"] == 3
+    assert got[1]["cleaned_text"].count("\n") == 2
+    assert "menu home" not in got[1]["cleaned_text"]
+    assert "short." not in got[1]["cleaned_text"]  # 1 word
+    assert got[1]["page_pass"] is True and got[1]["n_sentences"] >= 3
+
+    assert got[2]["n_kept"] == 1 and got[2]["min_sentences"] is False
+    assert got[2]["page_pass"] is False
+
+    assert got[3]["no_brace"] is False and got[3]["page_pass"] is False
+    assert got[4]["no_lorem"] is False and got[4]["page_pass"] is False
+
+    assert got[5]["cleaned_text"] is None and got[5]["n_kept"] == 0
+    assert got[5]["page_pass"] is False
+
+
+def test_robots_refetch_and_recrawl_schedule(spark):
+    from pasta_pipeline_spark.operators.robots import robots_refetch_list
+    from pasta_pipeline_spark.operators.sitemaps import recrawl_schedule
+
+    hosts = spark.createDataFrame(
+        [("a.com",), ("a.com",), ("b.com",), ("c.com",)], "host string"
+    )
+    cache = spark.createDataFrame(
+        [("a.com", 900), ("a.com", 1500), ("b.com", 100)],
+        "host string, fetched_at_s long",
+    )
+    got = {r["host"]: r.asDict() for r in
+           robots_refetch_list(hosts, cache, now_s=1600, max_age_s=300).collect()}
+    assert len(got) == 3  # frontier hosts deduped
+    assert got["a.com"]["stale"] is False and got["a.com"]["last_fetch_s"] == 1500
+    assert got["b.com"]["stale"] is True and got["b.com"]["age_s"] == 1500
+    assert got["c.com"]["stale"] is True and got["c.com"]["last_fetch_s"] is None
+
+    obs = spark.createDataFrame(
+        [("u1", 0), ("u1", 1000), ("u1", 4000),       # mean interval 2000
+         ("u2", 50), ("u2", 50),                       # 1 distinct obs -> default
+         ("u3", 10), ("u3", 20)],                      # span 10 -> floored
+        "url string, lastmod_s long",
+    )
+    got = {r["url"]: r.asDict() for r in
+           recrawl_schedule(obs, now_s=7000, default_interval_s=100_000,
+                            min_interval_s=600).collect()}
+    assert got["u1"]["interval_s"] == 2000 and got["u1"]["next_due_s"] == 6000
+    assert got["u1"]["due_now"] is True
+    assert got["u2"]["n_obs"] == 1 and got["u2"]["interval_s"] == 100_000
+    assert got["u2"]["due_now"] is False
+    assert got["u3"]["interval_s"] == 600  # politeness floor
+
+
+def test_url_features_contract(spark):
+    from pasta_pipeline_spark.functions.urls import url_features
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a1-b2.sub.spam4you.example.com:8080/p/x/y?a=1&b=%2F"),
+            (2, "https://clean.example.com/page"),
+            (3, "http://user@host.com/"),
+            (4, "not a url"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r.asDict() for r in url_features(urls, "url").collect()}
+    r1 = got[1]
+    assert r1["host"] == "a1-b2.sub.spam4you.example.com"  # port stripped
+    assert r1["n_host_digits"] == 3 and r1["n_host_hyphens"] == 1
+    assert r1["n_labels"] == 5 and r1["path_depth"] == 3
+    assert r1["n_params"] == 2 and r1["n_pct"] == 1
+    assert r1["spam_points"] > got[2]["spam_points"]
+    assert got[3]["host"] == "host.com"  # userinfo stripped
+    assert got[4]["host"] == "" and got[4]["spam_points"] == 0
