@@ -25,7 +25,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pasta_pipeline_spark.functions.text import tokenize_ws
@@ -1073,3 +1073,107 @@ def cluster_merge_text(
     for c in sum_cols:
         aggs.append(F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}"))
     return joined.groupBy(cluster_col).agg(*aggs)
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    shingle_table: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold — same exact
+    contract and output as :func:`jaccard_pairs`, via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07; Xiao et al.
+    WWW'08 PPJoin): under any global token order, two sets with
+    J >= t must share a token within their first
+    ``|x| - ceil(t*|x|) + 1`` tokens — so only PREFIXES are indexed
+    and joined, not whole sets.
+
+    Why this is the better 100 TB candidate generator: the inverted
+    index in jaccard_pairs posts every document under EVERY shingle,
+    so candidate volume is driven by the hottest (boilerplate)
+    shingles; ordering tokens by ascending document frequency puts
+    exactly the RAREST tokens in the prefixes, so hot shingles never
+    generate candidates unless a document consists of nothing else.
+    A pre-size length filter (``t*|x| <= |y|``) prunes further before
+    any pair exists.
+
+    Exactness discipline: the prefix length and length filter use
+    CONSERVATIVE integer arithmetic (floor-scaled threshold — never
+    shorter prefixes or tighter bounds than the real-valued ones, so
+    completeness cannot be lost to float rounding); the final verify
+    recomputes exact intersection sizes over the full shingle sets
+    and applies the same double-precision ``jaccard >= threshold``
+    filter jaccard_pairs uses, so the two operators are row- and
+    value-identical (pytest-pinned; shares jaccard_pairs' brute-force
+    SQL oracle in the catalog).
+
+    ``shingle_table``: precomputed hashed (doc, sh) frame to reuse
+    (the shared-scan path); caller owns its lifecycle."""
+    import math
+
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    own_cache = shingle_table is None
+    sh = (
+        _shingle_table(df, id_col, text_col, n).persist()
+        if own_cache
+        else shingle_table
+    )
+    # conservative integer threshold: T_floor/1e6 <= t always
+    t_floor = int(math.floor(threshold * 1_000_000))
+
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+        .join(sizes, "doc")
+    )
+    # prefix length p = n - ceil(t*n) + 1, with ceil replaced by the
+    # conservative (t_floor*n) div 1e6 <= floor(t*n) <= ceil(t*n)
+    prefix = ordered.where(
+        F.col("pos")
+        <= F.col("n_sh") - F.expr(f"({t_floor} * n_sh) div 1000000") + 1
+    ).select("doc", "sh", "n_sh")
+
+    a = prefix.select(
+        F.col("doc").alias("doc_a"), "sh", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc_b"), "sh", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # length filter, conservative: J>=t needs t*max <= min
+        .where(F.col("n_b") * 1_000_000 >= F.lit(t_floor) * F.col("n_a"))
+        .where(F.col("n_a") * 1_000_000 >= F.lit(t_floor) * F.col("n_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    # exact verify: intersection sizes over the FULL shingle sets of
+    # candidate pairs only (cost = sum of candidate set sizes)
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = cand.join(inter, ["doc_a", "doc_b"]).withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+    )
+    out = jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return attach_cached_deps(out, [sh]) if own_cache else out

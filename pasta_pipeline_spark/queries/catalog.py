@@ -9360,3 +9360,26 @@ def q_url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return url_features(urls, "url")
+
+
+@register(
+    "prefix_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="Dedup tier 3b — the SAME exact 3-gram Jaccard >= 0.5 contract "
+    "as ngram_jaccard_pairs, via PREFIX FILTERING (Chaudhuri/"
+    "Bayardo/Xiao PPJoin lineage): tokens globally ordered by "
+    "ascending document frequency, only each set's |x|-ceil(t|x|)+1 "
+    "prefix indexed and joined (rare tokens generate the candidates; "
+    "hot boilerplate shingles never do), conservative-integer prefix "
+    "and length bounds so float rounding can never lose a pair, then "
+    "exact intersection verify over candidate sets only. The better "
+    "candidate generator at 100 TB — the inverted index's cost tracks "
+    "its HOTTEST key, prefix filtering's tracks its rarest. Shares "
+    "the brute-force oracle (two algorithms, one contract); "
+    "equivalence with jaccard_pairs also pytest-pinned.",
+)
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)

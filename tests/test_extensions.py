@@ -1025,3 +1025,43 @@ def test_bpe_batched_equals_sequential_randomized(spark):
         seq = learn_bpe_merges_sequential(df, n_merges=10)
         bat = learn_bpe_merges_batched(df, n_merges=10, batch_size=4)
         assert bat == seq, (trial, text, seq, bat)
+
+
+def test_prefix_jaccard_equals_inverted_index(spark):
+    """PPJoin-style prefix filtering returns exactly the inverted-index
+    tier's rows — including threshold-boundary pairs (J == t, where a
+    float-sloppy length filter would drop them) and near-identical
+    docs — across several thresholds."""
+    from pasta_pipeline_spark.operators.text_dedup import (
+        jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    base = "w%d " * 10
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(12))),
+        (2, " ".join(f"w{i}" for i in range(12))),          # identical to 1
+        (3, " ".join(f"w{i}" for i in range(2, 14))),       # shifted overlap
+        (4, " ".join(f"w{i}" for i in range(6, 12))),       # subset-ish, short
+        (5, "x0 x1 x2 x3 x4 x5 x6 x7"),                     # disjoint
+        (6, " ".join(f"w{i}" for i in range(12)) + " tail"),# superset of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.6, 0.75):
+        ref = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in prefix_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert got == ref, (t, got ^ ref)
+    # sanity: the identical pair is present with J == 1.0
+    got05 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert got05[(1, 2)] == 1.0
