@@ -124,6 +124,9 @@ from pasta_pipeline_spark.operators.similarity import (
     write_ivf_partitioned,
 )
 
+from pasta_pipeline_spark.operators.dsir import dsir_select, dsir_weights
+from pasta_pipeline_spark.operators.sampling import greedy_pack
+
 __all__ = [
     "merge_upsert",
     "upsert_accumulate",
@@ -214,4 +217,7 @@ __all__ = [
     "schema_drift",
     "schedule_compliance",
     "decode_gif_pixels",
+    "dsir_select",
+    "dsir_weights",
+    "greedy_pack",
 ]

@@ -368,3 +368,119 @@ def budget_sample_global(
         .drop("__rnd", "__pid", "__offset")
     )
     return attach_cached_deps(result, [ranged])
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    group_col: str,
+) -> DataFrame:
+    """NO-SPLIT greedy sequence packing (next-fit): within each
+    ``group_col`` shard (ordered by ``id_col``), documents are placed
+    whole into consecutive packs; a new pack opens when the current one
+    cannot fit the next document. The truncation-free alternative to
+    :func:`pack_sequences` — concat-and-chunk splits ~(mean_len /
+    budget) of documents across window boundaries, which measurably
+    hurts downstream models (Ding et al. 2024, "Fewer Truncations
+    Improve Language Modeling", arXiv:2404.10830); next-fit never
+    splits, trading a bounded amount of padding instead.
+
+    Placement rule (exact contract the oracle replays): a document of
+    ``n = max(size, 0)`` units joins the current pack iff the pack is
+    empty or ``fill + n <= budget``; otherwise it opens the next pack.
+    Oversize documents (n > budget) therefore occupy a pack alone.
+    Emits ``(group_col, id_col, n_units, pack_id, offset_in_pack)``.
+
+    The running fill is a cumulative sum WITH RESET — not expressible
+    as a closed-form window function (each reset depends on the
+    previous reset), so this is a sanctioned Arrow stage: one
+    ``applyInPandas`` per shard, sequential only WITHIN a shard (the
+    packing order a training pipeline wants anyway — cross-shard
+    global packing would serialize the corpus). One shuffle on the
+    shard key; state per task is one (fill, pack) pair. The SQL twin
+    is a per-group recursive CTE (:func:`greedy_pack_oracle_sql`).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            df.schema[id_col],
+            StructField("n_units", LongType()),
+            StructField("pack_id", LongType()),
+            StructField("offset_in_pack", LongType()),
+        ]
+    )
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        sizes = (
+            pdf[size_col].fillna(0).astype("int64").clip(lower=0).to_numpy()
+        )
+        pack_ids, offsets = [], []
+        pack, fill = 0, 0
+        for n in sizes:
+            if fill > 0 and fill + int(n) > budget:
+                pack, fill = pack + 1, 0
+            pack_ids.append(pack)
+            offsets.append(fill)
+            fill += int(n)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "n_units": sizes,
+                "pack_id": pack_ids,
+                "offset_in_pack": offsets,
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, size_col)
+        .groupBy(group_col)
+        .applyInPandas(pack_group, out_schema)
+    )
+
+
+def greedy_pack_oracle_sql(
+    table: str,
+    id_col: str,
+    size_sql: str,
+    budget: int,
+    group_col: str,
+) -> str:
+    """DuckDB twin of :func:`greedy_pack`: the cumsum-with-reset
+    replayed as a recursive CTE stepping one row per group per
+    iteration (recursion depth = largest group, all groups advance in
+    the same step). ``size_sql`` is the SQL expression for the
+    document size in units."""
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT {group_col}, {id_col},
+             CAST(greatest(COALESCE(({size_sql}), 0), 0) AS BIGINT) AS n_units,
+             CAST(row_number() OVER (PARTITION BY {group_col}
+                                     ORDER BY {id_col} ASC) AS BIGINT) AS rn
+      FROM {table}
+    ), packed AS (
+      SELECT {group_col}, {id_col}, n_units, rn,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(0 AS BIGINT) AS offset_in_pack,
+             n_units AS fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.{group_col}, b.{id_col}, b.n_units, b.rn,
+             CASE WHEN p.fill > 0 AND p.fill + b.n_units > {budget}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.fill > 0 AND p.fill + b.n_units > {budget}
+                  THEN CAST(0 AS BIGINT) ELSE p.fill END,
+             CASE WHEN p.fill > 0 AND p.fill + b.n_units > {budget}
+                  THEN b.n_units ELSE p.fill + b.n_units END
+      FROM packed p
+      JOIN base b ON b.{group_col} = p.{group_col} AND b.rn = p.rn + 1
+    )
+    SELECT {group_col}, {id_col}, n_units, pack_id, offset_in_pack
+    FROM packed
+    """

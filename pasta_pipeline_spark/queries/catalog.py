@@ -9383,3 +9383,87 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling data selection (extension §2.12, r6)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    from pasta_pipeline_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql(
+        target_where="source IN ('src0', 'src1', 'src2', 'src3')", k=100
+    )
+
+
+@register(
+    "dsir_selection",
+    None,  # generated below — single source of truth in operators/dsir.py
+    doc="DSIR data selection (operators/dsir.py, Xie et al. arXiv:"
+    "2302.03169): hashed bag-of-words importance weights — add-one-"
+    "smoothed bucket multinomials fit on a target slice vs the raw "
+    "corpus, per-doc log-likelihood ratio in fixed-point ln (order-"
+    "free int64), deterministic top-k (zero-temperature resampling). "
+    "Model state is m=4096 buckets regardless of corpus size; the "
+    "only fact-scale shuffle is the per-doc aggregation; global top-k "
+    "via TakeOrderedAndProject. Oracle generated from the same "
+    "constants (playbook #11). No reference analog — public "
+    "literature.",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.dsir import dsir_select
+
+    docs = _tp(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3"), k=100
+    )
+
+
+REGISTRY["dsir_selection"] = QuerySpec(
+    spark_fn=REGISTRY["dsir_selection"].spark_fn,
+    oracle=_dsir_oracle(),
+    doc=REGISTRY["dsir_selection"].doc,
+)
+
+
+def _greedy_pack_oracle() -> str:
+    from pasta_pipeline_spark.operators.sampling import greedy_pack_oracle_sql
+
+    return greedy_pack_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        size_sql="len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))",
+        budget=256,
+        group_col="source",
+    )
+
+
+@register(
+    "greedy_pack",
+    None,  # generated below — single source of truth in operators/sampling.py
+    doc="NO-SPLIT greedy sequence packing (operators/sampling.py "
+    "greedy_pack; Ding et al. arXiv:2404.10830 motivation): documents "
+    "packed whole into 256-token context windows per source shard, "
+    "next-fit with reset — a cumulative sum WITH RESET, the textbook "
+    "not-window-expressible recurrence, run as ONE sanctioned Arrow "
+    "applyInPandas per shard (state = one (fill,pack) pair) and "
+    "replayed exactly by a per-group recursive CTE in the oracle. "
+    "Oversize docs isolate; empty docs occupy zero width.",
+)
+def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+    from pasta_pipeline_spark.operators.sampling import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__n_tok", F.size(tokenize_ws(F.col("text")))
+    )
+    return greedy_pack(docs, "doc_id", "__n_tok", budget=256, group_col="source")
+
+
+REGISTRY["greedy_pack"] = QuerySpec(
+    spark_fn=REGISTRY["greedy_pack"].spark_fn,
+    oracle=_greedy_pack_oracle(),
+    doc=REGISTRY["greedy_pack"].doc,
+)
