@@ -126,6 +126,8 @@ from pasta_pipeline_spark.operators.similarity import (
 
 from pasta_pipeline_spark.operators.dsir import dsir_select, dsir_weights
 from pasta_pipeline_spark.operators.sampling import greedy_pack
+from pasta_pipeline_spark.operators.text_analysis import perplexity_buckets
+from pasta_pipeline_spark.operators.quality_filters import curation_funnel
 
 __all__ = [
     "merge_upsert",
@@ -220,4 +222,6 @@ __all__ = [
     "dsir_select",
     "dsir_weights",
     "greedy_pack",
+    "perplexity_buckets",
+    "curation_funnel",
 ]

@@ -270,3 +270,115 @@ def c4_line_clean_sql(
               >= {C4_MIN_SENTENCES}) AS page_pass
     FROM base
     """
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — the attrition report of a filtering pipeline
+# ---------------------------------------------------------------------------
+
+#: Ordered funnel stages: (name, per-doc predicate builder). The funnel
+#: is CUMULATIVE — a document is "in" stage k iff it passed stages
+#: 1..k-1 — so the report reads as the pipeline actually executes.
+FUNNEL_STAGES = ("non_empty", "word_count", "gopher_all", "dedup_survivor")
+
+
+def curation_funnel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stagewise attrition report of the standard curation chain —
+    the table every corpus paper publishes (cf. FineWeb / RefinedWeb
+    ablation tables): for each stage, how many documents entered,
+    survived, and were dropped.
+
+    Stages (cumulative conjunction, in pipeline order):
+
+    1. ``non_empty`` — text present and non-empty;
+    2. ``word_count`` — Gopher word-count bounds (r_word_count);
+    3. ``gopher_all`` — the full Gopher rule conjunction;
+    4. ``dedup_survivor`` — exact-dup keep-first survivor (min id per
+       md5(text) group).
+
+    One scan computes every per-doc flag (the gopher frame joins the
+    dedup window on id), ONE conditional aggregate reduces them to a
+    single row of running-conjunction counts, and the 4-row funnel is
+    inlined from that scalar row — output is metadata-scale, the only
+    fact-scale shuffles are the gopher join and the md5 dedup window.
+    """
+    from pyspark.sql import Window
+
+    g = gopher_rules(docs, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+        F.asc(id_col)
+    )
+    surv = docs.select(
+        F.col(id_col),
+        (F.col(text_col).isNotNull() & (F.length(text_col) > 0)).alias("s1"),
+        (F.row_number().over(w) == 1).alias("s4"),
+    )
+    flags = surv.join(
+        g.select(F.col(id_col), F.col("r_word_count").alias("s2"), F.col("pass_all").alias("s3")),
+        id_col,
+    )
+    c = lambda e: F.sum(F.when(e, 1).otherwise(0)).cast("long")  # noqa: E731
+    row = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        c(F.col("s1")).alias("n1"),
+        c(F.col("s1") & F.col("s2")).alias("n2"),
+        c(F.col("s1") & F.col("s2") & F.col("s3")).alias("n3"),
+        c(F.col("s1") & F.col("s2") & F.col("s3") & F.col("s4")).alias("n4"),
+    )
+    stages = [
+        (1, FUNNEL_STAGES[0], "n0", "n1"),
+        (2, FUNNEL_STAGES[1], "n1", "n2"),
+        (3, FUNNEL_STAGES[2], "n2", "n3"),
+        (4, FUNNEL_STAGES[3], "n3", "n4"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(nin).alias("n_in"),
+            F.col(nout).alias("n_out"),
+            (F.col(nin) - F.col(nout)).cast("long").alias("n_dropped"),
+        )
+        for i, name, nin, nout in stages
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def curation_funnel_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`curation_funnel`, generated over the SAME
+    gopher SQL builder so thresholds cannot drift."""
+    return f"""
+    WITH g AS ({gopher_rules_sql(table, id_col, text_col)}),
+    surv AS (
+      SELECT {id_col},
+             ({text_col} IS NOT NULL AND length({text_col}) > 0) AS s1,
+             (row_number() OVER (PARTITION BY md5({text_col})
+                                 ORDER BY {id_col} ASC) = 1) AS s4
+      FROM {table}
+    ),
+    flags AS (
+      SELECT surv.{id_col}, surv.s1, g.r_word_count AS s2,
+             g.pass_all AS s3, surv.s4
+      FROM surv JOIN g USING ({id_col})
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM flags
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'non_empty' AS stage,
+           n0 AS n_in, n1 AS n_out, CAST(n0 - n1 AS BIGINT) AS n_dropped FROM agg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'word_count', n1, n2, CAST(n1 - n2 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'gopher_all', n2, n3, CAST(n2 - n3 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'dedup_survivor', n3, n4, CAST(n3 - n4 AS BIGINT) FROM agg
+    """

@@ -906,3 +906,45 @@ def compression_ratio(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema)
+
+
+def perplexity_buckets(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """CCNet-style perplexity tiering (Wenzek et al. 2019,
+    arXiv:1911.00359): within each language, rank documents by their
+    LM score and cut the corpus into head / middle / tail thirds —
+    head (most fluent) feeds pretraining first, tail is review-or-drop.
+
+    The LM is the corpus-fit unigram model of :func:`unigram_nll`
+    (fixed-point int64 ``nll_fp``, hash-exact across engines); the cut
+    is ``ntile(3)`` over ``(nll_fp ASC, id ASC)`` — SQL-standard ntile
+    (first ``n % 3`` tiles one row larger) with a total order, so
+    bucket assignment is deterministic and engine-identical.
+
+    One window shuffle partitioned by language over the doc-scale
+    frame (the rank_normalize precedent — per-language partitions keep
+    all tasks parallel at corpus scale; no global sort).
+    """
+    nll = unigram_nll(docs, id_col=id_col, text_col=text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.asc("nll_fp"), F.asc(id_col))
+    tile = F.ntile(3).over(w)
+    return (
+        docs.select(F.col(id_col), F.col(lang_col))
+        .join(nll, id_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            "n_tokens",
+            "nll_fp",
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -9467,3 +9467,75 @@ REGISTRY["greedy_pack"] = QuerySpec(
     oracle=_greedy_pack_oracle(),
     doc=REGISTRY["greedy_pack"].doc,
 )
+
+
+@register(
+    "perplexity_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), tt AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS T FROM c
+    ), pd AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE)) * 1000000000) AS BIGINT)) AS BIGINT) AS s
+      FROM tok t JOIN c USING (token) GROUP BY t.doc_id
+    ), nll AS (
+      SELECT doc_id, n_tokens,
+             CAST((n_tokens * CAST(FLOOR(ln(CAST(T AS DOUBLE)) * 1000000000) AS BIGINT) - s)
+                  // n_tokens AS BIGINT) AS nll_fp
+      FROM pd CROSS JOIN tt
+    )
+    SELECT d.doc_id, d.lang, n.n_tokens, n.nll_fp,
+           CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY n.nll_fp ASC, d.doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM documents d JOIN nll n USING (doc_id)
+    """,
+    doc="CCNet perplexity tiering (operators/text_analysis.py "
+    "perplexity_buckets; Wenzek et al. arXiv:1911.00359): per-language "
+    "head/middle/tail thirds by the corpus-fit unigram LM score — "
+    "ntile(3) over a TOTAL order (nll_fp, doc_id) so the cut is "
+    "deterministic and engine-identical; one per-language window "
+    "shuffle, no global sort.",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import perplexity_buckets
+
+    return perplexity_buckets(_tp(spark, sf_dir, "documents"))
+
+
+def _curation_funnel_oracle() -> str:
+    from pasta_pipeline_spark.operators.quality_filters import curation_funnel_sql
+
+    return curation_funnel_sql()
+
+
+@register(
+    "curation_funnel",
+    None,  # generated below — single source of truth in operators/quality_filters.py
+    doc="Curation-funnel attrition report (operators/quality_filters.py "
+    "curation_funnel): the FineWeb/RefinedWeb-style ablation table — "
+    "per stage (non_empty -> Gopher word bounds -> full Gopher "
+    "conjunction -> exact-dup survivor) documents in / out / dropped, "
+    "as CUMULATIVE conjunctions so the report reads as the pipeline "
+    "executes. One scan + one conditional aggregate; 4-row metadata "
+    "output inlined from the scalar row; oracle generated from the "
+    "same gopher SQL builder.",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_filters import curation_funnel
+
+    return curation_funnel(_tp(spark, sf_dir, "documents"))
+
+
+REGISTRY["curation_funnel"] = QuerySpec(
+    spark_fn=REGISTRY["curation_funnel"].spark_fn,
+    oracle=_curation_funnel_oracle(),
+    doc=REGISTRY["curation_funnel"].doc,
+)

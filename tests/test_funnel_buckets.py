@@ -1,0 +1,51 @@
+"""Curation funnel + CCNet perplexity buckets (round 6) — unit checks
+on crafted fixtures; the oracle layer pins both against DuckDB at
+sf0.01 (catalog: curation_funnel, perplexity_buckets)."""
+
+from __future__ import annotations
+
+
+class TestCurationFunnel:
+    def test_counts_telescope_and_dedup_drops(self, spark):
+        # 3 identical good docs (dedup keeps 1), 1 empty, 1 too-short
+        good = (
+            "the quick brown fox jumps with many fine words and then "
+            "some more of the usual text so that every gopher rule is "
+            "satisfied here. " * 8
+        )
+        rows = [(1, good), (2, good), (3, good), (4, ""), (5, "tiny doc")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from pasta_pipeline_spark.operators.quality_filters import curation_funnel
+
+        out = {r["stage"]: r for r in curation_funnel(df).collect()}
+        assert out["non_empty"]["n_in"] == 5
+        assert out["non_empty"]["n_out"] == 4  # empty doc dies
+        # telescoping: each stage's n_in is the previous n_out
+        chain = ["non_empty", "word_count", "gopher_all", "dedup_survivor"]
+        for a, b in zip(chain, chain[1:]):
+            assert out[b]["n_in"] == out[a]["n_out"]
+        assert out["word_count"]["n_out"] == 3  # tiny doc dies
+        assert out["dedup_survivor"]["n_out"] == 1  # two clones die
+        for r in out.values():
+            assert r["n_dropped"] == r["n_in"] - r["n_out"]
+
+
+class TestPerplexityBuckets:
+    def test_thirds_per_language_and_ordering(self, spark):
+        # 9 docs in one lang: rare-token docs must land in 'tail'
+        rows = [(i, "common words here", "en") for i in range(6)]
+        rows += [(10 + i, f"rare{i} unique{i} token{i}", "en") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        from pasta_pipeline_spark.operators.text_analysis import perplexity_buckets
+
+        out = perplexity_buckets(df).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        assert {len(v) for v in by_bucket.values()} == {3}
+        # every tail doc scores >= every head doc
+        assert min(r["nll_fp"] for r in by_bucket["tail"]) >= max(
+            r["nll_fp"] for r in by_bucket["head"]
+        )
+        # the three rare-token docs are exactly the tail
+        assert {r["doc_id"] for r in by_bucket["tail"]} == {10, 11, 12}

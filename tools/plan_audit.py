@@ -77,6 +77,10 @@ SCALAR_CROSSJOIN_OK = {
     "cross-joined into the skinny metric frame",
     "datacard_diff": "two 1-row card instances plus the 1-row mean-length "
     "threshold scalar",
+    "dsir_selection": "1-row model token totals (Q, P) scalar for the "
+    "smoothing denominators",
+    "perplexity_buckets": "1-row corpus token total for the unigram model "
+    "(inherited from unigram_nll)",
 }
 
 
