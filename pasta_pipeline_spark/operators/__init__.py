@@ -128,6 +128,8 @@ from pasta_pipeline_spark.operators.dsir import dsir_select, dsir_weights
 from pasta_pipeline_spark.operators.sampling import greedy_pack
 from pasta_pipeline_spark.operators.text_analysis import perplexity_buckets
 from pasta_pipeline_spark.operators.quality_filters import curation_funnel
+from pasta_pipeline_spark.operators.divergence import ks_drift
+from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 
 __all__ = [
     "merge_upsert",
@@ -224,4 +226,6 @@ __all__ = [
     "greedy_pack",
     "perplexity_buckets",
     "curation_funnel",
+    "ks_drift",
+    "balanced_label_sample",
 ]

@@ -179,3 +179,109 @@ def js_between(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
             (F.col("inner_fp") + F.expr(_JS_EXCL)).cast("long").alias("js_fp"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_pred,
+    ks_scale: int = 10_000,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic over an integer
+    value column — the drift detector for "did the length / score /
+    size distribution move?" between two corpus slices (old vs new
+    crawl, source A vs B). ``group_pred`` is a boolean Column marking
+    slice A; everything else is slice B.
+
+    Exactness: the KS sup-distance is evaluated only at observed
+    values, and the comparison is cross-multiplied —
+    ``|cum_a * n_b - cum_b * n_a|`` — so it is pure int64 (no ECDF
+    doubles to diverge between engines; playbook #12). The reported
+    ``ks_fp`` is basis points of the true statistic:
+    ``ks_num * ks_scale div (n_a * n_b)``. The argmax value is the
+    SMALLEST value attaining the sup (deterministic tie-break).
+
+    Scale shape: one groupBy over DISTINCT values (metadata-scale
+    frame), one cumulative window over that distinct-value frame (the
+    sanctioned distinct-score SinglePartition shape — never the fact
+    table), totals ride in as a 1-row broadcast. NULL values are
+    excluded (no order position).
+    """
+    v = F.col(value_col).cast("long")
+    marked = df.where(v.isNotNull()).select(
+        v.alias("x"), F.when(group_pred, 1).otherwise(0).cast("long").alias("in_a")
+    )
+    per_x = marked.groupBy("x").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "x",
+        F.sum("a").over(w).cast("long").alias("ca"),
+        F.sum("b").over(w).cast("long").alias("cb"),
+    )
+    totals = per_x.agg(
+        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
+    )
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "x",
+        "n_a",
+        "n_b",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        .cast("long")
+        .alias("d_num"),
+    )
+    stat = d.groupBy("n_a", "n_b").agg(F.max("d_num").cast("long").alias("ks_num"))
+    return (
+        d.join(F.broadcast(stat), ["n_a", "n_b"])
+        .where(F.col("d_num") == F.col("ks_num"))
+        .groupBy("n_a", "n_b", "ks_num")
+        .agg(F.min("x").cast("long").alias("x_at_max"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            "x_at_max",
+            F.expr(f"(ks_num * {ks_scale}) div (n_a * n_b)")
+            .cast("long")
+            .alias("ks_fp"),
+        )
+    )
+
+
+def ks_drift_oracle_sql(
+    table: str,
+    value_sql: str,
+    group_a_where: str,
+    ks_scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`ks_drift` (same integer contract)."""
+    return f"""
+    WITH marked AS (
+      SELECT CAST(({value_sql}) AS BIGINT) AS x,
+             CASE WHEN ({group_a_where}) THEN 1 ELSE 0 END AS in_a
+      FROM {table} WHERE ({value_sql}) IS NOT NULL
+    ), per_x AS (
+      SELECT x, CAST(SUM(in_a) AS BIGINT) AS a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS b
+      FROM marked GROUP BY x
+    ), cum AS (
+      SELECT x,
+             CAST(SUM(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM per_x
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b FROM per_x
+    ), d AS (
+      SELECT x, n_a, n_b,
+             CAST(abs(ca * n_b - cb * n_a) AS BIGINT) AS d_num
+      FROM cum CROSS JOIN tot
+    )
+    SELECT n_a, n_b, CAST(MAX(d_num) AS BIGINT) AS ks_num,
+           CAST(MIN(CASE WHEN d_num = (SELECT MAX(d_num) FROM d) THEN x END) AS BIGINT) AS x_at_max,
+           CAST(MAX(d_num) * {ks_scale} // (n_a * n_b) AS BIGINT) AS ks_fp
+    FROM d GROUP BY n_a, n_b
+    """

@@ -484,3 +484,31 @@ def greedy_pack_oracle_sql(
     SELECT {group_col}, {id_col}, n_units, pack_id, offset_in_pack
     FROM packed
     """
+
+
+def balanced_label_sample(
+    df: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    ``min(class count)`` rows — the prep step before training any
+    classifier on skewed labels (quality/toxicity/language heads),
+    where majority-class dominance otherwise swamps the loss.
+
+    Which rows survive is md5-shuffled per class (id tiebreak):
+    deterministic across runs and engines, uncorrelated with any data
+    column — a sorted-by-id take would keep the oldest rows per class
+    and bias time-correlated features. The min count rides in as a
+    1-row broadcast scalar (metadata aggregate); the only fact-scale
+    shuffle is the per-label rank window.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    floor_row = counts.agg(F.min("c").cast("long").alias("m"))
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(label_col).orderBy(F.asc("__rnd"), F.asc(id_col))
+    return (
+        df.withColumn("__rnd", h)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(floor_row))
+        .where(F.col("rk") <= F.col("m"))
+        .drop("__rnd", "m")
+    )

@@ -9539,3 +9539,76 @@ REGISTRY["curation_funnel"] = QuerySpec(
     oracle=_curation_funnel_oracle(),
     doc=REGISTRY["curation_funnel"].doc,
 )
+
+
+def _ks_drift_oracle() -> str:
+    from pasta_pipeline_spark.operators.divergence import ks_drift_oracle_sql
+
+    return ks_drift_oracle_sql(
+        table="documents",
+        value_sql="n_chars",
+        group_a_where="source IN ('src0','src1','src2','src3','src4',"
+        "'src5','src6','src7','src8','src9')",
+    )
+
+
+@register(
+    "length_drift_ks",
+    None,  # generated below — single source of truth in operators/divergence.py
+    doc="EXACT two-sample Kolmogorov-Smirnov drift statistic "
+    "(operators/divergence.py ks_drift): did the document-length "
+    "distribution move between two corpus slices? Sup-distance "
+    "evaluated at observed values with CROSS-MULTIPLIED integer "
+    "ECDFs (|ca*n_b - cb*n_a| — no doubles to diverge), smallest "
+    "argmax as deterministic tie-break, ks_fp in basis points via "
+    "integer div. Cumulative window runs over the DISTINCT-value "
+    "frame only (metadata scale), never the fact table.",
+)
+def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.divergence import ks_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = F.col("source").isin(*[f"src{i}" for i in range(10)])
+    return ks_drift(docs, "n_chars", pred)
+
+
+REGISTRY["length_drift_ks"] = QuerySpec(
+    spark_fn=REGISTRY["length_drift_ks"].spark_fn,
+    oracle=_ks_drift_oracle(),
+    doc=REGISTRY["length_drift_ks"].doc,
+)
+
+
+@register(
+    "balanced_label_sample",
+    """
+    WITH counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS c FROM embeddings GROUP BY label
+    ), floor_row AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS m FROM counts
+    ), ranked AS (
+      SELECT vec_id, label,
+             CAST(row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+             ) AS BIGINT) AS rk
+      FROM embeddings
+    )
+    SELECT vec_id, label, rk
+    FROM ranked CROSS JOIN floor_row
+    WHERE rk <= m
+    """,
+    doc="Class-balanced downsampling (operators/sampling.py "
+    "balanced_label_sample): every label keeps exactly min(class "
+    "count) rows, survivors chosen in md5-shuffled order (id "
+    "tiebreak) so the take is deterministic, engine-identical, and "
+    "uncorrelated with data columns. Min count is a 1-row broadcast "
+    "scalar; one per-label rank window is the only fact shuffle.",
+)
+def q_balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sampling import balanced_label_sample
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return balanced_label_sample(emb, "vec_id", "label").select(
+        "vec_id", "label", "rk"
+    )

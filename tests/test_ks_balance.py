@@ -1,0 +1,66 @@
+"""Exact KS drift + balanced-label sampling (round 6) — unit checks;
+the oracle layer pins both at sf0.01 (catalog: length_drift_ks,
+balanced_label_sample)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+class TestKsDrift:
+    def test_identical_slices_score_zero(self, spark):
+        # every value appears once in each slice — ECDFs coincide
+        rows = [(2 * i + g, i % 7, g) for i in range(50) for g in (0, 1)]
+        df = spark.createDataFrame(rows, "id long, x long, g long")
+        from pasta_pipeline_spark.operators.divergence import ks_drift
+
+        r = ks_drift(df, "x", F.col("g") == 0).collect()[0]
+        assert r["ks_num"] == 0 and r["ks_fp"] == 0
+        assert r["n_a"] == 50 and r["n_b"] == 50
+
+    def test_disjoint_slices_score_max(self, spark):
+        # A entirely below B ⇒ KS = 1 (10000 bp) at A's max value
+        rows = [(i, 10, 1) for i in range(20)] + [(100 + i, 99, 0) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, x long, g long")
+        from pasta_pipeline_spark.operators.divergence import ks_drift
+
+        r = ks_drift(df, "x", F.col("g") == 1).collect()[0]
+        assert r["ks_fp"] == 10000
+        assert r["x_at_max"] == 10
+        assert r["ks_num"] == r["n_a"] * r["n_b"]
+
+    def test_hand_computed_sup(self, spark):
+        # A = {1,2,3}, B = {2,3,4}: sup |F_A - F_B| = 1/3 at x=1
+        rows = [(1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 2, 0), (5, 3, 0), (6, 4, 0)]
+        df = spark.createDataFrame(rows, "id long, x long, g long")
+        from pasta_pipeline_spark.operators.divergence import ks_drift
+
+        r = ks_drift(df, "x", F.col("g") == 1).collect()[0]
+        assert (r["ks_num"], r["x_at_max"]) == (3, 1)  # |1*3 - 0*3| at x=1
+        assert r["ks_fp"] == 3333
+
+
+class TestBalancedLabelSample:
+    def test_every_class_at_min_count(self, spark):
+        rows = [(i, "a") for i in range(10)]
+        rows += [(100 + i, "b") for i in range(4)]
+        rows += [(200 + i, "c") for i in range(7)]
+        df = spark.createDataFrame(rows, "id long, label string")
+        from pasta_pipeline_spark.operators.sampling import balanced_label_sample
+
+        out = balanced_label_sample(df, "id", "label").collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["label"], set()).add(r["id"])
+        assert {len(v) for v in per.values()} == {4}
+        # minority class keeps everything
+        assert per["b"] == {100, 101, 102, 103}
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, i % 3) for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, label int")
+        from pasta_pipeline_spark.operators.sampling import balanced_label_sample
+
+        a = {(r["id"], r["rk"]) for r in balanced_label_sample(df, "id", "label").collect()}
+        b = {(r["id"], r["rk"]) for r in balanced_label_sample(df, "id", "label").collect()}
+        assert a == b and len(a) == 60

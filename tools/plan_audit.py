@@ -81,6 +81,9 @@ SCALAR_CROSSJOIN_OK = {
     "smoothing denominators",
     "perplexity_buckets": "1-row corpus token total for the unigram model "
     "(inherited from unigram_nll)",
+    "length_drift_ks": "1-row sample totals (n_a, n_b) and 1-row sup scalar "
+    "over the distinct-value frame",
+    "balanced_label_sample": "1-row min-class-count scalar for the balance floor",
 }
 
 
