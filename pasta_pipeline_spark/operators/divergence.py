@@ -215,6 +215,15 @@ def ks_drift(
         F.sum("in_a").cast("long").alias("a"),
         F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b"),
     )
+    return ks_from_counts(per_x, ks_scale=ks_scale)
+
+
+def ks_from_counts(per_x: DataFrame, ks_scale: int = 10_000) -> DataFrame:
+    """KS report from per-distinct-value counts ``(x, a, b)`` — the
+    reduce stage of :func:`ks_drift`, public because the counts are
+    ADDITIVE state: an incremental sink can maintain them across
+    micro-batches (streaming/sink.py incremental_ks_sink) and rebuild
+    the exact statistic at any point without rescanning."""
     from pyspark.sql import Window
 
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)

@@ -64,3 +64,36 @@ class TestBalancedLabelSample:
         a = {(r["id"], r["rk"]) for r in balanced_label_sample(df, "id", "label").collect()}
         b = {(r["id"], r["rk"]) for r in balanced_label_sample(df, "id", "label").collect()}
         assert a == b and len(a) == 60
+
+
+def test_incremental_ks_retry_and_batch_equivalence(spark, tmp_table_dir):
+    """Micro-batched KS state (each batch applied TWICE with the same
+    mb id — the worst intra-batch retry) must reproduce the batch
+    ks_drift report exactly."""
+    from pasta_pipeline_spark.operators.divergence import ks_drift
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        apply_ks_batch,
+        ks_report_from_state,
+    )
+
+    rows = [(i, (i * 7) % 23 + (3 if i % 2 else 0), i % 2) for i in range(90)]
+    schema = "id long, x long, g long"
+    expected = {
+        tuple(r)
+        for r in ks_drift(
+            spark.createDataFrame(rows, schema), "x", F.col("g") == 0
+        ).collect()
+    }
+
+    store = TableStore(spark, f"{tmp_table_dir}/ks_state")
+    marker = f"{tmp_table_dir}/ks_mb.json"
+    waves = [rows[:30], rows[30:55], rows[55:]]
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_ks_batch(batch, mb_id, store, marker, "x", F.col("g") == 0)
+        # simulated intra-batch retry: same id, same rows, full re-run
+        apply_ks_batch(batch, mb_id, store, marker, "x", F.col("g") == 0)
+
+    got = {tuple(r) for r in ks_report_from_state(store).collect()}
+    assert got == expected

@@ -62,6 +62,16 @@ QUERIES = [
     "url_dedup",
     "semantic_dedup",
     "training_corpus",
+    # round-6 additions: composite ANN, prefix-filtered joins, media
+    # entropy decode, Arrow packing, selection/tiering/drift tiers
+    "ivf_pq_topk",
+    "prefix_jaccard_pairs",
+    "media_jpeg_pixels",
+    "dsir_selection",
+    "greedy_pack",
+    "perplexity_buckets",
+    "curation_funnel",
+    "length_drift_ks",
 ]
 
 
