@@ -130,6 +130,7 @@ from pasta_pipeline_spark.operators.text_analysis import perplexity_buckets
 from pasta_pipeline_spark.operators.quality_filters import curation_funnel
 from pasta_pipeline_spark.operators.divergence import ks_drift
 from pasta_pipeline_spark.operators.sampling import balanced_label_sample
+from pasta_pipeline_spark.operators.similarity import jl_project
 
 __all__ = [
     "merge_upsert",
@@ -228,4 +229,5 @@ __all__ = [
     "curation_funnel",
     "ks_drift",
     "balanced_label_sample",
+    "jl_project",
 ]

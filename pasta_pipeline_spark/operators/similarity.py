@@ -1277,3 +1277,99 @@ def ivfpq_topk_pruned(
         codes, query, centroids, codebooks, k, n_probe, n_subspaces, dim,
         id_col, query_vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign projection (r6)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for JL components (floor(e * 1e6) — float32
+#: inputs widen to the same double in both engines, so the floored
+#: int64 is engine-identical).
+JL_SCALE = 1_000_000
+
+
+def jl_signs(k: int, d: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (k rows × d cols) derived
+    from md5 — Achlioptas (2003) showed Rademacher entries satisfy the
+    JL lemma just like Gaussians, and a hash-derived matrix needs no
+    RNG state, no seed file, and replays identically in SQL. Row j,
+    column i uses the parity of the first hex digit of md5("j_i")."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """Project embeddings to ``k`` dimensions with the sign matrix of
+    :func:`jl_signs` — the cheap dimensionality-reduction tier in
+    front of ANN / clustering when 64+ dims are overkill:
+    ``proj[j] = sum_i sign[j][i] * floor(e_i * JL_SCALE)`` (int64,
+    order-free — the sum is evaluated left-to-right over a fixed-size
+    array in both engines, and integer addition commutes anyway).
+
+    Scale shape: PURE per-row expressions — no shuffle, no join, no
+    UDF; the projection matrix is a plan literal (k·d signs). Output
+    ``(id, proj array<long>)``.
+    """
+    signs = jl_signs(k, d)
+    vec = F.col(vec_col)
+
+    def proj_expr(row: list[int]) -> Column:
+        lits = F.array(*[F.lit(s) for s in row])
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                lits,
+                lambda e, s: F.floor(e.cast("double") * JL_SCALE).cast("long") * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return df.select(
+        F.col(id_col), F.array(*[proj_expr(r) for r in signs]).alias("proj")
+    )
+
+
+def jl_project_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    d: int = 64,
+) -> str:
+    """DuckDB twin of :func:`jl_project`, generated from the SAME sign
+    matrix (playbook #11)."""
+    signs = jl_signs(k, d)
+    comps = []
+    for row in signs:
+        row_lit = "[" + ", ".join(str(s) for s in row) + "]"
+        comps.append(
+            f"list_sum(list_transform(generate_series(1, {d}), i -> "
+            # cast the float32 component to DOUBLE before scaling —
+            # float32 arithmetic would round differently than Spark's
+            # double path and shift the floor by one ulp-scale unit
+            f"CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * {JL_SCALE}) AS BIGINT)"
+            f" * ({row_lit})[i]))"
+        )
+    proj = "[" + ",\n             ".join(
+        f"CAST({c} AS BIGINT)" for c in comps
+    ) + "]"
+    return f"""
+    SELECT {id_col},
+           {proj} AS proj
+    FROM {table}
+    """

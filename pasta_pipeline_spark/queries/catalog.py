@@ -9612,3 +9612,107 @@ def q_balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_label_sample(emb, "vec_id", "label").select(
         "vec_id", "label", "rk"
     )
+
+
+def _pack_efficiency_oracle() -> str:
+    from pasta_pipeline_spark.operators.sampling import greedy_pack_oracle_sql
+
+    inner = greedy_pack_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        size_sql="len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))",
+        budget=256,
+        group_col="source",
+    )
+    return f"""
+    WITH packed_out AS ({inner}),
+    per_pack AS (
+      SELECT source, pack_id,
+             CAST(SUM(n_units) AS BIGINT) AS pack_units,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM packed_out GROUP BY source, pack_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(pack_units) AS BIGINT) AS total_units,
+           CAST(SUM(CASE WHEN pack_units < 256 THEN 256 - pack_units ELSE 0 END) AS BIGINT) AS padding_units,
+           CAST(SUM(CASE WHEN pack_units > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+           CAST(SUM(pack_units) * 10000 // (count(*) * 256) AS BIGINT) AS efficiency_bp
+    FROM per_pack GROUP BY source
+    """
+
+
+@register(
+    "pack_efficiency",
+    None,  # generated below — single source of truth in operators/sampling.py
+    doc="Packing-efficiency report over greedy_pack output (the metric "
+    "Ding et al. 2404.10830 grade packing on): per source shard, "
+    "packs / docs / payload units / padding waste / oversize count "
+    "and occupancy in basis points — integer arithmetic end-to-end "
+    "on top of the same Arrow packing stage and recursive-CTE oracle.",
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+    from pasta_pipeline_spark.operators.sampling import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__n_tok", F.size(tokenize_ws(F.col("text")))
+    )
+    packed = greedy_pack(docs, "doc_id", "__n_tok", budget=256, group_col="source")
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_units").cast("long").alias("pack_units"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return per_pack.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("pack_units").cast("long").alias("total_units"),
+        F.sum(F.when(F.col("pack_units") < 256, 256 - F.col("pack_units")).otherwise(0))
+        .cast("long")
+        .alias("padding_units"),
+        F.sum(F.when(F.col("pack_units") > 256, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize"),
+        F.expr("CAST(SUM(pack_units) * 10000 div (count(1) * 256) AS BIGINT)").alias(
+            "efficiency_bp"
+        ),
+    )
+
+
+REGISTRY["pack_efficiency"] = QuerySpec(
+    spark_fn=REGISTRY["pack_efficiency"].spark_fn,
+    oracle=_pack_efficiency_oracle(),
+    doc=REGISTRY["pack_efficiency"].doc,
+)
+
+
+def _jl_projection_oracle() -> str:
+    from pasta_pipeline_spark.operators.similarity import jl_project_oracle_sql
+
+    return jl_project_oracle_sql("embeddings", "vec_id", "embedding")
+
+
+@register(
+    "jl_projection",
+    None,  # generated below — single source of truth in operators/similarity.py
+    doc="Johnson-Lindenstrauss sign projection (operators/similarity.py "
+    "jl_project; Achlioptas 2003 Rademacher form): 64-dim embeddings "
+    "to 16 int64 components via an md5-derived plan-literal +-1 "
+    "matrix — the cheap dim-reduction tier in front of ANN and "
+    "clustering. PURE per-row expressions: no shuffle, no join, no "
+    "UDF; fixed-point floor keeps both engines bit-identical; oracle "
+    "generated from the same sign matrix.",
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import jl_project
+
+    emb = _tp(spark, sf_dir, "embeddings")
+    return jl_project(emb, "vec_id", "embedding")
+
+
+REGISTRY["jl_projection"] = QuerySpec(
+    spark_fn=REGISTRY["jl_projection"].spark_fn,
+    oracle=_jl_projection_oracle(),
+    doc=REGISTRY["jl_projection"].doc,
+)

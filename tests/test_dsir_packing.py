@@ -118,3 +118,35 @@ class TestGreedyPack:
         assert [r["n_units"] for r in out] == [0, 0, 256, 1]
         # zero-width docs never open a new pack
         assert [r["pack_id"] for r in out] == [0, 0, 0, 1]
+
+
+class TestJlProjection:
+    def test_shape_and_determinism(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from pasta_pipeline_spark.operators.similarity import jl_project
+
+        a = {r["vec_id"]: r["proj"] for r in jl_project(df, "vec_id", "embedding").collect()}
+        b = {r["vec_id"]: r["proj"] for r in jl_project(df, "vec_id", "embedding").collect()}
+        assert a == b and all(len(p) == 16 for p in a.values())
+
+    def test_preserves_relative_distance(self, spark):
+        # near-identical vectors stay near; orthogonal-ish stay far —
+        # the qualitative JL guarantee on a crafted fixture
+        base = [1.0 if i < 32 else 0.0 for i in range(64)]
+        near = list(base)
+        near[0] = 0.99
+        far = [0.0 if i < 32 else 1.0 for i in range(64)]
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)],
+            "vec_id long, embedding array<double>",
+        )
+        from pasta_pipeline_spark.operators.similarity import jl_project
+
+        p = {r["vec_id"]: r["proj"] for r in jl_project(df, "vec_id", "embedding").collect()}
+        d_near = sum((x - y) ** 2 for x, y in zip(p[0], p[1]))
+        d_far = sum((x - y) ** 2 for x, y in zip(p[0], p[2]))
+        assert d_near < d_far
