@@ -76,3 +76,134 @@ def substring_search(
         .filter(F.col(text_col).contains(pattern))
         .select(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (r6)
+# ---------------------------------------------------------------------------
+
+#: Okapi BM25 constants (the Robertson defaults; Lucene ships the same).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Fixed-point scale for per-term BM25 contributions: each term's
+#: contribution is FLOORed to int64 BEFORE the per-doc sum, so the
+#: aggregate is order-free and hash-identical across engines (the
+#: playbook rule every fixed-point operator here follows).
+BM25_SCALE = 1_000_000
+
+#: One shared per-term formula, rendered into BOTH engines (moments.py
+#: precedent — two engines, one expression, no drift). All inputs are
+#: int64 ({tf}, {df}, {dl}, N docs, T corpus tokens); ln and double
+#: ratios of int64s are IEEE-identical in the JVM and DuckDB. The idf
+#: is Lucene's non-negative variant: ln(1 + (N - df + 0.5)/(df + 0.5)).
+_BM25_TERM = (
+    "FLOOR("
+    "ln(1.0 + (CAST({N} AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+    " / (CAST({df} AS DOUBLE) + 0.5))"
+    " * (CAST({tf} AS DOUBLE) * ({k1} + 1.0))"
+    " / (CAST({tf} AS DOUBLE) + {k1} * (1.0 - {b}"
+    "    + {b} * CAST({dl} AS DOUBLE) * CAST({N} AS DOUBLE) / CAST({T} AS DOUBLE)))"
+    " * {scale})"
+)
+
+
+def bm25_term_sql(tf="tf", df="df_t", dl="dl", N="N", T="T") -> str:
+    return _BM25_TERM.format(
+        tf=tf, df=df, dl=dl, N=N, T=T, k1=BM25_K1, b=BM25_B, scale=BM25_SCALE
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval for a bag-of-terms query — the
+    scoring function behind every production keyword search engine
+    (Robertson & Zaragoza 2009, Found. Trends IR 3(4)), as one
+    declarative plan:
+
+    - term frequencies from ONE tokenize+explode scan, filtered to the
+      query terms at the scan (the only rows that shuffle — a |q|-term
+      query moves |q| posting lists, not the corpus);
+    - document lengths from the same scan (pre-filter aggregate);
+    - document frequencies + corpus totals as metadata-scale frames
+      riding in via broadcast;
+    - per-term contributions FLOORed to int64 then summed per doc
+      (order-free; hash-exact), global top-k via orderBy+limit
+      (TakeOrderedAndProject — per-partition heaps, never a
+      single-partition window).
+
+    Returns ``(id, score_fp, n_hit_terms)`` for the k best documents
+    (score desc, id asc tiebreak). Documents containing no query term
+    never appear (no outer join against the corpus).
+    """
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+
+    terms = [t.lower() for t in query_terms]
+    tok = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokenize_ws(F.col(text_col))).alias("term")
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("T"),
+    )
+    hits = tok.where(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("c_fp", F.expr(bm25_term_sql()).cast("long"))
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("c_fp").cast("long").alias("score_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+    )
+    return scored.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenization, same
+    shared term formula, same tie-break."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col},
+             unnest(list_transform(
+               list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS term
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), dl AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY {id_col}
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS T FROM dl
+    ), tf AS (
+      SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY {id_col}, term
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.{id_col},
+             CAST({bm25_term_sql()} AS BIGINT) AS c_fp
+      FROM tf JOIN dft USING (term) JOIN dl USING ({id_col}) CROSS JOIN tot
+    )
+    SELECT {id_col}, CAST(SUM(c_fp) AS BIGINT) AS score_fp,
+           CAST(count(*) AS BIGINT) AS n_hit_terms
+    FROM contrib GROUP BY {id_col}
+    ORDER BY score_fp DESC, {id_col} ASC
+    LIMIT {k}
+    """

@@ -9716,3 +9716,35 @@ REGISTRY["jl_projection"] = QuerySpec(
     oracle=_jl_projection_oracle(),
     doc=REGISTRY["jl_projection"].doc,
 )
+
+
+def _bm25_oracle() -> str:
+    from pasta_pipeline_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(["spark", "join", "window"], k=10)
+
+
+@register(
+    "bm25_topk",
+    None,  # generated below — single source of truth in operators/search.py
+    doc="Okapi BM25 top-k retrieval (operators/search.py bm25_topk; "
+    "Robertson & Zaragoza 2009): the production keyword-search "
+    "scoring function as one declarative plan — query-term posting "
+    "lists are the only fact rows shuffled, doc-frequency and corpus "
+    "totals ride in as broadcasts, per-term contributions FLOOR to "
+    "int64 before the per-doc sum (order-free, hash-exact; shared "
+    "formula string renders into both engines), global top-k via "
+    "TakeOrderedAndProject.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.search import bm25_topk
+
+    docs = _tp(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+REGISTRY["bm25_topk"] = QuerySpec(
+    spark_fn=REGISTRY["bm25_topk"].spark_fn,
+    oracle=_bm25_oracle(),
+    doc=REGISTRY["bm25_topk"].doc,
+)

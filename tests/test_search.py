@@ -59,3 +59,39 @@ def test_prebuilt_index_reuse(spark):
         r["doc_id"] for r in substring_search(df, "beta", index=idx).collect()
     )
     assert got == [1, 2]
+
+
+class TestBm25:
+    def test_ranking_favors_rare_term_and_tf(self, spark):
+        rows = [
+            (1, "spark join spark join spark"),      # heavy on both terms
+            (2, "spark filler words here again"),     # one spark
+            (3, "join only in this doc"),             # one join
+            (4, "nothing relevant at all here"),      # no hits
+            (5, "rareword spark"),                    # short doc, one spark
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from pasta_pipeline_spark.operators.search import bm25_topk
+
+        out = bm25_topk(df, ["spark", "join"], k=10).collect()
+        ids = [r["doc_id"] for r in out]
+        assert 4 not in ids  # no-hit docs never appear
+        assert ids[0] == 1   # both terms, highest tf
+        assert all(
+            a["score_fp"] >= b["score_fp"] for a, b in zip(out, out[1:])
+        )
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["n_hit_terms"] == 2
+        assert by_id[5]["n_hit_terms"] == 1
+        # shorter doc with same tf outscores the longer one (length norm)
+        assert by_id[5]["score_fp"] > by_id[2]["score_fp"]
+
+    def test_case_insensitive_query(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Spark SPARK spark"), (2, "other text")],
+            "doc_id long, text string",
+        )
+        from pasta_pipeline_spark.operators.search import bm25_topk
+
+        out = bm25_topk(df, ["SPARK"], k=5).collect()
+        assert [r["doc_id"] for r in out] == [1]

@@ -84,6 +84,8 @@ SCALAR_CROSSJOIN_OK = {
     "length_drift_ks": "1-row sample totals (n_a, n_b) and 1-row sup scalar "
     "over the distinct-value frame",
     "balanced_label_sample": "1-row min-class-count scalar for the balance floor",
+    "bm25_topk": "1-row corpus totals (N docs, T tokens) scalar for the "
+    "BM25 length normalization",
 }
 
 
