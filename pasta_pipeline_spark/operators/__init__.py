@@ -131,7 +131,7 @@ from pasta_pipeline_spark.operators.quality_filters import curation_funnel
 from pasta_pipeline_spark.operators.divergence import ks_drift
 from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
-from pasta_pipeline_spark.operators.search import bm25_topk
+from pasta_pipeline_spark.operators.search import bm25_topk, phrase_search
 
 __all__ = [
     "merge_upsert",
@@ -232,4 +232,5 @@ __all__ = [
     "balanced_label_sample",
     "jl_project",
     "bm25_topk",
+    "phrase_search",
 ]

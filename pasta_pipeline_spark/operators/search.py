@@ -207,3 +207,98 @@ def bm25_oracle_sql(
     ORDER BY score_fp DESC, {id_col} ASC
     LIMIT {k}
     """
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via a POSITIONAL index — the op a trigram
+    or BM25 bag-of-words index cannot answer: find documents where the
+    query terms appear CONSECUTIVELY, in order.
+
+    Set-based alignment (no per-term join chain, so the plan does not
+    grow with phrase length): every token occurrence emits one row per
+    phrase slot it could fill, rebased to the would-be phrase START
+    (``pos - slot``); a start position where ALL |phrase| distinct
+    slots check in is an occurrence. Duplicate terms inside the phrase
+    are handled — each position emits every slot its term matches, and
+    the count-distinct-slots test still requires a full alignment.
+
+    Returns ``(id, n_occurrences, first_pos)`` (1-based token
+    position), only for matching documents. Scale shape: one
+    tokenize+posexplode scan filtered to the phrase's terms (posting
+    lists only), one groupBy (doc, start), one groupBy doc.
+    """
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+
+    terms = [t.lower() for t in phrase]
+    n = len(terms)
+    tok = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(tokenize_ws(F.col(text_col))).alias("pos0", "term"),
+    )
+    slot_opts = F.array(
+        *[F.when(F.col("term") == F.lit(t), F.lit(i)) for i, t in enumerate(terms)]
+    )
+    m = (
+        tok.where(F.col("term").isin(terms))
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.explode(F.filter(slot_opts, lambda x: x.isNotNull())).alias("i"),
+        )
+        .select(F.col(id_col), (F.col("pos") - F.col("i")).alias("start"), "i")
+        .where(F.col("start") >= 1)
+    )
+    occ = (
+        m.groupBy(id_col, "start")
+        .agg(F.countDistinct("i").alias("k"))
+        .where(F.col("k") == n)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_oracle_sql(
+    phrase: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`phrase_search` (same slot alignment)."""
+    terms = [t.lower() for t in phrase]
+    n = len(terms)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    slots = ", ".join(
+        f"CASE WHEN term = '{t}' THEN {i} END" for i, t in enumerate(terms)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             list_transform(
+               list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS t
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), posed AS (
+      SELECT {id_col}, unnest(generate_series(1, len(t))) AS pos, t FROM toks
+    ), terms AS (
+      SELECT {id_col}, pos, t[pos] AS term FROM posed
+    ), slotted AS (
+      SELECT {id_col}, pos,
+             unnest(list_filter([{slots}], x -> x IS NOT NULL)) AS i
+      FROM terms WHERE term IN ({in_list})
+    ), m AS (
+      SELECT {id_col}, pos - i AS start, i FROM slotted WHERE pos - i >= 1
+    ), occ AS (
+      SELECT {id_col}, start FROM m
+      GROUP BY {id_col}, start HAVING count(DISTINCT i) = {n}
+    )
+    SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM occ GROUP BY {id_col}
+    """

@@ -9748,3 +9748,34 @@ REGISTRY["bm25_topk"] = QuerySpec(
     oracle=_bm25_oracle(),
     doc=REGISTRY["bm25_topk"].doc,
 )
+
+
+def _phrase_search_oracle() -> str:
+    from pasta_pipeline_spark.operators.search import phrase_search_oracle_sql
+
+    return phrase_search_oracle_sql(["window", "data"])
+
+
+@register(
+    "phrase_search",
+    None,  # generated below — single source of truth in operators/search.py
+    doc="Exact positional phrase search (operators/search.py "
+    "phrase_search): consecutive in-order term matching via set-based "
+    "slot alignment — every occurrence rebases to its would-be phrase "
+    "start and an occurrence exists where all distinct slots check in "
+    "(duplicate-term phrases handled). One posexplode scan filtered "
+    "to the phrase's posting lists; plan size independent of phrase "
+    "length.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.search import phrase_search
+
+    docs = _tp(spark, sf_dir, "documents")
+    return phrase_search(docs, ["window", "data"])
+
+
+REGISTRY["phrase_search"] = QuerySpec(
+    spark_fn=REGISTRY["phrase_search"].spark_fn,
+    oracle=_phrase_search_oracle(),
+    doc=REGISTRY["phrase_search"].doc,
+)

@@ -95,3 +95,38 @@ class TestBm25:
 
         out = bm25_topk(df, ["SPARK"], k=5).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+class TestPhraseSearch:
+    def _run(self, spark, rows, phrase):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from pasta_pipeline_spark.operators.search import phrase_search
+
+        return {r["doc_id"]: r for r in phrase_search(df, phrase).collect()}
+
+    def test_consecutive_in_order_only(self, spark):
+        rows = [
+            (1, "big data window data big"),   # no "window data"? yes: pos 3-4
+            (2, "data window"),                # reversed — no match
+            (3, "window big data"),            # gap — no match
+            (4, "window data window data"),    # two occurrences
+        ]
+        out = self._run(spark, rows, ["window", "data"])
+        assert set(out) == {1, 4}
+        assert out[1]["n_occurrences"] == 1 and out[1]["first_pos"] == 3
+        assert out[4]["n_occurrences"] == 2 and out[4]["first_pos"] == 1
+
+    def test_duplicate_term_phrase(self, spark):
+        rows = [
+            (1, "buffalo buffalo buffalo"),  # "buffalo buffalo" at 1 and 2
+            (2, "buffalo alone"),
+        ]
+        out = self._run(spark, rows, ["buffalo", "buffalo"])
+        assert set(out) == {1}
+        assert out[1]["n_occurrences"] == 2 and out[1]["first_pos"] == 1
+
+    def test_three_term_phrase_and_case(self, spark):
+        rows = [(1, "The Quick Brown fox"), (2, "quick the brown")]
+        out = self._run(spark, rows, ["the", "QUICK", "brown"])
+        assert set(out) == {1}
+        assert out[1]["first_pos"] == 1
