@@ -132,6 +132,7 @@ from pasta_pipeline_spark.operators.divergence import ks_drift
 from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
 from pasta_pipeline_spark.operators.search import bm25_topk, phrase_search
+from pasta_pipeline_spark.operators.anomaly import cusum_drift
 
 __all__ = [
     "merge_upsert",
@@ -233,4 +234,5 @@ __all__ = [
     "jl_project",
     "bm25_topk",
     "phrase_search",
+    "cusum_drift",
 ]

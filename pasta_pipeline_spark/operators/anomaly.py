@@ -70,3 +70,71 @@ def ingest_anomaly(
             z_fp.isNotNull(), F.abs(z_fp) > F.lit(z_threshold_fp)
         ).alias("is_anomaly"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    group_cols: list[str],
+    allowance_fp: int | None = None,
+    fp_scale: int = 10_000,
+) -> DataFrame:
+    """One-sided CUSUM drift detection over a bucketed series — "when
+    did this source's volume start drifting upward?" as the classic
+    Page (1954) cumulative-sum chart.
+
+    The textbook recurrence ``S_t = max(0, S_{t-1} + (x_t - k))``
+    looks like another cumsum-with-reset (greedy_pack territory), but
+    has a CLOSED FORM windows express exactly:
+
+        S_t = C_t - min(0, min_{j<=t} C_j),  C = running sum of (x_t - k)
+
+    so no Arrow stage and no recursion — two stacked windows per
+    group. ``k`` (the allowance) defaults to the per-group mean so a
+    flat series scores ~0; everything runs in fixed point (values
+    scaled by ``fp_scale``, the mean via integer division) — pure
+    int64, engine-exact.
+
+    Emits per group: max statistic ``s_max_fp``, the bucket where it
+    peaks (smallest on ties), and ``n_buckets``. Windows partition by
+    group — each group's series is bucket-scale (days/hours, not
+    rows), and groups parallelize; the raw rows reduce to buckets in
+    the first aggregate.
+    """
+    if not group_cols:
+        raise ValueError("cusum_drift requires group_cols (per-series charts)")
+    per_bucket = df.groupBy(*group_cols, F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("x")
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    scaled = per_bucket.withColumn("x_fp", (F.col("x") * fp_scale).cast("long"))
+    if allowance_fp is None:
+        scaled = (
+            scaled.withColumn("__n", F.count("x").over(wg))
+            .withColumn("__s", F.sum("x").over(wg))
+            .withColumn("k_fp", F.expr(f"(__s * {fp_scale}) div __n").cast("long"))
+        )
+    else:
+        scaled = scaled.withColumn("k_fp", F.lit(allowance_fp).cast("long"))
+    cum = scaled.withColumn(
+        "c_fp", F.sum(F.col("x_fp") - F.col("k_fp")).over(wcum).cast("long")
+    )
+    s = cum.withColumn(
+        "s_fp",
+        (F.col("c_fp") - F.least(F.min("c_fp").over(wcum), F.lit(0))).cast("long"),
+    )
+    peak = s.groupBy(*group_cols).agg(
+        F.max("s_fp").cast("long").alias("s_max_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    return (
+        s.join(F.broadcast(peak), group_cols)
+        .where(F.col("s_fp") == F.col("s_max_fp"))
+        .groupBy(*group_cols, "s_max_fp", "n_buckets")
+        .agg(F.min("bucket").alias("bucket_at_max"))
+        .select(*group_cols, "n_buckets", "s_max_fp", "bucket_at_max")
+    )

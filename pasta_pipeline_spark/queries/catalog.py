@@ -9779,3 +9779,57 @@ REGISTRY["phrase_search"] = QuerySpec(
     oracle=_phrase_search_oracle(),
     doc=REGISTRY["phrase_search"].doc,
 )
+
+
+@register(
+    "event_cusum",
+    """
+    WITH pb AS (
+      -- NB: cast to BIGINT BEFORE the //: DuckDB's // on a DOUBLE is
+      -- plain division (not floor div) and the outer CAST would ROUND
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), kf AS (
+      SELECT event_type, bucket, x,
+             CAST((SUM(x) OVER (PARTITION BY event_type) * 10000)
+                  // COUNT(x) OVER (PARTITION BY event_type) AS BIGINT) AS k_fp
+      FROM pb
+    ), cum AS (
+      SELECT event_type, bucket,
+             CAST(SUM(x * 10000 - k_fp) OVER (PARTITION BY event_type
+                  ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_fp
+      FROM kf
+    ), s AS (
+      SELECT event_type, bucket,
+             CAST(c_fp - least(MIN(c_fp) OVER (PARTITION BY event_type
+                  ORDER BY bucket ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS s_fp
+      FROM cum
+    ), peak AS (
+      SELECT event_type, CAST(MAX(s_fp) AS BIGINT) AS s_max_fp,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, n_buckets, s_max_fp,
+           CAST(MIN(bucket) AS BIGINT) AS bucket_at_max
+    FROM s JOIN peak ON s.event_type = peak.event_type AND s.s_fp = peak.s_max_fp
+    GROUP BY s.event_type, n_buckets, s_max_fp
+    """,
+    doc="CUSUM drift chart over daily event volumes (operators/"
+    "anomaly.py cusum_drift; Page 1954): the upward-drift detector an "
+    "ingest monitor runs per event type. The max(0, S+y) recurrence "
+    "is evaluated in CLOSED FORM — running cumsum minus running min — "
+    "so two stacked windows replace what looks like a sequential "
+    "reset; allowance defaults to the per-group mean in fixed point; "
+    "pure int64 end-to-end. Windows partition by event type over "
+    "bucket-scale series.",
+)
+def q_event_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.anomaly import cusum_drift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ts AS LONG) div 86400").cast("long").alias("day"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return cusum_drift(ev, "day", "one", ["event_type"])

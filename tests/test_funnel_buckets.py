@@ -49,3 +49,48 @@ class TestPerplexityBuckets:
         )
         # the three rare-token docs are exactly the tail
         assert {r["doc_id"] for r in by_bucket["tail"]} == {10, 11, 12}
+
+
+class TestCusumDrift:
+    def test_closed_form_equals_textbook_recurrence(self, spark):
+        # volumes: flat 10/day, then a sustained +5 drift from day 6
+        xs = [10, 11, 9, 10, 10, 10, 15, 16, 15, 14, 16, 15]
+        rows = [
+            (d * 1000 + i, d, "ingest")
+            for d, x in enumerate(xs)
+            for i in range(x)
+        ]
+        df = spark.createDataFrame(rows, "id long, day long, grp string")
+        import pyspark.sql.functions as F
+
+        from pasta_pipeline_spark.operators.anomaly import cusum_drift
+
+        out = cusum_drift(
+            df.withColumn("one", F.lit(1)), "day", "one", ["grp"]
+        ).collect()[0]
+
+        # textbook recurrence in fixed point with the same mean allowance
+        fp = 10_000
+        k = sum(xs) * fp // len(xs)
+        s_val, s_max, argmax = 0, 0, None
+        for d, x in enumerate(xs):
+            s_val = max(0, s_val + x * fp - k)
+            if s_val > s_max:
+                s_max, argmax = s_val, d
+        assert out["s_max_fp"] == s_max
+        assert out["bucket_at_max"] == argmax
+        assert out["n_buckets"] == len(xs)
+        # the drift is detected inside the drifted regime
+        assert out["bucket_at_max"] >= 6
+
+    def test_flat_series_scores_near_zero(self, spark):
+        import pyspark.sql.functions as F
+
+        from pasta_pipeline_spark.operators.anomaly import cusum_drift
+
+        rows = [(d * 100 + i, d, "g") for d in range(10) for i in range(7)]
+        df = spark.createDataFrame(rows, "id long, day long, grp string")
+        out = cusum_drift(
+            df.withColumn("one", F.lit(1)), "day", "one", ["grp"]
+        ).collect()[0]
+        assert out["s_max_fp"] == 0
