@@ -131,7 +131,7 @@ from pasta_pipeline_spark.operators.quality_filters import curation_funnel
 from pasta_pipeline_spark.operators.divergence import ks_drift
 from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
-from pasta_pipeline_spark.operators.search import bm25_topk, phrase_search
+from pasta_pipeline_spark.operators.search import bm25_topk, kwic_snippets, phrase_search
 from pasta_pipeline_spark.operators.anomaly import cusum_drift
 
 __all__ = [
@@ -235,4 +235,5 @@ __all__ = [
     "bm25_topk",
     "phrase_search",
     "cusum_drift",
+    "kwic_snippets",
 ]

@@ -302,3 +302,45 @@ def phrase_search_oracle_sql(
            CAST(MIN(start) AS BIGINT) AS first_pos
     FROM occ GROUP BY {id_col}
     """
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    hits: DataFrame,
+    context: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_col: str = "first_pos",
+) -> DataFrame:
+    """Keyword-in-context snippets for search hits: join the hit list
+    (``id, first_pos`` — phrase_search/bm25 output) back to the corpus
+    and slice ``context`` tokens either side of the match. The search
+    results page, as an operator.
+
+    Pure expressions over the joined rows: re-tokenize, ``slice`` the
+    token array (1-based, clamped to the doc start — Spark's slice
+    throws on start<=0, so the start is computed with greatest()
+    first), space-join. The hits frame is the small side by
+    construction (top-k / matching docs) — Catalyst broadcasts it; the
+    corpus is touched only for matching ids once filters push down.
+
+    Returns ``(id, first_pos, snippet)``.
+    """
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+
+    toks = F.col("__toks")
+    start = F.greatest(F.col(pos_col) - context, F.lit(1))
+    # inclusive token window [start, first_pos + context]
+    length = F.col(pos_col) + context - start + 1
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(hits.select(F.col(id_col), F.col(pos_col)), id_col)
+        .withColumn("__toks", tokenize_ws(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.col(pos_col).cast("long").alias(pos_col),
+            F.array_join(
+                F.slice(toks, start.cast("int"), length.cast("int")), " "
+            ).alias("snippet"),
+        )
+    )

@@ -9833,3 +9833,53 @@ def q_event_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("one"),
     )
     return cusum_drift(ev, "day", "one", ["event_type"])
+
+
+@register(
+    "kwic_snippets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), posed AS (
+      SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM toks
+    ), terms AS (
+      SELECT doc_id, pos, t[pos] AS term FROM posed
+    ), slotted AS (
+      SELECT doc_id, pos,
+             unnest(list_filter([CASE WHEN term = 'window' THEN 0 END,
+                                 CASE WHEN term = 'data' THEN 1 END],
+                                x -> x IS NOT NULL)) AS i
+      FROM terms WHERE term IN ('window', 'data')
+    ), m AS (
+      SELECT doc_id, pos - i AS start, i FROM slotted WHERE pos - i >= 1
+    ), occ AS (
+      SELECT doc_id, start FROM m
+      GROUP BY doc_id, start HAVING count(DISTINCT i) = 2
+    ), hits AS (
+      SELECT doc_id, CAST(MIN(start) AS BIGINT) AS first_pos FROM occ GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.first_pos,
+           array_to_string(
+             list_slice(tk.t, greatest(h.first_pos - 3, 1), h.first_pos + 3),
+             ' ') AS snippet
+    FROM hits h JOIN toks tk USING (doc_id)
+    """,
+    doc="Keyword-in-context snippets (operators/search.py "
+    "kwic_snippets) over phrase_search hits for 'window data': the "
+    "search results page as an operator — hits (small side) broadcast "
+    "back onto the corpus, token-window slice with a greatest() clamp "
+    "(Spark slice throws on start<=0), space-join. NOTE the snippet "
+    "is over the LOWERCASED token stream (the index's view).",
+)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+    from pasta_pipeline_spark.operators.search import kwic_snippets, phrase_search
+
+    docs = _tp(spark, sf_dir, "documents")
+    hits = phrase_search(docs, ["window", "data"])
+    lowered = docs.select("doc_id", F.array_join(tokenize_ws(F.col("text")), " ").alias("text"))
+    return kwic_snippets(lowered, hits)

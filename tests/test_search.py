@@ -130,3 +130,25 @@ class TestPhraseSearch:
         out = self._run(spark, rows, ["the", "QUICK", "brown"])
         assert set(out) == {1}
         assert out[1]["first_pos"] == 1
+
+
+class TestKwicSnippets:
+    def test_snippet_window_and_clamp(self, spark):
+        rows = [
+            (1, "a b c window data d e f"),
+            (2, "window data x y z q r s"),  # match at position 1 — clamp
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from pasta_pipeline_spark.operators.search import (
+            kwic_snippets,
+            phrase_search,
+        )
+
+        hits = phrase_search(docs, ["window", "data"])
+        out = {r["doc_id"]: r for r in kwic_snippets(docs, hits).collect()}
+        # context window is [first_pos-3, first_pos+3] around the
+        # phrase START: tokens 1..7
+        assert out[1]["snippet"] == "a b c window data d e"
+        # doc 2: start clamps to 1, window extends to first_pos+3
+        assert out[2]["first_pos"] == 1
+        assert out[2]["snippet"] == "window data x y"
