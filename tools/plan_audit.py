@@ -86,6 +86,9 @@ SCALAR_CROSSJOIN_OK = {
     "balanced_label_sample": "1-row min-class-count scalar for the balance floor",
     "bm25_topk": "1-row corpus totals (N docs, T tokens) scalar for the "
     "BM25 length normalization",
+    "ivf_pq_topk": "broadcast index-metadata frames (n_cells=16 coarse "
+    "centroids, n_subspaces x n_codes codebook rows — small by contract, "
+    "the knn_join precedent); probe side is the only fact frame",
 }
 
 
