@@ -945,3 +945,166 @@ def ks_report_from_state(store: TableStore, ks_scale: int = 10_000) -> DataFrame
     from pasta_pipeline_spark.operators.divergence import ks_from_counts
 
     return ks_from_counts(store.read().select("x", "a", "b"), ks_scale=ks_scale)
+
+
+def apply_funnel_batch(
+    batch: DataFrame,
+    batch_id: int,
+    counts_store: TableStore,
+    seen_store: TableStore,
+    marker_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of curation-funnel maintenance (the foreachBatch
+    step body, module-level for simulated-retry tests). Two pieces of
+    state:
+
+    - ``counts_store``: ONE row of running-conjunction counters
+      (n0..n4) — additive;
+    - ``seen_store``: the md5 set of every text ever ingested
+      (signature-only, the streaming/dedup.py discipline — original
+      text never stored), which decides the dedup-survivor stage:
+      a document survives iff its hash is new to the corpus AND it is
+      the first of its hash within the batch (min id).
+
+    Survivorship is keep-first-BY-ARRIVAL: when batches arrive in id
+    order this equals the batch operator's min-id contract exactly
+    (pytest-pinned); out-of-order arrival keeps the earliest-arriving
+    copy instead. Retry-idempotent via pre-version pinning."""
+    from pasta_pipeline_spark.operators.quality_filters import gopher_rules
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+    from pyspark.sql import Window
+
+    pin = MicroBatchPin(marker_path)
+    pre = pin.pre_versions(batch_id, {"counts": counts_store, "seen": seen_store})
+
+    g = gopher_rules(batch, id_col=id_col, text_col=text_col)
+    h = F.md5(F.col(text_col).cast("binary"))
+    w = Window.partitionBy("__h").orderBy(F.asc(id_col))
+    hashed = batch.select(
+        F.col(id_col),
+        h.alias("__h"),
+        (F.col(text_col).isNotNull() & (F.length(text_col) > 0)).alias("s1"),
+    ).withColumn("__first_in_batch", F.row_number().over(w) == 1)
+    if pre["seen"] is not None:
+        prior = seen_store.read(version=pre["seen"]).select("h")
+        hashed = hashed.join(
+            prior, hashed["__h"] == prior["h"], "left_anti"
+        ).withColumn("s4", F.col("__first_in_batch"))
+    else:
+        # first batch: survivors are the batch-local firsts
+        hashed = hashed.withColumn("s4", F.col("__first_in_batch"))
+    # rows removed by the anti-join carry s4=false implicitly: the
+    # rebuild below marks s4 true ONLY for surviving ids and fills the
+    # rest (including anti-joined-away rows) with false.
+    all_rows = batch.select(
+        F.col(id_col),
+        (F.col(text_col).isNotNull() & (F.length(text_col) > 0)).alias("s1"),
+    )
+    flags = (
+        all_rows.join(
+            hashed.where(F.col("s4")).select(F.col(id_col), F.col("s4")),
+            id_col,
+            "left",
+        )
+        .na.fill({"s4": False})
+        .join(
+            g.select(
+                F.col(id_col),
+                F.col("r_word_count").alias("s2"),
+                F.col("pass_all").alias("s3"),
+            ),
+            id_col,
+        )
+    )
+    c = lambda e: F.sum(F.when(e, 1).otherwise(0)).cast("long")  # noqa: E731
+    part = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        c(F.col("s1")).alias("n1"),
+        c(F.col("s1") & F.col("s2")).alias("n2"),
+        c(F.col("s1") & F.col("s2") & F.col("s3")).alias("n3"),
+        c(F.col("s1") & F.col("s2") & F.col("s3") & F.col("s4")).alias("n4"),
+    ).withColumn("k", F.lit(0).cast("int"))
+    if pre["counts"] is not None:
+        prev = counts_store.read(version=pre["counts"]).drop("__bkt")
+        part = (
+            prev.unionByName(part)
+            .groupBy("k")
+            .agg(*[F.sum(n).cast("long").alias(n) for n in ["n0", "n1", "n2", "n3", "n4"]])
+        )
+    counts_store.merge_partitioned(
+        part.withColumn("__bkt", F.lit(0).cast("int")), key="k", partition_col="__bkt"
+    )
+
+    new_hashes = (
+        batch.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col).cast("binary")).alias("h"))
+        .distinct()
+    )
+    seen_store.merge_partitioned(
+        new_hashes.withColumn(
+            "__bkt", F.pmod(F.xxhash64("h"), F.lit(n_buckets)).cast("int")
+        ),
+        key="h",
+        partition_col="__bkt",
+    )
+
+
+def incremental_funnel_sink(
+    stream: DataFrame,
+    counts_store: TableStore,
+    seen_store: TableStore,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+):
+    """Streaming curation funnel: the stagewise attrition report stays
+    current as documents arrive, with state = 5 counters + the seen-
+    hash set (linear in DISTINCT texts, never rows ingested). Read it
+    any time with :func:`funnel_from_state`."""
+    if not checkpoint_dir:
+        raise ValueError("incremental_funnel_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        apply_funnel_batch(
+            batch, batch_id, counts_store, seen_store,
+            marker_path=os.path.join(checkpoint_dir, "_funnel_mb.json"),
+            id_col=id_col, text_col=text_col,
+        )
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def funnel_from_state(counts_store: TableStore) -> DataFrame:
+    """Assemble the 4-row funnel report from maintained counters —
+    identical shape to operators/quality_filters.curation_funnel."""
+    from pasta_pipeline_spark.operators.quality_filters import FUNNEL_STAGES
+
+    row = counts_store.read().select("n0", "n1", "n2", "n3", "n4")
+    stages = [
+        (1, FUNNEL_STAGES[0], "n0", "n1"),
+        (2, FUNNEL_STAGES[1], "n1", "n2"),
+        (3, FUNNEL_STAGES[2], "n2", "n3"),
+        (4, FUNNEL_STAGES[3], "n3", "n4"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(nin).alias("n_in"),
+            F.col(nout).alias("n_out"),
+            (F.col(nin) - F.col(nout)).cast("long").alias("n_dropped"),
+        )
+        for i, name, nin, nout in stages
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

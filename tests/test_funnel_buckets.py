@@ -94,3 +94,47 @@ class TestCusumDrift:
             df.withColumn("one", F.lit(1)), "day", "one", ["grp"]
         ).collect()[0]
         assert out["s_max_fp"] == 0
+
+
+def test_incremental_funnel_retry_and_batch_equivalence(spark, tmp_table_dir):
+    """Micro-batched funnel state (id-ordered waves, every batch
+    applied TWICE with the same mb id) must equal the batch
+    curation_funnel on the union — including cross-batch duplicate
+    texts, which only the seen-hash state can catch."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pasta_pipeline_spark.operators.quality_filters import curation_funnel
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        apply_funnel_batch,
+        funnel_from_state,
+    )
+
+    good = (
+        "the quick brown fox jumps with many fine words and then some "
+        "more of the usual text so that every gopher rule is satisfied "
+        "here in this doc. " * 8
+    )
+    rows = [
+        (1, good), (2, good), (3, "tiny"),
+        (4, good + "v2 "), (5, ""), (6, good),          # 6 dups wave-1's text
+        (7, good + "v2 "), (8, None), (9, good + "v3 "),
+    ]
+    schema = "doc_id long, text string"
+    expected = {
+        tuple(r)
+        for r in curation_funnel(spark.createDataFrame(rows, schema)).collect()
+    }
+
+    counts = TableStore(spark, f"{tmp_table_dir}/funnel_counts")
+    seen = TableStore(spark, f"{tmp_table_dir}/funnel_seen")
+    marker = f"{tmp_table_dir}/funnel_mb.json"
+    waves = [rows[:3], rows[3:6], rows[6:]]
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_funnel_batch(batch, mb_id, counts, seen, marker)
+        # simulated intra-batch retry
+        apply_funnel_batch(batch, mb_id, counts, seen, marker)
+
+    got = {tuple(r) for r in funnel_from_state(counts).collect()}
+    assert got == expected
