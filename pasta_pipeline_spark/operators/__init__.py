@@ -133,6 +133,7 @@ from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
 from pasta_pipeline_spark.operators.search import bm25_topk, kwic_snippets, phrase_search
 from pasta_pipeline_spark.operators.anomaly import cusum_drift
+from pasta_pipeline_spark.operators.multimodal import decode_audio_samples
 
 __all__ = [
     "merge_upsert",
@@ -236,4 +237,5 @@ __all__ = [
     "phrase_search",
     "cusum_drift",
     "kwic_snippets",
+    "decode_audio_samples",
 ]

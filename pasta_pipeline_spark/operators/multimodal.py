@@ -477,7 +477,11 @@ def synthesize_media(
     - ``"jpeg_full"``: every id a COMPLETE valid baseline JPEG
       (:func:`_synth_jpeg_full`) — real Huffman entropy-coded scan,
       Annex K tables in actual DHT segments, DC-only blocks so the
-      decode is integer-exact — for the same full-pixel path.
+      decode is integer-exact — for the same full-pixel path;
+    - ``"flac_full"``: every id a COMPLETE valid one-frame FLAC
+      (:func:`_synth_flac_full`) — CONSTANT / VERBATIM / Rice-coded
+      FIXED-order-1 subframes cycling by id, real CRC-8/CRC-16 — for
+      the full-sample audio path (:func:`decode_audio_samples`).
 
     Because the parameters derive from the id alone, an oracle can
     compute the expected DECODED features (duration, dimensions, byte
@@ -487,11 +491,11 @@ def synthesize_media(
     """
     if variant not in (
         "wav_ppm", "containers", "video", "codecs", "png_full", "gif_full",
-        "jpeg_full",
+        "jpeg_full", "flac_full",
     ):
         raise ValueError(
             "variant must be 'wav_ppm', 'containers', 'video', 'codecs', "
-            f"'png_full', 'gif_full' or 'jpeg_full', got {variant!r}"
+            f"'png_full', 'gif_full', 'jpeg_full' or 'flac_full', got {variant!r}"
         )
 
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
@@ -535,6 +539,10 @@ def synthesize_media(
                 if variant == "jpeg_full":
                     out["media_type"].append("image/jpeg")
                     out["payload"].append(_synth_jpeg_full(mid))
+                    continue
+                if variant == "flac_full":
+                    out["media_type"].append("audio/flac")
+                    out["payload"].append(_synth_flac_full(mid))
                     continue
                 if variant == "codecs":
                     if mid % 2 == 0:
@@ -1933,3 +1941,373 @@ def _synth_jpeg_full(mid: int) -> bytes:
             comps[ci].append(zz)
     scan = _jpeg_encode_scan(comps)
     return _jpeg_wrap_stream(w, h, 3, scan, [1] * 64)
+
+
+# ---------------------------------------------------------------------------
+# FLAC FULL sample decode — Rice-coded FIXED prediction (RFC 9639)
+# ---------------------------------------------------------------------------
+#
+# PNG covered stdlib DEFLATE, GIF a from-spec LZW, JPEG the T.81
+# Huffman+IDCT cascade; FLAC brings the real-decode family to
+# COMPRESSED AUDIO with a third from-spec entropy coder: Rice/Golomb
+# residual coding under polynomial (FIXED) prediction, plus both
+# integrity checksums the format mandates (CRC-8 header, CRC-16
+# frame). The synthesis side emits spec-conformant single-frame
+# streams exercising CONSTANT, VERBATIM and FIXED-order-1 subframes;
+# every parameter is a closed-form function of the id so the decoded
+# sample sums are oracle-checkable without touching a byte.
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — the FLAC frame-header
+    checksum."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — the FLAC whole-frame checksum."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitW:
+    """MSB-first bit writer (FLAC's bit order)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _flac_sample(mid: int, i: int) -> int:
+    """Closed-form 16-bit sample recipe shared with the SQL oracle."""
+    return (mid * 31 + i * 17) % 4001 - 2000
+
+
+def _synth_flac_full(mid: int) -> bytes:
+    """COMPLETE valid one-frame FLAC stream: STREAMINFO + a frame
+    whose subframe type cycles by id — CONSTANT (id%3==0, value
+    ``(id % 3001) - 1500``), VERBATIM (id%3==1), FIXED order-1 with
+    Rice-coded residuals (id%3==2); blocksize ``32 + (id % 5) * 8``,
+    8 kHz mono 16-bit. Real CRC-8/CRC-16; frame number 0."""
+    n = 32 + (mid % 5) * 8
+    variant = mid % 3
+    # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
+    # packed rate/channels/bps/total, zero MD5
+    packed = (8000 << 44) | ((1 - 1) << 41) | ((16 - 1) << 36) | n
+    streaminfo = (
+        n.to_bytes(2, "big") * 2
+        + (0).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big")
+        + bytes(16)
+    )
+    header = bytearray([0xFF, 0xF8, 0x64, 0x08, 0x00, n - 1])
+    header.append(_flac_crc8(bytes(header)))
+    w = _BitW()
+    if variant == 0:
+        c = (mid % 3001) - 1500
+        w.write(0x00, 8)  # 0 | CONSTANT(000000) | wasted 0
+        w.write(c & 0xFFFF, 16)
+    elif variant == 1:
+        w.write(0x02, 8)  # 0 | VERBATIM(000001) | wasted 0
+        for i in range(n):
+            w.write(_flac_sample(mid, i) & 0xFFFF, 16)
+    else:
+        w.write(0x12, 8)  # 0 | FIXED order 1 (001001) | wasted 0
+        s0 = _flac_sample(mid, 0)
+        w.write(s0 & 0xFFFF, 16)  # warmup
+        w.write(0, 2)   # residual method: 4-bit Rice
+        w.write(0, 4)   # partition order 0
+        k = 12
+        w.write(k, 4)   # rice parameter
+        prev = s0
+        for i in range(1, n):
+            s = _flac_sample(mid, i)
+            r = s - prev
+            prev = s
+            u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+            q, rem = u >> k, u & ((1 << k) - 1)
+            for _ in range(q):
+                w.write(0, 1)
+            w.write(1, 1)
+            w.write(rem, k)
+    w.pad()
+    frame = bytes(header) + w.bytes()
+    frame += _flac_crc16(frame).to_bytes(2, "big")
+    return (
+        b"fLaC"
+        + bytes([0x80])
+        + (34).to_bytes(3, "big")
+        + streaminfo
+        + frame
+    )
+
+
+class _BitR:
+    """MSB-first bit reader over a byte window."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, bits: int) -> int | None:
+        if self.bitpos + bits > len(self.data) * 8:
+            return None
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def read_unary(self) -> int | None:
+        q = 0
+        while True:
+            b = self.read(1)
+            if b is None:
+                return None
+            if b == 1:
+                return q
+            q += 1
+
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+#: FIXED predictor update: s[i] from residual + previous samples.
+_FIXED_PRED = {
+    0: lambda h: 0,
+    1: lambda h: h[-1],
+    2: lambda h: 2 * h[-1] - h[-2],
+    3: lambda h: 3 * h[-1] - 3 * h[-2] + h[-3],
+    4: lambda h: 4 * h[-1] - 6 * h[-2] + 4 * h[-3] - h[-4],
+}
+
+
+def _twos(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def _flac_decode_subframe(r: "_BitR", n: int, bps: int) -> list[int] | None:
+    head = r.read(8)
+    if head is None or head & 0x81:  # pad bit or wasted-bits flag
+        return None
+    stype = (head >> 1) & 0x3F
+    if stype == 0:  # CONSTANT
+        v = r.read(bps)
+        return None if v is None else [_twos(v, bps)] * n
+    if stype == 1:  # VERBATIM
+        out = []
+        for _ in range(n):
+            v = r.read(bps)
+            if v is None:
+                return None
+            out.append(_twos(v, bps))
+        return out
+    if 8 <= stype <= 12:  # FIXED order 0..4
+        order = stype - 8
+        hist = []
+        for _ in range(order):
+            v = r.read(bps)
+            if v is None:
+                return None
+            hist.append(_twos(v, bps))
+        method = r.read(2)
+        porder = r.read(4)
+        if method not in (0, 1) or porder is None:
+            return None
+        kbits = 4 if method == 0 else 5
+        escape = (1 << kbits) - 1
+        out = list(hist)
+        nparts = 1 << porder
+        if n % nparts:
+            return None
+        for p in range(nparts):
+            k = r.read(kbits)
+            if k is None or k == escape:
+                return None
+            count = n // nparts - (order if p == 0 else 0)
+            for _ in range(count):
+                q = r.read_unary()
+                if q is None:
+                    return None
+                rem = r.read(k) if k else 0
+                if rem is None:
+                    return None
+                u = (q << k) | rem
+                res = (u >> 1) ^ -(u & 1)
+                pred = _FIXED_PRED[order](out) if order else 0
+                out.append(res + pred)
+        return out
+    return None  # LPC / reserved: out of the fixture contract
+
+
+def decode_flac_samples(raw: bytes) -> dict | None:
+    """FULL FLAC sample decode for independent-channel streams with
+    CONSTANT / VERBATIM / FIXED subframes: metadata walk, frame-header
+    parse (blocksize/rate/bps code tables, UTF-8 frame number), Rice
+    residual decode, polynomial prediction reconstruction, and BOTH
+    mandated checksums verified (CRC-8 header, CRC-16 frame). Returns
+    ``{n_samples, sample_rate, sample_sum, sample_min, sample_max}``
+    summed over channels, or None outside the supported envelope
+    (stereo decorrelation / LPC — honestly unsupported here, the same
+    convention as the JPEG progressive modes)."""
+    if len(raw) < 8 or raw[:4] != b"fLaC":
+        return None
+    pos, si_rate, si_bps = 4, None, None
+    while pos + 4 <= len(raw):
+        header = raw[pos]
+        btype, last = header & 0x7F, header & 0x80
+        blen = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        if btype == 0 and blen >= 34:
+            (packed,) = struct.unpack_from(">Q", raw, pos + 4 + 10)
+            si_rate = packed >> 44
+            si_bps = ((packed >> 36) & 0x1F) + 1
+        pos += 4 + blen
+        if last:
+            break
+    if pos + 6 > len(raw):
+        return None
+    # frame header
+    if raw[pos] != 0xFF or (raw[pos + 1] & 0xFE) != 0xF8:
+        return None
+    bs_code = raw[pos + 2] >> 4
+    rate_code = raw[pos + 2] & 0x0F
+    chan_code = raw[pos + 3] >> 4
+    bps_code = (raw[pos + 3] >> 1) & 0x07
+    hpos = pos + 4
+    # UTF-8-coded frame number: a k-leading-ones first byte means the
+    # number spans k bytes total (k=0 → single byte)
+    first = raw[hpos]
+    lead = 0
+    while lead < 8 and first & (0x80 >> lead):
+        lead += 1
+    hpos += max(lead, 1)
+    if bs_code == 6:
+        n = raw[hpos] + 1
+        hpos += 1
+    elif bs_code == 7:
+        n = int.from_bytes(raw[hpos:hpos + 2], "big") + 1
+        hpos += 2
+    elif bs_code == 1:
+        n = 192
+    elif 2 <= bs_code <= 5:
+        n = 576 << (bs_code - 2)
+    elif bs_code >= 8:
+        n = 256 << (bs_code - 8)
+    else:
+        return None
+    if rate_code == 0:
+        rate = si_rate
+    elif rate_code in _FLAC_RATES:
+        rate = _FLAC_RATES[rate_code]
+    else:
+        return None
+    if chan_code > 7:
+        return None  # stereo decorrelation unsupported
+    n_channels = chan_code + 1
+    bps = si_bps if bps_code == 0 else _FLAC_BPS.get(bps_code)
+    if not rate or not bps:
+        return None
+    if _flac_crc8(raw[pos:hpos]) != raw[hpos]:
+        return None
+    r = _BitR(raw, hpos + 1)
+    total, smin, smax = 0, None, None
+    for _ in range(n_channels):
+        samples = _flac_decode_subframe(r, n, bps)
+        if samples is None:
+            return None
+        total += sum(samples)
+        lo, hi = min(samples), max(samples)
+        smin = lo if smin is None else min(smin, lo)
+        smax = hi if smax is None else max(smax, hi)
+    end = r.byte_pos()
+    if end + 2 > len(raw):
+        return None
+    if _flac_crc16(raw[pos:end]) != int.from_bytes(raw[end:end + 2], "big"):
+        return None
+    return {
+        "n_samples": n * n_channels,
+        "sample_rate": rate,
+        "sample_sum": total,
+        "sample_min": smin,
+        "sample_max": smax,
+    }
+
+
+AUDIO_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("sample_sum", LongType(), True),
+        StructField("sample_min", LongType(), True),
+        StructField("sample_max", LongType(), True),
+    ]
+)
+
+
+def decode_audio_samples(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Full-sample audio features over a media frame: FLAC payloads
+    fully decoded (:func:`decode_flac_samples` — Rice + fixed
+    prediction + CRCs); unsupported payloads produce no row (the
+    decode_image_pixels convention). Arrow-batched mapInPandas."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    cols = ("media_id", "n_samples", "sample_rate", "sample_sum",
+            "sample_min", "sample_max")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                feats = decode_flac_samples(bytes(payload))
+                if feats is None:
+                    continue
+                rows["media_id"].append(int(mid))
+                for c in cols[1:]:
+                    rows[c].append(feats[c])
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return src.mapInPandas(run, AUDIO_SAMPLES_SCHEMA)

@@ -9883,3 +9883,56 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = phrase_search(docs, ["window", "data"])
     lowered = docs.select("doc_id", F.array_join(tokenize_ws(F.col("text")), " ").alias("text"))
     return kwic_snippets(lowered, hits)
+
+
+@register(
+    "media_flac_samples",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             32 + (doc_id % 5) * 8 AS n,
+             doc_id % 3 AS v
+      FROM documents
+    ), const AS (
+      SELECT media_id, n, (media_id % 3001) - 1500 AS c FROM ids WHERE v = 0
+    ), samp AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM ids WHERE v <> 0
+    ), vals AS (
+      SELECT media_id, n, (media_id * 31 + i * 17) % 4001 - 2000 AS s FROM samp
+    ), varying AS (
+      SELECT media_id, n, SUM(s) AS ssum, MIN(s) AS smin, MAX(s) AS smax
+      FROM vals GROUP BY media_id, n
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n * c AS BIGINT) AS sample_sum,
+           CAST(c AS BIGINT) AS sample_min, CAST(c AS BIGINT) AS sample_max
+    FROM const
+    UNION ALL
+    SELECT media_id, CAST(n AS BIGINT), CAST(8000 AS BIGINT),
+           CAST(ssum AS BIGINT), CAST(smin AS BIGINT), CAST(smax AS BIGINT)
+    FROM varying
+    """,
+    doc="FULL FLAC sample decode (multimodal.decode_audio_samples / "
+    "decode_flac_samples, RFC 9639): complete valid one-frame FLAC "
+    "streams — CONSTANT, VERBATIM and Rice-coded FIXED-order-1 "
+    "subframes cycling by id, real CRC-8 header and CRC-16 frame "
+    "checksums VERIFIED during decode — synthesized from the doc_id "
+    "recipe; the oracle computes the same decoded sample sums/extrema "
+    "from the closed form without touching a byte, so any Rice, "
+    "prediction, bit-order or CRC bug hash-mismatches. Extends the "
+    "from-spec entropy-coder family (DEFLATE, LZW, T.81 Huffman) to "
+    "compressed audio.",
+)
+def q_media_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        decode_audio_samples,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="flac_full"
+    )
+    return decode_audio_samples(media)

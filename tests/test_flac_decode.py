@@ -1,0 +1,134 @@
+"""FLAC full sample decode (round 6) — from-spec Rice + FIXED
+prediction + CRC verification. The oracle layer pins the e2e path at
+sf0.01 (catalog: media_flac_samples); these tests cover the decoder's
+GENERAL envelope beyond what the synthesis recipe emits: higher fixed
+orders, nonzero partition orders, the 5-bit Rice method, and checksum
+rejection."""
+
+from __future__ import annotations
+
+from pasta_pipeline_spark.operators.multimodal import (
+    _BitW,
+    _flac_crc8,
+    _flac_crc16,
+    _flac_sample,
+    _synth_flac_full,
+    decode_flac_samples,
+)
+
+
+def _encode_general(samples, order, porder, k, kbits=4):
+    """Test-local general FLAC encoder: FIXED order 0-4, any partition
+    order, 4- or 5-bit Rice method — the shapes _synth_flac_full never
+    emits, so the decoder's general path is exercised independently."""
+    n = len(samples)
+    packed = (8000 << 44) | (0 << 41) | (15 << 36) | n
+    streaminfo = (
+        n.to_bytes(2, "big") * 2
+        + (0).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big")
+        + bytes(16)
+    )
+    header = bytearray([0xFF, 0xF8, 0x64, 0x08, 0x00, n - 1])
+    header.append(_flac_crc8(bytes(header)))
+    w = _BitW()
+    w.write(0, 1)
+    w.write(8 + order, 6)
+    w.write(0, 1)
+    for s in samples[:order]:
+        w.write(s & 0xFFFF, 16)
+    w.write(0 if kbits == 4 else 1, 2)
+    w.write(porder, 4)
+    coeffs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    idx = order
+    nparts = 1 << porder
+    for p in range(nparts):
+        w.write(k, kbits)
+        count = n // nparts - (order if p == 0 else 0)
+        for _ in range(count):
+            pred = sum(c * samples[idx - j - 1] for j, c in enumerate(coeffs))
+            r = samples[idx] - pred
+            idx += 1
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            q, rem = u >> k, u & ((1 << k) - 1)
+            for _ in range(q):
+                w.write(0, 1)
+            w.write(1, 1)
+            if k:
+                w.write(rem, k)
+    w.pad()
+    frame = bytes(header) + w.bytes()
+    frame += _flac_crc16(frame).to_bytes(2, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo + frame
+
+
+class TestFlacDecode:
+    def test_synthesis_round_trip_all_variants(self):
+        for mid in range(15):
+            out = decode_flac_samples(_synth_flac_full(mid))
+            n = 32 + (mid % 5) * 8
+            if mid % 3 == 0:
+                c = (mid % 3001) - 1500
+                assert out == {
+                    "n_samples": n, "sample_rate": 8000,
+                    "sample_sum": n * c, "sample_min": c, "sample_max": c,
+                }
+            else:
+                s = [_flac_sample(mid, i) for i in range(n)]
+                assert out == {
+                    "n_samples": n, "sample_rate": 8000,
+                    "sample_sum": sum(s), "sample_min": min(s),
+                    "sample_max": max(s),
+                }
+
+    def test_fixed_order2_partitioned_5bit_rice(self):
+        # a gently curving series keeps order-2 residuals small
+        samples = [100 + 3 * i + (i * i) % 7 for i in range(64)]
+        raw = _encode_general(samples, order=2, porder=1, k=6, kbits=5)
+        out = decode_flac_samples(raw)
+        assert out is not None
+        assert out["n_samples"] == 64
+        assert out["sample_sum"] == sum(samples)
+        assert out["sample_min"] == min(samples)
+        assert out["sample_max"] == max(samples)
+
+    def test_fixed_order4_and_zero_k(self):
+        samples = [50] * 32  # constant series: order-4 residuals all 0
+        raw = _encode_general(samples, order=4, porder=0, k=0)
+        out = decode_flac_samples(raw)
+        assert out is not None and out["sample_sum"] == 50 * 32
+
+    def test_crc8_and_crc16_rejection(self):
+        raw = bytearray(_synth_flac_full(7))
+        good = decode_flac_samples(bytes(raw))
+        assert good is not None
+        # corrupt the frame-header CRC byte
+        bad8 = bytearray(raw)
+        bad8[4 + 4 + 34 + 6] ^= 0xFF
+        assert decode_flac_samples(bytes(bad8)) is None
+        # corrupt a payload byte (CRC-16 catches it)
+        bad16 = bytearray(raw)
+        bad16[-5] ^= 0x01
+        assert decode_flac_samples(bytes(bad16)) is None
+
+    def test_non_flac_and_truncated(self):
+        assert decode_flac_samples(b"not a flac") is None
+        raw = _synth_flac_full(3)
+        assert decode_flac_samples(raw[: len(raw) // 2]) is None
+
+    def test_spark_e2e_matches_closed_form(self, spark):
+        from pasta_pipeline_spark.operators.multimodal import (
+            decode_audio_samples,
+            synthesize_media,
+        )
+        import pyspark.sql.functions as F
+
+        ids = spark.range(12).select(F.col("id").alias("media_id"))
+        media = synthesize_media(ids, variant="flac_full")
+        rows = {r["media_id"]: r for r in decode_audio_samples(media).collect()}
+        assert len(rows) == 12
+        for mid in range(12):
+            exp = decode_flac_samples(_synth_flac_full(mid))
+            got = rows[mid]
+            assert got["sample_sum"] == exp["sample_sum"]
+            assert got["n_samples"] == exp["n_samples"]
