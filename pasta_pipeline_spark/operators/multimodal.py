@@ -2142,46 +2142,82 @@ def _flac_decode_subframe(r: "_BitR", n: int, bps: int) -> list[int] | None:
             if v is None:
                 return None
             hist.append(_twos(v, bps))
-        method = r.read(2)
-        porder = r.read(4)
-        if method not in (0, 1) or porder is None:
-            return None
-        kbits = 4 if method == 0 else 5
-        escape = (1 << kbits) - 1
-        out = list(hist)
-        nparts = 1 << porder
-        if n % nparts:
-            return None
-        for p in range(nparts):
-            k = r.read(kbits)
-            if k is None or k == escape:
+        predict = _FIXED_PRED[order]
+        return _flac_decode_residuals(
+            r, n, order, hist, lambda h: predict(h) if order else 0
+        )
+    if stype >= 32:  # LPC order 1..32
+        order = (stype & 0x1F) + 1
+        hist = []
+        for _ in range(order):
+            v = r.read(bps)
+            if v is None:
                 return None
-            count = n // nparts - (order if p == 0 else 0)
-            for _ in range(count):
-                q = r.read_unary()
-                if q is None:
-                    return None
-                rem = r.read(k) if k else 0
-                if rem is None:
-                    return None
-                u = (q << k) | rem
-                res = (u >> 1) ^ -(u & 1)
-                pred = _FIXED_PRED[order](out) if order else 0
-                out.append(res + pred)
-        return out
-    return None  # LPC / reserved: out of the fixture contract
+            hist.append(_twos(v, bps))
+        prec = r.read(4)
+        if prec is None or prec == 0x0F:
+            return None
+        prec += 1
+        shift = r.read(5)
+        if shift is None or shift & 0x10:  # negative shift: invalid
+            return None
+        coefs = []
+        for _ in range(order):
+            v = r.read(prec)
+            if v is None:
+                return None
+            coefs.append(_twos(v, prec))
+
+        def lpc_pred(h):
+            # arithmetic right shift of the coefficient dot product
+            # (floor semantics — Python's >> on negatives matches)
+            return sum(c * h[-j - 1] for j, c in enumerate(coefs)) >> shift
+
+        return _flac_decode_residuals(r, n, order, hist, lpc_pred)
+    return None  # reserved subframe types
+
+
+def _flac_decode_residuals(r, n, order, hist, predict):
+    """Shared Rice-residual decode + prediction reconstruction for
+    FIXED and LPC subframes (RFC 9639 coded-residual section)."""
+    method = r.read(2)
+    porder = r.read(4)
+    if method not in (0, 1) or porder is None:
+        return None
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    out = list(hist)
+    nparts = 1 << porder
+    if n % nparts:
+        return None
+    for p in range(nparts):
+        k = r.read(kbits)
+        if k is None or k == escape:
+            return None
+        count = n // nparts - (order if p == 0 else 0)
+        for _ in range(count):
+            q = r.read_unary()
+            if q is None:
+                return None
+            rem = r.read(k) if k else 0
+            if rem is None:
+                return None
+            u = (q << k) | rem
+            res = (u >> 1) ^ -(u & 1)
+            out.append(res + (predict(out) if order else 0))
+    return out
 
 
 def decode_flac_samples(raw: bytes) -> dict | None:
     """FULL FLAC sample decode for independent-channel streams with
-    CONSTANT / VERBATIM / FIXED subframes: metadata walk, frame-header
+    CONSTANT / VERBATIM / FIXED / LPC subframes and the three stereo-decorrelation modes: metadata walk, frame-header
     parse (blocksize/rate/bps code tables, UTF-8 frame number), Rice
     residual decode, polynomial prediction reconstruction, and BOTH
     mandated checksums verified (CRC-8 header, CRC-16 frame). Returns
     ``{n_samples, sample_rate, sample_sum, sample_min, sample_max}``
-    summed over channels, or None outside the supported envelope
-    (stereo decorrelation / LPC — honestly unsupported here, the same
-    convention as the JPEG progressive modes)."""
+    summed over channels, or None outside the supported
+    envelope (>2-channel decorrelation codes, reserved subframe
+    types, Rice escape partitions)."""
     if len(raw) < 8 or raw[:4] != b"fLaC":
         return None
     pos, si_rate, si_bps = 4, None, None
@@ -2233,20 +2269,42 @@ def decode_flac_samples(raw: bytes) -> dict | None:
         rate = _FLAC_RATES[rate_code]
     else:
         return None
-    if chan_code > 7:
-        return None  # stereo decorrelation unsupported
-    n_channels = chan_code + 1
+    if chan_code > 10:
+        return None
+    n_channels = 2 if chan_code > 7 else chan_code + 1
     bps = si_bps if bps_code == 0 else _FLAC_BPS.get(bps_code)
     if not rate or not bps:
         return None
     if _flac_crc8(raw[pos:hpos]) != raw[hpos]:
         return None
     r = _BitR(raw, hpos + 1)
-    total, smin, smax = 0, None, None
-    for _ in range(n_channels):
-        samples = _flac_decode_subframe(r, n, bps)
+    channels = []
+    for ch in range(n_channels):
+        # the SIDE channel of a decorrelated pair carries one extra bit
+        ch_bps = bps + (
+            1
+            if (chan_code == 8 and ch == 1)
+            or (chan_code == 9 and ch == 0)
+            or (chan_code == 10 and ch == 1)
+            else 0
+        )
+        samples = _flac_decode_subframe(r, n, ch_bps)
         if samples is None:
             return None
+        channels.append(samples)
+    if chan_code == 8:  # left/side: right = left - side
+        left, side = channels
+        channels = [left, [l - s for l, s in zip(left, side)]]
+    elif chan_code == 9:  # right/side: left = side + right
+        side, right = channels
+        channels = [[s + rt for s, rt in zip(side, right)], right]
+    elif chan_code == 10:  # mid/side
+        mid, side = channels
+        left = [((m << 1 | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+        right = [((m << 1 | (s & 1)) - s) >> 1 for m, s in zip(mid, side)]
+        channels = [left, right]
+    total, smin, smax = 0, None, None
+    for samples in channels:
         total += sum(samples)
         lo, hi = min(samples), max(samples)
         smin = lo if smin is None else min(smin, lo)

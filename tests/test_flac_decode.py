@@ -132,3 +132,101 @@ class TestFlacDecode:
             got = rows[mid]
             assert got["sample_sum"] == exp["sample_sum"]
             assert got["n_samples"] == exp["n_samples"]
+
+
+def _frame_wrap(n, byte3, body_bits_writer):
+    """Test-local: wrap subframe bits in a valid stream with header
+    CRCs; byte3 selects channel assignment / bps."""
+    packed = (8000 << 44) | (0 << 41) | (15 << 36) | n
+    streaminfo = (
+        n.to_bytes(2, "big") * 2
+        + (0).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big")
+        + bytes(16)
+    )
+    header = bytearray([0xFF, 0xF8, 0x64, byte3, 0x00, n - 1])
+    header.append(_flac_crc8(bytes(header)))
+    w = _BitW()
+    body_bits_writer(w)
+    w.pad()
+    frame = bytes(header) + w.bytes()
+    frame += _flac_crc16(frame).to_bytes(2, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo + frame
+
+
+def _write_verbatim(w, samples, bps):
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(0, 1)
+    for s in samples:
+        w.write(s & ((1 << bps) - 1), bps)
+
+
+class TestFlacLpcAndStereo:
+    def test_lpc_subframe_with_shift(self):
+        coefs, shift, order = [3, -2], 1, 2
+        samples = [100, 103]
+        for i in range(2, 48):
+            pred = (coefs[0] * samples[i - 1] + coefs[1] * samples[i - 2]) >> shift
+            samples.append(pred + (i % 5) - 2)  # small residuals
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0x20 | (order - 1), 6)  # LPC, order 2
+            w.write(0, 1)
+            for s in samples[:order]:
+                w.write(s & 0xFFFF, 16)
+            w.write(4 - 1, 4)   # precision 4 bits
+            w.write(shift, 5)
+            for c in coefs:
+                w.write(c & 0xF, 4)
+            w.write(0, 2)       # 4-bit rice
+            w.write(0, 4)       # partition order 0
+            k = 3
+            w.write(k, 4)
+            for i in range(order, len(samples)):
+                pred = (coefs[0] * samples[i - 1] + coefs[1] * samples[i - 2]) >> shift
+                r = samples[i] - pred
+                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+                q, rem = u >> k, u & ((1 << k) - 1)
+                for _ in range(q):
+                    w.write(0, 1)
+                w.write(1, 1)
+                w.write(rem, k)
+
+        out = decode_flac_samples(_frame_wrap(len(samples), 0x08, body))
+        assert out is not None
+        assert out["sample_sum"] == sum(samples)
+        assert out["sample_min"] == min(samples)
+
+    def test_mid_side_stereo(self):
+        left = [(17 * i) % 301 - 150 for i in range(32)]
+        right = [(11 * i) % 211 - 105 for i in range(32)]
+        mid = [(l + r) >> 1 for l, r in zip(left, right)]
+        side = [l - r for l, r in zip(left, right)]
+
+        def body(w):
+            _write_verbatim(w, mid, 16)
+            _write_verbatim(w, side, 17)  # side carries the extra bit
+
+        # byte3: channel code 10 (mid/side), bps 16 (100), reserved 0
+        out = decode_flac_samples(_frame_wrap(32, 0xA8, body))
+        assert out is not None
+        assert out["n_samples"] == 64
+        assert out["sample_sum"] == sum(left) + sum(right)
+        assert out["sample_min"] == min(min(left), min(right))
+        assert out["sample_max"] == max(max(left), max(right))
+
+    def test_left_side_stereo(self):
+        left = [200 + i for i in range(32)]
+        right = [100 - i for i in range(32)]
+        side = [l - r for l, r in zip(left, right)]
+
+        def body(w):
+            _write_verbatim(w, left, 16)
+            _write_verbatim(w, side, 17)
+
+        # byte3: channel code 8 (left/side), bps 16
+        out = decode_flac_samples(_frame_wrap(32, 0x88, body))
+        assert out is not None
+        assert out["sample_sum"] == sum(left) + sum(right)
