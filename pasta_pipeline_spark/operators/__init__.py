@@ -133,7 +133,7 @@ from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
 from pasta_pipeline_spark.operators.search import bm25_topk, kwic_snippets, phrase_search
 from pasta_pipeline_spark.operators.anomaly import cusum_drift
-from pasta_pipeline_spark.operators.multimodal import decode_audio_samples
+from pasta_pipeline_spark.operators.multimodal import decode_audio_samples, image_dhash, image_dhash_pairs
 
 __all__ = [
     "merge_upsert",
@@ -238,4 +238,6 @@ __all__ = [
     "cusum_drift",
     "kwic_snippets",
     "decode_audio_samples",
+    "image_dhash",
+    "image_dhash_pairs",
 ]

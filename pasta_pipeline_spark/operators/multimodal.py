@@ -989,15 +989,12 @@ def _png_unfilter(decomp: bytes, w: int, h: int, bpp: int = 3) -> bytearray | No
     return out
 
 
-def decode_png_pixels(raw: bytes) -> dict | None:
-    """FULL PNG decode for 8-bit truecolor (color type 2, no
-    interlace): chunk walk concatenates every IDAT, zlib inflates the
-    stream, and the five scanline filters reconstruct the pixels.
-    Features are integer functions of the actual pixel bytes —
-    ``pixel_sum`` (all channel bytes) and ``luma_sum``
-    (sum of 299*R + 587*G + 114*B per pixel, the integer Rec.601
-    weights) — so any inflate, stride, or predictor bug changes the
-    output. Returns None for non-PNGs or unsupported color modes."""
+def _png_rgb(raw: bytes) -> tuple[int, int, bytearray] | None:
+    """FULL PNG reconstruction to raw interleaved RGB bytes for 8-bit
+    truecolor (color type 2, no interlace): chunk walk concatenates
+    every IDAT, zlib inflates the stream, and the five scanline
+    filters reconstruct the pixels. Shared by the feature decode and
+    the perceptual-hash tier."""
     import zlib
 
     if len(raw) < 33 or raw[:8] != b"\x89PNG\r\n\x1a\n":
@@ -1031,6 +1028,18 @@ def decode_png_pixels(raw: bytes) -> dict | None:
     px = _png_unfilter(decomp, w, h)
     if px is None:
         return None
+    return w, h, px
+
+
+def decode_png_pixels(raw: bytes) -> dict | None:
+    """Pixel features over :func:`_png_rgb` — ``pixel_sum`` (all
+    channel bytes) and ``luma_sum`` (299R+587G+114B integer Rec.601),
+    so any inflate, stride, or predictor bug changes the output.
+    Returns None for non-PNGs or unsupported color modes."""
+    rgb = _png_rgb(raw)
+    if rgb is None:
+        return None
+    w, h, px = rgb
     pixel_sum = sum(px)
     luma = 0
     for i in range(0, len(px), 3):
@@ -2369,3 +2378,142 @@ def decode_audio_samples(
             )
 
     return src.mapInPandas(run, AUDIO_SAMPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing over REAL decoded pixels (r6)
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: first N raster-order horizontal luma comparisons.
+DHASH_BITS = 60
+
+
+def image_dhash_bits(w: int, h: int, px: bytes) -> int:
+    """Difference hash over an interleaved-RGB pixel buffer: raster-
+    order horizontal comparisons — bit i is 1 iff
+    ``luma(x, y) > luma(x+1, y)`` for the i-th pair (y major, x minor,
+    x < w-1), first DHASH_BITS pairs, weight ``2^i``. Luma is integer
+    Rec.601 (299R+587G+114B). The classic perceptual near-dup
+    signature (same family as pHash), defined at native resolution so
+    the SQL oracle can replay it from the pixel recipe closed-form."""
+    bits = 0
+    i = 0
+    for y in range(h):
+        if i >= DHASH_BITS:
+            break
+        row = y * w * 3
+        for x in range(w - 1):
+            if i >= DHASH_BITS:
+                break
+            p = row + x * 3
+            la = 299 * px[p] + 587 * px[p + 1] + 114 * px[p + 2]
+            lb = 299 * px[p + 3] + 587 * px[p + 4] + 114 * px[p + 5]
+            if la > lb:
+                bits |= 1 << i
+            i += 1
+    return bits
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual dHash over fully-decoded PNG payloads (the
+    :func:`_png_rgb` reconstruction — DEFLATE + all five filters), as
+    an Arrow-batched mapInPandas stage. Non-PNG / undecodable
+    payloads produce no row."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in ("media_id", "width", "height", "dhash")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rgb = _png_rgb(bytes(payload))
+                if rgb is None:
+                    continue
+                w, h, px = rgb
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dhash"].append(image_dhash_bits(w, h, px))
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in rows}
+            )
+
+    return src.mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_dhash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 5,
+    n_bands: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """Image near-dup pairs by banded dHash (the simhash_pairs
+    discipline applied to pixels): split the 60-bit hash into 6
+    10-bit bands — two hashes within Hamming distance 5 MUST agree on
+    at least one band (pigeonhole), so candidates come from plain
+    equi-joins on (geometry, band, value) and only candidates pay the
+    exact ``bit_count(xor)`` verify. No all-pairs comparison at any
+    scale."""
+    bands = hashes.select(
+        "media_id",
+        "width",
+        "height",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "width", "height", "dhash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("da"),
+            F.col("b.dhash").alias("db"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(da ^ db) AS BIGINT)")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -9936,3 +9936,66 @@ def q_media_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="flac_full"
     )
     return decode_audio_samples(media)
+
+
+@register(
+    "image_dhash_pairs",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 12 AS w,
+             4 + (doc_id // 3) % 10 AS h
+      FROM documents
+    ), comp AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, least((w - 1) * h, 60) - 1)) AS i
+      FROM ids
+    ), pos AS (
+      SELECT media_id, w, h, i, i % (w - 1) AS x, i // (w - 1) AS y
+      FROM comp
+    ), bits AS (
+      SELECT media_id, w, h, i,
+             CASE WHEN
+               299 * ((media_id * 7 + y * 31 + x * 13) % 256)
+               + 587 * ((media_id * 7 + y * 31 + x * 13 + 5) % 256)
+               + 114 * ((media_id * 7 + y * 31 + x * 13 + 10) % 256)
+               >
+               299 * ((media_id * 7 + y * 31 + (x + 1) * 13) % 256)
+               + 587 * ((media_id * 7 + y * 31 + (x + 1) * 13 + 5) % 256)
+               + 114 * ((media_id * 7 + y * 31 + (x + 1) * 13 + 10) % 256)
+             THEN 1 ELSE 0 END AS bit
+      FROM pos
+    ), hashes AS (
+      SELECT media_id, w, h,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+      FROM bits GROUP BY media_id, w, h
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hashes a
+    JOIN hashes b ON a.w = b.w AND a.h = b.h AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 5
+    """,
+    doc="Image near-duplicate pairs by perceptual dHash over REAL "
+    "decoded pixels (multimodal.image_dhash / image_dhash_pairs): "
+    "complete PNGs decode through DEFLATE + all five filters, the "
+    "60-bit difference hash compares adjacent luma at native "
+    "resolution, and pairs come from 6x10-bit BANDED equi-joins "
+    "(pigeonhole: Hamming<=5 forces a shared band) with exact "
+    "bit_count verify — the simhash discipline applied to pixels; "
+    "no all-pairs join at any scale. The oracle computes every hash "
+    "from the pixel-recipe closed form, so a decode bug anywhere in "
+    "the inflate/filter cascade flips bits and hash-mismatches.",
+)
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_pairs,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
+    )
+    return image_dhash_pairs(image_dhash(media))

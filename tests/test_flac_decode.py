@@ -230,3 +230,52 @@ class TestFlacLpcAndStereo:
         out = decode_flac_samples(_frame_wrap(32, 0x88, body))
         assert out is not None
         assert out["sample_sum"] == sum(left) + sum(right)
+
+
+class TestImageDhash:
+    def test_banded_pairs_equal_brute_force(self, spark):
+        """The banded candidate generation must find EXACTLY the pairs
+        a brute-force same-geometry scan finds (pigeonhole has no
+        false negatives; the verify removes false positives)."""
+        import pyspark.sql.functions as F
+
+        from pasta_pipeline_spark.operators.multimodal import (
+            image_dhash,
+            image_dhash_bits,
+            image_dhash_pairs,
+            synthesize_media,
+            _png_rgb,
+            _synth_png_full,
+        )
+
+        ids = spark.range(150).select(F.col("id").alias("media_id"))
+        media = synthesize_media(ids, variant="png_full")
+        hashes = image_dhash(media)
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in image_dhash_pairs(hashes).collect()
+        }
+        # brute force locally
+        local = {}
+        for mid in range(150):
+            w, h, px = _png_rgb(_synth_png_full(mid))
+            local[mid] = (w, h, image_dhash_bits(w, h, px))
+        exp = set()
+        for a in range(150):
+            for b in range(a + 1, 150):
+                if local[a][:2] == local[b][:2]:
+                    d = bin(local[a][2] ^ local[b][2]).count("1")
+                    if d <= 5:
+                        exp.add((a, b, d))
+        assert got == exp and exp  # non-degenerate fixture
+
+    def test_dhash_shift_invariance_contract(self):
+        """Two images differing only by a constant luma offset WITHOUT
+        wraparound share a dhash (the perceptual property); wraparound
+        breaks ties — both directions exercised by the recipe."""
+        from pasta_pipeline_spark.operators.multimodal import image_dhash_bits
+
+        w, h = 6, 4
+        base = bytes((13 * (i % (w * 3)) + 31 * (i // (w * 3))) % 200 for i in range(w * h * 3))
+        shifted = bytes(min(255, v + 20) for v in base)  # no wrap below 235
+        assert image_dhash_bits(w, h, base) == image_dhash_bits(w, h, shifted)
