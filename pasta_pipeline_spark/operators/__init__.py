@@ -133,7 +133,12 @@ from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
 from pasta_pipeline_spark.operators.search import bm25_topk, kwic_snippets, phrase_search
 from pasta_pipeline_spark.operators.anomaly import cusum_drift
-from pasta_pipeline_spark.operators.multimodal import decode_audio_samples, image_dhash, image_dhash_pairs
+from pasta_pipeline_spark.operators.multimodal import (
+    decode_audio_samples,
+    image_dhash,
+    image_dhash_pairs,
+    video_scene_cuts,
+)
 
 __all__ = [
     "merge_upsert",
@@ -240,4 +245,5 @@ __all__ = [
     "decode_audio_samples",
     "image_dhash",
     "image_dhash_pairs",
+    "video_scene_cuts",
 ]

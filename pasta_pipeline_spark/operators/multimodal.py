@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -2517,3 +2518,91 @@ def image_dhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+FRAME_DIFF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("sad", LongType(), False),
+        StructField("is_cut", BooleanType(), False),
+    ]
+)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    threshold_per_pixel: int = 55,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video: consecutive
+    Y4M frames' luma planes compared by SAD (sum of absolute
+    differences — the standard scene-cut metric every frame-sampling
+    pipeline thresholds), flagged as a cut when the per-pixel mean
+    exceeds ``threshold_per_pixel``. One row per frame transition:
+    ``(media_id, frame_idx, n_pixels, sad, is_cut)`` with
+    ``is_cut = sad > threshold * n_pixels`` in pure integers.
+
+    Arrow-batched mapInPandas over the chunk-manifest-compatible
+    payload frame; undecodable payloads produce no rows. The
+    interesting scale property: a cut list is metadata-scale output
+    (frames, not pixels) from pixel-scale input, so it runs where the
+    bytes are and ships almost nothing.
+    """
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    thr = int(threshold_per_pixel)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "frame_idx", "n_pixels", "sad", "is_cut")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if not raw.startswith(b"YUV4MPEG2 "):
+                    continue
+                nl = raw.find(b"\n")
+                if nl < 0:
+                    continue
+                header = raw[:nl].decode("ascii", "replace").split(" ")
+                dims = {p[0]: p[1:] for p in header[1:] if p}
+                try:
+                    w, h = int(dims["W"]), int(dims["H"])
+                except (KeyError, ValueError):
+                    continue
+                npx = w * h
+                frame_bytes = npx + 2 * (npx // 4)
+                pos = nl + 1
+                prev = None
+                idx = 0
+                while pos + 6 <= len(raw) and raw[pos:pos + 5] == b"FRAME":
+                    fnl = raw.find(b"\n", pos)
+                    if fnl < 0 or fnl + frame_bytes > len(raw):
+                        break
+                    luma = raw[fnl + 1:fnl + 1 + npx]
+                    if prev is not None:
+                        sad = sum(
+                            abs(a - b) for a, b in zip(luma, prev)
+                        )
+                        rows["media_id"].append(int(mid))
+                        rows["frame_idx"].append(idx)
+                        rows["n_pixels"].append(npx)
+                        rows["sad"].append(sad)
+                        rows["is_cut"].append(sad > thr * npx)
+                    prev = luma
+                    pos = fnl + 1 + frame_bytes
+                    idx += 1
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return src.mapInPandas(run, FRAME_DIFF_SCHEMA)

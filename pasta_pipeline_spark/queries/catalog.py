@@ -9999,3 +9999,54 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
     )
     return image_dhash_pairs(image_dhash(media))
+
+
+@register(
+    "video_scene_cuts",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             16 + (doc_id % 8) * 2 AS w,
+             16 + ((doc_id // 7) % 8) * 2 AS h,
+             3 + doc_id % 12 AS n_frames
+      FROM documents
+    ), trans AS (
+      SELECT media_id, w, h, w * h AS npx,
+             unnest(generate_series(1, n_frames - 1)) AS f
+      FROM ids
+    ), px AS (
+      SELECT media_id, f, npx,
+             unnest(generate_series(0, npx - 1)) AS i
+      FROM trans
+    ), diffs AS (
+      SELECT media_id, f, npx,
+             abs((i * 13 + media_id + f * 31) % 256
+                 - (i * 13 + media_id + (f - 1) * 31) % 256) AS d
+      FROM px
+    )
+    SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(npx AS BIGINT) AS n_pixels,
+           CAST(SUM(d) AS BIGINT) AS sad,
+           (SUM(d) > 55 * npx) AS is_cut
+    FROM diffs GROUP BY media_id, f, npx
+    """,
+    doc="Shot-boundary detection over REAL decoded video frames "
+    "(multimodal.video_scene_cuts): consecutive Y4M luma planes "
+    "compared by SAD — the standard scene-cut metric a frame-sampling "
+    "pipeline thresholds — flagged at 55/pixel in pure integers. "
+    "Pixel-scale input reduces to a frames-scale cut list inside the "
+    "Arrow stage, so the operator runs where the bytes are and ships "
+    "almost nothing. The oracle recomputes every SAD from the luma "
+    "recipe closed form (per-pixel mod-256 wraparound included).",
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        synthesize_media,
+        video_scene_cuts,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="video"
+    )
+    return video_scene_cuts(media)

@@ -279,3 +279,46 @@ class TestImageDhash:
         base = bytes((13 * (i % (w * 3)) + 31 * (i // (w * 3))) % 200 for i in range(w * h * 3))
         shifted = bytes(min(255, v + 20) for v in base)  # no wrap below 235
         assert image_dhash_bits(w, h, base) == image_dhash_bits(w, h, shifted)
+
+
+class TestVideoSceneCuts:
+    def test_sad_matches_reference_and_cut_injection(self, spark):
+        """A hand-built Y4M with one violent frame change must flag
+        exactly that transition."""
+        import pyspark.sql.functions as F  # noqa: F401
+
+        from pasta_pipeline_spark.operators.multimodal import video_scene_cuts
+
+        w, h = 4, 4
+        f0 = bytes([10] * (w * h))
+        f1 = bytes([12] * (w * h))   # SAD 2/px — below any threshold
+        f2 = bytes([200] * (w * h))  # SAD 188/px — a hard cut
+        chroma = bytes(w * h // 4)
+        payload = b"YUV4MPEG2 W4 H4 F5:1 Ip A1:1 C420\n" + b"".join(
+            b"FRAME\n" + f + chroma + chroma for f in (f0, f1, f2)
+        )
+        df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+        out = {r["frame_idx"]: r for r in video_scene_cuts(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["sad"] == 2 * w * h and not out[1]["is_cut"]
+        assert out[2]["sad"] == 188 * w * h and out[2]["is_cut"]
+
+    def test_synthesized_matches_closed_form(self, spark):
+        import pyspark.sql.functions as F
+
+        from pasta_pipeline_spark.operators.multimodal import (
+            synthesize_media,
+            video_scene_cuts,
+        )
+
+        ids = spark.range(6).select(F.col("id").alias("media_id"))
+        out = video_scene_cuts(synthesize_media(ids, variant="video")).collect()
+        for r in out:
+            mid, f = r["media_id"], r["frame_idx"]
+            w = 16 + (mid % 8) * 2
+            h = 16 + ((mid // 7) % 8) * 2
+            exp = sum(
+                abs((i * 13 + mid + f * 31) % 256 - (i * 13 + mid + (f - 1) * 31) % 256)
+                for i in range(w * h)
+            )
+            assert r["sad"] == exp
