@@ -19,6 +19,7 @@ from pasta_pipeline_spark.operators.dedup import dedup_content
 from pasta_pipeline_spark.operators.skew import salted_agg
 from pasta_pipeline_spark.operators.text_dedup import (
     exact_duplicate_groups,
+    winnowing_pairs,
     fingerprint_duplicate_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -246,4 +247,5 @@ __all__ = [
     "image_dhash",
     "image_dhash_pairs",
     "video_scene_cuts",
+    "winnowing_pairs",
 ]

@@ -1177,3 +1177,174 @@ def prefix_jaccard_pairs(
         "doc_a", "doc_b", "jaccard"
     )
     return attach_cached_deps(out, [sh]) if own_cache else out
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+#: Winnowing constants shared by the Spark expressions and the SQL
+#: oracle generator (playbook #11): polynomial base/modulus for the
+#: k-gram hash, and the position-encoding radix for the rightmost-min
+#: tie-break (documents up to 2^20 - 1 k-grams).
+WINNOW_BASE = 1_000_003
+WINNOW_MOD = (1 << 31) - 1
+WINNOW_POS = 1 << 20
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    a w-gram window, and keep each window's MINIMUM hash (rightmost
+    position on ties). The selection guarantee that makes this the
+    standard local fingerprinting scheme: any shared substring of at
+    least ``w + k - 1`` tokens shares at least one selected
+    fingerprint, while only ~2/(w+1) of all grams are kept.
+
+    Engine-exact argmin without structs: each gram's key is
+    ``h * 2^20 + (2^20 - 1 - p)`` — a plain int64 whose window MIN
+    selects the smallest hash and, among ties, the rightmost
+    position; hash and position decode back arithmetically. One
+    per-document window pass; emits DISTINCT ``(id, fp, pos)``.
+    """
+    ht = F.transform(
+        tokenize_ws(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+    n_kg = F.greatest(F.size(ht) - k + 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_kg),
+        lambda p: F.aggregate(
+            F.slice(ht, p, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * WINNOW_BASE + x) % WINNOW_MOD,
+        ),
+    )
+    exploded = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(grams).alias("p0", "h"))
+        .select(
+            F.col(id_col),
+            (F.col("p0") + 1).alias("p"),
+            (F.col("h") * WINNOW_POS + (WINNOW_POS - 1 - (F.col("p0") + 1)))
+            .cast("long")
+            .alias("ckey"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    )
+    selected = (
+        exploded.select(
+            F.col(id_col),
+            F.min("ckey").over(win).alias("cmin"),
+            F.count("ckey").over(win).alias("cnt"),
+        )
+        .where(F.col("cnt") == w)
+        .select(
+            F.col(id_col),
+            F.expr(f"cmin div {WINNOW_POS}").cast("long").alias("fp"),
+            (F.lit(WINNOW_POS - 1) - F.col("cmin") % WINNOW_POS)
+            .cast("long")
+            .alias("pos"),
+        )
+        .distinct()
+    )
+    return selected
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: documents
+    sharing at least ``min_shared`` selected fingerprints. Fingerprints
+    appearing in more than ``max_df`` documents are dropped before the
+    join (the hot-shingle cap every inverted-index tier here applies —
+    boilerplate fingerprints generate quadratic candidates and carry
+    no signal). Plain equi-join on the fingerprint; no all-pairs."""
+    fps = winnowing_fingerprints(docs, id_col, text_col, k, w).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    pruned = fps.join(F.broadcast(rare.select("fp")), "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.fp").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_oracle_sql(
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 100,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnowing_pairs` — same constants, same
+    argmin encoding, same hot-fingerprint cap."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             list_transform(
+               list_filter(regexp_split_to_array(lower({text_col}), '\\s+'), y -> y <> ''),
+               t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS ht
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), kg AS (
+      SELECT {id_col},
+             unnest(generate_series(1, len(ht) - {k} + 1)) AS p, ht
+      FROM toks WHERE len(ht) >= {k}
+    ), keyed AS (
+      SELECT {id_col}, p,
+             list_reduce(list_prepend(0::BIGINT, ht[p : p + {k} - 1]),
+                         (acc, x) -> (acc * {WINNOW_BASE} + x) % {WINNOW_MOD})
+               * {WINNOW_POS} + ({WINNOW_POS} - 1 - p) AS ckey
+      FROM kg
+    ), wmin AS (
+      SELECT {id_col},
+             MIN(ckey) OVER (PARTITION BY {id_col} ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cmin,
+             COUNT(ckey) OVER (PARTITION BY {id_col} ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+      FROM keyed
+    ), fps AS (
+      SELECT DISTINCT {id_col}, cmin // {WINNOW_POS} AS fp
+      FROM wmin WHERE cnt = {w}
+    ), rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+    ), pruned AS (
+      SELECT f.{id_col}, f.fp FROM fps f JOIN rare USING (fp)
+    )
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b
+      ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+    GROUP BY a.{id_col}, b.{id_col}
+    HAVING count(DISTINCT a.fp) >= {min_shared}
+    """

@@ -10050,3 +10050,35 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="video"
     )
     return video_scene_cuts(media)
+
+
+def _winnowing_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_dedup import winnowing_oracle_sql
+
+    return winnowing_oracle_sql()
+
+
+@register(
+    "winnowing_pairs",
+    None,  # generated below — single source of truth in operators/text_dedup.py
+    doc="Winnowing fingerprint near-dup pairs (operators/text_dedup.py "
+    "winnowing_pairs; Schleimer/Wilkerson/Aiken SIGMOD 2003 — the "
+    "MOSS algorithm): per-window minimum k-gram hash with rightmost "
+    "tie-break selected via a plain int64 argmin encoding (no "
+    "structs), giving the winnowing guarantee — any shared substring "
+    "of w+k-1 tokens shares a fingerprint — at ~2/(w+1) selection "
+    "density. Hot fingerprints capped before the equi-join (no "
+    "quadratic boilerplate blowup).",
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import winnowing_pairs
+
+    docs = _tp(spark, sf_dir, "documents")
+    return winnowing_pairs(docs)
+
+
+REGISTRY["winnowing_pairs"] = QuerySpec(
+    spark_fn=REGISTRY["winnowing_pairs"].spark_fn,
+    oracle=_winnowing_oracle(),
+    doc=REGISTRY["winnowing_pairs"].doc,
+)

@@ -273,3 +273,51 @@ def test_remove_boilerplate_lines_group_scoped(spark):
     assert out[5]["n_removed"] == 0
     assert len(out) == 7
     assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+
+
+class TestWinnowing:
+    def test_guarantee_shared_substring_shares_fingerprint(self, spark):
+        """The winnowing guarantee: two docs sharing a substring of
+        >= w + k - 1 tokens must share at least one fingerprint."""
+        from pasta_pipeline_spark.operators.text_dedup import (
+            winnowing_fingerprints,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w+k-1 tokens
+        rows = [
+            (1, "xx yy " + shared + " zz"),
+            (2, "completely different prefix words " + shared),
+            (3, "no overlap here at all with anything else whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnowing_fingerprints(df, k=4, w=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2]          # guarantee holds
+        assert not (by_doc[1] & by_doc[3])    # unrelated docs don't collide
+
+    def test_density_and_determinism(self, spark):
+        from pasta_pipeline_spark.operators.text_dedup import (
+            winnowing_fingerprints,
+        )
+
+        text = " ".join(f"tok{(i * 7) % 23}" for i in range(120))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        a = {(r["fp"], r["pos"]) for r in winnowing_fingerprints(df).collect()}
+        b = {(r["fp"], r["pos"]) for r in winnowing_fingerprints(df).collect()}
+        assert a == b
+        # selection density ~2/(w+1): far fewer fingerprints than grams
+        n_grams = 120 - 4 + 1
+        assert 0 < len(a) < n_grams / 2
+
+    def test_pairs_find_near_dups(self, spark):
+        from pasta_pipeline_spark.operators.text_dedup import winnowing_pairs
+
+        base = " ".join(f"w{(i * 5) % 31}" for i in range(60))
+        edited = base.replace("w10", "CHANGED", 2)
+        rows = [(1, base), (2, edited), (3, "unrelated " * 40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["doc_a"], r["doc_b"]) for r in winnowing_pairs(df).collect()}
+        assert (1, 2) in out
+        assert all(3 not in p for p in out)
