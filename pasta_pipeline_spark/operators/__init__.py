@@ -135,6 +135,9 @@ from pasta_pipeline_spark.operators.similarity import jl_project
 from pasta_pipeline_spark.operators.search import bm25_topk, kwic_snippets, phrase_search
 from pasta_pipeline_spark.operators.anomaly import cusum_drift
 from pasta_pipeline_spark.operators.multimodal import (
+    audio_fingerprint,
+    audio_fingerprint_pairs,
+    banded_hamming_pairs,
     decode_audio_samples,
     image_dhash,
     image_dhash_pairs,
@@ -248,4 +251,7 @@ __all__ = [
     "image_dhash_pairs",
     "video_scene_cuts",
     "winnowing_pairs",
+    "audio_fingerprint",
+    "audio_fingerprint_pairs",
+    "banded_hamming_pairs",
 ]

@@ -2218,16 +2218,15 @@ def _flac_decode_residuals(r, n, order, hist, predict):
     return out
 
 
-def decode_flac_samples(raw: bytes) -> dict | None:
-    """FULL FLAC sample decode for independent-channel streams with
-    CONSTANT / VERBATIM / FIXED / LPC subframes and the three stereo-decorrelation modes: metadata walk, frame-header
-    parse (blocksize/rate/bps code tables, UTF-8 frame number), Rice
-    residual decode, polynomial prediction reconstruction, and BOTH
-    mandated checksums verified (CRC-8 header, CRC-16 frame). Returns
-    ``{n_samples, sample_rate, sample_sum, sample_min, sample_max}``
-    summed over channels, or None outside the supported
-    envelope (>2-channel decorrelation codes, reserved subframe
-    types, Rice escape partitions)."""
+def _flac_parse(raw: bytes) -> tuple[int, list[list[int]]] | None:
+    """FULL FLAC decode for streams with CONSTANT / VERBATIM / FIXED /
+    LPC subframes and the three stereo-decorrelation modes: metadata
+    walk, frame-header parse (blocksize/rate/bps code tables, UTF-8
+    frame number), Rice residual decode, polynomial prediction
+    reconstruction, and BOTH mandated checksums verified (CRC-8
+    header, CRC-16 frame). Returns ``(sample_rate, channels)`` or
+    None outside the supported envelope (>2-channel decorrelation
+    codes, reserved subframe types, Rice escape partitions)."""
     if len(raw) < 8 or raw[:4] != b"fLaC":
         return None
     pos, si_rate, si_bps = 4, None, None
@@ -2313,24 +2312,47 @@ def decode_flac_samples(raw: bytes) -> dict | None:
         left = [((m << 1 | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
         right = [((m << 1 | (s & 1)) - s) >> 1 for m, s in zip(mid, side)]
         channels = [left, right]
+    end = r.byte_pos()
+    if end + 2 > len(raw):
+        return None
+    if _flac_crc16(raw[pos:end]) != int.from_bytes(raw[end:end + 2], "big"):
+        return None
+    return rate, channels
+
+
+def decode_flac_samples(raw: bytes) -> dict | None:
+    """Summary features over :func:`_flac_parse`:
+    ``{n_samples, sample_rate, sample_sum, sample_min, sample_max}``
+    across channels."""
+    parsed = _flac_parse(raw)
+    if parsed is None:
+        return None
+    rate, channels = parsed
     total, smin, smax = 0, None, None
     for samples in channels:
         total += sum(samples)
         lo, hi = min(samples), max(samples)
         smin = lo if smin is None else min(smin, lo)
         smax = hi if smax is None else max(smax, hi)
-    end = r.byte_pos()
-    if end + 2 > len(raw):
-        return None
-    if _flac_crc16(raw[pos:end]) != int.from_bytes(raw[end:end + 2], "big"):
-        return None
     return {
-        "n_samples": n * n_channels,
+        "n_samples": sum(len(c) for c in channels),
         "sample_rate": rate,
         "sample_sum": total,
         "sample_min": smin,
         "sample_max": smax,
     }
+
+
+def decode_flac_stream(raw: bytes) -> list[int] | None:
+    """Channel-concatenated decoded sample stream (the fingerprint
+    tier's input) from :func:`_flac_parse`."""
+    parsed = _flac_parse(raw)
+    if parsed is None:
+        return None
+    out = []
+    for c in parsed[1]:
+        out.extend(c)
+    return out
 
 
 AUDIO_SAMPLES_SCHEMA = StructType(
@@ -2461,30 +2483,36 @@ def image_dhash(
     return src.mapInPandas(run, DHASH_SCHEMA)
 
 
-def image_dhash_pairs(
+def banded_hamming_pairs(
     hashes: DataFrame,
+    group_cols: list[str],
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
     max_hamming: int = 5,
     n_bands: int = 6,
     band_bits: int = 10,
 ) -> DataFrame:
-    """Image near-dup pairs by banded dHash (the simhash_pairs
-    discipline applied to pixels): split the 60-bit hash into 6
-    10-bit bands — two hashes within Hamming distance 5 MUST agree on
-    at least one band (pigeonhole), so candidates come from plain
-    equi-joins on (geometry, band, value) and only candidates pay the
+    """Near-dup pairs by banded Hamming LSH over an int64 signature
+    (the simhash_pairs discipline, shared by the image and audio
+    tiers): split the hash into ``n_bands`` bands of ``band_bits`` —
+    two hashes within Hamming distance ``< n_bands`` MUST agree on at
+    least one band (pigeonhole), so candidates come from plain
+    equi-joins on (group, band, value) and only candidates pay the
     exact ``bit_count(xor)`` verify. No all-pairs comparison at any
-    scale."""
+    scale. ``group_cols`` restricts comparisons to like-for-like
+    signatures (image geometry, sample count)."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole requires max_hamming < n_bands")
     bands = hashes.select(
-        "media_id",
-        "width",
-        "height",
-        "dhash",
+        id_col,
+        *group_cols,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("dhash"), b * band_bits)
+                        F.shiftrightunsigned(F.col(hash_col), b * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("val"),
                     )
@@ -2492,22 +2520,22 @@ def image_dhash_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select("media_id", "width", "height", "dhash", "bv.band", "bv.val")
+    ).select(id_col, *group_cols, hash_col, "bv.band", "bv.val")
     a, b = bands.alias("a"), bands.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.width") == F.col("b.width"))
-            & (F.col("a.height") == F.col("b.height"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+        a.join(b, cond)
         .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.col("a.dhash").alias("da"),
-            F.col("b.dhash").alias("db"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("da"),
+            F.col(f"b.{hash_col}").alias("db"),
         )
         .distinct()
     )
@@ -2517,6 +2545,20 @@ def image_dhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_dhash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 5,
+    n_bands: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """Image near-dup pairs: :func:`banded_hamming_pairs` over the
+    dHash frame, grouped by geometry."""
+    return banded_hamming_pairs(
+        hashes, ["width", "height"], "dhash", "media_id",
+        max_hamming, n_bands, band_bits,
     )
 
 
@@ -2606,3 +2648,80 @@ def video_scene_cuts(
             )
 
     return src.mapInPandas(run, FRAME_DIFF_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("afp", LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint_bits(samples: list[int], n_bits: int = DHASH_BITS) -> int:
+    """Delta-sign acoustic signature over a decoded sample stream:
+    bit i is 1 iff ``s[i+1] > s[i]`` (first ``n_bits`` transitions,
+    weight ``2^i``) — the waveform-shape primitive under audio
+    fingerprinting schemes (sign-of-delta is invariant to gain and
+    DC offset, the two transforms a re-encode applies). Closed-form
+    replayable from the sample recipe."""
+    bits = 0
+    for i in range(min(len(samples) - 1, n_bits)):
+        if samples[i + 1] > samples[i]:
+            bits |= 1 << i
+    return bits
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Acoustic fingerprints over FULLY DECODED FLAC payloads
+    (:func:`decode_flac_samples` extended to return the stream): the
+    Rice/prediction/CRC cascade reconstructs the samples, then the
+    delta-sign signature summarizes the waveform. Arrow-batched;
+    undecodable payloads produce no row."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "n_samples", "afp")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                decoded = decode_flac_stream(bytes(payload))
+                if decoded is None:
+                    continue
+                samples = decoded
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(samples))
+                rows["afp"].append(audio_fingerprint_bits(samples))
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return src.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_fingerprint_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 5,
+    n_bands: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """Audio near-dup pairs: :func:`banded_hamming_pairs` over the
+    fingerprint frame, grouped by sample count — with this, the
+    near-dup ladder covers TEXT (shingles/minhash/simhash/winnowing),
+    IMAGES (dHash) and AUDIO (delta-sign) under one banded-LSH
+    discipline."""
+    return banded_hamming_pairs(
+        hashes, ["n_samples"], "afp", "media_id",
+        max_hamming, n_bands, band_bits,
+    )

@@ -10082,3 +10082,54 @@ REGISTRY["winnowing_pairs"] = QuerySpec(
     oracle=_winnowing_oracle(),
     doc=REGISTRY["winnowing_pairs"].doc,
 )
+
+
+@register(
+    "audio_fingerprint_pairs",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id, 32 + (doc_id % 5) * 8 AS n, doc_id % 3 AS v
+      FROM documents
+    ), bits AS (
+      SELECT media_id, n, unnest(generate_series(0, least(n - 1, 60) - 1)) AS i
+      FROM ids WHERE v <> 0
+    ), vals AS (
+      SELECT media_id, n, i,
+             CASE WHEN (media_id * 31 + (i + 1) * 17) % 4001
+                       > (media_id * 31 + i * 17) % 4001
+                  THEN 1 ELSE 0 END AS bit
+      FROM bits
+    ), hashes AS (
+      SELECT media_id, n,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS afp
+      FROM vals GROUP BY media_id, n
+      UNION ALL
+      SELECT media_id, n, CAST(0 AS BIGINT) FROM ids WHERE v = 0
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.n = b.n AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 5
+    """,
+    doc="Audio near-duplicate pairs over FULLY DECODED FLAC "
+    "(multimodal.audio_fingerprint / audio_fingerprint_pairs): the "
+    "Rice/prediction/CRC cascade reconstructs the waveform, a "
+    "delta-sign signature (gain- and DC-invariant) summarizes it, and "
+    "pairs come from the shared banded-Hamming LSH "
+    "(banded_hamming_pairs — pigeonhole equi-joins, exact bit_count "
+    "verify). With this the near-dup ladder covers text, images and "
+    "audio under one discipline. Oracle replays fingerprints from the "
+    "sample recipe closed form — a decode bug anywhere flips bits.",
+)
+def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_pairs,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="flac_full"
+    )
+    return audio_fingerprint_pairs(audio_fingerprint(media))

@@ -322,3 +322,47 @@ class TestVideoSceneCuts:
                 for i in range(w * h)
             )
             assert r["sad"] == exp
+
+
+class TestAudioFingerprint:
+    def test_gain_and_dc_invariance(self):
+        from pasta_pipeline_spark.operators.multimodal import (
+            audio_fingerprint_bits,
+        )
+
+        s = [((i * 37) % 211) - 100 for i in range(64)]
+        gained = [v * 3 for v in s]
+        shifted = [v + 500 for v in s]
+        assert (
+            audio_fingerprint_bits(s)
+            == audio_fingerprint_bits(gained)
+            == audio_fingerprint_bits(shifted)
+        )
+        inverted = [-v for v in s]
+        assert audio_fingerprint_bits(s) != audio_fingerprint_bits(inverted)
+
+    def test_pairs_through_real_decode(self, spark):
+        import pyspark.sql.functions as F
+
+        from pasta_pipeline_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_fingerprint_pairs,
+            synthesize_media,
+        )
+
+        ids = spark.range(30).select(F.col("id").alias("media_id"))
+        media = synthesize_media(ids, variant="flac_full")
+        fps = audio_fingerprint(media)
+        assert fps.count() == 30  # every payload decodes
+        pairs = audio_fingerprint_pairs(fps).collect()
+        # constant (silence-like) clips of equal length pair at hamming 0
+        silence = [m for m in range(30) if m % 3 == 0]
+        same_n = [
+            (a, b)
+            for a in silence
+            for b in silence
+            if a < b and a % 5 == b % 5
+        ]
+        got0 = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
+        for p in same_n:
+            assert p in got0
