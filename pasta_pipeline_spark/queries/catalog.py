@@ -10133,3 +10133,85 @@ def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="flac_full"
     )
     return audio_fingerprint_pairs(audio_fingerprint(media))
+
+
+@register(
+    "media_dedup_survivors",
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 12 AS w,
+             4 + (doc_id // 3) % 10 AS h
+      FROM documents
+    ), comp AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, least((w - 1) * h, 60) - 1)) AS i
+      FROM ids
+    ), pos AS (
+      SELECT media_id, w, h, i, i % (w - 1) AS x, i // (w - 1) AS y FROM comp
+    ), bits AS (
+      SELECT media_id, w, h, i,
+             CASE WHEN
+               299 * ((media_id * 7 + y * 31 + x * 13) % 256)
+               + 587 * ((media_id * 7 + y * 31 + x * 13 + 5) % 256)
+               + 114 * ((media_id * 7 + y * 31 + x * 13 + 10) % 256)
+               >
+               299 * ((media_id * 7 + y * 31 + (x + 1) * 13) % 256)
+               + 587 * ((media_id * 7 + y * 31 + (x + 1) * 13 + 5) % 256)
+               + 114 * ((media_id * 7 + y * 31 + (x + 1) * 13 + 10) % 256)
+             THEN 1 ELSE 0 END AS bit
+      FROM pos
+    ), hashes AS (
+      SELECT media_id, w, h,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+      FROM bits GROUP BY media_id, w, h
+    ), pairs AS (
+      SELECT a.media_id AS doc_a, b.media_id AS doc_b
+      FROM hashes a JOIN hashes b
+        ON a.w = b.w AND a.h = b.h AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), cc(node, lbl) AS (
+      SELECT media_id, media_id FROM hashes
+      UNION
+      SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+    )
+    SELECT node AS media_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+           (node = min(lbl)) AS is_survivor
+    FROM cc GROUP BY node
+    """,
+    doc="Multimodal dedup CAPSTONE: complete PNGs decode through the "
+    "real DEFLATE + filter cascade, perceptual dHash pairs feed the "
+    "SAME min-label connected-components operator the text ladder "
+    "uses (duplicate_clusters), and every image lands in a cluster "
+    "with its smallest-id survivor — image near-dup dedup end-to-end "
+    "under one full-hash oracle (closed-form hashes + recursive-CTE "
+    "transitive closure).",
+)
+def q_media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_pairs,
+        synthesize_media,
+    )
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
+    )
+    hashes = image_dhash(media)
+    pairs = image_dhash_pairs(hashes).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    clusters = duplicate_clusters(
+        hashes.select(F.col("media_id").alias("doc_id")), pairs
+    )
+    return clusters.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_survivor",
+    )
