@@ -33,6 +33,7 @@ import math
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -2632,9 +2633,9 @@ def video_scene_cuts(
                         break
                     luma = raw[fnl + 1:fnl + 1 + npx]
                     if prev is not None:
-                        sad = sum(
-                            abs(a - b) for a, b in zip(luma, prev)
-                        )
+                        a16 = np.frombuffer(luma, dtype=np.uint8).astype(np.int32)
+                        b16 = np.frombuffer(prev, dtype=np.uint8).astype(np.int32)
+                        sad = int(np.abs(a16 - b16).sum())
                         rows["media_id"].append(int(mid))
                         rows["frame_idx"].append(idx)
                         rows["n_pixels"].append(npx)
