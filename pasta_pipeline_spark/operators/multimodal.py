@@ -2674,12 +2674,40 @@ def audio_fingerprint_bits(samples: list[int], n_bits: int = DHASH_BITS) -> int:
     return bits
 
 
+def decode_wav_stream(raw: bytes) -> list[int] | None:
+    """Decoded 16-bit PCM sample stream from a RIFF/WAVE payload
+    (channel-concatenated like :func:`decode_flac_stream`, so the
+    SAME clip fingerprints identically whichever container it arrived
+    in — format-invariance is pytest-pinned)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, channels, bits, data = 12, None, None, None
+    while pos + 8 <= len(raw):
+        cid, csize = raw[pos:pos + 4], struct.unpack_from("<I", raw, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16:
+            _, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", raw, body)
+        elif cid == b"data":
+            data = raw[body:body + min(csize, len(raw) - body)]
+        pos = body + csize + (csize & 1)
+    if not channels or bits != 16 or data is None:
+        return None
+    flat = np.frombuffer(data[: len(data) - len(data) % (2 * channels)],
+                         dtype="<i2").astype(int)
+    # interleaved -> per-channel concatenation (FLAC stream order)
+    out = []
+    for c in range(channels):
+        out.extend(flat[c::channels].tolist())
+    return out
+
+
 def audio_fingerprint(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Acoustic fingerprints over FULLY DECODED FLAC payloads
-    (:func:`decode_flac_samples` extended to return the stream): the
-    Rice/prediction/CRC cascade reconstructs the samples, then the
+    """Acoustic fingerprints over FULLY DECODED audio payloads —
+    FLAC through the Rice/prediction/CRC cascade
+    (:func:`decode_flac_stream`) or RIFF/WAVE 16-bit PCM
+    (:func:`decode_wav_stream`), dispatched on magic bytes — then the
     delta-sign signature summarizes the waveform. Arrow-batched;
     undecodable payloads produce no row."""
     from pasta_pipeline_spark.operators.util import ensure_package_on_workers
@@ -2697,10 +2725,14 @@ def audio_fingerprint(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                decoded = decode_flac_stream(bytes(payload))
-                if decoded is None:
+                raw = bytes(payload)
+                samples = (
+                    decode_flac_stream(raw)
+                    if raw[:4] == b"fLaC"
+                    else decode_wav_stream(raw)
+                )
+                if samples is None:
                     continue
-                samples = decoded
                 rows["media_id"].append(int(mid))
                 rows["n_samples"].append(len(samples))
                 rows["afp"].append(audio_fingerprint_bits(samples))

@@ -366,3 +366,32 @@ class TestAudioFingerprint:
         got0 = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
         for p in same_n:
             assert p in got0
+
+
+def test_cross_format_fingerprint_invariance():
+    """The SAME clip fingerprints identically whether delivered as
+    FLAC or as WAV — the container must not leak into the signature."""
+    import struct
+
+    from pasta_pipeline_spark.operators.multimodal import (
+        _flac_sample,
+        _synth_flac_full,
+        audio_fingerprint_bits,
+        decode_flac_stream,
+        decode_wav_stream,
+    )
+
+    mid = 7  # variant 1: verbatim samples from the recipe
+    samples = [_flac_sample(mid, i) for i in range(32 + (mid % 5) * 8)]
+    # wrap the same samples as a minimal 16-bit mono WAV
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    flac_stream = decode_flac_stream(_synth_flac_full(mid))
+    wav_stream = decode_wav_stream(wav)
+    assert flac_stream == wav_stream == samples
+    assert audio_fingerprint_bits(flac_stream) == audio_fingerprint_bits(wav_stream)
