@@ -72,6 +72,13 @@ QUERIES = [
     "perplexity_buckets",
     "curation_funnel",
     "length_drift_ks",
+    # wave-2: from-spec media decode, perceptual dedup, search, MOSS
+    "media_flac_samples",
+    "image_dhash_pairs",
+    "audio_fingerprint_pairs",
+    "video_scene_cuts",
+    "winnowing_pairs",
+    "bm25_topk",
 ]
 
 
