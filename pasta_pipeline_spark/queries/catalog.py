@@ -10215,3 +10215,98 @@ def q_media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "is_survivor",
     )
+
+
+def _pretrain_pipeline_oracle() -> str:
+    from pasta_pipeline_spark.operators.dsir import dsir_oracle_sql
+    from pasta_pipeline_spark.operators.quality_filters import gopher_rules_sql
+    from pasta_pipeline_spark.operators.sampling import greedy_pack_oracle_sql
+
+    dsir_sub = dsir_oracle_sql(
+        target_where="source IN ('src0', 'src1', 'src2', 'src3')",
+        k=100,
+        table="kept",
+    )
+    pack_sub = greedy_pack_oracle_sql(
+        table="sized",
+        id_col="doc_id",
+        size_sql="len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))",
+        budget=256,
+        group_col="source",
+    )
+    return f"""
+    WITH g AS ({gopher_rules_sql()}),
+    surv AS (
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id ASC) = 1) AS sv
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.* FROM documents d
+      JOIN g USING (doc_id) JOIN surv USING (doc_id)
+      WHERE g.pass_all AND surv.sv
+    ),
+    selected AS (SELECT * FROM ({dsir_sub})),
+    sized AS (
+      SELECT d.source, d.doc_id, d.text
+      FROM kept d JOIN selected USING (doc_id)
+    ),
+    packed AS (SELECT * FROM ({pack_sub}))
+    SELECT p.source, p.doc_id, p.n_units, p.pack_id, p.offset_in_pack,
+           s.weight_fp
+    FROM packed p JOIN selected s USING (doc_id)
+    """
+
+
+@register(
+    "pretrain_pipeline",
+    None,  # generated below — composed from the stage generators
+    doc="Pretraining data-path CAPSTONE: the four stages a real corpus "
+    "runs in order — Gopher quality gate, exact-dup keep-first "
+    "survivorship, DSIR target-likeness selection (top 100), and "
+    "NO-SPLIT greedy packing into 256-token windows per source — as "
+    "ONE composed plan under ONE full-hash oracle (the stage oracle "
+    "GENERATORS nest as CTE subqueries, so the composed contract "
+    "cannot drift from the per-stage ones). Output: each selected "
+    "document's pack assignment plus its selection weight.",
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+    from pasta_pipeline_spark.operators.dsir import dsir_select
+    from pasta_pipeline_spark.operators.quality_filters import gopher_rules
+    from pasta_pipeline_spark.operators.sampling import greedy_pack
+
+    docs = _tp(spark, sf_dir, "documents")
+    g = gopher_rules(docs).select("doc_id", "pass_all")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        F.asc("doc_id")
+    )
+    kept = (
+        docs.withColumn("__sv", F.row_number().over(w) == 1)
+        .join(g, "doc_id")
+        .where(F.col("pass_all") & F.col("__sv"))
+        .drop("pass_all", "__sv")
+    )
+    selected = dsir_select(
+        kept, F.col("source").isin("src0", "src1", "src2", "src3"), k=100
+    )
+    sized = (
+        kept.join(selected.select("doc_id"), "doc_id")
+        .select(
+            "source", "doc_id", F.size(tokenize_ws(F.col("text"))).alias("__n_tok")
+        )
+    )
+    packed = greedy_pack(sized, "doc_id", "__n_tok", budget=256, group_col="source")
+    return packed.join(selected.select("doc_id", "weight_fp"), "doc_id").select(
+        "source", "doc_id", "n_units", "pack_id", "offset_in_pack", "weight_fp"
+    )
+
+
+REGISTRY["pretrain_pipeline"] = QuerySpec(
+    spark_fn=REGISTRY["pretrain_pipeline"].spark_fn,
+    oracle=_pretrain_pipeline_oracle(),
+    doc=REGISTRY["pretrain_pipeline"].doc,
+)

@@ -89,6 +89,8 @@ SCALAR_CROSSJOIN_OK = {
     "ivf_pq_topk": "broadcast index-metadata frames (n_cells=16 coarse "
     "centroids, n_subspaces x n_codes codebook rows — small by contract, "
     "the knn_join precedent); probe side is the only fact frame",
+    "pretrain_pipeline": "1-row DSIR model token totals (Q, P) inherited "
+    "from the selection stage",
 }
 
 
