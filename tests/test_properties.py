@@ -144,3 +144,72 @@ def test_containment_matches_bruteforce(spark, docs):
             if i != j and a and len(a & b) / len(a) >= 0.5:
                 want.add((i, j))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=30),
+    budget=st.integers(min_value=32, max_value=300),
+)
+def test_greedy_pack_matches_reference_loop(spark, sizes, budget):
+    """greedy_pack == the textbook next-fit loop for ANY sizes/budget."""
+    from pasta_pipeline_spark.operators.sampling import greedy_pack
+
+    df = spark.createDataFrame(
+        [(i, n, "g") for i, n in enumerate(sizes)],
+        "doc_id long, n long, source string",
+    )
+    out = sorted(
+        greedy_pack(df, "doc_id", "n", budget=budget, group_col="source").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    pack = fill = 0
+    for r, n in zip(out, sizes):
+        if fill > 0 and fill + n > budget:
+            pack, fill = pack + 1, 0
+        assert (r["pack_id"], r["offset_in_pack"]) == (pack, fill)
+        fill += n
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-2000, max_value=2000), min_size=8, max_size=64
+    ),
+    order=st.integers(min_value=0, max_value=2),
+)
+def test_flac_fixed_roundtrip_any_samples(samples, order):
+    """General FIXED-order encode/decode round-trips arbitrary 16-bit
+    sample streams (rice parameter sized to worst-case residuals)."""
+    from tests.test_flac_decode import _encode_general
+    from pasta_pipeline_spark.operators.multimodal import decode_flac_samples
+
+    raw = _encode_general(samples, order=order, porder=0, k=14)
+    out = decode_flac_samples(raw)
+    assert out is not None
+    assert out["n_samples"] == len(samples)
+    assert out["sample_sum"] == sum(samples)
+    assert out["sample_min"] == min(samples)
+    assert out["sample_max"] == max(samples)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    prefix=st.lists(st.integers(0, 30), min_size=0, max_size=10),
+    shared=st.lists(st.integers(0, 30), min_size=7, max_size=12),
+    suffix=st.lists(st.integers(0, 30), min_size=0, max_size=10),
+)
+def test_winnowing_guarantee_random_docs(spark, prefix, shared, suffix):
+    """Any two docs sharing >= w+k-1 consecutive tokens share a
+    fingerprint — the winnowing guarantee under random contexts."""
+    from pasta_pipeline_spark.operators.text_dedup import winnowing_fingerprints
+
+    mk = lambda toks: " ".join(f"t{v}" for v in toks)  # noqa: E731
+    a = mk(prefix + shared)
+    b = mk(shared + suffix)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=4, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(1, set()) & by_doc.get(2, set())
