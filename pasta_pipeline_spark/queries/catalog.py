@@ -10310,3 +10310,78 @@ REGISTRY["pretrain_pipeline"] = QuerySpec(
     oracle=_pretrain_pipeline_oracle(),
     doc=REGISTRY["pretrain_pipeline"].doc,
 )
+
+
+@register(
+    "license_scan",
+    """
+    WITH headed AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10) || text
+               WHEN 1 THEN '// Licensed under the Apache License, Version 2.0' || chr(10) || text
+               WHEN 2 THEN '# This program is free software: GNU General Public License v3' || chr(10) || text
+               WHEN 3 THEN 'Copyright (c) 2024 Example Corp. All rights reserved.' || chr(10) || text
+               ELSE text
+             END AS text
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             regexp_extract(text, 'SPDX-License-Identifier: *([A-Za-z0-9.+-]+)', 1) AS spdx,
+             regexp_matches(text, 'Apache License') AS apache,
+             regexp_matches(text, 'General Public License|GPL') AS gpl,
+             regexp_matches(text, '(?i)all rights reserved') AS arr
+      FROM headed
+    )
+    SELECT doc_id,
+           CASE WHEN spdx <> '' THEN spdx
+                WHEN apache THEN 'Apache-2.0'
+                WHEN gpl THEN 'GPL'
+                WHEN arr THEN 'proprietary'
+                ELSE 'none' END AS license,
+           CASE WHEN spdx = 'MIT' OR apache THEN 'permissive'
+                WHEN gpl THEN 'copyleft'
+                WHEN arr THEN 'restricted'
+                ELSE 'unknown' END AS category
+    FROM flags
+    """,
+    doc="License/SPDX scanning (code-corpus curation staple): detect "
+    "SPDX identifiers, Apache/GPL license mentions and all-rights-"
+    "reserved notices in document headers and classify permissive / "
+    "copyleft / restricted — the admission gate a code-training "
+    "corpus runs before anything else. Pure portable regexes (no "
+    "backrefs/lookaround, playbook #13) over synthesized headers.",
+)
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    headed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("SPDX-License-Identifier: MIT\n"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("// Licensed under the Apache License, Version 2.0\n"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("# This program is free software: GNU General Public License v3\n"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("Copyright (c) 2024 Example Corp. All rights reserved.\n"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spdx = F.regexp_extract(F.col("text"), r"SPDX-License-Identifier: *([A-Za-z0-9.+-]+)", 1)
+    apache = F.col("text").rlike("Apache License")
+    gpl = F.col("text").rlike("General Public License|GPL")
+    arr = F.col("text").rlike("(?i)all rights reserved")
+    return headed.select(
+        "doc_id",
+        F.when(spdx != "", spdx)
+        .when(apache, F.lit("Apache-2.0"))
+        .when(gpl, F.lit("GPL"))
+        .when(arr, F.lit("proprietary"))
+        .otherwise(F.lit("none"))
+        .alias("license"),
+        F.when((spdx == "MIT") | apache, F.lit("permissive"))
+        .when(gpl, F.lit("copyleft"))
+        .when(arr, F.lit("restricted"))
+        .otherwise(F.lit("unknown"))
+        .alias("category"),
+    )
