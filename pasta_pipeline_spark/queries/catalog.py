@@ -10207,8 +10207,12 @@ def q_media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = image_dhash_pairs(hashes).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
+    # image near-dup components can chain (same-geometry template
+    # families), and the ladder runs this at sf0.1 inside a long-lived
+    # session — truncate fixpoint lineage so the plan never compounds
     clusters = duplicate_clusters(
-        hashes.select(F.col("media_id").alias("doc_id")), pairs
+        hashes.select(F.col("media_id").alias("doc_id")), pairs,
+        checkpoint_every=2, doubling=True,
     )
     return clusters.select(
         F.col("doc_id").alias("media_id"),

@@ -79,6 +79,8 @@ QUERIES = [
     "video_scene_cuts",
     "winnowing_pairs",
     "bm25_topk",
+    "pretrain_pipeline",
+    "media_dedup_survivors",
 ]
 
 
