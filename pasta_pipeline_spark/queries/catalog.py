@@ -10389,3 +10389,106 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unknown"))
         .alias("category"),
     )
+
+
+@register(
+    "lang_confusion_audit",
+    _LANG_ID_ORACLE.replace(
+        "SELECT doc_id,",
+        "SELECT doc_id, lang,", 1
+    ).replace(
+        "FROM documents", "FROM documents", 1
+    ).replace(
+        """    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'""",
+        """    , det AS (
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'""",
+    ).replace(
+        """                ELSE 'und' END AS detected_lang
+    FROM scored
+""",
+        """                ELSE 'und' END AS detected_lang
+    FROM scored
+    )
+    SELECT d.lang AS labeled_lang, det.detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (d.lang <> det.detected_lang) AS is_mismatch
+    FROM det JOIN documents d USING (doc_id)
+    GROUP BY d.lang, det.detected_lang
+""",
+    ),
+    doc="Language label-noise audit (metadata QA): the confusion "
+    "matrix between the corpus's claimed lang column and the "
+    "deterministic detector — per (labeled, detected) pair counts "
+    "with a mismatch flag, the table a curation review reads before "
+    "trusting per-language mixing weights. Reuses the lang_id oracle "
+    "body verbatim (one detector, two queries — cannot drift).",
+)
+def q_lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import detect_language
+
+    docs = _tp(spark, sf_dir, "documents")
+    det = docs.select(
+        "doc_id", "lang", detect_language("text").alias("detected_lang")
+    )
+    return det.groupBy(
+        F.col("lang").alias("labeled_lang"), "detected_lang"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).withColumn("is_mismatch", F.col("labeled_lang") != F.col("detected_lang"))
+
+
+@register(
+    "url_template_mining",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+             CASE doc_id % 3
+               WHEN 0 THEN '/item/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/page/' || CAST(doc_id AS VARCHAR) || '/view/'
+                           || CAST(doc_id % 13 AS VARCHAR)
+               ELSE '/static/about'
+             END AS path
+      FROM documents
+    ), templated AS (
+      SELECT host, path,
+             regexp_replace(path, '[0-9]+', '{n}', 'g') AS template
+      FROM urls
+    )
+    SELECT host, template,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_distinct,
+           (count(*) > 20) AS is_trap_candidate
+    FROM templated GROUP BY host, template
+    """,
+    doc="URL template mining (crawl-trap detection, the IRLbot/Mercator "
+    "lineage): collapse digit runs to '{n}' and count URLs per (host, "
+    "template) — a template generating unboundedly many distinct URLs "
+    "(calendars, session ids, faceted search) shows up as one hot row "
+    "a frontier budget can cap BEFORE fetching, where per-URL spam "
+    "scores cannot see the aggregate explosion. Pure expressions + "
+    "one groupBy.",
+)
+def q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/item/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("/page/"), F.col("doc_id").cast("string"),
+                       F.lit("/view/"), (F.col("doc_id") % 13).cast("string")))
+        .otherwise(F.lit("/static/about"))
+    )
+    t = docs.select(
+        host.alias("host"),
+        path.alias("path"),
+        F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+    )
+    return t.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("path").cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) > 20).alias("is_trap_candidate"),
+    )
