@@ -138,3 +138,41 @@ def test_incremental_funnel_retry_and_batch_equivalence(spark, tmp_table_dir):
 
     got = {tuple(r) for r in funnel_from_state(counts).collect()}
     assert got == expected
+
+
+def test_incremental_funnel_sink_e2e_stream(spark, tmp_path):
+    """Real writeStream e2e for the streaming curation funnel: micro-
+    batched file drain == batch report (files ordered so survivorship
+    matches the batch min-id contract)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pasta_pipeline_spark.operators.quality_filters import curation_funnel
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        funnel_from_state,
+        incremental_funnel_sink,
+    )
+
+    good = (
+        "the quick brown fox jumps with many fine words and then some "
+        "more of the usual text so that every gopher rule is satisfied "
+        "here in this doc. " * 8
+    )
+    rows = [(1, good), (2, good), (3, ""), (4, good + "x "), (5, good)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    # one file = one micro-batch; single file keeps arrival == id order
+    df.coalesce(1).write.parquet(str(src), mode="overwrite")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    counts = TableStore(spark, str(tmp_path / "f_counts"))
+    seen = TableStore(spark, str(tmp_path / "f_seen"))
+    q = incremental_funnel_sink(
+        stream, counts, seen, str(tmp_path / "f_ckpt")
+    )
+    q.awaitTermination(120)
+
+    expected = {tuple(r) for r in curation_funnel(df).collect()}
+    got = {tuple(r) for r in funnel_from_state(counts).collect()}
+    assert got == expected

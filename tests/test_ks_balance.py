@@ -97,3 +97,34 @@ def test_incremental_ks_retry_and_batch_equivalence(spark, tmp_table_dir):
 
     got = {tuple(r) for r in ks_report_from_state(store).collect()}
     assert got == expected
+
+
+def test_incremental_ks_sink_e2e_stream(spark, tmp_path):
+    """Real writeStream e2e: a file-source stream drains through
+    incremental_ks_sink (availableNow) and the maintained report
+    equals the batch ks_drift over the same rows."""
+    from pasta_pipeline_spark.operators.divergence import ks_drift
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        incremental_ks_sink,
+        ks_report_from_state,
+    )
+
+    rows = [(i, (i * 13) % 17 + (2 if i % 2 else 0), i % 2) for i in range(80)]
+    src_dir = tmp_path / "ks_src"
+    src_dir.mkdir()
+    df = spark.createDataFrame(rows, "id long, x long, g long")
+    df.coalesce(2).write.parquet(str(src_dir), mode="overwrite")
+
+    stream = spark.readStream.schema("id long, x long, g long").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir))
+    store = TableStore(spark, str(tmp_path / "ks_store"))
+    q = incremental_ks_sink(
+        stream, store, "x", F.col("g") == 0, str(tmp_path / "ks_ckpt")
+    )
+    q.awaitTermination(120)
+
+    expected = {tuple(r) for r in ks_drift(df, "x", F.col("g") == 0).collect()}
+    got = {tuple(r) for r in ks_report_from_state(store).collect()}
+    assert got == expected
