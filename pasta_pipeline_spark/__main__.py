@@ -31,15 +31,19 @@ def _spark():
 
 
 def _emit(df, limit: int, as_json: bool, out=sys.stdout) -> None:
-    rows = df.limit(limit).collect() if limit else df.collect()
-    if as_json:
-        for r in rows:
-            out.write(json.dumps(r.asDict(recursive=True), default=str) + "\n")
-        return
+    # limit > 0: bounded collect (default 1000 keeps a fact-scale
+    # query from OOMing the driver); limit 0 opts into an UNBOUNDED
+    # result streamed through toLocalIterator — one partition on the
+    # driver at a time, never the whole frame.
+    rows = df.limit(limit).collect() if limit else df.toLocalIterator()
     cols = df.columns
-    out.write("\t".join(cols) + "\n")
+    if not as_json:
+        out.write("\t".join(cols) + "\n")
     for r in rows:
-        out.write("\t".join(str(r[c]) for c in cols) + "\n")
+        if as_json:
+            out.write(json.dumps(r.asDict(recursive=True), default=str) + "\n")
+        else:
+            out.write("\t".join(str(r[c]) for c in cols) + "\n")
 
 
 def main(argv: list[str] | None = None, out=sys.stdout) -> int:
@@ -54,13 +58,13 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
         sp.add_argument("query")
         sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
         if name == "run":
-            sp.add_argument("--limit", type=int, default=0)
+            sp.add_argument("--limit", type=int, default=1000)
             sp.add_argument("--json", action="store_true")
 
     p_sql = sub.add_parser("sql", help="run Spark SQL over the testdata views")
     p_sql.add_argument("statement")
     p_sql.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
-    p_sql.add_argument("--limit", type=int, default=0)
+    p_sql.add_argument("--limit", type=int, default=1000)
     p_sql.add_argument("--json", action="store_true")
 
     args = p.parse_args(argv)
@@ -82,10 +86,16 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
         spark = _spark()
         df = REGISTRY[args.query].spark_fn(spark, args.sf_dir)
         if args.cmd == "explain":
-            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-            out.write(df._jdf.queryExecution().explainString(mode) + "\n")
+            # public API only (df.explain prints to stdout; capture and
+            # redirect) — the private _jvm/_jdf route breaks across
+            # PySpark versions and under Spark Connect.
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            out.write(buf.getvalue())
             return 0
         _emit(df, args.limit, args.json, out)
         return 0

@@ -159,7 +159,13 @@ def dsir_oracle_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin of :func:`dsir_select` — generated from the same
-    constants so the two engines share one recipe (playbook #11)."""
+    constants so the two engines share one recipe (playbook #11).
+
+    ``target_where`` is spliced verbatim as a SQL boolean EXPRESSION
+    (the Spark side takes the matching Column predicate) — it is code
+    by contract, not data; never pass untrusted strings here.  String
+    LITERALS inside it must be SQL-escaped by the caller
+    (:func:`pasta_pipeline_spark.operators.search.sql_quote`)."""
     lnfp = f"CAST(FLOOR(ln(CAST({{x}} AS DOUBLE)) * {LN_SCALE}) AS BIGINT)"
     return f"""
     WITH tok AS (

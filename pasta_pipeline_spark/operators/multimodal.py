@@ -14,11 +14,16 @@ Decode modes:
   STREAMINFO (rate, duration), YUV4MPEG2 (dimensions, duration,
   per-frame luma via :func:`sample_video_frames`), JPEG SOF
   (dimensions from the marker walk), MP4/ISO-BMFF mvhd (duration
-  from the box walk) — and FULL PNG pixel decode
-  (:func:`decode_png_pixels`: DEFLATE is in the stdlib, the five
-  scanline filters are spec arithmetic). What legitimately still
-  needs the codec library is PIXEL/SAMPLE decode of the non-stdlib
-  entropy coders (JPEG pixel data, H.264 frames); those fall back
+  from the box walk) — and FULL pixel/sample decode where the
+  entropy coder is implementable from the public spec: PNG
+  (:func:`decode_png_pixels`: stdlib DEFLATE + the five scanline
+  filters), GIF (LZW), baseline JPEG (:func:`decode_jpeg_pixels`:
+  ITU-T T.81 Huffman + dequant + IDCT + upsample), FLAC
+  (:func:`decode_flac_samples`: RFC 9639 Rice + FIXED/LPC
+  prediction + stereo decorrelation, CRC-verified), WAV PCM and
+  Y4M luma planes. The ONE remaining fallback is compressed VIDEO
+  frame decode (H.264 and kin — a from-spec decoder is poor
+  effort/value); those frames stop at header level and fall back
   to the stub features at the same dispatch point.
 
 Everything runs through ``mapInPandas``: one Arrow round-trip per

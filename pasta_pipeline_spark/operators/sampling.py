@@ -456,7 +456,9 @@ def greedy_pack_oracle_sql(
     replayed as a recursive CTE stepping one row per group per
     iteration (recursion depth = largest group, all groups advance in
     the same step). ``size_sql`` is the SQL expression for the
-    document size in units."""
+    document size in units — spliced verbatim, code by contract (the
+    Spark side takes the matching Column); never pass untrusted
+    strings, and SQL-escape any literals inside it (``sql_quote``)."""
     return f"""
     WITH RECURSIVE base AS (
       SELECT {group_col}, {id_col},

@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def sql_quote(s: str) -> str:
+    """Render a caller-supplied string as a single-quoted SQL literal,
+    doubling embedded quotes — every oracle generator that splices a
+    user term into DuckDB SQL must go through this (a term containing
+    ``'`` would otherwise break or inject into the generated query)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of a string (array<string>)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -179,7 +187,7 @@ def bm25_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenization, same
     shared term formula, same tie-break."""
-    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    terms = ", ".join(sql_quote(t.lower()) for t in query_terms)
     return f"""
     WITH tok AS (
       SELECT {id_col},
@@ -273,9 +281,10 @@ def phrase_search_oracle_sql(
     """DuckDB twin of :func:`phrase_search` (same slot alignment)."""
     terms = [t.lower() for t in phrase]
     n = len(terms)
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    in_list = ", ".join(sql_quote(t) for t in terms)
     slots = ", ".join(
-        f"CASE WHEN term = '{t}' THEN {i} END" for i, t in enumerate(terms)
+        f"CASE WHEN term = {sql_quote(t)} THEN {i} END"
+        for i, t in enumerate(terms)
     )
     return f"""
     WITH toks AS (

@@ -1323,6 +1323,12 @@ def jl_project(
     Scale shape: PURE per-row expressions — no shuffle, no join, no
     UDF; the projection matrix is a plan literal (k·d signs). Output
     ``(id, proj array<long>)``.
+
+    Rows whose vector is not exactly ``d`` components are EXCLUDED
+    (matching the oracle's ``len(v) = d`` filter): Spark's zip_with
+    pads short vectors with NULL while DuckDB's list_sum skips NULLs,
+    so a malformed embedding would otherwise silently diverge between
+    the engines instead of failing consistently.
     """
     signs = jl_signs(k, d)
     vec = F.col(vec_col)
@@ -1339,7 +1345,7 @@ def jl_project(
             lambda acc, x: acc + x,
         )
 
-    return df.select(
+    return df.where(F.size(vec) == d).select(
         F.col(id_col), F.array(*[proj_expr(r) for r in signs]).alias("proj")
     )
 
@@ -1372,4 +1378,5 @@ def jl_project_oracle_sql(
     SELECT {id_col},
            {proj} AS proj
     FROM {table}
+    WHERE len({vec_col}) = {d}
     """

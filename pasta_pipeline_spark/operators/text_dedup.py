@@ -1186,7 +1186,9 @@ def prefix_jaccard_pairs(
 #: Winnowing constants shared by the Spark expressions and the SQL
 #: oracle generator (playbook #11): polynomial base/modulus for the
 #: k-gram hash, and the position-encoding radix for the rightmost-min
-#: tie-break (documents up to 2^20 - 1 k-grams).
+#: tie-break.  Positions >= 2^20 - 1 are clamped to 0 in the encoding
+#: (both engines), so oversized documents keep a correct hash order
+#: and merely lose rightmost-tie precision past the radix.
 WINNOW_BASE = 1_000_003
 WINNOW_MOD = (1 << 31) - 1
 WINNOW_POS = 1 << 20
@@ -1219,22 +1221,40 @@ def winnowing_fingerprints(
             "long"
         ),
     )
-    n_kg = F.greatest(F.size(ht) - k + 1, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_kg),
-        lambda p: F.aggregate(
-            F.slice(ht, p, k),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * WINNOW_BASE + x) % WINNOW_MOD,
+    # Guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (playbook #14),
+    # so a document with fewer than k tokens (n_kg <= 0) would drive
+    # slice(ht, 0, k) into INVALID_PARAMETER_VALUE.START and abort the
+    # whole job.  Mirror the oracle's ``WHERE len(ht) >= k`` with a
+    # size predicate that yields an empty gram array instead.
+    n_kg = F.size(ht) - k + 1
+    grams = F.when(
+        F.size(ht) >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda p: F.aggregate(
+                F.slice(ht, p, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * WINNOW_BASE + x) % WINNOW_MOD,
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<long>"))
     exploded = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.posexplode(grams).alias("p0", "h"))
         .select(
             F.col(id_col),
             (F.col("p0") + 1).alias("p"),
-            (F.col("h") * WINNOW_POS + (WINNOW_POS - 1 - (F.col("p0") + 1)))
+            # Clamp the position term so documents with >= 2^20 k-grams
+            # can't drive it negative (which would corrupt the
+            # min-hash/rightmost-tie ordering); positions beyond the
+            # radix all encode as 0 — a deterministic, engine-shared
+            # degradation of ONLY the tie-break, never the hash order.
+            (
+                F.col("h") * WINNOW_POS
+                + F.greatest(
+                    F.lit(WINNOW_POS - 1) - (F.col("p0") + 1), F.lit(0)
+                )
+            )
             .cast("long")
             .alias("ckey"),
         )
@@ -1324,7 +1344,7 @@ def winnowing_oracle_sql(
       SELECT {id_col}, p,
              list_reduce(list_prepend(0::BIGINT, ht[p : p + {k} - 1]),
                          (acc, x) -> (acc * {WINNOW_BASE} + x) % {WINNOW_MOD})
-               * {WINNOW_POS} + ({WINNOW_POS} - 1 - p) AS ckey
+               * {WINNOW_POS} + greatest({WINNOW_POS} - 1 - p, 0) AS ckey
       FROM kg
     ), wmin AS (
       SELECT {id_col},

@@ -150,3 +150,17 @@ class TestJlProjection:
         d_near = sum((x - y) ** 2 for x, y in zip(p[0], p[1]))
         d_far = sum((x - y) ** 2 for x, y in zip(p[0], p[2]))
         assert d_near < d_far
+
+    def test_malformed_vectors_excluded(self, spark):
+        """Regression (r6 ADVICE): Spark's zip_with NULL-pads short
+        vectors while DuckDB's list_sum skips NULLs — malformed
+        embeddings must be consistently EXCLUDED, not diverge."""
+        ok = [0.5] * 64
+        df = spark.createDataFrame(
+            [(0, ok), (1, [0.5] * 63), (2, [0.5] * 65), (3, [])],
+            "vec_id long, embedding array<double>",
+        )
+        from pasta_pipeline_spark.operators.similarity import jl_project
+
+        out = jl_project(df, "vec_id", "embedding").collect()
+        assert [r["vec_id"] for r in out] == [0]

@@ -213,3 +213,26 @@ def test_winnowing_guarantee_random_docs(spark, prefix, shared, suffix):
     for r in fps.collect():
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc.get(1, set()) & by_doc.get(2, set())
+
+
+def test_winnowing_short_docs_no_crash(spark):
+    """Regression (r6 ADVICE, high): a document with fewer than k
+    tokens used to drive Spark's descending sequence(1, 0) into
+    slice(ht, 0, k) → INVALID_PARAMETER_VALUE.START, aborting the
+    whole job. Short/empty/whitespace/NULL docs must yield zero
+    fingerprints, matching the oracle's ``len(ht) >= k`` guard."""
+    from pasta_pipeline_spark.operators.text_dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    long = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "   "), (4, None), (5, "a b c"),
+         (6, long), (7, long)],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df)
+    assert {r["doc_id"] for r in fps.collect()} == {6, 7}
+    pairs = winnowing_pairs(df, min_shared=1)
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(6, 7)]
