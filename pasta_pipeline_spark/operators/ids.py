@@ -110,3 +110,89 @@ def shard_manifest(
     return attach_cached_deps(
         manifest, getattr(with_ids, "_pasta_cached_deps", [])
     )
+
+
+def assign_grouped_sequential_ids(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    order_cols: list[str] | str,
+    out_col: str = "seq_id",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP dense 1-based ranks without a per-group single task —
+    the grouped generalization of :func:`assign_sequential_ids`, and
+    the scale-safe replacement for
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)`` when one group
+    dominates (the CCNet shape: per-language ranking where English is
+    ~half the corpus — a plain grouped window pins the hot language to
+    ONE task).
+
+    Same four moves, keyed by (group, order) so a hot group SPANS many
+    contiguous range partitions:
+
+    1. range-partition by group_cols + order_cols,
+    2. count rows per (partition, group) — metadata scale
+       (P × n_groups seen per partition; range partitioning keeps each
+       partition to at most a handful of groups),
+    3. per-group prefix-sum across partitions on the driver,
+    4. broadcast offsets; rank = offset + row_number within the
+       (partition, group) slice — every task windows only ITS slice of
+       the group.
+
+    With ``total_col`` set, each row also carries its group's total row
+    count (free — the driver already summed the slice counts), which is
+    exactly what closed-form ntile/equal-depth arithmetic needs.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    all_cols = gcols + ocols
+    # persist-before-count: same determinism discipline as
+    # assign_sequential_ids (range split points re-sample per job)
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in all_cols])
+        .sortWithinPartitions(*all_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    slice_counts = (
+        ranged.groupBy("__pid", *gcols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # per-group running offsets in __pid order, plus group totals
+    by_group: dict[tuple, list] = {}
+    for r in slice_counts:
+        key = tuple(r[g] for g in gcols)
+        by_group.setdefault(key, []).append((r["__pid"], r["cnt"]))
+    rows = []
+    for key, slices in by_group.items():
+        acc = 0
+        total = sum(c for _, c in slices)
+        for pid, cnt in sorted(slices):
+            rows.append((pid, *key, acc, total))
+            acc += cnt
+    schema_bits = ", ".join(
+        ["__pid int"]
+        + [f"{g} {dict(df.dtypes)[g]}" for g in gcols]
+        + ["__offset long", "__gtotal long"]
+    )
+    off_df = df.sparkSession.createDataFrame(rows, schema_bits).alias("__off")
+    rng = ranged.alias("__rng")
+    # null-safe on the group keys: a NULL group value is its own group
+    # (matching PARTITION BY semantics), not a dropped row
+    cond = F.col("__rng.__pid") == F.col("__off.__pid")
+    for g in gcols:
+        cond = cond & F.col(f"__rng.{g}").eqNullSafe(F.col(f"__off.{g}"))
+    w = Window.partitionBy("__rng.__pid", *[f"__rng.{g}" for g in gcols]).orderBy(
+        *[F.col(f"__rng.{c}") for c in ocols]
+    )
+    result = (
+        rng.join(F.broadcast(off_df), cond)
+        .withColumn(out_col, (F.col("__offset") + F.row_number().over(w)).cast("long"))
+        .drop(F.col("__off.__pid"), *[F.col(f"__off.{g}") for g in gcols])
+    )
+    if total_col is not None:
+        result = result.withColumn(total_col, F.col("__gtotal"))
+    result = result.drop("__pid", "__offset", "__gtotal")
+    return attach_cached_deps(result, [ranged])

@@ -921,30 +921,52 @@ def perplexity_buckets(
 
     The LM is the corpus-fit unigram model of :func:`unigram_nll`
     (fixed-point int64 ``nll_fp``, hash-exact across engines); the cut
-    is ``ntile(3)`` over ``(nll_fp ASC, id ASC)`` — SQL-standard ntile
-    (first ``n % 3`` tiles one row larger) with a total order, so
-    bucket assignment is deterministic and engine-identical.
+    CONTRACT is ``ntile(3)`` over ``(nll_fp ASC, id ASC)`` within each
+    language — SQL-standard ntile (first ``n % 3`` tiles one row
+    larger) with a total order, so bucket assignment is deterministic
+    and engine-identical.
 
-    One window shuffle partitioned by language over the doc-scale
-    frame (the rank_normalize precedent — per-language partitions keep
-    all tasks parallel at corpus scale; no global sort).
+    Scale shape (r6 verdict #3): a plain grouped ntile window pins
+    each LANGUAGE to one task — parallel across languages but the hot
+    language (~half a real corpus is English) lands on a single
+    executor thread. Ranks instead come from
+    :func:`~pasta_pipeline_spark.operators.ids.assign_grouped_sequential_ids`
+    (range-partition by (lang, nll_fp, id) + per-language driver
+    prefix-sum over partition-slice counts), so the hot language spans
+    many range partitions, and the tile is ntile's closed-form
+    quotient over (rank, per-language total) — identical assignment,
+    no whole-language task anywhere.
     """
-    nll = unigram_nll(docs, id_col=id_col, text_col=text_col)
-    from pyspark.sql import Window
+    from pasta_pipeline_spark.operators.ids import assign_grouped_sequential_ids
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
 
-    w = Window.partitionBy(lang_col).orderBy(F.asc("nll_fp"), F.asc(id_col))
-    tile = F.ntile(3).over(w)
-    return (
-        docs.select(F.col(id_col), F.col(lang_col))
-        .join(nll, id_col)
-        .select(
-            F.col(id_col),
-            F.col(lang_col),
-            "n_tokens",
-            "nll_fp",
-            F.when(tile == 1, F.lit("head"))
-            .when(tile == 2, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
+    nll = unigram_nll(docs, id_col=id_col, text_col=text_col)
+    scored = docs.select(F.col(id_col), F.col(lang_col)).join(nll, id_col)
+    ranked = assign_grouped_sequential_ids(
+        scored,
+        group_cols=lang_col,
+        order_cols=["nll_fp", id_col],
+        out_col="__rk",
+        total_col="__n",
     )
+    # ntile(3) closed form (the equidepth_histogram arithmetic): the
+    # first n%3 tiles take n div 3 + 1 rows each
+    tile = F.expr(
+        """CASE
+             WHEN __rk <= (__n % 3) * (__n div 3 + 1)
+             THEN (__rk - 1) div (__n div 3 + 1)
+             ELSE (__n % 3) + (__rk - (__n % 3) * (__n div 3 + 1) - 1)
+                  div greatest(__n div 3, 1)
+           END + 1"""
+    )
+    out = ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "nll_fp",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return attach_cached_deps(out, getattr(ranked, "_pasta_cached_deps", []))

@@ -6504,28 +6504,53 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket BOUNDARIES adapt to the data) — the complement of the "
     "fixed-width price_histogram and the mergeable-quantile state: "
     "this is the shape ANALYZE-style statistics and range-partition "
-    "planners consume. ntile over a TOTAL order (value + key "
-    "tiebreaks, so the assignment is deterministic cross-engine), "
-    "fixed-point cent boundaries. NB the global sort is the point of "
-    "the query (statistics pass, not a hot path); the mergeable "
-    "histogram/quantile operators are the no-sort alternatives.",
+    "planners consume. The oracle states the contract as ntile(8) "
+    "over a TOTAL order (value + key tiebreaks, deterministic "
+    "cross-engine); the Spark side does NOT run ntile's "
+    "empty-OVER() window (which funnels the whole fact table through "
+    "ONE task — the r6 verdict's lone scale-killer): global ranks "
+    "come from ids.assign_sequential_ids (range partition + "
+    "driver prefix-sum over P counts) and the bucket is ntile's "
+    "closed-form quotient over (rank, total) — first n%k buckets "
+    "get ceil(n/k) rows, the rest floor(n/k). Fixed-point cent "
+    "boundaries.",
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pasta_pipeline_spark.operators.ids import assign_sequential_ids
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
 
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    return (
-        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
-        .withColumn("bucket", F.ntile(8).over(w))
+    n_buckets = 8
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = assign_sequential_ids(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], out_col="__seq"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    # ntile(k) closed form: q = n div k rows in the tail buckets, the
+    # first n mod k buckets take one extra row each (cut = rem*(q+1)
+    # ranks); CaseWhen branches are lazy so the q=0 divisor is guarded.
+    bucket = F.expr(
+        f"""CAST(CASE
+              WHEN __seq <= (__n % {n_buckets}) * (__n div {n_buckets} + 1)
+              THEN (__seq - 1) div (__n div {n_buckets} + 1)
+              ELSE (__n % {n_buckets})
+                   + (__seq - (__n % {n_buckets}) * (__n div {n_buckets} + 1) - 1)
+                     div greatest(__n div {n_buckets}, 1)
+            END + 1 AS INT)"""
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.floor(F.min("l_extendedprice") * 100).cast("long").alias("lo_cents"),
             F.floor(F.max("l_extendedprice") * 100).cast("long").alias("hi_cents"),
         )
-        .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo_cents", "hi_cents")
+        .select("bucket", "n_rows", "lo_cents", "hi_cents")
     )
+    return attach_cached_deps(out, getattr(ranked, "_pasta_cached_deps", []))
 
 
 def _pq_oracle(n_subspaces: int = 4, n_codes: int = 16, k: int = 10) -> str:

@@ -91,6 +91,54 @@ def test_sequential_ids_persist_pins_range_partitioning(spark):
     assert not (deps[0].storageLevel.useMemory or deps[0].storageLevel.useDisk)
 
 
+def test_grouped_sequential_ids_match_grouped_window(spark):
+    """assign_grouped_sequential_ids == row_number() OVER (PARTITION BY
+    g ORDER BY v, id) — including a NULL group (its own partition, like
+    SQL window semantics) and a skewed hot group."""
+    from pasta_pipeline_spark.operators.ids import assign_grouped_sequential_ids
+
+    rows = [
+        (i, "en" if i % 2 == 0 else (None if i % 7 == 3 else f"l{i % 5}"), i * 37 % 101)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {
+        (r["g"], r["id"]): (r["rk"], r["n"])
+        for r in assign_grouped_sequential_ids(
+            df, "g", ["v", "id"], out_col="rk", total_col="n", num_partitions=7
+        ).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, g, v in rows:
+        groups[g].append((v, i))
+    expect = {}
+    for g, members in groups.items():
+        for rank, (v, i) in enumerate(sorted(members)):
+            expect[(g, i)] = (rank + 1, len(members))
+    assert got == expect
+
+
+def test_grouped_sequential_ids_no_whole_group_window(spark):
+    """The plan must window by (__pid, group) — never by the bare
+    group (one task per group = the hot-language scale-killer)."""
+    from pasta_pipeline_spark.operators.ids import assign_grouped_sequential_ids
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], "id long, g string"
+    )
+    out = assign_grouped_sequential_ids(df, "g", "id", num_partitions=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in m.group(1)
+
+
 def test_incremental_summary_sink_equals_direct(spark, tmp_path):
     """Summary maintained across two streamed batches == one-shot
     summary over all rows (merge associativity, end to end)."""

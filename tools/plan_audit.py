@@ -91,6 +91,9 @@ SCALAR_CROSSJOIN_OK = {
     "the knn_join precedent); probe side is the only fact frame",
     "pretrain_pipeline": "1-row DSIR model token totals (Q, P) inherited "
     "from the selection stage",
+    "equidepth_histogram": "1-row total N scalar for the closed-form "
+    "ntile bucket arithmetic (the shard_manifest pattern; replaced the "
+    "r6 verdict's empty-OVER ntile single-task sort)",
 }
 
 

@@ -72,6 +72,18 @@ def build_fixture(spark) -> None:
     skewed.write.mode("overwrite").parquet(f"{TMP}/fact_skewed")
     uniform.write.mode("overwrite").parquet(f"{TMP}/fact_uniform")
     dim.write.mode("overwrite").parquet(f"{TMP}/dim")
+    # Zipf-language corpus for the grouped-rank case (r6 verdict #3):
+    # 'en' owns 50% of the rows, the rest spread over 20 languages —
+    # the regime where row_number() PARTITION BY lang pins half the
+    # corpus to ONE task.
+    langs = base.select(
+        F.col("id"),
+        F.when(F.col("h") % 2 == 0, F.lit("en"))
+        .otherwise(F.concat(F.lit("l"), (F.col("h") % 20).cast("string")))
+        .alias("lang"),
+        (F.abs(F.xxhash64(F.col("id") + 13)) % 1_000_000).alias("score"),
+    )
+    langs.write.mode("overwrite").parquet(f"{TMP}/docs_zipf")
 
 
 def run_case(spark, fact_path: str, salted: bool) -> dict:
@@ -114,6 +126,61 @@ def run_case(spark, fact_path: str, salted: bool) -> dict:
     }
 
 
+def run_rank_case(spark, grouped: bool) -> dict:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.ids import assign_grouped_sequential_ids
+    from pasta_pipeline_spark.operators.util import release_cached_deps
+
+    docs = spark.read.parquet(f"{TMP}/docs_zipf")
+    if grouped:
+        ranked = assign_grouped_sequential_ids(
+            docs, "lang", ["score", "id"], out_col="rk"
+        )
+    else:
+        w = Window.partitionBy("lang").orderBy("score", "id")
+        ranked = docs.withColumn("rk", F.row_number().over(w).cast("long"))
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ranked.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+
+    # NB the per-pid count MUST aggregate rk too: with rk pruned,
+    # Catalyst removes the Window node outright and
+    # spark_partition_id() would measure the raw scan partitions, not
+    # the window's (verified — the histogram read uniform without it)
+    hist = (
+        ranked.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("rk").alias("rksum"))
+        .agg(
+            F.max("count").alias("mx"),
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum("count").alias("total"),
+            # rksum must survive to the FINAL agg — pruned anywhere,
+            # Catalyst drops rk and eliminates the Window node
+            F.sum("rksum").alias("rktot"),
+        )
+        .collect()[0]
+    )
+    # order-insensitive rank checksum — both paths must assign the
+    # SAME per-language dense ranks (int64 sum of rk * (id-hash % P))
+    chk = ranked.agg(
+        F.sum(F.col("rk") * (F.abs(F.xxhash64("id")) % 1009)).alias("c")
+    ).collect()[0]["c"]
+    release_cached_deps(ranked)
+    return {
+        "wall_sec": round(best, 3),
+        "max_task_rows": int(hist["mx"]),
+        "n_tasks": int(hist["n_tasks"]),
+        "total_rows": int(hist["total"]),
+        "rank_checksum": int(chk),
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SKEWBENCH.json"
 
@@ -144,6 +211,31 @@ def main() -> None:
                     ),
                 }
                 print(f"{cfg}/{dist}: {report[cfg][dist]}", file=sys.stderr)
+        # grouped-rank case: row_number PARTITION BY lang (one task per
+        # language) vs assign_grouped_sequential_ids (range-partition +
+        # per-group driver prefix-sum) on the Zipf-language corpus.
+        # AQE OFF for the measurement: coalescing would merge the small
+        # language partitions and blur the per-task histogram — but it
+        # can only MERGE partitions, never split the hot language's, so
+        # the plain window's hot task is the same either way.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        plain = run_rank_case(spark, grouped=False)
+        grouped = run_rank_case(spark, grouped=True)
+        assert plain["rank_checksum"] == grouped["rank_checksum"], (
+            plain["rank_checksum"],
+            grouped["rank_checksum"],
+        )
+        report["grouped_rank"] = {
+            "plain_window": plain,
+            "grouped_ids": grouped,
+            "speedup": round(plain["wall_sec"] / grouped["wall_sec"], 2),
+            "max_task_shrink": round(
+                plain["max_task_rows"] / grouped["max_task_rows"], 2
+            ),
+            "ranks_identical": True,
+        }
+        print(f"grouped_rank: {report['grouped_rank']}", file=sys.stderr)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
