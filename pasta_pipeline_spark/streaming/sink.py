@@ -86,6 +86,34 @@ def foreach_batch_merge_partitioned(
     return writer.start()
 
 
+def apply_summary_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    keys: str | list[str],
+    value_col: str,
+) -> None:
+    """One micro-batch of summary-state maintenance — module-level so
+    tests can drive a simulated intra-batch retry (the apply_ks_batch
+    pattern). Pre-version pinning makes the re-run recompute the SAME
+    merged frame: state reads go through the version recorded before
+    the batch's first mutation."""
+    from pasta_pipeline_spark.operators.summaries import (
+        merge_summaries,
+        partial_summary,
+    )
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"s": store})
+    part = partial_summary(batch, keys, value_col)
+    if pre["s"] is not None:
+        merged = merge_summaries(store.read(version=pre["s"]), part, keys)
+    else:
+        merged = part
+    store.overwrite(merged)
+
+
 def incremental_summary_sink(
     stream: DataFrame,
     store: TableStore,
@@ -105,23 +133,22 @@ def incremental_summary_sink(
     tiny overwrite; merge associativity/commutativity (proven by the
     mergeable_summary oracle) makes the maintained table EQUAL to a
     from-scratch summary over all data ever ingested, whatever the
-    batch boundaries were. Caveat (same as every accumulate-only
-    sink): replayed batches double-count — feed this from the
-    deduplicated stream (streaming/dedup.py), which is exactly-once
-    downstream of its watermark.
+    batch boundaries were. Intra-batch retries are idempotent via
+    pre-version pinning (streaming/exactly_once.py): a re-run merges
+    against the state recorded BEFORE the batch's first mutation, so
+    the recomputed overwrite is byte-identical. Duplicate ROWS from a
+    non-checkpointed source are a different failure — feed from the
+    deduplicated stream (streaming/dedup.py) for those.
     """
-    from pasta_pipeline_spark.operators.summaries import merge_summaries, partial_summary
-
     if not checkpoint_dir:
         raise ValueError("incremental_summary_sink requires checkpoint_dir")
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        part = partial_summary(batch, keys, value_col)
-        if store.exists():
-            merged = merge_summaries(store.read(), part, keys)
-        else:
-            merged = part
-        store.overwrite(merged)
+        apply_summary_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, "_summary_mb.json"),
+            keys=keys, value_col=value_col,
+        )
 
     writer = (
         stream.writeStream.outputMode("update")
@@ -131,6 +158,35 @@ def incremental_summary_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_histogram_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    keys: str | list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> None:
+    """One micro-batch of histogram-state maintenance; idempotent
+    under re-execution via pre-version pinning (apply_ks_batch
+    pattern)."""
+    from pasta_pipeline_spark.operators.summaries import (
+        merge_histograms,
+        partial_histogram,
+    )
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"h": store})
+    part = partial_histogram(batch, keys, value_col, lo=lo, hi=hi, n_bins=n_bins)
+    if pre["h"] is not None:
+        merged = merge_histograms(store.read(version=pre["h"]), part, keys)
+    else:
+        merged = part
+    store.overwrite(merged)
 
 
 def incremental_histogram_sink(
@@ -151,23 +207,18 @@ def incremental_histogram_sink(
     resolution without ever rescanning the corpus — the streaming
     completion of mergeable_quantiles. Same contracts as
     incremental_summary_sink: state is |keys|·n_bins int64 rows,
-    merge-of-batches == direct under any batch boundaries, replays
-    double-count (feed from the deduplicated stream)."""
-    from pasta_pipeline_spark.operators.summaries import (
-        merge_histograms,
-        partial_histogram,
-    )
-
+    merge-of-batches == direct under any batch boundaries, and
+    intra-batch retries recompute against the pinned pre-version
+    (idempotent; retry-pytest-pinned)."""
     if not checkpoint_dir:
         raise ValueError("incremental_histogram_sink requires checkpoint_dir")
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        part = partial_histogram(batch, keys, value_col, lo=lo, hi=hi, n_bins=n_bins)
-        if store.exists():
-            merged = merge_histograms(store.read(), part, keys)
-        else:
-            merged = part
-        store.overwrite(merged)
+        apply_histogram_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, "_histogram_mb.json"),
+            keys=keys, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins,
+        )
 
     writer = (
         stream.writeStream.outputMode("update")
@@ -177,6 +228,36 @@ def incremental_histogram_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_heavy_hitter_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    keys: str | list[str],
+    item_col: str,
+    m: int = 64,
+    partition_cap: int | None | str = "auto",
+) -> None:
+    """One micro-batch of heavy-hitter-state maintenance; idempotent
+    under re-execution via pre-version pinning (apply_ks_batch
+    pattern)."""
+    from pasta_pipeline_spark.operators.sketches import (
+        merge_heavy_hitters,
+        partial_heavy_hitters,
+    )
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"hh": store})
+    part = partial_heavy_hitters(
+        batch, keys, item_col, m=m, partition_cap=partition_cap
+    )
+    if pre["hh"] is not None:
+        merged = merge_heavy_hitters(store.read(version=pre["hh"]), part, keys, m=m)
+    else:
+        merged = part
+    store.overwrite(merged)
 
 
 def incremental_heavy_hitter_sink(
@@ -199,28 +280,21 @@ def incremental_heavy_hitter_sink(
 
     The merged estimate only ever UNDERCOUNTS, by at most the stored
     dropped mass (`count + dropped` upper-bounds truth); a heavy item
-    that stays in every batch's top-``m`` is exact. Same replay caveat
-    as the other accumulate sinks: feed from the deduplicated stream.
-    ``partition_cap`` forwards to the per-partition bounded pre-
-    aggregation for wide batches (default ``"auto"`` = ``4 * m``,
-    the bounded-shuffle path; ``None`` = exact)."""
-    from pasta_pipeline_spark.operators.sketches import (
-        merge_heavy_hitters,
-        partial_heavy_hitters,
-    )
-
+    that stays in every batch's top-``m`` is exact. Intra-batch
+    retries recompute against the pinned pre-version (idempotent;
+    retry-pytest-pinned). ``partition_cap`` forwards to the
+    per-partition bounded pre-aggregation for wide batches (default
+    ``"auto"`` = ``4 * m``, the bounded-shuffle path; ``None`` =
+    exact)."""
     if not checkpoint_dir:
         raise ValueError("incremental_heavy_hitter_sink requires checkpoint_dir")
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        part = partial_heavy_hitters(
-            batch, keys, item_col, m=m, partition_cap=partition_cap
+        apply_heavy_hitter_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, "_hh_mb.json"),
+            keys=keys, item_col=item_col, m=m, partition_cap=partition_cap,
         )
-        if store.exists():
-            merged = merge_heavy_hitters(store.read(), part, keys, m=m)
-        else:
-            merged = part
-        store.overwrite(merged)
 
     writer = (
         stream.writeStream.outputMode("update")
@@ -230,6 +304,41 @@ def incremental_heavy_hitter_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_token_distribution_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """One micro-batch of token-count-state maintenance; idempotent
+    under re-execution via pre-version pinning (apply_ks_batch
+    pattern). The previous counts fold in via a semi-join against the
+    BATCH vocabulary only — linear in batch tokens, not corpus
+    vocabulary — read at the pinned version so a retry recomputes the
+    identical keyed rows and the LWW merge is a no-op."""
+    from pasta_pipeline_spark.operators.divergence import token_distribution
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"td": store})
+    counts = token_distribution(batch, text_col=text_col)
+    if pre["td"] is not None:
+        prev_touched = (
+            store.read(version=pre["td"]).drop("__bkt")
+            .join(counts.select("tok"), "tok", "semi")
+        )
+        counts = (
+            prev_touched.unionByName(counts)
+            .groupBy("tok")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    with_bkt = counts.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col("tok")), F.lit(n_buckets)).cast("int")
+    )
+    store.merge_partitioned(with_bkt, key="tok", partition_col="__bkt")
 
 
 def incremental_token_distribution_sink(
@@ -248,38 +357,18 @@ def incremental_token_distribution_sink(
     The streaming completion of drift detection: compare the live
     store against a frozen reference with ``js_between`` at any
     moment — no corpus rescans, state linear in VOCABULARY (not
-    corpus) size.
-
-    Replay caveat (same as the other accumulate sinks): counts add,
-    so feed from the deduplicated stream; a re-delivered batch
-    double-counts."""
-    from pyspark.sql import functions as F
-
-    from pasta_pipeline_spark.operators.divergence import token_distribution
-
+    corpus) size. Intra-batch retries recompute the batch's token
+    rows against the pinned pre-version (idempotent LWW re-upsert;
+    retry-pytest-pinned)."""
     if not checkpoint_dir:
         raise ValueError("incremental_token_distribution_sink requires checkpoint_dir")
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        counts = token_distribution(batch, text_col=text_col)
-        if store.exists():
-            # counts ADD (merge_partitioned upserts are last-writer-
-            # wins), so fold in the previous counts of ONLY the
-            # batch's tokens — a semi-join keeps the re-aggregation
-            # linear in the BATCH vocabulary, not the corpus's
-            prev_touched = (
-                store.read().drop("__bkt")
-                .join(counts.select("tok"), "tok", "semi")
-            )
-            counts = (
-                prev_touched.unionByName(counts)
-                .groupBy("tok")
-                .agg(F.sum("c").cast("long").alias("c"))
-            )
-        with_bkt = counts.withColumn(
-            "__bkt", F.pmod(F.xxhash64(F.col("tok")), F.lit(n_buckets)).cast("int")
+        apply_token_distribution_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, "_tokdist_mb.json"),
+            text_col=text_col, n_buckets=n_buckets,
         )
-        store.merge_partitioned(with_bkt, key="tok", partition_col="__bkt")
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -289,6 +378,29 @@ def incremental_token_distribution_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_cms_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> None:
+    """One micro-batch of CMS-state maintenance; idempotent under
+    re-execution via pre-version pinning (apply_ks_batch pattern)."""
+    from pasta_pipeline_spark.operators.sketches import count_min_sketch, merge_cms
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"cms": store})
+    part = count_min_sketch(batch, item_col, width=width, depth=depth)
+    if pre["cms"] is not None:
+        merged = merge_cms(store.read(version=pre["cms"]), part)
+    else:
+        merged = part
+    store.overwrite(merged)
 
 
 def incremental_cms_sink(
@@ -307,20 +419,18 @@ def incremental_cms_sink(
     distinct items the stream ever carries, the unbounded-cardinality
     complement to incremental_heavy_hitter_sink. Because cell merge is
     exact addition, the maintained sketch EQUALS the sketch of all
-    data ever ingested, under any batch boundaries. Same replay caveat
-    as every accumulate sink: feed from the deduplicated stream."""
-    from pasta_pipeline_spark.operators.sketches import count_min_sketch, merge_cms
-
+    data ever ingested, under any batch boundaries. Intra-batch
+    retries recompute against the pinned pre-version (idempotent;
+    retry-pytest-pinned)."""
     if not checkpoint_dir:
         raise ValueError("incremental_cms_sink requires checkpoint_dir")
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        part = count_min_sketch(batch, item_col, width=width, depth=depth)
-        if store.exists():
-            merged = merge_cms(store.read(), part)
-        else:
-            merged = part
-        store.overwrite(merged)
+        apply_cms_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, "_cms_mb.json"),
+            item_col=item_col, width=width, depth=depth,
+        )
 
     writer = (
         stream.writeStream.outputMode("update")
@@ -768,74 +878,18 @@ def incremental_compliance_sink(
     last fetch time; counters add, extrema take min/max, and
     ``last_ts`` advances. Maintained == batch over the whole log
     when batches arrive in time order per host (the streaming
-    reality; pytest-pinned). One keyed merge per batch."""
-    from pyspark.sql import Window
-
+    reality; pytest-pinned). One keyed merge per batch; intra-batch
+    retries recompute against the pinned pre-version (idempotent;
+    retry-pytest-pinned)."""
     if not checkpoint_dir:
         raise ValueError("incremental_compliance_sink requires checkpoint_dir")
-    req = int(required_delay_s)
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        ts = F.col(ts_col).cast("long")
-        w = Window.partitionBy(host_col).orderBy(ts)
-        gaps = batch.select(
-            F.col(host_col).alias("host"), ts.alias("t"),
-            (ts - F.lag(ts).over(w)).alias("gap"),
+        apply_compliance_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, "_compliance_mb.json"),
+            required_delay_s=required_delay_s, host_col=host_col, ts_col=ts_col,
         )
-        viol = F.col("gap").isNotNull() & (F.col("gap") < req)
-        part = gaps.groupBy("host").agg(
-            F.count(F.lit(1)).cast("long").alias("n_fetches"),
-            F.count("gap").cast("long").alias("n_gaps"),
-            F.min("gap").cast("long").alias("min_gap_s"),
-            F.sum(viol.cast("long")).cast("long").alias("n_violations"),
-            F.max(F.when(viol, req - F.col("gap"))).cast("long").alias("worst_deficit_s"),
-            F.min("t").cast("long").alias("first_ts"),
-            F.max("t").cast("long").alias("last_ts"),
-        )
-        if store.exists():
-            prev = store.read().select(
-                F.col("host"),
-                F.col("n_fetches").alias("p_n"),
-                F.col("n_gaps").alias("p_g"),
-                F.col("min_gap_s").alias("p_min"),
-                F.col("n_violations").alias("p_v"),
-                F.col("worst_deficit_s").alias("p_w"),
-                F.col("last_ts").alias("p_last"),
-            )
-            j = part.join(prev, "host", "full_outer")
-            bgap = F.col("first_ts") - F.col("p_last")  # boundary gap
-            bviol = bgap.isNotNull() & (bgap < req)
-            merged = j.select(
-                "host",
-                (F.coalesce(F.col("n_fetches"), F.lit(0))
-                 + F.coalesce(F.col("p_n"), F.lit(0))).alias("n_fetches"),
-                (F.coalesce(F.col("n_gaps"), F.lit(0))
-                 + F.coalesce(F.col("p_g"), F.lit(0))
-                 + F.when(bgap.isNotNull(), F.lit(1)).otherwise(F.lit(0))
-                 ).alias("n_gaps"),
-                F.least(
-                    F.coalesce(F.col("min_gap_s"), F.lit(None)),
-                    F.coalesce(F.col("p_min"), F.lit(None)),
-                    bgap,
-                ).alias("min_gap_s"),
-                (F.coalesce(F.col("n_violations"), F.lit(0))
-                 + F.coalesce(F.col("p_v"), F.lit(0))
-                 + bviol.cast("long")).alias("n_violations"),
-                F.greatest(
-                    F.col("worst_deficit_s"), F.col("p_w"),
-                    F.when(bviol, req - bgap),
-                ).alias("worst_deficit_s"),
-                F.greatest(
-                    F.coalesce(F.col("last_ts"), F.lit(-(1 << 60))),
-                    F.coalesce(F.col("p_last"), F.lit(-(1 << 60))),
-                ).alias("last_ts"),
-            )
-        else:
-            merged = part.drop("first_ts")
-        store.overwrite(merged.select(
-            "host", "n_fetches", "n_gaps", "min_gap_s",
-            "n_violations", "worst_deficit_s", "last_ts",
-        ))
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -845,6 +899,86 @@ def incremental_compliance_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_compliance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    required_delay_s: int = 1,
+    host_col: str = "host",
+    ts_col: str = "fetched_at_s",
+) -> None:
+    """One micro-batch of compliance-state maintenance; idempotent
+    under re-execution via pre-version pinning (apply_ks_batch
+    pattern)."""
+    from pyspark.sql import Window
+
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"c": store})
+    req = int(required_delay_s)
+    ts = F.col(ts_col).cast("long")
+    w = Window.partitionBy(host_col).orderBy(ts)
+    gaps = batch.select(
+        F.col(host_col).alias("host"), ts.alias("t"),
+        (ts - F.lag(ts).over(w)).alias("gap"),
+    )
+    viol = F.col("gap").isNotNull() & (F.col("gap") < req)
+    part = gaps.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_s"),
+        F.sum(viol.cast("long")).cast("long").alias("n_violations"),
+        F.max(F.when(viol, req - F.col("gap"))).cast("long").alias("worst_deficit_s"),
+        F.min("t").cast("long").alias("first_ts"),
+        F.max("t").cast("long").alias("last_ts"),
+    )
+    if pre["c"] is not None:
+        prev = store.read(version=pre["c"]).select(
+            F.col("host"),
+            F.col("n_fetches").alias("p_n"),
+            F.col("n_gaps").alias("p_g"),
+            F.col("min_gap_s").alias("p_min"),
+            F.col("n_violations").alias("p_v"),
+            F.col("worst_deficit_s").alias("p_w"),
+            F.col("last_ts").alias("p_last"),
+        )
+        j = part.join(prev, "host", "full_outer")
+        bgap = F.col("first_ts") - F.col("p_last")  # boundary gap
+        bviol = bgap.isNotNull() & (bgap < req)
+        merged = j.select(
+            "host",
+            (F.coalesce(F.col("n_fetches"), F.lit(0))
+             + F.coalesce(F.col("p_n"), F.lit(0))).alias("n_fetches"),
+            (F.coalesce(F.col("n_gaps"), F.lit(0))
+             + F.coalesce(F.col("p_g"), F.lit(0))
+             + F.when(bgap.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+             ).alias("n_gaps"),
+            F.least(
+                F.coalesce(F.col("min_gap_s"), F.lit(None)),
+                F.coalesce(F.col("p_min"), F.lit(None)),
+                bgap,
+            ).alias("min_gap_s"),
+            (F.coalesce(F.col("n_violations"), F.lit(0))
+             + F.coalesce(F.col("p_v"), F.lit(0))
+             + bviol.cast("long")).alias("n_violations"),
+            F.greatest(
+                F.col("worst_deficit_s"), F.col("p_w"),
+                F.when(bviol, req - bgap),
+            ).alias("worst_deficit_s"),
+            F.greatest(
+                F.coalesce(F.col("last_ts"), F.lit(-(1 << 60))),
+                F.coalesce(F.col("p_last"), F.lit(-(1 << 60))),
+            ).alias("last_ts"),
+        )
+    else:
+        merged = part.drop("first_ts")
+    store.overwrite(merged.select(
+        "host", "n_fetches", "n_gaps", "min_gap_s",
+        "n_violations", "worst_deficit_s", "last_ts",
+    ))
 
 
 def apply_ks_batch(

@@ -111,3 +111,167 @@ def test_datacard_retry_is_idempotent(spark, tmp_table_dir):
         for r in datacard_from_state(spark, *stores).collect()
     }
     assert live == batch_card
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_summary_retry_is_idempotent(spark, tmp_table_dir):
+    """Applied-twice summary state == applied-once == direct summary
+    over the union (r6 verdict #2: the additive sinks adopt the
+    pinning machinery)."""
+    from pasta_pipeline_spark.operators.summaries import partial_summary
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_summary_batch
+
+    schema = "k string, v double"
+    waves = [
+        [(f"k{i % 3}", float(i)) for i in range(30)],
+        [(f"k{i % 4}", float(i * 7 % 50)) for i in range(25)],
+    ]
+    store = TableStore(spark, f"{tmp_table_dir}/rsum")
+    marker = f"{tmp_table_dir}/rsum_mb.json"
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_summary_batch(batch, mb_id, store, marker, keys="k", value_col="v")
+        apply_summary_batch(batch, mb_id, store, marker, keys="k", value_col="v")
+
+    direct = partial_summary(
+        spark.createDataFrame(waves[0] + waves[1], schema), "k", "v"
+    )
+    assert _rows(store.read().select(*direct.columns)) == _rows(direct)
+
+
+def test_histogram_retry_is_idempotent(spark, tmp_table_dir):
+    from pasta_pipeline_spark.operators.summaries import partial_histogram
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_histogram_batch
+
+    schema = "k string, v double"
+    waves = [
+        [(f"k{i % 2}", float(i % 10)) for i in range(40)],
+        [(f"k{i % 3}", float(i % 8)) for i in range(30)],
+    ]
+    store = TableStore(spark, f"{tmp_table_dir}/rhist")
+    marker = f"{tmp_table_dir}/rhist_mb.json"
+    kw = dict(keys="k", value_col="v", lo=0.0, hi=10.0, n_bins=5)
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_histogram_batch(batch, mb_id, store, marker, **kw)
+        apply_histogram_batch(batch, mb_id, store, marker, **kw)
+
+    direct = partial_histogram(
+        spark.createDataFrame(waves[0] + waves[1], schema), "k", "v",
+        lo=0.0, hi=10.0, n_bins=5,
+    )
+    assert _rows(store.read().select(*direct.columns)) == _rows(direct)
+
+
+def test_heavy_hitter_retry_is_idempotent(spark, tmp_table_dir):
+    """Lossless regime (m exceeds the distinct-item count) so
+    maintained == direct exactly; the retry must not inflate counts
+    or the dropped-mass bound."""
+    from pasta_pipeline_spark.operators.sketches import partial_heavy_hitters
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_heavy_hitter_batch
+
+    schema = "k string, item string"
+    waves = [
+        [("g", f"i{i % 5}") for i in range(50)],
+        [("g", f"i{i % 7}") for i in range(35)],
+    ]
+    store = TableStore(spark, f"{tmp_table_dir}/rhh")
+    marker = f"{tmp_table_dir}/rhh_mb.json"
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_heavy_hitter_batch(batch, mb_id, store, marker,
+                                 keys="k", item_col="item", m=16)
+        apply_heavy_hitter_batch(batch, mb_id, store, marker,
+                                 keys="k", item_col="item", m=16)
+
+    direct = partial_heavy_hitters(
+        spark.createDataFrame(waves[0] + waves[1], schema), "k", "item", m=16
+    )
+    assert _rows(store.read().select(*direct.columns)) == _rows(direct)
+
+
+def test_token_distribution_retry_is_idempotent(spark, tmp_table_dir):
+    from pasta_pipeline_spark.operators.divergence import token_distribution
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        apply_token_distribution_batch,
+    )
+
+    schema = "doc_id long, text string"
+    waves = [
+        [(i, f"alpha beta w{i % 6}") for i in range(20)],
+        [(100 + i, f"beta gamma w{i % 4}") for i in range(15)],
+    ]
+    store = TableStore(spark, f"{tmp_table_dir}/rtd")
+    marker = f"{tmp_table_dir}/rtd_mb.json"
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_token_distribution_batch(batch, mb_id, store, marker)
+        apply_token_distribution_batch(batch, mb_id, store, marker)
+
+    direct = token_distribution(
+        spark.createDataFrame(waves[0] + waves[1], schema)
+    )
+    assert _rows(store.read().select("tok", "c")) == _rows(direct)
+
+
+def test_cms_retry_is_idempotent(spark, tmp_table_dir):
+    from pasta_pipeline_spark.operators.sketches import count_min_sketch
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_cms_batch
+
+    schema = "v string"
+    waves = [
+        [(f"x{i % 9}",) for i in range(45)],
+        [(f"x{i % 11}",) for i in range(33)],
+    ]
+    store = TableStore(spark, f"{tmp_table_dir}/rcms")
+    marker = f"{tmp_table_dir}/rcms_mb.json"
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_cms_batch(batch, mb_id, store, marker, item_col="v",
+                        width=64, depth=3)
+        apply_cms_batch(batch, mb_id, store, marker, item_col="v",
+                        width=64, depth=3)
+
+    direct = count_min_sketch(
+        spark.createDataFrame(waves[0] + waves[1], schema), "v",
+        width=64, depth=3,
+    )
+    assert _rows(store.read().select(*direct.columns)) == _rows(direct)
+
+
+def test_compliance_retry_is_idempotent(spark, tmp_table_dir):
+    """Counters, extrema, and the boundary-gap bookkeeping all survive
+    a full re-run of each micro-batch — including the hard case where
+    the first attempt already advanced last_ts past the batch (a
+    naive re-merge would see the batch's own last fetch as the
+    previous one and invent a zero-gap violation)."""
+    from pasta_pipeline_spark.operators.politeness import schedule_compliance
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_compliance_batch
+
+    schema = "host string, fetched_at_s long"
+    waves = [
+        [("a", 100), ("a", 103), ("b", 50), ("c", 7)],
+        [("a", 104), ("a", 110), ("b", 60)],
+        [("d", 500), ("d", 501)],
+    ]
+    store = TableStore(spark, f"{tmp_table_dir}/rcmp")
+    marker = f"{tmp_table_dir}/rcmp_mb.json"
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_compliance_batch(batch, mb_id, store, marker, required_delay_s=3)
+        apply_compliance_batch(batch, mb_id, store, marker, required_delay_s=3)
+
+    all_df = spark.createDataFrame([r for w in waves for r in w], schema)
+    direct = schedule_compliance(all_df, required_delay_s=3)
+    cols = ["host", "n_fetches", "n_gaps", "min_gap_s",
+            "n_violations", "worst_deficit_s"]
+    assert _rows(store.read().select(*cols)) == _rows(direct.select(*cols))
