@@ -1242,3 +1242,177 @@ def funnel_from_state(counts_store: TableStore) -> DataFrame:
         for i, name, nin, nout in stages
     ]
     return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def apply_dsir_batch(
+    batch: DataFrame,
+    batch_id: int,
+    model_store: TableStore,
+    docb_store: TableStore,
+    marker_path: str,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 4096,
+    n_buckets: int = 32,
+) -> None:
+    """One micro-batch of DSIR-state maintenance (operators/dsir.py,
+    Xie et al. arXiv:2302.03169, streamed): each arriving document is
+    tokenized ONCE and folded into two stores —
+
+    - ``model_store``: the ≤``m``-row hashed-bow bucket table
+      ``(b, q_cnt, t_cnt)`` — FIXED-SIZE state (the whole point of
+      hashed features), counters add;
+    - ``docb_store``: per-document bucket sufficient statistics
+      ``(id, b, k)`` — the reusable part of the per-doc score, so
+      re-scoring under the CURRENT model never re-reads or
+      re-tokenizes the corpus. Keyed LWW merge, bucketed by an
+      id-hash so each batch rewrites only touched partitions.
+
+    Scores are NOT materialized per batch — a document's weight
+    depends on the live model, so eager scores would go stale the
+    moment the next batch lands. :func:`dsir_report_from_state`
+    derives current weights from the two stores on demand, exactly
+    equal to batch ``dsir_select`` over everything ingested
+    (pytest-pinned).
+
+    Idempotent under intra-batch retry: the model merge recomputes
+    against the pre-version pinned before the first mutation
+    (streaming/exactly_once.py), and the docb rows are a deterministic
+    function of the batch, so their LWW re-upsert is a no-op."""
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+    from pasta_pipeline_spark.operators.dsir import hash_bucket
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"model": model_store})
+    tok = (
+        batch.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            target_pred.alias("__is_target"),
+            F.explode(tokenize_ws(F.col(text_col))).alias("token"),
+        )
+        .withColumn("b", hash_bucket(F.col("token"), m))
+    )
+    delta = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("q_cnt"),
+        F.sum(F.col("__is_target").cast("long")).cast("long").alias("t_cnt"),
+    )
+    if pre["model"] is not None:
+        prev = model_store.read(version=pre["model"]).select(
+            "b", F.col("q_cnt").alias("pq"), F.col("t_cnt").alias("pt")
+        )
+        merged = (
+            delta.join(prev, "b", "full_outer")
+            .select(
+                "b",
+                (F.coalesce(F.col("q_cnt"), F.lit(0))
+                 + F.coalesce(F.col("pq"), F.lit(0))).cast("long").alias("q_cnt"),
+                (F.coalesce(F.col("t_cnt"), F.lit(0))
+                 + F.coalesce(F.col("pt"), F.lit(0))).cast("long").alias("t_cnt"),
+            )
+        )
+    else:
+        merged = delta
+    model_store.overwrite(merged)
+
+    doc_b = (
+        tok.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+            .cast("int"),
+        )
+    )
+    docb_store.merge_partitioned(doc_b, key=[id_col, "b"], partition_col="__bkt")
+
+
+def incremental_dsir_sink(
+    stream: DataFrame,
+    model_store: TableStore,
+    docb_store: TableStore,
+    target_pred,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 4096,
+    trigger_once: bool = True,
+):
+    """Streaming DSIR selection state: maintain the hashed-bow
+    importance models and per-doc sufficient statistics over
+    micro-batches, so "which k documents look most like the target
+    corpus" is answerable at ANY moment (dsir_report_from_state)
+    without rescanning or re-tokenizing anything — the selection tier
+    of the pretraining data path, streamed. State: ≤m model rows +
+    per-doc bucket stats; each batch costs its own token explode plus
+    two keyed merges."""
+    if not checkpoint_dir:
+        raise ValueError("incremental_dsir_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        apply_dsir_batch(
+            batch, batch_id, model_store, docb_store,
+            marker_path=os.path.join(checkpoint_dir, "_dsir_mb.json"),
+            target_pred=target_pred, id_col=id_col, text_col=text_col, m=m,
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dsir_report_from_state(
+    model_store: TableStore,
+    docb_store: TableStore,
+    k: int,
+    id_col: str = "doc_id",
+    m: int = 4096,
+) -> DataFrame:
+    """Current top-``k`` DSIR selection from maintained state — the
+    same fixed-point formula as batch ``dsir_select``, evaluated over
+    the live model and the persisted per-doc bucket stats (one scan of
+    state, zero corpus reads). == ``dsir_select`` over the union of
+    everything ingested, whatever the batch boundaries were."""
+    from pyspark.sql import Window
+
+    from pasta_pipeline_spark.operators.dsir import _lnfp
+
+    models = model_store.read().select("b", "q_cnt", "t_cnt")
+    totals = models.agg(
+        F.sum("q_cnt").cast("long").alias("Q"),
+        F.sum("t_cnt").cast("long").alias("P"),
+    )
+    doc_b = docb_store.read().select(id_col, "b", "k")
+    per_doc = (
+        doc_b.join(F.broadcast(models), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("k") * (_lnfp(F.col("t_cnt") + 1) - _lnfp(F.col("q_cnt") + 1))
+            )
+            .cast("long")
+            .alias("__s"),
+        )
+    )
+    weighted = per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "n_tokens",
+        (
+            F.col("__s")
+            + F.col("n_tokens")
+            * (_lnfp(F.col("Q") + F.lit(m)) - _lnfp(F.col("P") + F.lit(m)))
+        )
+        .cast("long")
+        .alias("weight_fp"),
+    )
+    order = [F.desc("weight_fp"), F.asc(id_col)]
+    top = weighted.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # over <= k rows — benign
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -275,3 +275,36 @@ def test_compliance_retry_is_idempotent(spark, tmp_table_dir):
     cols = ["host", "n_fetches", "n_gaps", "min_gap_s",
             "n_violations", "worst_deficit_s"]
     assert _rows(store.read().select(*cols)) == _rows(direct.select(*cols))
+
+
+def test_dsir_retry_is_idempotent(spark, tmp_table_dir):
+    """Model counters and per-doc bucket stats survive a full re-run
+    of each micro-batch; the derived selection == batch dsir_select
+    on the union."""
+    from pasta_pipeline_spark.operators.dsir import dsir_select
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        apply_dsir_batch,
+        dsir_report_from_state,
+    )
+
+    schema = "doc_id long, text string, source string"
+    waves = [
+        [(1, "alpha beta alpha", "curated"), (2, "gamma delta", "crawl"),
+         (3, "alpha alpha beta beta", "crawl")],
+        [(4, "delta epsilon", "crawl"), (5, "alpha beta gamma", "curated"),
+         (6, "zeta zeta zeta", "crawl")],
+    ]
+    model = TableStore(spark, f"{tmp_table_dir}/rdsir_model")
+    docb = TableStore(spark, f"{tmp_table_dir}/rdsir_docb")
+    marker = f"{tmp_table_dir}/rdsir_mb.json"
+    pred = F.col("source") == "curated"
+    for mb_id, wave in enumerate(waves):
+        batch = spark.createDataFrame(wave, schema)
+        apply_dsir_batch(batch, mb_id, model, docb, marker, pred)
+        apply_dsir_batch(batch, mb_id, model, docb, marker, pred)
+
+    all_docs = spark.createDataFrame(waves[0] + waves[1], schema)
+    want = [tuple(r) for r in dsir_select(all_docs, pred, k=6).collect()]
+    got = [tuple(r) for r in dsir_report_from_state(model, docb, k=6).collect()]
+    assert got == want

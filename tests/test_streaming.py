@@ -917,3 +917,47 @@ def test_incremental_frontier_sink_equals_batch(spark, tmp_table_dir):
     done2 = spark.createDataFrame([("https://b.com/p/1",)], "url string")
     live2 = frontier_from_state(state, total_budget=6, processed=done2)
     assert "https://b.com/p/1" not in {r["url"] for r in live2.collect()}
+
+
+def test_incremental_dsir_sink_equals_batch(spark, tmp_table_dir):
+    """Streaming DSIR == batch dsir_select over the union of all
+    ingested waves: the maintained hashed-bow model re-scores EVERY
+    document (including wave-1 docs whose weights must shift as the
+    wave-2 model counts land) identically to a from-scratch run."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.dsir import dsir_select
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        dsir_report_from_state,
+        incremental_dsir_sink,
+    )
+
+    schema = "doc_id long, text string, source string"
+    waves = [
+        [(1, "the quick brown fox", "curated"),
+         (2, "lorem ipsum dolor sit amet", "crawl"),
+         (3, "the quick red fox jumps", "crawl"),
+         (4, "buy cheap pills now", "crawl")],
+        [(5, "quick brown foxes everywhere", "crawl"),
+         (6, "the slow brown turtle", "curated"),
+         (7, "cheap cheap cheap deals", "crawl")],
+    ]
+    src_dir = f"{tmp_table_dir}/dsir_src"
+    model = TableStore(spark, f"{tmp_table_dir}/dsir_model")
+    docb = TableStore(spark, f"{tmp_table_dir}/dsir_docb")
+    ckpt = f"{tmp_table_dir}/dsir_ckpt"
+    pred = F.col("source") == "curated"
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.parquet(src_dir, mode="append")
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        incremental_dsir_sink(
+            stream, model, docb, pred, checkpoint_dir=ckpt
+        ).awaitTermination(120)
+
+    all_docs = spark.createDataFrame(waves[0] + waves[1], schema)
+    want = [tuple(r) for r in dsir_select(all_docs, pred, k=5).collect()]
+    got = [tuple(r) for r in dsir_report_from_state(model, docb, k=5).collect()]
+    assert got == want
+    # fixed-size model state: at most m rows regardless of ingestion
+    assert model.read().count() <= 4096
