@@ -178,6 +178,111 @@ def bm25_topk(
     return scored.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(k)
 
 
+#: BM25F field layout: the first TITLE_LEN tokens of a document act as
+#: its "title" field (the corpus has no separate field columns; a
+#: deterministic positional split keeps the operator oracle-able while
+#: exercising the real fielded math). Integer field weights keep the
+#: weighted tf/length int64 until the shared double formula.
+BM25F_TITLE_LEN = 5
+BM25F_W_TITLE = 3
+BM25F_W_BODY = 1
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25F fielded retrieval (Robertson & Zaragoza 2009 §3.3 — the
+    simple weighted-field variant): term occurrences in the TITLE
+    field count ``BM25F_W_TITLE``× those in the body, saturation runs
+    over the COMBINED weighted tf (one k1 curve per term, not per
+    field — the property that distinguishes BM25F from naively summing
+    per-field BM25 scores), and length normalization uses the weighted
+    document length against the weighted corpus total.
+
+    Same scale shape as :func:`bm25_topk`: one posexplode scan
+    (position decides the field), query-term filter at the scan,
+    metadata-scale df/totals broadcast back, int64-floored
+    contributions, TakeOrderedAndProject top-k. Returns
+    ``(id, score_fp, n_hit_terms)``."""
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+
+    terms = [t.lower() for t in query_terms]
+    wt = F.when(F.col("pos") < BM25F_TITLE_LEN, F.lit(BM25F_W_TITLE)).otherwise(
+        F.lit(BM25F_W_BODY)
+    )
+    tok = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(tokenize_ws(F.col(text_col))).alias("pos", "term"))
+        .withColumn("w", wt.cast("long"))
+    )
+    dl = tok.groupBy(id_col).agg(F.sum("w").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("T"),
+    )
+    hits = tok.where(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(F.sum("w").cast("long").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("c_fp", F.expr(bm25_term_sql()).cast("long"))
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("c_fp").cast("long").alias("score_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+    )
+    return scored.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(k)
+
+
+def bm25f_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25f_topk` — same positional field
+    split, weights, and shared term formula."""
+    terms = ", ".join(sql_quote(t.lower()) for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             list_transform(
+               list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS t
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), tok AS (
+      SELECT {id_col}, t[i] AS term,
+             CASE WHEN i <= {BM25F_TITLE_LEN} THEN {BM25F_W_TITLE}
+                  ELSE {BM25F_W_BODY} END AS w
+      FROM (SELECT {id_col}, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+    ), dl AS (
+      SELECT {id_col}, CAST(SUM(w) AS BIGINT) AS dl FROM tok GROUP BY {id_col}
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS T FROM dl
+    ), tf AS (
+      SELECT {id_col}, term, CAST(SUM(w) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY {id_col}, term
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.{id_col},
+             CAST({bm25_term_sql()} AS BIGINT) AS c_fp
+      FROM tf JOIN dft USING (term) JOIN dl USING ({id_col}) CROSS JOIN tot
+    )
+    SELECT {id_col}, CAST(SUM(c_fp) AS BIGINT) AS score_fp,
+           CAST(count(*) AS BIGINT) AS n_hit_terms
+    FROM contrib GROUP BY {id_col}
+    ORDER BY score_fp DESC, {id_col} ASC LIMIT {k}
+    """
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 10,

@@ -1380,3 +1380,133 @@ def jl_project_oracle_sql(
     FROM {table}
     WHERE len({vec_col}) = {d}
     """
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity audit (r7)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for centroid component sums. int64 headroom: with
+#: s_i = sum of FLOOR(e_i * 1e4) over a label's vectors, the final
+#: cosine is computed in DOUBLE from the int64 sums (one shared
+#: expression fold — bit-identical cross-engine), so the only overflow
+#: surface is the component sum itself: |s_i| < 1e4 * n_vecs * max|e|,
+#: safe past 1e12 vectors per label.
+CENTROID_SCALE = 10_000
+CENTROID_COS_SCALE = 1_000_000
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    d: int = 64,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    CENTROIDS — the corpus-level geometry audit: two labels (sources,
+    languages, snapshots) whose centroids are near-parallel occupy the
+    same region of embedding space (candidate merge / contamination /
+    drift signal), orthogonal centroids are genuinely distinct
+    populations. The embedding-space counterpart of
+    ``source_nb_confusion``'s token-space answer.
+
+    Cosine of mean vectors equals cosine of SUM vectors (the 1/n
+    scalars cancel), so the whole computation runs on int64
+    fixed-point component sums: one posexplode scan → (label, dim)
+    sums → ≤ |labels| rows of 64-component state → pairwise zip_with
+    dot in double (sequential fold, engine-identical). Malformed
+    vectors (size ≠ d) are excluded, like :func:`jl_project`.
+
+    Returns ``(label_a, label_b, n_a, n_b, cos_fp)`` for label_a <
+    label_b, cos_fp = FLOOR(cos * 1e6).
+    """
+    exploded = (
+        df.where(F.size(F.col(vec_col)) == d)
+        .select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(F.col(vec_col)).alias("i", "e"),
+        )
+        .groupBy("lbl", "i")
+        .agg(
+            F.sum(F.floor(F.col("e").cast("double") * CENTROID_SCALE).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    sums = exploded.groupBy("lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda st: st["s"]
+        ).alias("sv")
+    )
+    counts = (
+        df.where(F.size(F.col(vec_col)) == d)
+        .groupBy(F.col(label_col).alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    prof = sums.join(counts, "lbl")
+    a = prof.select(
+        F.col("lbl").alias("label_a"), F.col("sv").alias("sa"), F.col("n").alias("n_a")
+    )
+    b = prof.select(
+        F.col("lbl").alias("label_b"), F.col("sv").alias("sb"), F.col("n").alias("n_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.floor(dot / (nrm(F.col("sa")) * nrm(F.col("sb"))) * CENTROID_COS_SCALE)
+            .cast("long")
+            .alias("cos_fp"),
+        )
+    )
+
+
+def label_centroid_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    d: int = 64,
+) -> str:
+    """DuckDB twin of :func:`label_centroid_similarity` — same
+    fixed-point sums, same sequential-fold double dot (playbook #5)."""
+    return f"""
+    WITH ex AS (
+      SELECT {label_col} AS lbl, i,
+             CAST(SUM(CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * {CENTROID_SCALE})
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM {table} CROSS JOIN (SELECT unnest(generate_series(1, {d})) AS i) ix
+      WHERE len({vec_col}) = {d}
+      GROUP BY 1, 2
+    ), prof AS (
+      SELECT lbl, list(CAST(s AS DOUBLE) ORDER BY i) AS sv
+      FROM ex GROUP BY lbl
+    ), cnt AS (
+      SELECT {label_col} AS lbl, CAST(count(*) AS BIGINT) AS n
+      FROM {table} WHERE len({vec_col}) = {d} GROUP BY 1
+    ), p AS (
+      SELECT prof.lbl, sv, n FROM prof JOIN cnt USING (lbl)
+    )
+    SELECT a.lbl AS label_a, b.lbl AS label_b, a.n AS n_a, b.n AS n_b,
+           CAST(FLOOR(list_dot_product(a.sv, b.sv)
+                      / (sqrt(list_dot_product(a.sv, a.sv))
+                         * sqrt(list_dot_product(b.sv, b.sv)))
+                      * {CENTROID_COS_SCALE}) AS BIGINT) AS cos_fp
+    FROM p a JOIN p b ON a.lbl < b.lbl
+    """

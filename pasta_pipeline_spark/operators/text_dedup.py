@@ -1368,3 +1368,188 @@ def winnowing_oracle_sql(
     GROUP BY a.{id_col}, b.{id_col}
     HAVING count(DISTINCT a.fp) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit (r7)
+# ---------------------------------------------------------------------------
+
+
+def _md5_minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) permutation constants of :func:`_minhash_exprs`,
+    exposed so the SQL twin is generated from the SAME numbers."""
+    return [
+        (
+            (0x9E3779B9 * (i + 1)) % _MERSENNE31 | 1,
+            (0xBF58476D * (i + 7)) % _MERSENNE31,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_error_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Empirical MinHash estimator audit: for every true near-dup pair
+    (exact shingle Jaccard >= ``threshold``), compare the k-hash
+    MinHash ESTIMATE (fraction of agreeing signature slots — the
+    unbiased J estimator, Broder 1997) against the exact value. The
+    evaluation tier of the dedup ladder: before trusting banded LSH at
+    a new k/bands setting, measure |est − exact| on the corpus's own
+    near-dup population (expected std ≈ sqrt(J(1−J)/k) ≈ 6 points at
+    J=0.5, k=64).
+
+    Signatures here hash shingle STRINGS through md5 (not xxhash64)
+    so the whole report — signatures included — replays hash-exactly
+    in SQL; the production pair tier keeps xxhash64 (faster, same
+    set semantics). One shingle scan feeds both the exact-Jaccard
+    self-join and the signature aggregation.
+
+    Returns per-pair ``(doc_a, doc_b, jaccard_bp, est_bp,
+    abs_err_bp)`` in basis points (integer, playbook #12).
+    """
+    sh = _shingle_table(docs, id_col, text_col, n, hashed=False)
+    # 31-bit md5 base hash — engine-shared (the dsir hash_bucket idiom)
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    xh = sh.select("doc", x.alias("x"))
+    params = _md5_minhash_params(num_hashes)
+    sigs = xh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(a).cast("long") * F.col("x") + F.lit(b).cast("long"),
+                    F.lit(_MERSENNE31).cast("long"),
+                )
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    sa = sh.select(F.col("doc").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh2"))
+    common = (
+        sa.join(sb, (F.col("sh") == F.col("sh2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    t_bp = int(round(threshold * 10000))
+    exact = (
+        common.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard_bp",
+            F.expr("n_common * 10000 div (n_a + n_b - n_common)").cast("long"),
+        )
+        # cross-multiplied threshold — no double compare (playbook #12)
+        .where(
+            F.col("n_common") * 10000
+            >= F.lit(t_bp) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    a_sig = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b_sig = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    # integer div (matches the oracle's // — floor on positives)
+    match_sum = " + ".join(
+        f"cast(a{i} = b{i} as bigint)" for i in range(num_hashes)
+    )
+    return (
+        exact.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .withColumn(
+            "est_bp",
+            F.expr(f"({match_sum}) * 10000 div {num_hashes}").cast("long"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_bp",
+            "est_bp",
+            F.abs(F.col("est_bp") - F.col("jaccard_bp")).cast("long").alias("abs_err_bp"),
+        )
+    )
+
+
+def minhash_error_oracle_sql(
+    n: int = 3,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`minhash_error_report` — signatures
+    generated from the SAME (a_i, b_i) constants."""
+    params = _md5_minhash_params(num_hashes)
+    t_bp = int(round(threshold * 10000))
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                                   y -> y <> '') AS t
+      FROM {table}
+    ), sh AS (
+      SELECT DISTINCT {id_col},
+             CASE WHEN len(t) >= {n}
+                  THEN {" || ' ' || ".join(f"t[i+{j}]" for j in range(n))}
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT {id_col}, t,
+                   unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i
+            FROM toks)
+    ), x AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT & 2147483647 AS x
+      FROM sh
+    ), sig AS (
+      SELECT {id_col}, {sig_cols}
+      FROM x GROUP BY {id_col}
+    ), sizes AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY {id_col}
+    ), common AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common * 10000 // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+               AS jaccard_bp
+      FROM common
+      JOIN sizes sa ON sa.{id_col} = doc_a
+      JOIN sizes sb ON sb.{id_col} = doc_b
+      WHERE n_common * 10000 >= {t_bp} * (sa.n_sh + sb.n_sh - n_common)
+    )
+    SELECT e.doc_a, e.doc_b, e.jaccard_bp,
+           CAST(({match_sum}) * 10000 // {num_hashes} AS BIGINT) AS est_bp,
+           CAST(abs(({match_sum}) * 10000 // {num_hashes} - e.jaccard_bp) AS BIGINT)
+             AS abs_err_bp
+    FROM exact e
+    JOIN sig sa ON sa.{id_col} = e.doc_a
+    JOIN sig sb ON sb.{id_col} = e.doc_b
+    """

@@ -10517,3 +10517,182 @@ def q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("path").cast("long").alias("n_distinct"),
         (F.count(F.lit(1)) > 20).alias("is_trap_candidate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7
+# ---------------------------------------------------------------------------
+
+
+def _dsir_bigram_oracle() -> str:
+    from pasta_pipeline_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql(
+        target_where="source IN ('src0', 'src1', 'src2', 'src3')",
+        k=100,
+        features="bigram",
+    )
+
+
+@register(
+    "dsir_bigram_selection",
+    None,  # generated below — single source of truth in operators/dsir.py
+    doc="DSIR selection over the paper-faithful hashed BIGRAM feature "
+    "space (operators/dsir.py features='bigram'; Xie et al. arXiv:"
+    "2302.03169 §2.1 hashes n-grams, not unigrams): consecutive token "
+    "pairs hash into the same m=4096 buckets, making the importance "
+    "model word-ORDER-sensitive while keeping model state fixed-size. "
+    "Same smoothing, fixed-point ln, and deterministic top-k as "
+    "dsir_selection; documents under 2 tokens contribute no features "
+    "(len-guarded in both engines — the winnowing short-doc lesson). "
+    "Oracle generated from the same constants.",
+)
+def q_dsir_bigram_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.dsir import dsir_select
+
+    docs = _tp(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3"), k=100,
+        features="bigram",
+    )
+
+
+REGISTRY["dsir_bigram_selection"] = QuerySpec(
+    spark_fn=REGISTRY["dsir_bigram_selection"].spark_fn,
+    oracle=_dsir_bigram_oracle(),
+    doc=REGISTRY["dsir_bigram_selection"].doc,
+)
+
+
+def _bm25f_oracle() -> str:
+    from pasta_pipeline_spark.operators.search import bm25f_oracle_sql
+
+    return bm25f_oracle_sql(["spark", "join", "window"], k=10)
+
+
+@register(
+    "bm25_fielded",
+    None,  # generated below — single source of truth in operators/search.py
+    doc="BM25F fielded retrieval (operators/search.py bm25f_topk; "
+    "Robertson & Zaragoza 2009 §3.3): title-field occurrences (the "
+    "document's first 5 tokens — deterministic positional fields, the "
+    "corpus has no field columns) weigh 3x body occurrences, "
+    "saturation runs over the COMBINED weighted tf (one k1 curve per "
+    "term — the property that separates BM25F from summing per-field "
+    "BM25 scores), and length normalization uses weighted lengths. "
+    "Same posting-list scale shape as bm25_topk; int64-floored "
+    "contributions; TakeOrderedAndProject top-k.",
+)
+def q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.search import bm25f_topk
+
+    docs = _tp(spark, sf_dir, "documents")
+    return bm25f_topk(docs, ["spark", "join", "window"], k=10)
+
+
+REGISTRY["bm25_fielded"] = QuerySpec(
+    spark_fn=REGISTRY["bm25_fielded"].spark_fn,
+    oracle=_bm25f_oracle(),
+    doc=REGISTRY["bm25_fielded"].doc,
+)
+
+
+def _minhash_error_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_dedup import minhash_error_oracle_sql
+
+    return minhash_error_oracle_sql(n=3, num_hashes=64, threshold=0.5)
+
+
+@register(
+    "minhash_error_report",
+    None,  # generated below — single source of truth in operators/text_dedup.py
+    doc="MinHash estimator audit (operators/text_dedup.py "
+    "minhash_error_report; Broder 1997): for every TRUE near-dup pair "
+    "(exact shingle Jaccard >= 0.5), the k=64 slot-agreement estimate "
+    "vs the exact value in basis points — measure the estimator on "
+    "the corpus's own near-dup population before trusting a new "
+    "k/bands setting (expected std ~ sqrt(J(1-J)/64) ~ 6 points at "
+    "J=0.5). Signatures are md5-derived here so the WHOLE report, "
+    "signatures included, replays hash-exactly in SQL; one shingle "
+    "scan feeds both the exact self-join and the signature "
+    "aggregation.",
+)
+def q_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import minhash_error_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_error_report(docs, "doc_id", "text", n=3, num_hashes=64, threshold=0.5)
+
+
+REGISTRY["minhash_error_report"] = QuerySpec(
+    spark_fn=REGISTRY["minhash_error_report"].spark_fn,
+    oracle=_minhash_error_oracle(),
+    doc=REGISTRY["minhash_error_report"].doc,
+)
+
+
+def _nb_confusion_oracle() -> str:
+    from pasta_pipeline_spark.operators.dsir import nb_confusion_oracle_sql
+
+    return nb_confusion_oracle_sql()
+
+
+@register(
+    "source_nb_confusion",
+    None,  # generated below — single source of truth in operators/dsir.py
+    doc="Source-separability audit (operators/dsir.py "
+    "nb_source_confusion): one add-one-smoothed hashed-bow multinomial "
+    "per SOURCE (the multi-class generalization of the DSIR importance "
+    "models), max-likelihood classification of every document, "
+    "confusion matrix out. Near-diagonal = sources are "
+    "distributionally distinct (mixture weights mean something); "
+    "off-diagonal mass = two sources duplicate each other or labels "
+    "are noisy — the source-level counterpart of lang_confusion_audit. "
+    "Fixed-point ln scores; per-doc argmax via a doc-partitioned "
+    "window (S rows per partition, parallel).",
+)
+def q_source_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.dsir import nb_source_confusion
+
+    docs = _tp(spark, sf_dir, "documents")
+    return nb_source_confusion(docs)
+
+
+REGISTRY["source_nb_confusion"] = QuerySpec(
+    spark_fn=REGISTRY["source_nb_confusion"].spark_fn,
+    oracle=_nb_confusion_oracle(),
+    doc=REGISTRY["source_nb_confusion"].doc,
+)
+
+
+def _label_centroid_oracle() -> str:
+    from pasta_pipeline_spark.operators.similarity import label_centroid_oracle_sql
+
+    return label_centroid_oracle_sql()
+
+
+@register(
+    "label_centroid_similarity",
+    None,  # generated below — single source of truth in operators/similarity.py
+    doc="Per-label embedding centroid similarity (operators/"
+    "similarity.py label_centroid_similarity): pairwise cosine between "
+    "label centroids — near-parallel centroids flag populations "
+    "occupying the same embedding region (merge candidates, "
+    "contamination, drift), the embedding-space counterpart of "
+    "source_nb_confusion. Cosine of means == cosine of SUMS (1/n "
+    "cancels), so state is |labels| x d int64 component sums from ONE "
+    "posexplode scan; the final ratio is a shared sequential-fold "
+    "double expression (playbook #5).",
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import label_centroid_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(emb)
+
+
+REGISTRY["label_centroid_similarity"] = QuerySpec(
+    spark_fn=REGISTRY["label_centroid_similarity"].spark_fn,
+    oracle=_label_centroid_oracle(),
+    doc=REGISTRY["label_centroid_similarity"].doc,
+)

@@ -94,6 +94,15 @@ SCALAR_CROSSJOIN_OK = {
     "equidepth_histogram": "1-row total N scalar for the closed-form "
     "ntile bucket arithmetic (the shard_manifest pattern; replaced the "
     "r6 verdict's empty-OVER ntile single-task sort)",
+    "bm25_fielded": "1-row corpus totals (N docs, T weighted tokens) "
+    "scalar for the BM25F length normalization (the bm25_topk shape)",
+    "dsir_bigram_selection": "1-row model token totals (Q, P) scalar "
+    "for the smoothing denominators (the dsir_selection shape)",
+    "source_nb_confusion": "S-row per-class token totals broadcast for "
+    "the smoothing denominators (class-count metadata scale)",
+    "label_centroid_similarity": "pairwise label_a < label_b join over "
+    "the <=|labels|-row centroid-profile frames — dim-table scale by "
+    "construction (one row per label)",
 }
 
 
@@ -126,7 +135,14 @@ def main() -> None:
             bad.append(name)
             row["FLAG"] = "cartesian product"
         elif row["bnlj"]:
-            if name in SCALAR_CROSSJOIN_OK and "Cross BuildRight" in plan:
+            # allowlisted shapes: the scalar crossJoin handoff
+            # (`Cross BuildRight` over a no-grouping aggregate) and the
+            # bounded inequality self-join over dim-table-scale frames
+            # (`BuildRight, Inner` with a non-equi condition, e.g.
+            # label_a < label_b over one-row-per-label profiles)
+            if name in SCALAR_CROSSJOIN_OK and (
+                "Cross BuildRight" in plan or "Inner BuildRight" in plan
+            ):
                 row["bnlj_ok"] = SCALAR_CROSSJOIN_OK[name]
             else:
                 bad.append(name)

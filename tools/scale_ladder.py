@@ -85,6 +85,119 @@ QUERIES = [
     "equidepth_histogram",
 ]
 
+#: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
+#: ANOTHER 10x of data, where super-linear behavior hides least. The
+#: sf1 fixture is synthesized once from the sf0.1 tables (see
+#: ensure_sf1): 10 replicas with fresh keys, texts made
+#: cross-replica-DISSIMILAR by a per-replica token suffix and
+#: embeddings by a per-replica random-sign isometry (intra-replica
+#: geometry exactly preserved, cross-replica similarity destroyed) —
+#: so the pair/ANN workload scales LINEARLY by construction and any
+#: super-linear time is the operator's own doing.
+SF1_DIR = "/root/repo/.tmp_sf1"
+SF1_QUERIES = [
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "prefix_jaccard_pairs",
+    "winnowing_pairs",
+    "edit_distance_pairs",
+    "duplicated_spans",
+    "dedup_clusters",
+    "semantic_dedup",
+    "ivf_pq_topk",
+    "dsir_selection",
+    "greedy_pack",
+    "perplexity_buckets",
+    "bm25_topk",
+    "media_jpeg_pixels",
+    "media_dedup_survivors",
+    "pretrain_pipeline",
+    "equidepth_histogram",
+]
+
+
+def ensure_sf1(spark) -> None:
+    """Synthesize the sf1 fixture (documents/embeddings/lineitem) from
+    sf0.1 if not already on disk. Deterministic (md5-derived signs,
+    fixed suffixes) — rebuilding yields byte-identical content."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.schemas import load_table
+
+    if os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")) or os.path.isfile(
+        os.path.join(SF1_DIR, "lineitem.parquet")
+    ):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    n_rep, dim = 10, 64
+
+    docs = load_table(spark, SF_BIG, "documents")
+    parts = []
+    for k in range(n_rep):
+        d = docs.select(
+            (F.col("doc_id") + F.lit(k * 5000)).alias("doc_id"),
+            # replica 0 keeps the original text; others suffix EVERY
+            # token so no shingle matches across replicas
+            (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{k}")
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "documents.parquet")
+    )
+
+    emb = load_table(spark, SF_BIG, "embeddings")
+    parts = []
+    for k in range(n_rep):
+        if k == 0:
+            e = emb
+        else:
+            signs = [
+                1 if int(hashlib.md5(f"sf1_{k}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1
+                for i in range(dim)
+            ]
+            sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+            e = emb.select(
+                "vec_id",
+                F.zip_with(
+                    F.col("embedding"), sign_arr, lambda a, b: (a * b).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        parts.append(
+            e.select((F.col("vec_id") + F.lit(k * 2000)).alias("vec_id"),
+                     "embedding", "label")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet")
+    )
+
+    li = load_table(spark, SF_BIG, "lineitem")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 150000))
+        for k in range(n_rep)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "lineitem.parquet")
+    )
+
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALELADDER.json"
@@ -142,6 +255,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # sf0.1 → sf1 tier over the expensive tail
+    ensure_sf1(spark)
+    sf1_report: dict = {}
+    for name in SF1_QUERIES:
+        t_mid = run(name, SF_BIG)
+        t_big = run(name, SF1_DIR)
+        ratio = round(t_big / t_mid, 2) if t_mid > 0 else None
+        flag = bool(
+            ratio is not None
+            and t_big >= MIN_BIG_SEC
+            and ratio > FLAG_FACTOR * DATA_RATIO
+        )
+        sf1_report[name] = {
+            "t_sf0_1": round(t_mid, 3),
+            "t_sf1": round(t_big, 3),
+            "ratio": ratio,
+            "flag": flag,
+        }
+        if flag:
+            flagged.append(f"sf1:{name}")
+        print(
+            f"sf1 {name}: {t_mid:.3f}s -> {t_big:.3f}s  ratio {ratio}"
+            f"{'  ** SUPER-LINEAR **' if flag else ''}",
+            file=sys.stderr,
+        )
+
     doc = {
         "sf_small": 0.01,
         "sf_big": 0.1,
@@ -149,6 +288,7 @@ def main() -> None:
         "flag_factor": FLAG_FACTOR,
         "min_big_sec": MIN_BIG_SEC,
         "queries": report,
+        "queries_sf1": sf1_report,
         "flagged": flagged,
     }
     with open(out_path, "w", encoding="utf-8") as f:
