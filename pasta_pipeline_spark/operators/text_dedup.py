@@ -1553,3 +1553,150 @@ def minhash_error_oracle_sql(
     JOIN sig sa ON sa.{id_col} = e.doc_a
     JOIN sig sb ON sb.{id_col} = e.doc_b
     """
+
+
+def global_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-GLOBAL duplicate-line removal (Wenzek et al.
+    1911.00359 §3.1 dedup every paragraph by hash across shards): a
+    line whose normalized form (lower + trim) appears in more than
+    ``max_df`` distinct documents is boilerplate/chrome and is cut
+    from every document. The corpus-wide complement of
+    :func:`boilerplate_lines` (which is group-scoped): cookie banners
+    and nav chrome repeat across the WHOLE crawl, not just within one
+    domain.
+
+    Scale shape: one line explode → per-line distinct-doc counts
+    (state linear in DISTINCT lines, the token_distribution scale
+    class) → equi-join back → order-preserving reassembly via
+    array_sort over (pos, line) structs in ONE groupBy (no window).
+
+    Returns ``(id, n_lines, n_kept, clean_text)``.
+    """
+    lines = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("key", F.lower(F.trim(F.col("line"))))
+    line_df = lines.groupBy("key").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+    tagged = lines.join(line_df, "key")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((F.col("df") <= max_df).cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("df") <= max_df,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda st: st["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def global_line_dedup_oracle_sql(
+    max_df: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`global_line_dedup` — same normalization,
+    same order-preserving reassembly."""
+    return f"""
+    WITH lines AS (
+      SELECT {id_col}, i - 1 AS pos, parts[i] AS ln,
+             lower(trim(parts[i])) AS key
+      FROM (
+        SELECT {id_col},
+               str_split({text_col}, chr(10)) AS parts,
+               unnest(generate_series(1, len(str_split({text_col}, chr(10))))) AS i
+        FROM {table} WHERE {text_col} IS NOT NULL
+      )
+    ), line_df AS (
+      SELECT key, CAST(count(DISTINCT {id_col}) AS BIGINT) AS df
+      FROM lines GROUP BY key
+    ), tagged AS (
+      SELECT l.*, d.df FROM lines l JOIN line_df d USING (key)
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN df <= {max_df} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN df <= {max_df} THEN ln END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+    FROM tagged GROUP BY {id_col}
+    """
+
+
+def stitch_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pagination-stitch detection: document A's LAST ``k`` tokens
+    equal document B's FIRST ``k`` tokens — the signature of one
+    logical page split across crawl records (pagination, load-more
+    chunks, shard boundaries). Stitched fragments inflate document
+    counts and truncate contexts; this pair list feeds either a
+    concatenating repair or the dedup ladder.
+
+    One scan computes each doc's head/tail k-gram; candidates come
+    from a plain equi-join on the boundary gram (md5-keyed — moves
+    16 bytes per doc, never text). Docs with fewer than ``k`` tokens
+    are excluded (no self-pairs). Returns
+    ``(doc_a, doc_b, boundary_gram)``.
+    """
+    toks = tokenize_ws(F.col(text_col))
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("t")
+    ).where(F.size("t") >= k)
+    head = F.array_join(F.slice(F.col("t"), 1, k), " ")
+    tail = F.array_join(F.slice(F.col("t"), -k, k), " ")
+    heads = base.select(F.col(id_col).alias("doc_b"), head.alias("g"))
+    tails = base.select(F.col(id_col).alias("doc_a"), tail.alias("g"))
+    return (
+        tails.join(heads, "g")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("g").alias("boundary_gram"))
+    )
+
+
+def stitch_pairs_oracle_sql(
+    k: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`stitch_pairs`."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             list_transform(list_filter(
+               regexp_split_to_array(lower({text_col}), '\\s+'), y -> y <> ''),
+               x -> x) AS t
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), hk AS (
+      SELECT {id_col},
+             array_to_string(t[1:{k}], ' ') AS head_g,
+             array_to_string(t[len(t) - {k - 1}:len(t)], ' ') AS tail_g
+      FROM base WHERE len(t) >= {k}
+    )
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           a.tail_g AS boundary_gram
+    FROM hk a JOIN hk b ON a.tail_g = b.head_g AND a.{id_col} <> b.{id_col}
+    """

@@ -9184,25 +9184,11 @@ def _c4_oracle() -> str:
     return f"WITH src AS (SELECT doc_id, {_C4_INJECT_SQL} AS t FROM documents)\n{inner}"
 
 
-@register(
-    "c4_line_clean",
-    _c4_oracle(),
-    doc="C4 line-level cleaning (quality_filters.c4_line_clean, Raffel "
-    "et al. 2020 §2.2): keep lines ending in terminal punctuation with "
-    ">= 5 words, then page verdicts — no 'lorem ipsum', no '{', >= 3 "
-    "sentences in the CLEANED text — the famous line tier BELOW the "
-    "gopher_rules page table (navigation crumbs and cookie banners "
-    "die per line; template pages per page). One projection, nested "
-    "higher-order functions, no explode/shuffle; the oracle SQL is "
-    "generated from the same constants so thresholds cannot drift; "
-    "cleaned text itself is part of the hash.",
-)
-def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pasta_pipeline_spark.operators.quality_filters import c4_line_clean
-
-    docs = _tp(spark, sf_dir, "documents")
+def _c4_inject_spark():
+    """Spark twin of _C4_INJECT_SQL — the same id-keyed multi-line
+    injection, shared by every line-level query."""
     nl = "\n"
-    inject = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -9230,7 +9216,26 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("")),
     )
-    src = docs.select("doc_id", inject.alias("t"))
+
+
+@register(
+    "c4_line_clean",
+    _c4_oracle(),
+    doc="C4 line-level cleaning (quality_filters.c4_line_clean, Raffel "
+    "et al. 2020 §2.2): keep lines ending in terminal punctuation with "
+    ">= 5 words, then page verdicts — no 'lorem ipsum', no '{', >= 3 "
+    "sentences in the CLEANED text — the famous line tier BELOW the "
+    "gopher_rules page table (navigation crumbs and cookie banners "
+    "die per line; template pages per page). One projection, nested "
+    "higher-order functions, no explode/shuffle; the oracle SQL is "
+    "generated from the same constants so thresholds cannot drift; "
+    "cleaned text itself is part of the hash.",
+)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.quality_filters import c4_line_clean
+
+    docs = _tp(spark, sf_dir, "documents")
+    src = docs.select("doc_id", _c4_inject_spark().alias("t"))
     return c4_line_clean(src, "doc_id", "t")
 
 
@@ -10695,4 +10700,286 @@ REGISTRY["label_centroid_similarity"] = QuerySpec(
     spark_fn=REGISTRY["label_centroid_similarity"].spark_fn,
     oracle=_label_centroid_oracle(),
     doc=REGISTRY["label_centroid_similarity"].doc,
+)
+
+
+@register(
+    "length_quartiles_by_source",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             ntile(4) OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS q
+      FROM documents
+    )
+    SELECT source, CAST(q AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM ranked GROUP BY source, q
+    """,
+    doc="Per-source document-length quartiles — equal-depth "
+    "per-GROUP statistics, the grouped form of equidepth_histogram. "
+    "The oracle states the contract as ntile(4) PARTITION BY source; "
+    "the Spark side runs NO per-source window task (the hot-group "
+    "scale-killer the r6 verdict flagged on perplexity_buckets): "
+    "ranks come from ids.assign_grouped_sequential_ids "
+    "(range-partition by (source, length, id) + per-group driver "
+    "prefix-sum) and the quartile is ntile's closed-form quotient "
+    "over (rank, group total). Identical assignment, every task "
+    "bounded by a range slice.",
+)
+def q_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.ids import assign_grouped_sequential_ids
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    ranked = assign_grouped_sequential_ids(
+        docs, "source", ["n_chars", "doc_id"], out_col="__rk", total_col="__n"
+    )
+    q = F.expr(
+        """CAST(CASE
+             WHEN __rk <= (__n % 4) * (__n div 4 + 1)
+             THEN (__rk - 1) div (__n div 4 + 1)
+             ELSE (__n % 4) + (__rk - (__n % 4) * (__n div 4 + 1) - 1)
+                  div greatest(__n div 4, 1)
+           END + 1 AS INT)"""
+    )
+    out = (
+        ranked.withColumn("quartile", q)
+        .groupBy("source", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+    return attach_cached_deps(out, getattr(ranked, "_pasta_cached_deps", []))
+
+
+def _line_dedup_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_dedup import (
+        global_line_dedup_oracle_sql,
+    )
+
+    inner = global_line_dedup_oracle_sql(
+        max_df=400, table="src", text_col="t"
+    ).lstrip()
+    assert inner.startswith("WITH ")
+    return (
+        f"WITH src AS (SELECT doc_id, {_C4_INJECT_SQL} AS t FROM documents), "
+        + inner[len("WITH "):]
+    )
+
+
+@register(
+    "line_dedup_rewrite",
+    None,  # generated below — single source of truth in operators/text_dedup.py
+    doc="CCNet corpus-GLOBAL duplicate-line removal (text_dedup."
+    "global_line_dedup; Wenzek et al. 1911.00359 §3.1 — dedup every "
+    "paragraph by hash across shards): lines whose normalized form "
+    "appears in more than max_df distinct documents (cookie banners, "
+    "nav chrome — the C4-injected boilerplate lines here) are cut "
+    "from every document; docs are reassembled order-preserving via "
+    "ONE array_sort groupBy, no window. State is linear in DISTINCT "
+    "lines (the token_distribution scale class). Complement of the "
+    "group-scoped boilerplate_lines.",
+)
+def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import global_line_dedup
+
+    docs = _tp(spark, sf_dir, "documents")
+    src = docs.select("doc_id", _c4_inject_spark().alias("t"))
+    return global_line_dedup(src, "doc_id", "t", max_df=400)
+
+
+REGISTRY["line_dedup_rewrite"] = QuerySpec(
+    spark_fn=REGISTRY["line_dedup_rewrite"].spark_fn,
+    oracle=_line_dedup_oracle(),
+    doc=REGISTRY["line_dedup_rewrite"].doc,
+)
+
+
+def _stitch_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_dedup import stitch_pairs_oracle_sql
+
+    return stitch_pairs_oracle_sql(k=3)
+
+
+@register(
+    "stitch_pairs",
+    None,  # generated below — single source of truth in operators/text_dedup.py
+    doc="Pagination-stitch detection (text_dedup.stitch_pairs): doc "
+    "A's last 3 tokens == doc B's first 3 tokens — one logical page "
+    "split across crawl records (pagination, load-more chunks, shard "
+    "boundaries). One scan derives each doc's boundary grams; "
+    "candidates from a plain equi-join on the gram. Feeds a "
+    "concatenating repair or the dedup ladder.",
+)
+def q_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import stitch_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return stitch_pairs(docs, "doc_id", "text", k=3)
+
+
+REGISTRY["stitch_pairs"] = QuerySpec(
+    spark_fn=REGISTRY["stitch_pairs"].spark_fn,
+    oracle=_stitch_oracle(),
+    doc=REGISTRY["stitch_pairs"].doc,
+)
+
+
+@register(
+    "embedding_norm_audit",
+    """
+    WITH n AS (
+      SELECT label,
+             CAST(FLOOR(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[])) * 10000)
+                  AS BIGINT) AS norm_fp,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_malformed,
+           CAST(SUM(CASE WHEN norm_fp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(MIN(norm_fp) AS BIGINT) AS min_norm_fp,
+           CAST(MAX(norm_fp) AS BIGINT) AS max_norm_fp,
+           CAST(SUM(norm_fp) AS BIGINT) AS sum_norm_fp
+    FROM n GROUP BY label
+    """,
+    doc="Embedding hygiene audit: per-label vector-norm profile — "
+    "zero-norm vectors break cosine (NaN), malformed dimensions break "
+    "zip_with silently (the JL lesson), and a norm range spanning "
+    "orders of magnitude means the embedder mixed normalized and "
+    "unnormalized outputs. Run BEFORE the similarity tier; one scan, "
+    "pure expressions, fixed-point sqrt norm (sequential-fold dot, "
+    "playbook #5).",
+)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm_fp = F.floor(
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 10000
+    ).cast("long")
+    return (
+        emb.select(
+            "label",
+            norm_fp.alias("norm_fp"),
+            F.size("embedding").alias("dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum((F.col("dim") != 64).cast("long")).cast("long").alias("n_malformed"),
+            F.sum((F.col("norm_fp") == 0).cast("long")).cast("long").alias("n_zero"),
+            F.min("norm_fp").cast("long").alias("min_norm_fp"),
+            F.max("norm_fp").cast("long").alias("max_norm_fp"),
+            F.sum("norm_fp").cast("long").alias("sum_norm_fp"),
+        )
+    )
+
+
+@register(
+    "dup_degree_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), y -> y <> '') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 2 >= (sa.n_sh + sb.n_sh - n_common)
+    ), deg AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b AS d FROM pairs
+      ) GROUP BY d
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+    doc="Near-dup graph degree profile: how many dup-partners each "
+    "document has (exact Jaccard >= 0.5 pairs), histogrammed. The "
+    "shape diagnoses the dedup workload BEFORE clustering: a long "
+    "degree tail means template farms (one hub duplicating "
+    "thousands — expect hot keys, pre-cluster with the banded "
+    "tiers), near-uniform low degree means simple pairwise dedup "
+    "suffices. Derived from the same shingle self-join as "
+    "ngram_jaccard_pairs; integer cross-multiplied threshold.",
+)
+def q_dup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _ann_recall_oracle(k: int = 10) -> str:
+    return f"""
+    WITH ann AS ({_ann_ivf_oracle(k=k)}),
+    exact AS ({_COSINE_TOPK_ORACLE.replace("LIMIT 10", f"LIMIT {k}")})
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) * 10000 // {k} AS BIGINT) AS recall_bp
+    FROM ann JOIN exact USING (vec_id)
+    """
+
+
+@register(
+    "ann_recall_report",
+    None,  # assembled below from the IVF and exact-cosine oracles
+    doc="ANN quality evaluation as a first-class query: recall@10 of "
+    "the IVF index (16 cells, 4 probes) against the exact cosine "
+    "top-10 for the same query vector — the number an ANN deployment "
+    "must report before its results are trusted, computed entirely "
+    "in-engine (both rankings are deterministic, so even the RECALL "
+    "is hash-oracle-able — no sampling, no tolerance). Composes the "
+    "existing ivf_topk and cosine_topk plans; one join on vec_id.",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    k = 10
+    ann = ivf_topk(emb, query, k=k, n_cells=16, n_probe=4).select("vec_id")
+    exact = cosine_topk(emb, query, k=k).select("vec_id")
+    return ann.join(exact, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.expr(f"count(1) * 10000 div {k}").cast("long").alias("recall_bp"),
+    )
+
+
+REGISTRY["ann_recall_report"] = QuerySpec(
+    spark_fn=REGISTRY["ann_recall_report"].spark_fn,
+    oracle=_ann_recall_oracle(),
+    doc=REGISTRY["ann_recall_report"].doc,
 )

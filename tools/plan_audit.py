@@ -103,6 +103,9 @@ SCALAR_CROSSJOIN_OK = {
     "label_centroid_similarity": "pairwise label_a < label_b join over "
     "the <=|labels|-row centroid-profile frames — dim-table scale by "
     "construction (one row per label)",
+    "ann_recall_report": "broadcast 1-row query vector into both the "
+    "IVF and the exact ranking (the ann_ivf_topk / cosine_topk "
+    "shapes, composed)",
 }
 
 
