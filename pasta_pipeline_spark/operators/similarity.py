@@ -1510,3 +1510,111 @@ def label_centroid_oracle_sql(
                       * {CENTROID_COS_SCALE}) AS BIGINT) AS cos_fp
     FROM p a JOIN p b ON a.lbl < b.lbl
     """
+
+
+def jl_ann_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    jl_k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """JL-prefiltered ANN: rank the corpus by squared L2 distance in
+    the 16-dim Johnson–Lindenstrauss sign projection (pure int64
+    expressions — 4× fewer multiplies than the raw dot product and no
+    floats until the rerank), keep the best ``n_candidates``, then
+    rerank ONLY those by exact cosine in the original space. The
+    cheap-ANN tier NOTES flagged as the natural JL composition: the JL
+    lemma bounds the distance distortion, so with a modest candidate
+    multiple (c·k) the exact top-k survives the prefilter w.h.p. —
+    and because both stages are deterministic, the whole pipeline
+    (prefilter included) is hash-oracle-able, unlike a sampled ANN.
+
+    Scale shape: projection is per-row expressions (no shuffle); the
+    coarse ranking is TakeOrderedAndProject over 16 ints/row; only
+    ``n_candidates`` rows ever touch the 64-dim rerank.
+    """
+    proj = jl_project(df.select(id_col, vec_col), id_col, vec_col, k=jl_k, d=d)
+    qproj = jl_project(
+        query.select(F.lit(0).alias("__qid"), F.col(query_vec_col)),
+        "__qid",
+        query_vec_col,
+        k=jl_k,
+        d=d,
+    ).select(F.col("proj").alias("qproj"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("proj"), F.col("qproj"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        proj.crossJoin(F.broadcast(qproj))
+        .select(F.col(id_col), d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+    rerank = (
+        df.select(id_col, vec_col)
+        .join(cand.select(id_col), id_col)
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+        )
+    )
+    return rerank.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def jl_ann_oracle_sql(
+    k: int = 10,
+    n_candidates: int = 50,
+    jl_k: int = 16,
+    d: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`jl_ann_topk` (query = lowest-id vector),
+    generated from the SAME sign matrix."""
+    signs = jl_signs(jl_k, d)
+    comps = []
+    for row in signs:
+        row_lit = "[" + ", ".join(str(s) for s in row) + "]"
+        comps.append(
+            f"CAST(list_sum(list_transform(generate_series(1, {d}), i -> "
+            f"CAST(FLOOR(CAST(v[i] AS DOUBLE) * {JL_SCALE}) AS BIGINT)"
+            f" * ({row_lit})[i])) AS BIGINT)"
+        )
+    proj = "[" + ",\n             ".join(comps) + "]"
+    return f"""
+    WITH src AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+      WHERE len({vec_col}) = {d}
+    ), proj AS (
+      SELECT {id_col}, {proj} AS p FROM src
+    ), qp AS (
+      SELECT p AS qproj FROM proj
+      WHERE {id_col} = (SELECT min({id_col}) FROM proj)
+    ), coarse AS (
+      SELECT {id_col},
+             CAST(list_sum(list_transform(generate_series(1, {jl_k}),
+                  j -> (p[j] - qproj[j]) * (p[j] - qproj[j]))) AS BIGINT) AS d2
+      FROM proj CROSS JOIN qp
+      ORDER BY d2 ASC, {id_col} ASC LIMIT {n_candidates}
+    ), q AS (
+      SELECT {vec_col}::DOUBLE[] AS qv FROM {table}
+      WHERE {id_col} = (SELECT min({id_col}) FROM {table})
+    )
+    SELECT s.{id_col},
+           list_dot_product(s.v, q.qv)
+             / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+             AS sim
+    FROM src s JOIN coarse USING ({id_col}) CROSS JOIN q
+    ORDER BY sim DESC, s.{id_col} ASC LIMIT {k}
+    """

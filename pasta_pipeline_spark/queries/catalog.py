@@ -10983,3 +10983,216 @@ REGISTRY["ann_recall_report"] = QuerySpec(
     oracle=_ann_recall_oracle(),
     doc=REGISTRY["ann_recall_report"].doc,
 )
+
+
+def _jl_ann_oracle() -> str:
+    from pasta_pipeline_spark.operators.similarity import jl_ann_oracle_sql
+
+    return jl_ann_oracle_sql()
+
+
+@register(
+    "jl_ann_topk",
+    None,  # generated below — single source of truth in operators/similarity.py
+    doc="JL-prefiltered ANN (operators/similarity.py jl_ann_topk): "
+    "coarse squared-L2 ranking in the 16-dim sign projection (int64 "
+    "expressions, 4x fewer multiplies, no floats) keeps 50 "
+    "candidates; exact cosine reranks only those. The cheap-ANN "
+    "composition of the JL tier — both stages deterministic, so the "
+    "whole pipeline INCLUDING the prefilter is hash-oracle-able "
+    "(no sampled-ANN tolerance games).",
+)
+def q_jl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import jl_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return jl_ann_topk(emb, query, k=10, n_candidates=50)
+
+
+REGISTRY["jl_ann_topk"] = QuerySpec(
+    spark_fn=REGISTRY["jl_ann_topk"].spark_fn,
+    oracle=_jl_ann_oracle(),
+    doc=REGISTRY["jl_ann_topk"].doc,
+)
+
+
+def _sorted_pack_gain_oracle() -> str:
+    from pasta_pipeline_spark.operators.sampling import greedy_pack_oracle_sql
+
+    size_sql = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+    arrival = greedy_pack_oracle_sql(
+        table="documents", id_col="doc_id", size_sql=size_sql,
+        budget=256, group_col="source",
+    )
+    srt_src = (
+        "(SELECT source, doc_id, "
+        f"CAST({size_sql} AS BIGINT) * 1000000 + doc_id AS ord_key, text "
+        "FROM documents) srt"
+    )
+    by_len = greedy_pack_oracle_sql(
+        table=srt_src, id_col="ord_key", size_sql=size_sql,
+        budget=256, group_col="source",
+    )
+    eff = (
+        "SELECT source, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs, "
+        "CAST(SUM(n_units) * 10000 // (count(DISTINCT pack_id) * 256) AS BIGINT)"
+        " AS eff_bp FROM {src} GROUP BY source"
+    )
+    return f"""
+    WITH arrival AS ({arrival}),
+    by_len AS ({by_len}),
+    ea AS ({eff.format(src="arrival")}),
+    es AS ({eff.format(src="by_len")})
+    SELECT ea.source,
+           ea.n_packs AS n_packs_arrival, es.n_packs AS n_packs_sorted,
+           ea.eff_bp AS eff_arrival_bp, es.eff_bp AS eff_sorted_bp,
+           CAST(es.eff_bp - ea.eff_bp AS BIGINT) AS gain_bp
+    FROM ea JOIN es USING (source)
+    """
+
+
+@register(
+    "sorted_pack_gain",
+    None,  # assembled below from the greedy_pack recursive-CTE oracle
+    doc="Length-sorted packing gain (the curriculum/packing trick "
+    "every training pipeline weighs): pack each source shard twice "
+    "with the SAME next-fit rule — arrival order vs sorted by "
+    "document length — and report packs saved and occupancy gained "
+    "in basis points. Sorting feeds same-size runs to next-fit, "
+    "cutting padding waste (Ding 2404.10830 discuss the trade "
+    "against order randomness). Order is injected through the pack "
+    "key (length-composite id), so the Arrow packing stage and the "
+    "recursive-CTE oracle are both reused verbatim, twice.",
+)
+def q_sorted_pack_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+    from pasta_pipeline_spark.operators.sampling import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__n_tok", F.size(tokenize_ws(F.col("text"))).cast("long")
+    )
+    srt = docs.withColumn(
+        "__ord", F.col("__n_tok") * 1000000 + F.col("doc_id")
+    )
+
+    def eff(packed):
+        per_pack = packed.groupBy("source", "pack_id").agg(
+            F.sum("n_units").cast("long").alias("pack_units")
+        )
+        return per_pack.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.expr(
+                "CAST(SUM(pack_units) * 10000 div (count(1) * 256) AS BIGINT)"
+            ).alias("eff_bp"),
+        )
+
+    ea = eff(greedy_pack(docs, "doc_id", "__n_tok", budget=256, group_col="source"))
+    es = eff(greedy_pack(srt, "__ord", "__n_tok", budget=256, group_col="source"))
+    return (
+        ea.select(
+            "source",
+            F.col("n_packs").alias("n_packs_arrival"),
+            F.col("eff_bp").alias("eff_arrival_bp"),
+        )
+        .join(
+            es.select(
+                "source",
+                F.col("n_packs").alias("n_packs_sorted"),
+                F.col("eff_bp").alias("eff_sorted_bp"),
+            ),
+            "source",
+        )
+        .select(
+            "source", "n_packs_arrival", "n_packs_sorted",
+            "eff_arrival_bp", "eff_sorted_bp",
+            (F.col("eff_sorted_bp") - F.col("eff_arrival_bp"))
+            .cast("long")
+            .alias("gain_bp"),
+        )
+    )
+
+
+REGISTRY["sorted_pack_gain"] = QuerySpec(
+    spark_fn=REGISTRY["sorted_pack_gain"].spark_fn,
+    oracle=_sorted_pack_gain_oracle(),
+    doc=REGISTRY["sorted_pack_gain"].doc,
+)
+
+
+def _cdc_oracle() -> str:
+    from pasta_pipeline_spark.operators.subdoc_dedup import cdc_chunks_oracle_sql
+
+    return cdc_chunks_oracle_sql()
+
+
+@register(
+    "cdc_chunks",
+    None,  # generated below — single source of truth in operators/subdoc_dedup.py
+    doc="Content-defined chunking (subdoc_dedup.cdc_chunks; the "
+    "rsync/LBFS boundary trick, Muthitacharoen SOSP'01): chunk "
+    "boundaries where the 4-token rolling hash masks to zero — "
+    "boundaries follow CONTENT, so an edit reshapes only the chunks "
+    "it touches, and equal chunk fingerprints across docs are shared "
+    "content at chunk granularity (between line-level and span-level "
+    "dedup resolution). Doc-partitioned windows only; one groupBy "
+    "for the fingerprints.",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.subdoc_dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks(docs)
+
+
+REGISTRY["cdc_chunks"] = QuerySpec(
+    spark_fn=REGISTRY["cdc_chunks"].spark_fn,
+    oracle=_cdc_oracle(),
+    doc=REGISTRY["cdc_chunks"].doc,
+)
+
+
+@register(
+    "json_roundtrip_extract",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             '{"id": ' || doc_id || ', "lang": "' || lang || '", "n": '
+               || n_chars || '}' AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(json_extract(payload, '$.id') AS BIGINT) AS id2,
+           CAST(json_extract_string(payload, '$.lang') AS VARCHAR) AS lang2,
+           CAST(json_extract(payload, '$.n') AS BIGINT) AS n2,
+           CAST(json_valid(payload) AS BOOLEAN) AS valid
+    FROM src
+    """,
+    doc="JSON parse surface (SURVEY §2.8 P3/P4 — the reference "
+    "serializes reactions/links as JSON strings; native MapType/"
+    "ArrayType eliminated the need, and THIS query evidences the "
+    "parse path for users who still carry JSON columns): an "
+    "engine-shared JSON payload is built by one concat recipe, then "
+    "Spark's from_json(explicit schema) and DuckDB's json_extract "
+    "must agree field-for-field. Schema-on-read with explicit "
+    "schema — never schema inference on a 100 TB scan.",
+)
+def q_json_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.format_string(
+        '{"id": %d, "lang": "%s", "n": %d}',
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("n_chars"),
+    )
+    parsed = docs.select(
+        "doc_id", F.from_json(payload, "id long, lang string, n long").alias("j"),
+        payload.alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("j.id").alias("id2"),
+        F.col("j.lang").alias("lang2"),
+        F.col("j.n").alias("n2"),
+        F.col("j").isNotNull().alias("valid"),
+    )

@@ -106,6 +106,9 @@ SCALAR_CROSSJOIN_OK = {
     "ann_recall_report": "broadcast 1-row query vector into both the "
     "IVF and the exact ranking (the ann_ivf_topk / cosine_topk "
     "shapes, composed)",
+    "jl_ann_topk": "broadcast 1-row query projection (coarse stage) "
+    "and 1-row query vector (rerank stage) — the cosine_topk shape "
+    "twice",
 }
 
 
