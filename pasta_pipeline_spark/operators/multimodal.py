@@ -2763,3 +2763,85 @@ def audio_fingerprint_pairs(
         hashes, ["n_samples"], "afp", "media_id",
         max_hamming, n_bands, band_bits,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize (r7) — the remaining multimodal verb from the build
+# brief (decode / feature-extract / RESIZE / frame-sample)
+# ---------------------------------------------------------------------------
+
+RESIZE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("r_pixel_sum", LongType(), True),
+        StructField("r_luma_sum", LongType(), True),
+    ]
+)
+
+
+def resize_image_pixels(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor image RESIZE over fully decoded PNG pixels —
+    the preprocessing verb between decode and batching (every image
+    pipeline normalizes to a target resolution per aspect bucket; see
+    :func:`aspect_bucket` for the grouping key). Exact integer
+    contract so the output is hash-oracle-able: target pixel (tx, ty)
+    samples source pixel ``((tx * w) div out_w, (ty * h) div out_h)``
+    — the standard floor mapping, no interpolation arithmetic to
+    diverge on. Emits the resized frame's integer pixel and Rec.601
+    luma sums (the same feature convention as
+    :func:`decode_image_pixels`).
+
+    Arrow-batched ``mapInPandas``; numpy fancy-indexing does the
+    gather per image (no per-pixel Python loop). Non-PNG /
+    undecodable payloads produce no row."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id", "src_width", "src_height", "out_width",
+            "out_height", "r_pixel_sum", "r_luma_sum",
+        )
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                decoded = _png_rgb(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, rgb = decoded
+                px = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(h, w, 3)
+                sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                out = px[np.ix_(sy, sx)].astype(np.int64)
+                luma = (
+                    299 * out[:, :, 0] + 587 * out[:, :, 1] + 114 * out[:, :, 2]
+                )
+                rows["media_id"].append(int(mid))
+                rows["src_width"].append(int(w))
+                rows["src_height"].append(int(h))
+                rows["out_width"].append(out_w)
+                rows["out_height"].append(out_h)
+                rows["r_pixel_sum"].append(int(out.sum()))
+                rows["r_luma_sum"].append(int(luma.sum()))
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return src.mapInPandas(run, RESIZE_FEATURES_SCHEMA)

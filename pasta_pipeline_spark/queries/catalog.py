@@ -11196,3 +11196,58 @@ def q_json_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.n").alias("n2"),
         F.col("j").isNotNull().alias("valid"),
     )
+
+
+@register(
+    "media_resize",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 12 AS w,
+             4 + (doc_id // 3) % 10 AS h
+      FROM documents
+    ), txs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, 3)) AS tx FROM ids
+    ), tys AS (
+      SELECT media_id, w, h, tx, unnest(generate_series(0, 3)) AS ty FROM txs
+    ), cs AS (
+      SELECT media_id, w, h,
+             (tx * w) // 4 AS x, (ty * h) // 4 AS y,
+             unnest([0, 1, 2]) AS c
+      FROM tys
+    ), vals AS (
+      SELECT media_id, w, h, c,
+             (media_id * 7 + y * 31 + x * 13 + c * 5) % 256 AS v
+      FROM cs
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS src_width,
+           CAST(h AS INTEGER) AS src_height,
+           CAST(4 AS INTEGER) AS out_width,
+           CAST(4 AS INTEGER) AS out_height,
+           CAST(SUM(v) AS BIGINT) AS r_pixel_sum,
+           CAST(SUM((CASE c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) * v)
+             AS BIGINT) AS r_luma_sum
+    FROM vals GROUP BY 1, 2, 3
+    """,
+    doc="Image RESIZE over REAL decoded pixels (multimodal."
+    "resize_image_pixels) — the preprocessing verb between decode and "
+    "batching: nearest-neighbor to 4x4 with the exact floor mapping "
+    "(tx*w div out_w), numpy gather per image inside one Arrow "
+    "mapInPandas (no per-pixel Python). The oracle recomputes the "
+    "resized pixel/luma sums from the closed-form id pixel recipe "
+    "WITHOUT touching a byte — any decode/stride/mapping bug "
+    "hash-mismatches (the media_png_pixels discipline, now through a "
+    "geometric transform).",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.multimodal import (
+        resize_image_pixels,
+        synthesize_media,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    media = synthesize_media(
+        docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
+    )
+    return resize_image_pixels(media, out_w=4, out_h=4)
