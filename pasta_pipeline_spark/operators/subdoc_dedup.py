@@ -404,149 +404,44 @@ def remove_boilerplate_lines(
     )
 
 
-# ---------------------------------------------------------------------------
-# Content-defined chunking (r7)
-# ---------------------------------------------------------------------------
-
-#: CDC parameters shared with the SQL twin: the token-level rolling
-#: window, polynomial base/modulus (the winnowing constants), and the
-#: boundary mask — a boundary fires where the window hash % 2^CDC_BITS
-#: == 0, giving expected chunk length 2^CDC_BITS tokens.
-CDC_W = 4
-CDC_BITS = 4
-CDC_BASE = 1_000_003
-CDC_MOD = (1 << 31) - 1
-
-
-def cdc_chunks(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Content-defined chunking (the rsync/LBFS boundary trick,
-    Muthitacharoen et al. SOSP'01, as used for blob-level dataset
-    dedup): chunk boundaries fall where the rolling hash of the last
-    ``CDC_W`` tokens has its low ``CDC_BITS`` bits zero — so
-    boundaries are a function of CONTENT, not position, and an edit
-    only reshapes the chunks it touches (fixed-size chunking would
-    shift every subsequent boundary). Emits one row per chunk with a
-    chunk fingerprint; equal fingerprints across documents are
-    shared content at chunk granularity — the subdocument dedup
-    signal between line-level (global_line_dedup) and span-level
-    (duplicated_spans) resolution.
-
-    Scale shape: one posexplode; the boundary indicator and the
-    chunk index (a running sum of indicators) use DOC-partitioned
-    windows (thousands of parallel partitions, never a hot task);
-    chunk fingerprints from one groupBy. Returns
-    ``(id, chunk_idx, n_tokens, chunk_fp)``.
-    """
-    from pyspark.sql import Window
-
-    from pasta_pipeline_spark.functions.text import tokenize_ws
-
-    ht = F.transform(
-        tokenize_ws(F.col(text_col)),
-        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 7), 16, 10).cast(
-            "long"
-        ),
-    )
-    toks = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.posexplode(ht).alias("p0", "h"))
-        .select(F.col(id_col), (F.col("p0") + 1).alias("p"), "h")
-    )
-    # rolling window hash over the last CDC_W tokens (positions
-    # p-CDC_W+1 .. p); windows partition on the doc id — parallel
-    wroll = (
-        Window.partitionBy(id_col).orderBy("p").rowsBetween(-(CDC_W - 1), 0)
-    )
-    rolled = toks.select(
-        F.col(id_col),
-        "p",
-        "h",
-        F.aggregate(
-            F.collect_list("h").over(wroll),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * CDC_BASE + x) % CDC_MOD,
-        ).alias("wh"),
-        F.count("h").over(wroll).alias("wn"),
-    )
-    # boundary AFTER position p when the full window hash masks to 0
-    boundary = (
-        (F.col("wn") == CDC_W) & (F.col("wh") % (1 << CDC_BITS) == 0)
-    ).cast("long")
-    wrun = (
-        Window.partitionBy(id_col)
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = rolled.select(
-        F.col(id_col),
-        "p",
-        "h",
-        F.coalesce(F.sum(boundary).over(wrun), F.lit(0)).cast("long").alias(
-            "chunk_idx"
-        ),
-    )
-    return (
-        chunked.groupBy(id_col, "chunk_idx")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "h"))),
-                    lambda st: st["h"],
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * CDC_BASE + x) % CDC_MOD,
-            ).alias("chunk_fp"),
-        )
-    )
-
-
 def cdc_chunks_oracle_sql(
+    avg_tokens: int = 16,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`cdc_chunks` — same constants, same
-    window/boundary/fold arithmetic."""
+    """DuckDB twin of :func:`cdc_chunks` — same 60-bit md5 boundary
+    test, same exclusive-prefix-sum chunk ids, same chunk md5 and
+    corpus-wide copy counts."""
     return f"""
     WITH toks AS (
-      SELECT {id_col},
-             unnest(generate_series(1, len(ht))) AS p, ht
+      SELECT {id_col}, i - 1 AS pos, t[i] AS tok
       FROM (
         SELECT {id_col},
-               list_transform(
-                 list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
-                             y -> y <> ''),
-                 t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS ht
+               list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                           y -> y <> '') AS t
         FROM {table} WHERE {text_col} IS NOT NULL
-      ) WHERE len(ht) > 0
-    ), rolled AS (
-      SELECT {id_col}, p, ht[p] AS h,
-             list_reduce(list_prepend(0::BIGINT,
-                 ht[greatest(p - {CDC_W - 1}, 1) : p]),
-                 (acc, x) -> (acc * {CDC_BASE} + x) % {CDC_MOD}) AS wh,
-             p - greatest(p - {CDC_W - 1}, 1) + 1 AS wn
-      FROM toks
+      ), unnest(generate_series(1, len(t))) AS u(i)
     ), marked AS (
-      SELECT {id_col}, p, h,
-             CASE WHEN wn = {CDC_W} AND wh % {1 << CDC_BITS} = 0
-                  THEN 1 ELSE 0 END AS b
-      FROM rolled
+      SELECT {id_col}, pos, tok,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                       % {avg_tokens} = 0 THEN 1 ELSE 0 END AS b
+      FROM toks
     ), chunked AS (
-      SELECT {id_col}, p, h,
-             CAST(COALESCE(SUM(b) OVER (PARTITION BY {id_col} ORDER BY p
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                           0) AS BIGINT) AS chunk_idx
+      SELECT {id_col}, pos, tok,
+             CAST(SUM(b) OVER (PARTITION BY {id_col} ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+                  AS BIGINT) AS chunk_id
       FROM marked
+    ), chunks AS (
+      SELECT {id_col}, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM chunked GROUP BY {id_col}, chunk_id
+    ), copies AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies
+      FROM chunks GROUP BY chunk_hash
     )
-    SELECT {id_col}, chunk_idx,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(list_reduce(list_prepend(0::BIGINT, list(h ORDER BY p)),
-                (acc, x) -> (acc * {CDC_BASE} + x) % {CDC_MOD}) AS BIGINT)
-             AS chunk_fp
-    FROM chunked GROUP BY {id_col}, chunk_idx
+    SELECT c.{id_col}, c.chunk_id, c.n_tokens, c.chunk_hash, p.n_copies
+    FROM chunks c JOIN copies p USING (chunk_hash)
     """

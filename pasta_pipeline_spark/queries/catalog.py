@@ -11123,26 +11123,27 @@ REGISTRY["sorted_pack_gain"] = QuerySpec(
 def _cdc_oracle() -> str:
     from pasta_pipeline_spark.operators.subdoc_dedup import cdc_chunks_oracle_sql
 
-    return cdc_chunks_oracle_sql()
+    return cdc_chunks_oracle_sql(avg_tokens=8)
 
 
 @register(
     "cdc_chunks",
     None,  # generated below — single source of truth in operators/subdoc_dedup.py
     doc="Content-defined chunking (subdoc_dedup.cdc_chunks; the "
-    "rsync/LBFS boundary trick, Muthitacharoen SOSP'01): chunk "
-    "boundaries where the 4-token rolling hash masks to zero — "
-    "boundaries follow CONTENT, so an edit reshapes only the chunks "
-    "it touches, and equal chunk fingerprints across docs are shared "
-    "content at chunk granularity (between line-level and span-level "
-    "dedup resolution). Doc-partitioned windows only; one groupBy "
-    "for the fingerprints.",
+    "LBFS/rsync idea at token granularity, Muthitacharoen SOSP'01): "
+    "a chunk closes after every token whose md5-60 hash is 0 mod "
+    "avg_tokens, so boundaries follow CONTENT and an edit reshapes "
+    "only chunks up to the next boundary (resynchronization pytest). "
+    "Emits per-chunk md5 + corpus-wide copy counts — shared content "
+    "at chunk granularity, between line-level and span-level dedup "
+    "resolution. Doc-partitioned windows; chunk-hash count is the "
+    "only cross-doc shuffle.",
 )
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.subdoc_dedup import cdc_chunks
 
     docs = _t(spark, sf_dir, "documents")
-    return cdc_chunks(docs)
+    return cdc_chunks(docs, avg_tokens=8)
 
 
 REGISTRY["cdc_chunks"] = QuerySpec(

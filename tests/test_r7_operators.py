@@ -48,27 +48,31 @@ def test_stitch_pairs_edges(spark):
     assert got == [(1, 2)]
 
 
-def test_cdc_chunks_edit_locality(spark):
-    """The CDC property: a point edit reshapes only the chunks it
-    touches — chunks far from the edit keep their fingerprints
-    (fixed-size chunking would shift every later boundary)."""
+def test_cdc_chunks_edit_locality_and_copy_counts(spark):
+    """The CDC property through the catalog-facing surface: a point
+    edit reshapes only the chunks it touches — distant chunks keep
+    their hashes and show n_copies == 2 across the two docs."""
     from pasta_pipeline_spark.operators.subdoc_dedup import cdc_chunks
 
-    base = " ".join(f"w{i * 7 % 53}" for i in range(200))
+    base = " ".join(f"w{i}" for i in range(200))
     toks = base.split()
     edited = " ".join(toks[:100] + ["EDIT"] + toks[100:])
     docs = spark.createDataFrame(
         [(1, base), (2, edited), (3, "a"), (4, "")],
         "doc_id long, text string",
     )
-    rows = cdc_chunks(docs).collect()
+    rows = cdc_chunks(docs, avg_tokens=8).collect()
     by_doc = {}
     for r in rows:
-        by_doc.setdefault(r["doc_id"], set()).add(r["chunk_fp"])
+        by_doc.setdefault(r["doc_id"], set()).add(r["chunk_hash"])
     shared = by_doc[1] & by_doc[2]
     assert len(shared) >= len(by_doc[1]) // 2      # most chunks survive the edit
     assert by_doc[1] != by_doc[2]                  # but not all
-    # degenerate docs: one sub-window chunk / no rows for empty text
+    # shared chunks carry corpus-wide copy counts
+    for r in rows:
+        if r["doc_id"] == 1 and r["chunk_hash"] in shared:
+            assert r["n_copies"] == 2
+    # degenerate docs: one chunk for a 1-token doc, no rows for empty
     assert len(by_doc.get(3, set())) == 1
     assert 4 not in by_doc
     # chunks partition each doc: token counts sum to doc length
