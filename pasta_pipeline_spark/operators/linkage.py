@@ -1,0 +1,76 @@
+"""Record linkage / entity resolution (Fellegi-Sunter-flavored).
+
+Blocked pairwise comparison with a field-agreement score: candidate
+pairs come from an equi-join on a blocking key (cheap, shuffle-
+friendly), each candidate is scored by a weighted sum of per-field
+agreement predicates (fuzzy string distance, numeric tolerance,
+categorical equality), and pairs at or above a match threshold are
+linked. This is the classic deterministic-weights reading of
+Fellegi & Sunter (JASA 1969): agreement patterns -> log-odds-style
+weights -> threshold.
+
+Scale posture: the blocking join is a plain hash/sort-merge equi-join
+— no cartesian anywhere; block-key cardinality controls candidate
+volume. The demo blocks the part table on (noun-token, brand) — a
+bounded vocabulary, fine at dim-table scale; a 100 TB deployment
+blocks on higher-cardinality compound keys (name-token bigrams,
+zip + phone-prefix) and caps hot blocks exactly like text_dedup's
+hot-shingle cap (same machinery, different key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def part_linkage_pairs(
+    parts: DataFrame,
+    max_adj_lev: int = 3,
+    size_tol: int = 2,
+    price_tol: float = 5.0,
+    min_score: int = 5,
+) -> DataFrame:
+    """Entity-resolution pairs over the part dimension.
+
+    Blocking key: (second name token, brand). Agreement vector:
+    levenshtein(first-token) <= max_adj_lev -> +2; |size diff| <=
+    size_tol -> +2; |retailprice diff| <= price_tol -> +3. Pairs with
+    score >= min_score are emitted as (a_key, b_key, score), a < b.
+
+    Every comparator is engine-portable: Spark's ``levenshtein`` and
+    DuckDB's ``levenshtein`` agree on ASCII tokens; the numeric
+    tolerances compare IEEE-deterministic double subtractions.
+    """
+    p = parts.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        "p_brand",
+        "p_size",
+        "p_retailprice",
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    j = a.join(
+        b,
+        (F.col("a_noun") == F.col("b_noun"))
+        & (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    )
+    score = (
+        F.when(F.levenshtein(F.col("a_adj"), F.col("b_adj")) <= max_adj_lev, 2).otherwise(0)
+        + F.when(F.abs(F.col("a_p_size") - F.col("b_p_size")) <= size_tol, 2).otherwise(0)
+        + F.when(
+            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice")) <= price_tol, 3
+        ).otherwise(0)
+    )
+    return (
+        j.select(
+            F.col("a_p_partkey").alias("a_key"),
+            F.col("b_p_partkey").alias("b_key"),
+            score.cast("long").alias("score"),
+        )
+        .where(F.col("score") >= min_score)
+        .orderBy("a_key", "b_key")
+    )

@@ -1618,3 +1618,226 @@ def jl_ann_oracle_sql(
     FROM src s JOIN coarse USING ({id_col}) CROSS JOIN q
     ORDER BY sim DESC, s.{id_col} ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# PCA (dominant eigenvector) via all-integer power iteration
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for per-row Gram products floor(x_i*x_j*GRAM_SCALE)
+GRAM_SCALE = 1_000_000
+#: fixed-point scale of the power-iteration vector
+PCA_V_SCALE = 1_000_000
+
+
+def gram_matrix_fp(
+    embeddings: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed int64 Gram (uncentered second-moment) matrix.
+
+    Per Arrow batch, numpy accumulates ``floor(x_i * x_j * GRAM_SCALE)``
+    into a d x d int64 matrix (float64 multiply is IEEE-identical to the
+    engines' double multiply and ``np.floor`` to SQL FLOOR), emitting
+    d^2 ``(i, j, s, n)`` rows per partition; one groupBy SUM merges
+    them. Shuffle volume = partitions x d^2, never rows x d^2 — the
+    map-side-combine form of covariance accumulation, the shape that
+    survives a 100 TB corpus (the scan is linear; the shuffled state is
+    fixed-size). Sanctioned Arrow stage (SURVEY §2.10): per-row outer
+    products are quadratic-in-d arithmetic that a posexplode² expression
+    path would pay rows x d^2 shuffle for.
+    """
+    import pandas as pd
+
+    from pasta_pipeline_spark.operators.util import (
+        ensure_package_on_workers,
+        ensure_parallelism,
+    )
+
+    ensure_package_on_workers(embeddings.sparkSession)
+    src = ensure_parallelism(
+        embeddings.select(F.col(vec_col).alias("v")).where(F.size("v") == dim)
+    )
+
+    def run(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            n += len(X)
+            # row-chunked so the (chunk, d, d) product tensor stays small
+            for c in range(0, len(X), 256):
+                blk = X[c : c + 256]
+                acc += (
+                    np.floor(blk[:, :, None] * blk[:, None, :] * GRAM_SCALE)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel(),
+                "j": jj.ravel(),
+                "s": acc.ravel(),
+                "n": np.full(dim * dim, n, dtype=np.int64),
+            }
+        )
+
+    out = src.mapInPandas(run, "i int, j int, s long, n long")
+    return out.groupBy("i", "j").agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+
+
+def pca_power_iteration(
+    embeddings: DataFrame, dim: int = 64, iters: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Dominant eigenvector of the (uncentered) Gram matrix / n via
+    all-integer power iteration — PCA's top component without any
+    library eigensolver, exactly replayable in SQL.
+
+    Distributed part: :func:`gram_matrix_fp` (one linear scan, d^2
+    map-side state). The d^2-entry matrix is then a metadata-scale
+    collect (sanctioned, like Lloyd's centroids and BPE merge rounds)
+    and the O(iters * d^2) iteration runs driver-side in exact int64
+    plus deterministic double steps, so the DuckDB oracle (unrolled
+    MATERIALIZED CTEs — inlined CTE chains re-evaluate exponentially)
+    reproduces it bit-identically (determinism playbook #10).
+
+    Iteration: ``u = S_norm @ v`` (int64 exact, S_norm = floor(S/n));
+    ``m = max|u|`` (order-free); ``v' = floor(double(u) * 1e6 / m)``.
+    The result is sign-normalized so the largest-|v| component (lowest
+    dim on ties) is positive. ``lambda_sc`` is the final ``m`` — the
+    eigenvalue estimate in fixed-point units (growth factor of one
+    application of S_norm on the 1e6-scaled unit-max vector).
+    Precondition: a non-degenerate corpus (m stays > 0; all-zero
+    matrices break out early and would diverge from the SQL twin).
+    """
+    import math
+
+    g = gram_matrix_fp(embeddings, dim=dim, vec_col=vec_col)
+    rows = g.collect()  # d^2 rows — metadata-scale
+    if not rows:
+        raise ValueError("no valid embeddings")
+    n = rows[0]["n"]
+    S = {(r["i"], r["j"]): math.floor(float(r["s"]) / n) for r in rows}
+    v = [PCA_V_SCALE] * dim
+    m = 0
+    for _ in range(iters):
+        u = [sum(S[(i, j)] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u)
+        if m == 0:  # degenerate input; documented precondition
+            break
+        v = [math.floor(x * 1000000.0 / m) for x in u]
+    mx = max(abs(x) for x in v)
+    piv = next(i for i in range(dim) if abs(v[i]) == mx)
+    if v[piv] < 0:
+        v = [-x for x in v]
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], m) for i in range(dim)],
+        "dim int, loading_sc long, lambda_sc long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-scored bitext mining (CCMatrix / LASER margin criterion)
+# ---------------------------------------------------------------------------
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    label_a: int = 0,
+    label_b: int = 1,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_bands: int = 4,
+    k: int = 4,
+    min_cos_sc: int = 300_000,
+    min_margin_sc: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """CCMatrix/LASER-style margin-scored bitext mining between two
+    corpora (labels standing in for languages): candidate pairs are
+    gated by shared sign-LSH band buckets (both sides banded with the
+    SAME global plane set so buckets are comparable), exact cosine on
+    candidates, then the ratio-margin criterion
+    ``margin = cos(x, y) / ((avgk(x) + avgk(y)) / 2)`` where ``avgk``
+    is the mean of that side's top-k candidate cosines — high-margin
+    pairs are mutual near-translations rather than embedding-space
+    hubs (Artetxe & Schwenk's margin fixes the hubness failure of raw
+    cosine retrieval).
+
+    Scale: both sides shuffle once on (band, bucket); per-side top-k
+    runs as bounded window frames over candidate lists. Growing the
+    corpus adds bands (recall up, candidates bounded per band) — the
+    with_lsh_bands scaling law. Determinism: cosine is floored to an
+    int ``cos_sc``; avgk sums ints; the only doubles —
+    ``(sa/ka + sb/kb)/2`` and ``cos_sc/denom*1e6`` — are fixed
+    expression trees, so margins hash-match the replayed DuckDB twin.
+    """
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        ensure_parallelism,
+    )
+
+    base = embeddings.where(F.size(F.col(vec_col)) == dim)
+    A = ensure_parallelism(
+        base.where(F.col(label_col) == label_a).select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+        )
+    ).persist()
+    B = ensure_parallelism(
+        base.where(F.col(label_col) == label_b).select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+        )
+    ).persist()
+    Ab = with_lsh_bands(A, "a_vec", dim, num_planes, num_bands)
+    Bb = with_lsh_bands(B, "b_vec", dim, num_planes, num_bands)
+    cand = (
+        Ab.select("a_id", "band", "bucket")
+        .join(Bb.select("b_id", "band", "bucket"), ["band", "bucket"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    pairs = cand.join(A, "a_id").join(B, "b_id")
+    cos_sc = F.floor(cosine(F.col("a_vec"), F.col("b_vec")) * 1_000_000).cast("long")
+    scored = pairs.select("a_id", "b_id", cos_sc.alias("cos_sc")).persist()
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos_sc"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos_sc"), F.asc("a_id"))
+    ra = (
+        scored.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") <= k)
+        .groupBy("a_id")
+        .agg(F.sum("cos_sc").alias("sa"), F.count(F.lit(1)).alias("ka"))
+    )
+    rb = (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") <= k)
+        .groupBy("b_id")
+        .agg(F.sum("cos_sc").alias("sb"), F.count(F.lit(1)).alias("kb"))
+    )
+    denom = (
+        F.col("sa").cast("double") / F.col("ka")
+        + F.col("sb").cast("double") / F.col("kb")
+    ) / 2.0
+    out = (
+        scored.join(ra, "a_id")
+        .join(rb, "b_id")
+        .withColumn("denom", denom)
+        .where(F.col("denom") > 0)
+        .withColumn(
+            "margin_sc",
+            F.floor(
+                F.col("cos_sc").cast("double") / F.col("denom") * 1_000_000
+            ).cast("long"),
+        )
+        .where(
+            (F.col("cos_sc") >= min_cos_sc) & (F.col("margin_sc") >= min_margin_sc)
+        )
+        .select("a_id", "b_id", "cos_sc", "margin_sc")
+    )
+    return attach_cached_deps(out, [A, B, scored])

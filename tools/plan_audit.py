@@ -49,6 +49,7 @@ def audit_plan(plan: str) -> dict:
 #: (`BroadcastNestedLoopJoin Cross BuildRight` over an Aggregate with
 #: no grouping keys); anything else stays flagged.
 SCALAR_CROSSJOIN_OK = {
+    "trending_decay": "1-row reference timestamp (max(ts)) broadcast",
     "incremental_scan": "frozen run_ts watermark (1-row max(ts))",
     "retention_filter": "frozen run_ts watermark (1-row max(ts))",
     "cosine_topk": "broadcast 1-row query vector",
