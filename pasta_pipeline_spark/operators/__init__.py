@@ -143,6 +143,18 @@ from pasta_pipeline_spark.operators.multimodal import (
     image_dhash_pairs,
     video_scene_cuts,
 )
+from pasta_pipeline_spark.operators.basket import basket_pair_lift
+from pasta_pipeline_spark.operators.stat_tests import (
+    benford_digit_test,
+    dow_seasonality,
+    mann_whitney_u,
+    pearson_corr_matrix,
+)
+from pasta_pipeline_spark.operators.readability import flesch_by_lang
+from pasta_pipeline_spark.operators.denoising import span_corruption_examples
+from pasta_pipeline_spark.operators.golden import golden_part_records
+from pasta_pipeline_spark.operators.attribution import last_touch_attribution
+from pasta_pipeline_spark.operators.rfm import rfm_segments
 
 __all__ = [
     "merge_upsert",
@@ -254,4 +266,14 @@ __all__ = [
     "audio_fingerprint",
     "audio_fingerprint_pairs",
     "banded_hamming_pairs",
+    "basket_pair_lift",
+    "benford_digit_test",
+    "dow_seasonality",
+    "mann_whitney_u",
+    "pearson_corr_matrix",
+    "flesch_by_lang",
+    "span_corruption_examples",
+    "golden_part_records",
+    "last_touch_attribution",
+    "rfm_segments",
 ]

@@ -1,0 +1,360 @@
+"""Classical hypothesis tests and moment statistics, cross-engine exact.
+
+Completes the inferential toolbox started by ``divergence.py`` (KS,
+CUSUM, JS) and the ``proportion_ztest`` catalog entry:
+
+- Mann-Whitney U (rank-sum) over a BOUNDED integer domain — the
+  nonparametric two-sample location test, built scale-safe: the fact
+  table collapses to per-value conditional counts (|domain| rows), the
+  rank arithmetic runs over that metadata-scale frame, and the final z
+  uses the normal approximation with the exact tie correction.
+- Benford first-digit test — fraud/anomaly screening on an amount
+  column; the nine expected proportions are hard literal constants
+  (log10(1+1/d) precomputed) so no engine's ``log`` is in the loop.
+- Day-of-week seasonality (chi-square uniformity) — the calendar
+  profile + test in one scan.
+- Pearson correlation matrix over integer-bridged measures — exact
+  int64 co-moments per pair, combined into r by a fixed double tree.
+
+Every double in every output derives from int64 counts through a fixed
+expression tree (divisions, one sqrt) — bit-identical across engines —
+then floors to fixed-point only for rendering. Each statistic is one
+conditional-aggregate scan: at 100 TB these cost exactly what a count
+costs (map-side combine, one-row or |domain|-row shuffles).
+
+Exactness bounds (documented, same discipline as proportion_ztest):
+products of counts must stay < 2^53 before the double conversion —
+holds through sf1000; beyond that promote the co-moment sums to
+decimal(38) and keep the same tree.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+#: floor(log10(1+1/d) · 1e15)/1e15 rendered exactly — literal Benford
+#: proportions shared by the Spark plan and the generated SQL twin, so
+#: neither engine's transcendental library participates.
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str | Column,
+    group1: Column,
+    group2: Column,
+) -> DataFrame:
+    """Mann-Whitney U test between two row predicates over an integer
+    value column with a bounded domain.
+
+    Midranks are computed from cumulative per-value counts — doubled
+    (``2·rank``) so ties' half-ranks stay in int64 — then
+    U1 = R1 − n1(n1+1)/2, μ = n1·n2/2 and the tie-corrected
+    σ² = n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+
+    Returns one row: n1, n2, u1_x2 (2·U1, exact int64), z_sc
+    (floor(z·1e6)).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_value = (
+        df.select(
+            v.cast("long").alias("val"),
+            group1.cast("long").alias("g1"),
+            group2.cast("long").alias("g2"),
+        )
+        .where((F.col("g1") == 1) | (F.col("g2") == 1))
+        .groupBy("val")
+        .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+    )
+    # metadata-scale frame (|domain| rows) — the unpartitioned window
+    # is bounded by construction
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_value.withColumn("t", F.col("c1") + F.col("c2")).withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    # doubled midrank of every observation tied at this value:
+    # 2·(cum_before + (t+1)/2) = 2·cum_before + t + 1
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum_before") + F.col("t") + 1)).alias(
+            "r1_x2"
+        ),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    mu_x2 = (n1 * n2).cast("double")
+    sigma2 = (n1 * n2).cast("double") / 12.0 * (
+        (n + 1).cast("double")
+        - F.col("tie3").cast("double") / (n * (n - 1)).cast("double")
+    )
+    denom = 2.0 * F.sqrt(sigma2)
+    # all-tied degenerate case: sigma = 0 -> z undefined (NULL), and
+    # ANSI mode would otherwise raise on the division
+    z = F.when(denom > 0, (u1_x2.cast("double") - mu_x2) / denom)
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        F.floor(z * 1000000).cast("long").alias("z_sc"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    table: str, value_sql: str, group1_sql: str, group2_sql: str
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u`."""
+    return f"""
+    WITH pv AS (
+      SELECT CAST({value_sql} AS BIGINT) AS val,
+             SUM(CASE WHEN {group1_sql} THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN {group2_sql} THEN 1 ELSE 0 END) AS c2
+      FROM {table}
+      WHERE ({group1_sql}) OR ({group2_sql})
+      GROUP BY 1
+    ), rk AS (
+      SELECT c1, c2, c1 + c2 AS t,
+             COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM pv
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM rk
+    )
+    SELECT n1, n2,
+      r1_x2 - n1 * (n1 + 1) AS u1_x2,
+      CASE WHEN 2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+            * (CAST(n1 + n2 + 1 AS DOUBLE)
+               - CAST(tie3 AS DOUBLE)
+                 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) > 0
+      THEN CAST(FLOOR(
+        (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+        / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+            * (CAST(n1 + n2 + 1 AS DOUBLE)
+               - CAST(tie3 AS DOUBLE)
+                 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))))
+        * 1000000) AS BIGINT) END AS z_sc
+    FROM agg
+    """
+
+
+def benford_digit_test(df: DataFrame, amount_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen.
+
+    The leading digit comes from the decimal STRING rendering of the
+    floored amount (portable — no ``log10`` on data), counts roll up in
+    one scan, and each digit's chi-square contribution
+    (obs − n·p_d)²/(n·p_d) uses the literal Benford constants. The
+    9-row frame carries a total chi2_sc via a bounded window.
+
+    Returns 9 rows: digit, observed, expected_sc, contrib_sc, chi2_sc.
+    """
+    digit = F.substring(
+        F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(F.col(amount_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    n = Window.partitionBy()
+    with_n = counts.withColumn("__n", F.sum("observed").over(n))
+    expected = F.col("__n").cast("double") * _benford_p_expr()
+    contrib = (F.col("observed").cast("double") - expected) * (
+        F.col("observed").cast("double") - expected
+    ) / expected
+    scored = with_n.select(
+        "digit",
+        "observed",
+        F.floor(expected * 1000000).cast("long").alias("expected_sc"),
+        F.floor(contrib * 1000000).cast("long").alias("contrib_sc"),
+    )
+    return scored.withColumn(
+        "chi2_sc", F.sum("contrib_sc").over(Window.partitionBy())
+    ).orderBy("digit")
+
+
+def _benford_p_expr() -> Column:
+    expr = F.lit(None).cast("double")
+    c = None
+    for d, prob in BENFORD_P.items():
+        if c is None:
+            c = F.when(F.col("digit") == d, F.lit(prob))
+        else:
+            c = c.when(F.col("digit") == d, F.lit(prob))
+    return c
+
+
+def benford_oracle_sql(table: str, amount_sql: str) -> str:
+    """DuckDB twin of :func:`benford_digit_test` — shares the literal
+    Benford constants (full ``repr`` rendering) with the Spark plan."""
+    cases = " ".join(
+        f"WHEN {d} THEN {prob!r}" for d, prob in BENFORD_P.items()
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR({amount_sql}) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS observed
+      FROM {table} WHERE {amount_sql} >= 1
+      GROUP BY 1
+    ), w AS (
+      SELECT digit, observed, SUM(observed) OVER () AS n FROM c
+    ), s AS (
+      SELECT digit, observed,
+        CAST(FLOOR(CAST(n AS DOUBLE) * (CASE digit {cases} END) * 1000000) AS BIGINT) AS expected_sc,
+        CAST(FLOOR(
+          (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit {cases} END))
+          * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit {cases} END))
+          / (CAST(n AS DOUBLE) * (CASE digit {cases} END)) * 1000000) AS BIGINT) AS contrib_sc
+      FROM w
+    )
+    SELECT digit, observed, expected_sc, contrib_sc,
+           CAST(SUM(contrib_sc) OVER () AS BIGINT) AS chi2_sc
+    FROM s ORDER BY digit
+    """
+
+
+def dow_seasonality(df: DataFrame, ts_col: str, amount_col: str) -> DataFrame:
+    """Day-of-week profile with a chi-square uniformity test.
+
+    One conditional-agg scan → 7 rows: dow (1=Sunday … 7=Saturday,
+    Spark ``dayofweek`` convention), n_rows, amount_cents (exact int64
+    cents), share_sc, contrib_sc (chi-square vs the uniform n/7), and
+    the total chi2_sc on every row (bounded 7-row window).
+    """
+    counts = (
+        df.select(
+            F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.round(F.col(amount_col) * 100).cast("long").alias("__cents"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__cents").alias("amount_cents"),
+        )
+    )
+    w = Window.partitionBy()
+    with_n = counts.withColumn("__n", F.sum("n_rows").over(w))
+    expected = F.col("__n").cast("double") / 7.0
+    diff = F.col("n_rows").cast("double") - expected
+    contrib = diff * diff / expected
+    share = F.col("n_rows").cast("double") / F.col("__n").cast("double")
+    out = with_n.select(
+        "dow",
+        "n_rows",
+        "amount_cents",
+        F.floor(share * 1000000).cast("long").alias("share_sc"),
+        F.floor(contrib * 1000000).cast("long").alias("contrib_sc"),
+    )
+    return out.withColumn("chi2_sc", F.sum("contrib_sc").over(w)).orderBy("dow")
+
+
+def dow_oracle_sql(table: str, ts_col: str, amount_col: str) -> str:
+    """DuckDB twin — ``dayofweek`` is 0=Sunday there, shifted to match
+    Spark's 1=Sunday."""
+    return f"""
+    WITH c AS (
+      SELECT dayofweek({ts_col}) + 1 AS dow,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(ROUND({amount_col} * 100) AS BIGINT)) AS BIGINT) AS amount_cents
+      FROM {table} GROUP BY 1
+    ), w AS (
+      SELECT *, SUM(n_rows) OVER () AS n FROM c
+    )
+    SELECT dow, n_rows, amount_cents,
+      CAST(FLOOR(CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS share_sc,
+      CAST(FLOOR(
+        (CAST(n_rows AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+        * (CAST(n_rows AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+        / (CAST(n AS DOUBLE) / 7.0) * 1000000) AS BIGINT) AS contrib_sc,
+      CAST(SUM(CAST(FLOOR(
+        (CAST(n_rows AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+        * (CAST(n_rows AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+        / (CAST(n AS DOUBLE) / 7.0) * 1000000) AS BIGINT)) OVER () AS BIGINT) AS chi2_sc
+    FROM w ORDER BY dow
+    """
+
+
+def pearson_corr_matrix(df: DataFrame, int_exprs: dict[str, Column]) -> DataFrame:
+    """Pairwise Pearson correlations over integer-bridged measures.
+
+    ``int_exprs`` maps variable name → an int64 expression (callers
+    floor/scale doubles into the bridge first). One aggregate scan
+    collects every sum / sum-of-squares / cross-product as exact
+    int64; r for each pair combines them with the textbook
+    (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) tree with the products
+    taken in DOUBLE (so no int64 overflow at any n; exact while the
+    co-moments are < 2^53 — documented bound, holds through sf1000).
+
+    Returns one row: n plus ``corr_{a}_{b}_sc`` (floor(r·1e6)) per
+    unordered pair.
+    """
+    names = list(int_exprs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(F.sum(int_exprs[a]).alias(f"s_{a}"))
+        aggs.append(F.sum(int_exprs[a] * int_exprs[a]).alias(f"ss_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(int_exprs[a] * int_exprs[b]).alias(f"sp_{a}_{b}"))
+    g = df.agg(*aggs)
+    out = [F.col("n")]
+    nd = F.col("n").cast("double")
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cov = nd * F.col(f"sp_{a}_{b}").cast("double") - F.col(
+                f"s_{a}"
+            ).cast("double") * F.col(f"s_{b}").cast("double")
+            va = nd * F.col(f"ss_{a}").cast("double") - F.col(f"s_{a}").cast(
+                "double"
+            ) * F.col(f"s_{a}").cast("double")
+            vb = nd * F.col(f"ss_{b}").cast("double") - F.col(f"s_{b}").cast(
+                "double"
+            ) * F.col(f"s_{b}").cast("double")
+            r = cov / F.sqrt(va * vb)
+            out.append(F.floor(r * 1000000).cast("long").alias(f"corr_{a}_{b}_sc"))
+    return g.select(*out)
+
+
+def corr_matrix_oracle_sql(table: str, int_sql: dict[str, str]) -> str:
+    """DuckDB twin of :func:`pearson_corr_matrix` (sums cast to BIGINT
+    before output — DuckDB SUM(BIGINT) is HUGEINT internally)."""
+    names = list(int_sql)
+    sels = ["COUNT(*) AS n"]
+    for a in names:
+        sels.append(f"CAST(SUM({int_sql[a]}) AS BIGINT) AS s_{a}")
+        sels.append(f"CAST(SUM(({int_sql[a]}) * ({int_sql[a]})) AS BIGINT) AS ss_{a}")
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sels.append(
+                f"CAST(SUM(({int_sql[a]}) * ({int_sql[b]})) AS BIGINT) AS sp_{a}_{b}"
+            )
+    outs = ["n"]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            outs.append(
+                f"CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+                f" * 1000000) AS BIGINT) AS corr_{a}_{b}_sc"
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(sels)
+        + f" FROM {table}) SELECT "
+        + ", ".join(outs)
+        + " FROM m"
+    )

@@ -49,6 +49,9 @@ def audit_plan(plan: str) -> dict:
 #: (`BroadcastNestedLoopJoin Cross BuildRight` over an Aggregate with
 #: no grouping keys); anything else stays flagged.
 SCALAR_CROSSJOIN_OK = {
+    "basket_lift": "1-row distinct-basket total broadcast",
+    "attribution_last_touch": "1-row revenue total for the share ratio",
+    "rfm_segments": "1-row reference timestamp (max(ts)) broadcast",
     "trending_decay": "1-row reference timestamp (max(ts)) broadcast",
     "incremental_scan": "frozen run_ts watermark (1-row max(ts))",
     "retention_filter": "frozen run_ts watermark (1-row max(ts))",
