@@ -1,0 +1,193 @@
+"""Contrastive-training data prep over the embedding corpus.
+
+Two verbs for building contrastive / metric-learning datasets:
+
+- ``hard_negative_mining`` — for each anchor vector, the top-k most
+  similar vectors with a DIFFERENT label: the "hard negatives" that
+  make InfoNCE/triplet training effective (random negatives are too
+  easy; the hardest same-region different-label points carry the
+  gradient). Candidates are gated by shared sign-LSH band buckets
+  (similarity.with_lsh_bands, the bitext/semantic-dedup scaling
+  pattern — recall grows with bands, never a cartesian), only
+  candidates pay the exact cosine, and the per-anchor top-k is a
+  bounded anchor-partitioned window.
+
+- ``nearest_centroid_report`` — assign every vector to its nearest
+  label centroid (cosine of SUMS — the 1/n cancels, so state is
+  |labels| × d int64 component sums) and cross-tab predicted vs true:
+  the confusion matrix of the cheapest possible classifier, a data-
+  quality screen for label noise (the embedding-space counterpart of
+  source_nb_confusion).
+
+Exactness: cosines are sequential-fold double trees (playbook #5 —
+F.aggregate / list_dot_product fold in the same order); centroid
+sums ride floor(v·1e7) int64 components; every emitted score is
+floored to fixed point for rendering only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine, with_lsh_bands
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    dim: int = 64,
+    k: int = 3,
+    num_planes: int = 4,
+    num_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-``k`` different-label near neighbors per anchor.
+
+    Returns (anchor_id, rnk, neg_id, neg_label, cos_sc) for anchors
+    with at least one candidate; vectors whose length != ``dim`` are
+    excluded (malformed embeddings fail closed, the jl_project rule).
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    src = (
+        embeddings.where(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(label_col).alias("lbl"),
+            F.col(vec_col).alias("vec"),
+        )
+        .persist()
+    )
+    banded = with_lsh_bands(src, "vec", dim, num_planes, num_bands)
+    a = banded.select(
+        F.col("vid").alias("anchor_id"),
+        F.col("lbl").alias("anchor_lbl"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("vid").alias("neg_id"),
+        F.col("lbl").alias("neg_label"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("anchor_lbl") != F.col("neg_label")),
+        )
+        .select("anchor_id", "neg_id", "neg_label")
+        .distinct()
+    )
+    av = src.select(F.col("vid").alias("anchor_id"), F.col("vec").alias("av"))
+    bv = src.select(F.col("vid").alias("neg_id"), F.col("vec").alias("bv"))
+    scored = (
+        cand.join(av, "anchor_id")
+        .join(bv, "neg_id")
+        .withColumn(
+            "cos_sc",
+            F.floor(cosine(F.col("av"), F.col("bv")) * 1000000).cast("long"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sc").desc(), F.col("neg_id").asc()
+    )
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "neg_id",
+            "neg_label",
+            "cos_sc",
+        )
+        .orderBy("anchor_id", "rnk")
+    )
+    return attach_cached_deps(out, [src])
+
+
+def nearest_centroid_report(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid confusion matrix.
+
+    Returns (true_label, pred_label, n, share_sc) where share is the
+    row share within the true label. Centroid state is |labels| × d
+    int64 sums reassembled to per-label arrays (a bounded broadcast);
+    each vector pays |labels| sequential-fold cosines. Ties broken by
+    the smallest label; zero-norm cases fail closed (excluded).
+    """
+    src = embeddings.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("vec"),
+    )
+    fp = src.select(
+        "vid",
+        "lbl",
+        F.transform(
+            F.col("vec"), lambda v: F.floor(v.cast("double") * 10000000).cast("long")
+        ).alias("vfp"),
+    )
+    exploded = fp.select("lbl", F.posexplode("vfp").alias("pos", "v"))
+    sums = exploded.groupBy("lbl", "pos").agg(F.sum("v").alias("s"))
+    cent = sums.groupBy(F.col("lbl").alias("clbl")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+        ).alias("carr")
+    )
+    # |labels|-row build side: the bounded crossJoin handoff
+    joined = fp.crossJoin(F.broadcast(cent))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vfp"), F.col("carr"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.transform(F.col("vfp"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("carr"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(nv) * F.sqrt(nc)
+    cos_sc = F.when(denom > 0, F.floor(dot / denom * 1000000).cast("long"))
+    scored = joined.select("vid", "lbl", "clbl", cos_sc.alias("cos_sc")).where(
+        F.col("cos_sc").isNotNull()
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos_sc").desc(), F.col("clbl").asc())
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("lbl").alias("true_label"), F.col("clbl").alias("pred_label"))
+    )
+    conf = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("true_label")
+    return (
+        conf.withColumn("__tot", F.sum("n").over(w_row))
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.floor(F.col("n").cast("double") / F.col("__tot").cast("double") * 1000000)
+            .cast("long")
+            .alias("share_sc"),
+        )
+        .orderBy("true_label", "pred_label")
+    )

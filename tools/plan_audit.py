@@ -113,6 +113,11 @@ SCALAR_CROSSJOIN_OK = {
     "jl_ann_topk": "broadcast 1-row query projection (coarse stage) "
     "and 1-row query vector (rerank stage) — the cosine_topk shape "
     "twice",
+    "journey_paths": "1-row grand-total user count broadcast for the "
+    "path-share ratio (the tfidf_top_terms shape)",
+    "nearest_centroid_confusion": "<=|labels|-row centroid-sum frame "
+    "broadcast-scored against every vector — label-count metadata "
+    "scale (the label_centroid_similarity precedent)",
 }
 
 
