@@ -68,8 +68,6 @@ def span_corruption_examples(
         "grp", F.col("pos") - F.row_number().over(w_rank)
     ).withColumn("span_k", F.dense_rank().over(Window.partitionBy("doc_id").orderBy("grp")))
 
-    sentinel = F.concat(F.lit("<extra_id_"), (F.col("span_k") - 1).cast("string"), F.lit(">"))
-
     # input = unmasked tokens + one sentinel at each span's start position
     keep = flagged.where(~F.col("masked")).select("doc_id", "pos", "tok")
     span_heads = (

@@ -14,18 +14,22 @@ CUSUM, JS) and the ``proportion_ztest`` catalog entry:
 - Day-of-week seasonality (chi-square uniformity) — the calendar
   profile + test in one scan.
 - Pearson correlation matrix over integer-bridged measures — exact
-  int64 co-moments per pair, combined into r by a fixed double tree.
+  decimal(38,0) co-moments per pair, combined into r by a fixed
+  double tree.
 
-Every double in every output derives from int64 counts through a fixed
-expression tree (divisions, one sqrt) — bit-identical across engines —
-then floors to fixed-point only for rendering. Each statistic is one
-conditional-aggregate scan: at 100 TB these cost exactly what a count
-costs (map-side combine, one-row or |domain|-row shuffles).
+Every double in every output derives from exact integer counts through
+a fixed expression tree (divisions, one sqrt) — bit-identical across
+engines — then floors to fixed-point only for rendering. Each
+statistic is one conditional-aggregate scan: at 100 TB these cost
+exactly what a count costs (map-side combine, one-row or |domain|-row
+shuffles).
 
 Exactness bounds (documented, same discipline as proportion_ztest):
-products of counts must stay < 2^53 before the double conversion —
-holds through sf1000; beyond that promote the co-moment sums to
-decimal(38) and keep the same tree.
+the corr-matrix co-moments accumulate in decimal(38,0) (no int64
+ceiling at any realistic scale; both engines round the same exact
+integer to the same nearest double past 2^53). The rank/count sums in
+the other tests are int64 over counts, exact through sf1000 and
+beyond (a count-shaped sum wraps only past ~9e18 rows).
 """
 
 from __future__ import annotations
@@ -156,23 +160,42 @@ def benford_digit_test(df: DataFrame, amount_col: str) -> DataFrame:
     (obs − n·p_d)²/(n·p_d) uses the literal Benford constants. The
     9-row frame carries a total chi2_sc via a bounded window.
 
-    Returns 9 rows: digit, observed, expected_sc, contrib_sc, chi2_sc.
+    The observed counts are left-joined onto a literal 1..9 digit
+    spine (a 9-row broadcast), so a digit with ZERO observations still
+    contributes its full expected mass n·p_d to chi2 — exactly the
+    case where the data is most anomalous and the statistic must not
+    be understated.
+
+    Returns 9 rows always: digit, observed, expected_sc, contrib_sc,
+    chi2_sc.
     """
     digit = F.substring(
         F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
     ).cast("int")
-    counts = (
+    observed = (
         df.where(F.col(amount_col) >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(observed, "digit", "left").select(
+        "digit", F.coalesce("observed", F.lit(0)).alias("observed")
+    )
     n = Window.partitionBy()
     with_n = counts.withColumn("__n", F.sum("observed").over(n))
     expected = F.col("__n").cast("double") * _benford_p_expr()
-    contrib = (F.col("observed").cast("double") - expected) * (
-        F.col("observed").cast("double") - expected
-    ) / expected
+    # n = 0 (empty input after the >= 1 gate) leaves expected = 0;
+    # guard the division so ANSI mode can't raise and both engines
+    # render NULL identically
+    contrib = F.when(
+        F.col("__n") > 0,
+        (F.col("observed").cast("double") - expected)
+        * (F.col("observed").cast("double") - expected)
+        / expected,
+    )
     scored = with_n.select(
         "digit",
         "observed",
@@ -202,20 +225,24 @@ def benford_oracle_sql(table: str, amount_sql: str) -> str:
         f"WHEN {d} THEN {prob!r}" for d, prob in BENFORD_P.items()
     )
     return f"""
-    WITH c AS (
+    WITH obs AS (
       SELECT CAST(substr(CAST(CAST(FLOOR({amount_sql}) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
              COUNT(*) AS observed
       FROM {table} WHERE {amount_sql} >= 1
       GROUP BY 1
+    ), c AS (
+      SELECT spine.digit, COALESCE(obs.observed, 0) AS observed
+      FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS spine(digit)
+      LEFT JOIN obs ON obs.digit = spine.digit
     ), w AS (
       SELECT digit, observed, SUM(observed) OVER () AS n FROM c
     ), s AS (
       SELECT digit, observed,
         CAST(FLOOR(CAST(n AS DOUBLE) * (CASE digit {cases} END) * 1000000) AS BIGINT) AS expected_sc,
-        CAST(FLOOR(
+        CASE WHEN n > 0 THEN CAST(FLOOR(
           (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit {cases} END))
           * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit {cases} END))
-          / (CAST(n AS DOUBLE) * (CASE digit {cases} END)) * 1000000) AS BIGINT) AS contrib_sc
+          / (CAST(n AS DOUBLE) * (CASE digit {cases} END)) * 1000000) AS BIGINT) END AS contrib_sc
       FROM w
     )
     SELECT digit, observed, expected_sc, contrib_sc,
@@ -290,23 +317,36 @@ def pearson_corr_matrix(df: DataFrame, int_exprs: dict[str, Column]) -> DataFram
 
     ``int_exprs`` maps variable name → an int64 expression (callers
     floor/scale doubles into the bridge first). One aggregate scan
-    collects every sum / sum-of-squares / cross-product as exact
-    int64; r for each pair combines them with the textbook
-    (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) tree with the products
-    taken in DOUBLE (so no int64 overflow at any n; exact while the
-    co-moments are < 2^53 — documented bound, holds through sf1000).
+    collects every sum / sum-of-squares / cross-product exactly: the
+    per-row product is int64 (exact while each operand < ~3e9, far
+    above any price/qty bridge) and the ACCUMULATOR is decimal(38,0)
+    (same discipline as seasonal.py's residual moments), so the sums
+    never wrap regardless of row count — the ~8e8-row int64 ceiling
+    the long accumulator had is gone. r for each pair combines them
+    with the textbook (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) tree
+    in DOUBLE; both engines round the same exact integer co-moments
+    to the same nearest double, so the result stays bit-identical
+    (beyond 2^53 the DOUBLE conversion rounds — identically — on
+    both sides).
 
     Returns one row: n plus ``corr_{a}_{b}_sc`` (floor(r·1e6)) per
     unordered pair.
     """
     names = list(int_exprs)
+    dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).alias("n")]
     for a in names:
-        aggs.append(F.sum(int_exprs[a]).alias(f"s_{a}"))
-        aggs.append(F.sum(int_exprs[a] * int_exprs[a]).alias(f"ss_{a}"))
+        aggs.append(F.sum(int_exprs[a].cast(dec)).alias(f"s_{a}"))
+        aggs.append(
+            F.sum((int_exprs[a] * int_exprs[a]).cast(dec)).alias(f"ss_{a}")
+        )
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
-            aggs.append(F.sum(int_exprs[a] * int_exprs[b]).alias(f"sp_{a}_{b}"))
+            aggs.append(
+                F.sum((int_exprs[a] * int_exprs[b]).cast(dec)).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
     g = df.agg(*aggs)
     out = [F.col("n")]
     nd = F.col("n").cast("double")
@@ -327,17 +367,22 @@ def pearson_corr_matrix(df: DataFrame, int_exprs: dict[str, Column]) -> DataFram
 
 
 def corr_matrix_oracle_sql(table: str, int_sql: dict[str, str]) -> str:
-    """DuckDB twin of :func:`pearson_corr_matrix` (sums cast to BIGINT
-    before output — DuckDB SUM(BIGINT) is HUGEINT internally)."""
+    """DuckDB twin of :func:`pearson_corr_matrix` — the co-moment CTE
+    keeps DECIMAL(38,0) (DuckDB SUM(BIGINT) is HUGEINT internally;
+    never narrowed to BIGINT, matching the Spark side's decimal(38,0)
+    accumulators), and only the DOUBLE-derived corr columns reach the
+    output."""
     names = list(int_sql)
     sels = ["COUNT(*) AS n"]
     for a in names:
-        sels.append(f"CAST(SUM({int_sql[a]}) AS BIGINT) AS s_{a}")
-        sels.append(f"CAST(SUM(({int_sql[a]}) * ({int_sql[a]})) AS BIGINT) AS ss_{a}")
+        sels.append(f"CAST(SUM({int_sql[a]}) AS DECIMAL(38,0)) AS s_{a}")
+        sels.append(
+            f"CAST(SUM(({int_sql[a]}) * ({int_sql[a]})) AS DECIMAL(38,0)) AS ss_{a}"
+        )
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             sels.append(
-                f"CAST(SUM(({int_sql[a]}) * ({int_sql[b]})) AS BIGINT) AS sp_{a}_{b}"
+                f"CAST(SUM(({int_sql[a]}) * ({int_sql[b]})) AS DECIMAL(38,0)) AS sp_{a}_{b}"
             )
     outs = ["n"]
     for i, a in enumerate(names):

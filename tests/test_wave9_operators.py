@@ -71,17 +71,27 @@ def test_mann_whitney_all_tied(spark):
 def test_benford_uniform_detects_deviation(spark):
     from pasta_pipeline_spark.operators.stat_tests import benford_digit_test
 
-    # all amounts share first digit 9 -> massive chi-square
+    # all amounts share first digit 9 -> massive chi-square; the 1..9
+    # digit spine keeps every digit in the frame so the eight unseen
+    # digits contribute their full expected mass n·p_d
     df = spark.createDataFrame([(900.0 + i,) for i in range(30)], "amt double")
-    rows = benford_digit_test(df, "amt").collect()
-    assert len(rows) == 1 and rows[0]["digit"] == 9
-    assert rows[0]["observed"] == 30
-    # expected_9 = 30*log10(10/9) ~ 1.3728; contribution dominates
-    assert rows[0]["chi2_sc"] == rows[0]["contrib_sc"] > 500_000_000
+    rows = {r["digit"]: r for r in benford_digit_test(df, "amt").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[9]["observed"] == 30
+    assert all(rows[d]["observed"] == 0 for d in range(1, 9))
+    # unseen digit d contributes (0 - n·p_d)²/(n·p_d) = n·p_d exactly
+    assert all(
+        rows[d]["contrib_sc"] == rows[d]["expected_sc"] for d in range(1, 9)
+    )
+    # chi2 = sum of all nine contributions, identical on every row
+    total = sum(rows[d]["contrib_sc"] for d in range(1, 10))
+    assert all(rows[d]["chi2_sc"] == total for d in range(1, 10))
+    assert rows[9]["chi2_sc"] > 500_000_000
     # amounts < 1 are excluded from the screen
     tiny = spark.createDataFrame([(0.5,), (1.0,)], "amt double")
-    got = benford_digit_test(tiny, "amt").collect()
-    assert len(got) == 1 and got[0]["observed"] == 1
+    got = {r["digit"]: r for r in benford_digit_test(tiny, "amt").collect()}
+    assert len(got) == 9 and got[1]["observed"] == 1
+    assert sum(r["observed"] for r in got.values()) == 1
 
 
 def test_dow_seasonality_counts(spark):
