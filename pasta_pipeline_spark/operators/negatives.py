@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine, with_lsh_bands
+from .similarity import DEFAULT_BUCKET_CAP, cap_band_buckets, cosine, with_lsh_bands
 
 
 def hard_negative_mining(
@@ -42,12 +42,16 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Top-``k`` different-label near neighbors per anchor.
 
     Returns (anchor_id, rnk, neg_id, neg_label, cos_sc) for anchors
     with at least one candidate; vectors whose length != ``dim`` are
     excluded (malformed embeddings fail closed, the jl_project rule).
+    Each (band, bucket) is bounded by ``bucket_cap``
+    (similarity.cap_band_buckets — the hot-bucket guard; a hub-heavy
+    corpus is exactly where hard-negative mining gets pointed).
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
@@ -60,7 +64,9 @@ def hard_negative_mining(
         )
         .persist()
     )
-    banded = with_lsh_bands(src, "vec", dim, num_planes, num_bands)
+    banded = cap_band_buckets(
+        with_lsh_bands(src, "vec", dim, num_planes, num_bands), "vid", bucket_cap
+    )
     a = banded.select(
         F.col("vid").alias("anchor_id"),
         F.col("lbl").alias("anchor_lbl"),

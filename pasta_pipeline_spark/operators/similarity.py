@@ -171,6 +171,74 @@ def with_lsh_bands(
     )
 
 
+#: Default per-(band, bucket) membership cap for LSH candidate
+#: generation (see :func:`cap_band_buckets`). High enough that it
+#: never binds on a healthy population at test scales; at 100 TB it is
+#: the guard that keeps a degenerate bucket from going quadratic.
+DEFAULT_BUCKET_CAP = 4096
+
+
+def cap_band_buckets(
+    banded: DataFrame,
+    order_col: str,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    band_col: str = "band",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Bound every (band, bucket) group of a :func:`with_lsh_bands`
+    frame to its first ``bucket_cap`` members — the hot-bucket guard
+    for every sign-LSH candidate generator (the vector-tier analog of
+    the text tiers' Jaccard hot-key fallback / winnowing hot-fp cap).
+
+    Why: pair generation inside a bucket is quadratic in its size. A
+    degenerate population — embedding-space hubs, near-zero vectors
+    that all land on the same side of every hyperplane, a single-topic
+    corpus — can concentrate one (band, bucket) and turn the
+    "near-linear" gate into O(B²) on a single join key. The cap bounds
+    any bucket's pair contribution at cap², making worst-case candidate
+    volume ``bands · 2^planes · cap²`` regardless of the data.
+
+    Membership is deterministic and population-unbiased: rows rank by
+    ``md5(cast(id as string))`` (tie-broken by the id), so the kept
+    subset is a stable pseudo-random sample rather than an id-prefix —
+    both engines (Spark and the DuckDB oracle twins, which replay this
+    exact rank) agree bit-for-bit.
+
+    Recall effect (documented contract): a pair is lost only if in
+    EVERY band where the two rows collide, at least one of them ranks
+    past the cap. OR-of-bands softens the loss the same way it builds
+    recall — independent plane sets keep independent samples — and the
+    default (:data:`DEFAULT_BUCKET_CAP`) is far above any healthy
+    bucket at test scale, so the cap only engages on populations where
+    the uncapped plan would not finish anyway.
+
+    Cost: one narrow row_number window over (band, bucket, id) — the
+    hot bucket sorts O(B log B) three-column rows in one task instead
+    of emitting O(B²) join rows; vector columns are pruned below the
+    window by Catalyst when callers project them away afterwards.
+
+    ``bucket_cap=None`` disables the guard (exact banding).
+    """
+    if bucket_cap is None:
+        return banded
+    w = Window.partitionBy(band_col, bucket_col).orderBy(
+        F.md5(F.col(order_col).cast("string")), F.col(order_col)
+    )
+    return (
+        banded.withColumn("__bkrn", F.row_number().over(w))
+        .where(F.col("__bkrn") <= bucket_cap)
+        .drop("__bkrn")
+    )
+
+
+def bucket_cap_rank_sql(id_sql: str) -> str:
+    """ORDER BY key of the cap rank as DuckDB SQL — must stay in
+    lockstep with :func:`cap_band_buckets` (md5 of the decimal string
+    rendering, id tiebreak) so oracle twins replay the identical
+    membership at any scale."""
+    return f"md5(CAST({id_sql} AS VARCHAR)), {id_sql}"
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query: DataFrame,
@@ -212,6 +280,7 @@ def cosine_dup_pairs(
     dim: int | None = None,
     num_planes: int = 8,
     num_bands: int = 1,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector tier of the
     dedup ladder): all (id_a < id_b) with cosine >= threshold.
@@ -224,7 +293,9 @@ def cosine_dup_pairs(
     for high thresholds, and recall GROWS with bands, so a 100× corpus
     tunes up bands rather than trading bucket size against recall.
     Every emitted pair truly clears the threshold (exact cosine on
-    candidates); banding only affects which pairs are considered.
+    candidates); banding only affects which pairs are considered, and
+    each (band, bucket) is bounded by ``bucket_cap``
+    (:func:`cap_band_buckets` — the hot-bucket guard).
     """
     from pasta_pipeline_spark.operators.util import (
         attach_cached_deps,
@@ -239,7 +310,11 @@ def cosine_dup_pairs(
         # persist the one-column-pair scan; the caller releases via
         # util.release_cached_deps (bench/oracle runners do)
         src = src.persist()
-        banded = with_lsh_bands(src, vec_col, dim, num_planes, num_bands)
+        banded = cap_band_buckets(
+            with_lsh_bands(src, vec_col, dim, num_planes, num_bands),
+            id_col,
+            bucket_cap,
+        )
         cand = (
             banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
             .join(
@@ -534,6 +609,7 @@ def semantic_dedup(
     num_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): mark documents whose *embedding* nearly
@@ -563,6 +639,7 @@ def semantic_dedup(
         dim=dim,
         num_planes=num_planes,
         num_bands=num_bands,
+        bucket_cap=bucket_cap,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     from pasta_pipeline_spark.operators.util import attach_cached_deps
@@ -644,6 +721,7 @@ def cross_corpus_cosine_pairs(
     num_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-level benchmark-contamination pairs: (train, eval)
     vector pairs with cosine >= threshold, gated by sign-LSH
@@ -668,8 +746,16 @@ def cross_corpus_cosine_pairs(
     esrc = eval_df.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
     ).persist()
-    tb = with_lsh_bands(tsrc, "tv", dim, num_planes, num_bands)
-    eb = with_lsh_bands(esrc, "ev", dim, num_planes, num_bands)
+    tb = cap_band_buckets(
+        with_lsh_bands(tsrc, "tv", dim, num_planes, num_bands),
+        "train_id",
+        bucket_cap,
+    )
+    eb = cap_band_buckets(
+        with_lsh_bands(esrc, "ev", dim, num_planes, num_bands),
+        "eval_id",
+        bucket_cap,
+    )
     cand = (
         tb.select("train_id", "band", "bucket")
         .join(eb.select("eval_id", "band", "bucket"), ["band", "bucket"])
@@ -1759,6 +1845,7 @@ def bitext_margin_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """CCMatrix/LASER-style margin-scored bitext mining between two
     corpora (labels standing in for languages): candidate pairs are
@@ -1795,8 +1882,12 @@ def bitext_margin_pairs(
             F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
         )
     ).persist()
-    Ab = with_lsh_bands(A, "a_vec", dim, num_planes, num_bands)
-    Bb = with_lsh_bands(B, "b_vec", dim, num_planes, num_bands)
+    Ab = cap_band_buckets(
+        with_lsh_bands(A, "a_vec", dim, num_planes, num_bands), "a_id", bucket_cap
+    )
+    Bb = cap_band_buckets(
+        with_lsh_bands(B, "b_vec", dim, num_planes, num_bands), "b_id", bucket_cap
+    )
     cand = (
         Ab.select("a_id", "band", "bucket")
         .join(Bb.select("b_id", "band", "bucket"), ["band", "bucket"])

@@ -30,6 +30,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pasta_pipeline_spark.operators.similarity import DEFAULT_BUCKET_CAP
 from pasta_pipeline_spark.schemas import load_table
 
 
@@ -1241,17 +1242,47 @@ def _banded_planes_sql(dim: int, num_planes: int, num_bands: int) -> str:
     )
 
 
-_BANDED_EB_SQL = """
-    eb AS (
+def _banded_eb_sql(bucket_cap: int | None = None) -> str:
+    """The banded-bucket CTE, optionally wrapped in the hot-bucket cap
+    rank (similarity.cap_band_buckets' DuckDB twin: row_number over
+    (band, bucket) ordered by md5 of the id's decimal rendering, id
+    tiebreak). With ``bucket_cap`` set, the oracle replays the exact
+    membership the Spark gate keeps, so the cap is hash-checked end to
+    end at any scale, binding or not."""
+    from pasta_pipeline_spark.operators.similarity import bucket_cap_rank_sql
+
+    base = """
+    eb0 AS (
       SELECT vec_id, embedding, band,
              CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
                            THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
       FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding, band
     )"""
+    if bucket_cap is None:
+        return base.replace("eb0 AS", "eb AS")
+    return (
+        base
+        + f""",
+    eb AS (
+      SELECT vec_id, embedding, band, bucket FROM (
+        SELECT vec_id, embedding, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket
+                 ORDER BY {bucket_cap_rank_sql('vec_id')}) AS bkrn
+        FROM eb0)
+      WHERE bkrn <= {bucket_cap}
+    )"""
+    )
+
+
+_BANDED_EB_SQL = _banded_eb_sql()
 
 
 def _cosine_dup_lsh_oracle(
-    dim: int = 64, num_planes: int = 4, num_bands: int = 2, threshold: float = 0.4
+    dim: int = 64,
+    num_planes: int = 4,
+    num_bands: int = 2,
+    threshold: float = 0.4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     """Exact DuckDB twin of the banded-LSH near-dup path: the exact
     all-pairs join *restricted to sign-LSH band-bucket collisions*
@@ -1262,7 +1293,7 @@ def _cosine_dup_lsh_oracle(
     cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
     return f"""
     WITH planes(band, pidx, pv) AS (VALUES
-        {_banded_planes_sql(dim, num_planes, num_bands)}),{_BANDED_EB_SQL},
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_banded_eb_sql(bucket_cap)},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM eb a JOIN eb b
@@ -3916,7 +3947,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(
-    dim: int = 64, num_planes: int = 4, num_bands: int = 2, threshold: float = 0.4
+    dim: int = 64,
+    num_planes: int = 4,
+    num_bands: int = 2,
+    threshold: float = 0.4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     """DuckDB twin of semantic_dedup: same inlined deterministic
     banded planes as _cosine_dup_lsh_oracle, then NOT EXISTS over the
@@ -3924,7 +3959,7 @@ def _semantic_dedup_oracle(
     cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
     return f"""
     WITH planes(band, pidx, pv) AS (VALUES
-        {_banded_planes_sql(dim, num_planes, num_bands)}),{_BANDED_EB_SQL},
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_banded_eb_sql(bucket_cap)},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM eb a JOIN eb b
@@ -5380,7 +5415,11 @@ def q_global_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cross_embedding_oracle(
-    dim: int = 64, num_planes: int = 4, num_bands: int = 2, threshold: float = 0.4
+    dim: int = 64,
+    num_planes: int = 4,
+    num_bands: int = 2,
+    threshold: float = 0.4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     """DuckDB twin of cross_corpus_cosine_pairs over the even/odd
     vec_id split — inlined banded plane constants, (band, bucket)
@@ -5389,7 +5428,7 @@ def _cross_embedding_oracle(
     cos = _cosine_sql("t.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")
     return f"""
     WITH planes(band, pidx, pv) AS (VALUES
-        {_banded_planes_sql(dim, num_planes, num_bands)}),{_BANDED_EB_SQL},
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_banded_eb_sql(bucket_cap)},
     cand AS (
       SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
       FROM eb t JOIN eb e ON t.band = e.band AND t.bucket = e.bucket
@@ -11733,11 +11772,13 @@ def _bitext_margin_oracle(
     label_b: int = 1,
     min_cos_sc: int = 300_000,
     min_margin_sc: int = 1_050_000,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     """DuckDB twin of similarity.bitext_margin_pairs: replays the banded
-    sign-LSH gate (inlined deterministic planes), the fp cosine, the
-    per-side top-k averages, and the ratio margin. MATERIALIZED: scored
-    is referenced three times."""
+    sign-LSH gate (inlined deterministic planes, per-bucket membership
+    bounded by the cap rank — similarity.cap_band_buckets' twin), the
+    fp cosine, the per-side top-k averages, and the ratio margin.
+    MATERIALIZED: scored is referenced three times."""
     cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
     margin = "CAST(FLOOR(CAST(cos_sc AS DOUBLE) / denom * 1000000) AS BIGINT)"
     return f"""
@@ -11747,14 +11788,24 @@ def _bitext_margin_oracle(
            WHERE label = {label_a} AND len(embedding) = {dim}),
     vb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
            WHERE label = {label_b} AND len(embedding) = {dim}),
-    ab AS MATERIALIZED (SELECT vec_id, band,
+    ab0 AS MATERIALIZED (SELECT vec_id, band,
              CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
                            THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
            FROM va CROSS JOIN planes GROUP BY vec_id, embedding, band),
-    bb AS MATERIALIZED (SELECT vec_id, band,
+    ab AS MATERIALIZED (SELECT vec_id, band, bucket FROM (
+             SELECT vec_id, band, bucket,
+                    row_number() OVER (PARTITION BY band, bucket
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS bkrn
+             FROM ab0) WHERE bkrn <= {bucket_cap}),
+    bb0 AS MATERIALIZED (SELECT vec_id, band,
              CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
                            THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
            FROM vb CROSS JOIN planes GROUP BY vec_id, embedding, band),
+    bb AS MATERIALIZED (SELECT vec_id, band, bucket FROM (
+             SELECT vec_id, band, bucket,
+                    row_number() OVER (PARTITION BY band, bucket
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS bkrn
+             FROM bb0) WHERE bkrn <= {bucket_cap}),
     cand AS MATERIALIZED (SELECT DISTINCT ab.vec_id AS a_id, bb.vec_id AS b_id
              FROM ab JOIN bb ON ab.band = bb.band AND ab.bucket = bb.bucket),
     scored AS MATERIALIZED (
@@ -12118,7 +12169,11 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hard_negatives_oracle(
-    dim: int = 64, k: int = 3, num_planes: int = 4, num_bands: int = 4
+    dim: int = 64,
+    k: int = 3,
+    num_planes: int = 4,
+    num_bands: int = 4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     """DuckDB twin of negatives.hard_negative_mining: replay the banded
     sign-LSH candidate gate (deterministic inlined planes, the
@@ -12132,11 +12187,19 @@ def _hard_negatives_oracle(
       SELECT vec_id, label, embedding FROM embeddings
       WHERE len(embedding) = {dim}
     ),
-    eb AS (
+    eb0 AS (
       SELECT vec_id, band,
              CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
                            THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
       FROM src CROSS JOIN planes GROUP BY vec_id, embedding, band
+    ),
+    eb AS (
+      SELECT vec_id, band, bucket FROM (
+        SELECT vec_id, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS bkrn
+        FROM eb0)
+      WHERE bkrn <= {bucket_cap}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id,

@@ -236,3 +236,127 @@ def test_winnowing_short_docs_no_crash(spark):
     assert {r["doc_id"] for r in fps.collect()} == {6, 7}
     pairs = winnowing_pairs(df, min_shared=1)
     assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(6, 7)]
+
+
+# ---------------------------------------------------------------------------
+# Statistics-tier invariants (r8, verdict ask #6) — properties fixtures
+# can't pin: algebraic identities that must hold for ANY input.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()),
+        min_size=4,
+        max_size=40,
+    ).filter(lambda r: any(g for _, g in r) and any(not g for _, g in r)),
+)
+def test_mann_whitney_symmetry(spark, rows):
+    """U1 + U2 == n1*n2 for any two-sample split (in doubled units:
+    u1_x2 + u2_x2 == 2*n1*n2), and swapping the groups flips the sign
+    of z (floor scaling allows a 1-unit offset: floor(-x) == -floor(x)
+    or -floor(x)-1)."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.stat_tests import mann_whitney_u
+
+    df = spark.createDataFrame(rows, "val long, g boolean")
+    a = mann_whitney_u(df, "val", F.col("g"), ~F.col("g")).collect()[0]
+    b = mann_whitney_u(df, "val", ~F.col("g"), F.col("g")).collect()[0]
+    assert a["n1"] == b["n2"] and a["n2"] == b["n1"]
+    assert a["u1_x2"] + b["u1_x2"] == 2 * a["n1"] * a["n2"]
+    if a["z_sc"] is not None and b["z_sc"] is not None:
+        assert -1 <= a["z_sc"] + b["z_sc"] <= 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(scale=st.integers(min_value=500, max_value=5000))
+def test_benford_exact_distribution_near_zero_chi2(spark, scale):
+    """On a synthetic corpus whose digit counts are round(p_d * N) for
+    the literal Benford proportions, chi-square is ~0 (only the
+    rounding residue survives) and the 9-row spine is complete."""
+    from pasta_pipeline_spark.operators.stat_tests import (
+        BENFORD_P,
+        benford_digit_test,
+    )
+
+    rows = []
+    for d, p in BENFORD_P.items():
+        rows.extend([(float(d * 100),)] * round(p * scale))
+    df = spark.createDataFrame(rows, "amt double")
+    got = {r["digit"]: r for r in benford_digit_test(df, "amt").collect()}
+    assert sorted(got) == list(range(1, 10))
+    # per-digit rounding residue is <= 0.5 counts; chi2 stays tiny
+    assert 0 <= got[1]["chi2_sc"] < 50_000  # chi2 < 0.05
+    assert sum(r["observed"] for r in got.values()) == sum(
+        round(p * scale) for p in BENFORD_P.values()
+    )
+
+
+def test_rfm_quintile_balance_seeded_random(spark):
+    """Each R/F/M score bucket holds an equal-depth share: per score
+    digit, customer counts differ by at most 1 (the closed-form ntile
+    quotient contract) on seeded-random order data."""
+    import random
+
+    from pasta_pipeline_spark.operators.rfm import rfm_segments
+
+    rng = random.Random(8)
+    n_cust = 101  # deliberately not divisible by 5
+    rows = []
+    base = datetime(2024, 1, 1)
+    okey = 0
+    for c in range(n_cust):
+        for _ in range(rng.randint(1, 4)):
+            okey += 1
+            rows.append(
+                (
+                    okey,
+                    c,
+                    base + timedelta(days=rng.randint(0, 365)),
+                    round(rng.uniform(10.0, 9000.0), 2),
+                )
+            )
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    segs = rfm_segments(orders).collect()
+    assert sum(r["n_customers"] for r in segs) == n_cust
+    for pos in range(3):  # R, F, M digit positions
+        counts = {}
+        for r in segs:
+            d = r["segment"][pos]
+            counts[d] = counts.get(d, 0) + r["n_customers"]
+        assert sorted(counts) == ["1", "2", "3", "4", "5"]
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_seasonal_residuals_sum_to_zero_per_weekday(spark):
+    """The seasonal index is the per-weekday mean deviation, so the
+    residuals of each weekday sum to ~0 by construction: with resid_sc
+    = floor(resid*100), the per-dow sum lies in [-n_dow, 1] for any
+    dense daily series."""
+    import random
+
+    from pasta_pipeline_spark.operators.seasonal import (
+        weekly_seasonal_decomposition,
+    )
+
+    rng = random.Random(88)
+    base = datetime(2024, 3, 1)
+    rows = []
+    for d in range(42):  # 6 dense weeks
+        day = base + timedelta(days=d)
+        for _ in range(rng.randint(1, 3)):
+            rows.append((day, round(rng.uniform(100.0, 5000.0), 2)))
+    orders = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    out = weekly_seasonal_decomposition(orders).collect()
+    sums, counts = {}, {}
+    for r in out:
+        if r["resid_sc"] is not None:
+            sums[r["dow"]] = sums.get(r["dow"], 0) + r["resid_sc"]
+            counts[r["dow"]] = counts.get(r["dow"], 0) + 1
+    assert len(sums) == 7
+    for dow, s in sums.items():
+        assert -counts[dow] <= s <= 1, (dow, s, counts[dow])
