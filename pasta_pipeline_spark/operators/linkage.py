@@ -20,8 +20,52 @@ hot-shingle cap (same machinery, different key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Part columns a linkage comparison needs (the projection both the
+#: batch operator and the streaming state store carry).
+PART_LINK_COLS = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+
+
+def prefixed_link_side(parts: DataFrame, prefix: str) -> DataFrame:
+    """One side of the blocked comparison: the linkage projection
+    (blocking tokens + compared fields) with every column renamed
+    ``{prefix}_*`` so two sides can join without ambiguity."""
+    p = parts.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        "p_brand",
+        "p_size",
+        "p_retailprice",
+    )
+    return p.select(*[F.col(c).alias(f"{prefix}_{c}") for c in p.columns])
+
+
+def agreement_score(
+    a: str,
+    b: str,
+    max_adj_lev: int = 3,
+    size_tol: int = 2,
+    price_tol: float = 5.0,
+) -> Column:
+    """The Fellegi-Sunter-style field-agreement score over two
+    prefixed sides — symmetric in (a, b), so pair normalization
+    (least/greatest key) never changes the score."""
+    return (
+        F.when(
+            F.levenshtein(F.col(f"{a}_adj"), F.col(f"{b}_adj")) <= max_adj_lev, 2
+        ).otherwise(0)
+        + F.when(
+            F.abs(F.col(f"{a}_p_size") - F.col(f"{b}_p_size")) <= size_tol, 2
+        ).otherwise(0)
+        + F.when(
+            F.abs(F.col(f"{a}_p_retailprice") - F.col(f"{b}_p_retailprice"))
+            <= price_tol,
+            3,
+        ).otherwise(0)
+    )
 
 
 def part_linkage_pairs(
@@ -42,29 +86,15 @@ def part_linkage_pairs(
     DuckDB's ``levenshtein`` agree on ASCII tokens; the numeric
     tolerances compare IEEE-deterministic double subtractions.
     """
-    p = parts.select(
-        "p_partkey",
-        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
-        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
-        "p_brand",
-        "p_size",
-        "p_retailprice",
-    )
-    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
-    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    a = prefixed_link_side(parts, "a")
+    b = prefixed_link_side(parts, "b")
     j = a.join(
         b,
         (F.col("a_noun") == F.col("b_noun"))
         & (F.col("a_p_brand") == F.col("b_p_brand"))
         & (F.col("a_p_partkey") < F.col("b_p_partkey")),
     )
-    score = (
-        F.when(F.levenshtein(F.col("a_adj"), F.col("b_adj")) <= max_adj_lev, 2).otherwise(0)
-        + F.when(F.abs(F.col("a_p_size") - F.col("b_p_size")) <= size_tol, 2).otherwise(0)
-        + F.when(
-            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice")) <= price_tol, 3
-        ).otherwise(0)
-    )
+    score = agreement_score("a", "b", max_adj_lev, size_tol, price_tol)
     return (
         j.select(
             F.col("a_p_partkey").alias("a_key"),
