@@ -46,10 +46,32 @@ BENCH_QUERIES = [
     "media_features",          # Arrow-batched Python stage
 ]
 
+#: r8 additions (verdict ask #4): the LLM-data tier now dominates the
+#: catalog but the legacy headline set predates it — these three cover
+#: its main shapes. Kept separate so the legacy total stays
+#: round-over-round comparable.
+BENCH_QUERIES_LLM = [
+    "semantic_dedup",          # banded sign-LSH gate + exact cosine verify
+    "rfm_segments",            # range-partition ranks + closed-form ntile (wave-9 analytics)
+    "pretrain_pipeline",       # composed capstone: filter+dedup+sample+pack
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # idle-machine protocol (r7 verdict ask #7): record the 1-min load
+    # average so reviewers can discount runs collected under load — the
+    # r7 committed BENCH carried a phantom 25% "regression" that was
+    # pure machine state. Warn loudly when the box is busy.
+    load_avg = round(os.getloadavg()[0], 2)
+    if load_avg > 4.0:
+        print(
+            f"WARNING: load_avg={load_avg} at bench start — results will "
+            "be noise-polluted; re-run on an idle machine",
+            file=sys.stderr,
+        )
 
     from pasta_pipeline_spark.session import get_spark
 
@@ -89,7 +111,9 @@ def main() -> None:
     # long-running cluster never pays per-query JIT either)
     warm_sf = "/root/testdata/sf0.001"
     qs["top_orders"](spark, sf_dir).collect()
-    for warm in BENCH_QUERIES + ["simhash_pairs", "ngram_jaccard_pairs", "minhash_lsh_pairs"]:
+    for warm in BENCH_QUERIES + BENCH_QUERIES_LLM + [
+        "simhash_pairs", "ngram_jaccard_pairs", "minhash_lsh_pairs"
+    ]:
         df = qs[warm](spark, warm_sf)
         df.write.format("noop").mode("overwrite").save()
         release_cached_deps(df)
@@ -101,7 +125,7 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
 
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + BENCH_QUERIES_LLM:
         record(name, run(name))
 
     # Dedup tail on SHARED scans — a real pipeline tokenizes the
@@ -175,15 +199,20 @@ def main() -> None:
     toks.unpersist()
 
     total = round(sum(timings.values()), 3)
+    legacy_total = round(
+        sum(v for k, v in timings.items() if k not in BENCH_QUERIES_LLM), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "legacy_total": legacy_total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
                 "n_iter": N_ITER,
+                "load_avg": load_avg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

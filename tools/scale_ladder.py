@@ -83,6 +83,16 @@ QUERIES = [
     "media_dedup_survivors",
     # round-7: the de-skewed statistics passes (r6 verdict #1/#3)
     "equidepth_histogram",
+    # round-8 (r7 verdict #3): the wave-8/9/10 tier — pair generators,
+    # graph capstones, per-doc rewrites, in-plan linear algebra
+    "hard_negatives",
+    "golden_records",
+    "entity_resolution",
+    "span_corruption",
+    "rake_keyphrases",
+    "pca_power_iteration",
+    "bitext_margin_pairs",
+    "rfm_segments",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -114,6 +124,15 @@ SF1_QUERIES = [
     "media_dedup_survivors",
     "pretrain_pipeline",
     "equidepth_histogram",
+    # r8: wave-8/9/10 tier over another 10x (part/orders fixtures added)
+    "hard_negatives",
+    "golden_records",
+    "entity_resolution",
+    "span_corruption",
+    "rake_keyphrases",
+    "pca_power_iteration",
+    "bitext_margin_pairs",
+    "rfm_segments",
 ]
 
 
@@ -127,8 +146,12 @@ def ensure_sf1(spark) -> None:
 
     from pasta_pipeline_spark.schemas import load_table
 
-    if os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")) or os.path.isfile(
-        os.path.join(SF1_DIR, "lineitem.parquet")
+    # all fixture tables present (r8 added part/orders — an old dir
+    # missing them rebuilds everything; synthesis is deterministic)
+    if all(
+        os.path.isdir(os.path.join(SF1_DIR, f"{t}.parquet"))
+        or os.path.isfile(os.path.join(SF1_DIR, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "lineitem", "part", "orders")
     ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -196,6 +219,43 @@ def ensure_sf1(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SF1_DIR, "lineitem.parquet")
+    )
+
+    # part (r8, entity-resolution tier): fresh keys per replica, and
+    # every p_name token suffixed (the documents recipe) so the
+    # (noun, brand) blocking key never crosses replicas — block sizes
+    # stay constant as data grows, which keeps the linkage workload
+    # linear BY CONSTRUCTION; super-linear time is then the operator's
+    part = load_table(spark, SF_BIG, "part")
+    parts = []
+    for k in range(n_rep):
+        p = part.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * 20000))
+        if k > 0:
+            p = p.withColumn(
+                "p_name", F.regexp_replace(F.col("p_name"), r"(\S+)", rf"$1x{k}")
+            )
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "part.parquet")
+    )
+
+    # orders (r8, RFM tier): fresh order AND customer keys per replica
+    # — 10x customers with unchanged per-customer history, the linear
+    # scale-up shape for a customer-dimension rollup
+    orders = load_table(spark, SF_BIG, "orders")
+    parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * 150000))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(k * 15000))
+        for k in range(n_rep)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "orders.parquet")
     )
 
 
