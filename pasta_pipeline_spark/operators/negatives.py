@@ -43,8 +43,13 @@ def hard_negative_mining(
     vec_col: str = "embedding",
     label_col: str = "label",
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    same_label: bool = False,
 ) -> DataFrame:
-    """Top-``k`` different-label near neighbors per anchor.
+    """Top-``k`` different-label near neighbors per anchor — or, with
+    ``same_label=True``, SAME-label neighbors: the positive-pair miner
+    (the other half of a contrastive/InfoNCE training set; SimCSE-style
+    supervised positives are exactly "nearest same-class example").
+    Self-pairs are always excluded.
 
     Returns (anchor_id, rnk, neg_id, neg_label, cos_sc) for anchors
     with at least one candidate; vectors whose length != ``dim`` are
@@ -79,12 +84,18 @@ def hard_negative_mining(
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
+    lbl_pred = (
+        (F.col("anchor_lbl") == F.col("neg_label"))
+        & (F.col("anchor_id") != F.col("neg_id"))
+        if same_label
+        else (F.col("anchor_lbl") != F.col("neg_label"))
+    )
     cand = (
         a.join(
             b,
             (F.col("band") == F.col("band_b"))
             & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("anchor_lbl") != F.col("neg_label")),
+            & lbl_pred,
         )
         .select("anchor_id", "neg_id", "neg_label")
         .distinct()

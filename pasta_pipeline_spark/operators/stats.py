@@ -199,3 +199,95 @@ def corpus_datacard(
     return wide.selectExpr(
         f"stack({len(metrics)}, {stacked}) AS (metric, value)"
     )
+
+
+def revenue_lorenz_deciles(orders: DataFrame) -> DataFrame:
+    """Customer-revenue Lorenz curve at decile grain (r8): rank
+    customers by total spend ascending and roll up equal-depth deciles
+    with per-decile and cumulative revenue shares — the 80/20
+    concentration read (top decile's cum complement) for the customer
+    base, the money-grain sibling of the corpus-source concentration
+    report.
+
+    Scale posture: the rank comes from the range-partition +
+    driver-prefix-sum machinery (operators/ids.py — never an
+    empty-OVER ntile/row_number over the customer dimension); the
+    decile is the closed-form quotient ((rk-1)·10 div n); the decile
+    frame itself is 10 rows, so its windows are bounded.
+
+    Returns per decile: decile, n_customers, revenue_cents,
+    rev_share_sc, cum_share_sc.
+    """
+    from .ids import assign_sequential_ids
+    from .util import attach_cached_deps
+
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = assign_sequential_ids(cust, ["cents", "custkey"], out_col="__rk")
+    n = ranked.count()  # driver scalar (the ids pass already counted)
+    decile = F.expr(f"(__rk - 1) * 10 div {n}") + 1
+    per_dec = (
+        ranked.withColumn("decile", decile.cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w_all = Window.partitionBy()  # 10-row frame
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        per_dec.withColumn("__total", F.sum("revenue_cents").over(w_all))
+        .withColumn("__cum", F.sum("revenue_cents").over(w_cum))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            F.floor(
+                F.col("revenue_cents").cast("double")
+                / F.col("__total").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("rev_share_sc"),
+            F.floor(
+                F.col("__cum").cast("double")
+                / F.col("__total").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("cum_share_sc"),
+        )
+        .orderBy("decile")
+    )
+    return attach_cached_deps(out, getattr(ranked, "_pasta_cached_deps", []))
+
+
+def lorenz_oracle_sql(table: str = "orders") -> str:
+    """DuckDB twin of :func:`revenue_lorenz_deciles` (row_number over
+    the same (cents, custkey) total order + the same closed-form
+    decile quotient)."""
+    return f"""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM {table} GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY cents, custkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM cust
+    ), per_dec AS (
+      SELECT (rk - 1) * 10 // n + 1 AS decile,
+             COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue_cents,
+      CAST(FLOOR(CAST(revenue_cents AS DOUBLE)
+        / CAST(SUM(revenue_cents) OVER () AS DOUBLE) * 1000000) AS BIGINT) AS rev_share_sc,
+      CAST(FLOOR(CAST(SUM(revenue_cents) OVER (ORDER BY decile
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(SUM(revenue_cents) OVER () AS DOUBLE) * 1000000) AS BIGINT) AS cum_share_sc
+    FROM per_dec ORDER BY decile
+    """

@@ -970,3 +970,87 @@ def perplexity_buckets(
         .alias("bucket"),
     )
     return attach_cached_deps(out, getattr(ranked, "_pasta_cached_deps", []))
+
+
+def stopword_discovery(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+    stop_ratio_sc: int = 500_000,
+) -> DataFrame:
+    """Corpus-driven stopword candidates (r8): the ``top_k`` tokens by
+    document frequency, with the two signals a stoplist builder reads —
+    df ratio (share of docs containing the token) and within-doc rate
+    (mean occurrences per containing doc; function words are both
+    ubiquitous AND bursty). ``is_stopword`` flags df ratio >= the
+    threshold (default: in half the corpus).
+
+    Language-agnostic version of the fixed English stoplists the
+    quality tiers consume — at 100 TB you derive the list from the
+    corpus (per language) rather than shipping one.
+
+    Scale shape: one token explode → two groupBys (term grain); the
+    top-k is a deterministic (df desc, token asc) TakeOrdered. Exact:
+    counts int64; the two ratios are single double divisions floored.
+
+    Returns (rnk, token, df, cf, df_ratio_sc, per_doc_rate_sc,
+    is_stopword).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_ws(F.col(text_col))).alias("token")
+    )
+    stats = toks.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+    )
+    n_docs = df.count()  # driver scalar: one count, metadata-scale
+    df_ratio = F.col("df").cast("double") / F.lit(float(n_docs))
+    per_doc = F.col("cf").cast("double") / F.col("df").cast("double")
+    scored = stats.select(
+        "token",
+        "df",
+        "cf",
+        F.floor(df_ratio * 1000000).cast("long").alias("df_ratio_sc"),
+        F.floor(per_doc * 1000000).cast("long").alias("per_doc_rate_sc"),
+    )
+    top = scored.orderBy(F.desc("df"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("df"), F.asc("token"))  # over <= top_k rows
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "rnk",
+        "token",
+        "df",
+        "cf",
+        "df_ratio_sc",
+        "per_doc_rate_sc",
+        (F.col("df_ratio_sc") >= stop_ratio_sc).alias("is_stopword"),
+    )
+
+
+def stopword_discovery_oracle_sql(
+    table: str = "documents", top_k: int = 50, stop_ratio_sc: int = 500_000
+) -> str:
+    """DuckDB twin of :func:`stopword_discovery`."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                y -> y <> '')) AS token
+      FROM {table}
+    ), stats AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      FROM toks GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT token, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+        CAST(FLOOR(CAST(df AS DOUBLE) / CAST(n.n_docs AS DOUBLE) * 1000000) AS BIGINT) AS df_ratio_sc,
+        CAST(FLOOR(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) * 1000000) AS BIGINT) AS per_doc_rate_sc
+      FROM stats CROSS JOIN n
+    )
+    SELECT CAST(row_number() OVER (ORDER BY df DESC, token ASC) AS BIGINT) AS rnk,
+           token, df, cf, df_ratio_sc, per_doc_rate_sc,
+           df_ratio_sc >= {stop_ratio_sc} AS is_stopword
+    FROM scored ORDER BY df DESC, token ASC LIMIT {top_k}
+    """

@@ -280,3 +280,113 @@ def peak_concurrency(
         .cast("long")
         .alias("at_ts"),
     )
+
+
+def daily_autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    amount_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of the daily revenue series at calendar
+    lags 1..``max_lag`` (r8) — the periodicity detector that tells you
+    WHICH seasonality to model (a weekly cycle shows as a lag-7 peak)
+    before ``seasonal.weekly_seasonal_decomposition`` decomposes it.
+
+    Definition (cross-engine exact): for each lag L, the Pearson
+    correlation over the pairs (day d, day d−L) that BOTH exist — the
+    pairwise-complete ACF. Joins are calendar-exact (``date_sub``
+    equi-join), so gaps pair nothing silently; co-moments accumulate
+    int64-cents products in decimal(38,0) (the corr-matrix
+    discipline), and r is the textbook fixed double tree. A lag with
+    < 3 pairs or zero variance yields NULL r.
+
+    Scale shape: one |days|-row rollup, then one equi-join of that
+    metadata-scale frame against itself per the exploded lag spine —
+    |days|·max_lag rows through a hash join, no windows at all.
+
+    Returns (lag, n_pairs, r_sc) ordered by lag.
+    """
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(amount_col) * 100).cast("long").alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").alias("cents"))
+    )
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(1, max_lag + 1)])
+    ).alias("lag")
+    a = daily.select(F.col("day"), F.col("cents").alias("x"), lags)
+    b = daily.select(F.col("day").alias("bday"), F.col("cents").alias("y"))
+    pairs = a.join(b, F.col("bday") == F.date_sub(F.col("day"), F.col("lag")))
+    dec = "decimal(38,0)"
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    r = F.when(
+        (F.col("n_pairs") >= 3) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.floor(r * 1000000).cast("long").alias("r_sc"),
+    ).orderBy("lag")
+
+
+def daily_acf_oracle_sql(
+    table: str, ts_sql: str, amount_sql: str, max_lag: int = 7
+) -> str:
+    """DuckDB twin of :func:`daily_autocorrelation`."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST({ts_sql} AS DATE) AS day,
+             CAST(SUM(CAST(ROUND({amount_sql} * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM {table} GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(1, {max_lag})) AS lag
+    ), pairs AS (
+      SELECT s.lag, a.cents AS x, b.cents AS y
+      FROM daily a CROSS JOIN spine s
+      JOIN daily b ON b.day = a.day - CAST(s.lag AS INT)
+    ), g AS (
+      SELECT lag, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+      CASE WHEN n_pairs >= 3
+            AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      THEN CAST(FLOOR(
+        (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        * 1000000) AS BIGINT) END AS r_sc
+    FROM g ORDER BY lag
+    """

@@ -12174,6 +12174,7 @@ def _hard_negatives_oracle(
     num_planes: int = 4,
     num_bands: int = 4,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    same_label: bool = False,
 ) -> str:
     """DuckDB twin of negatives.hard_negative_mining: replay the banded
     sign-LSH candidate gate (deterministic inlined planes, the
@@ -12207,7 +12208,7 @@ def _hard_negatives_oracle(
       FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket
       JOIN src sa ON sa.vec_id = a.vec_id
       JOIN src sb ON sb.vec_id = b.vec_id
-      WHERE sa.label <> sb.label
+      WHERE {"sa.label = sb.label AND a.vec_id <> b.vec_id" if same_label else "sa.label <> sb.label"}
     ),
     scored AS (
       SELECT c.anchor_id, c.neg_id, c.neg_label,
@@ -12333,3 +12334,262 @@ def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.seasonal import weekly_seasonal_decomposition
 
     return weekly_seasonal_decomposition(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 11 (r8): governance, engagement, periodicity, corpus stoplists
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.engagement import (  # noqa: E402
+    dau_mau_oracle_sql,
+    interarrival_oracle_sql,
+)
+from pasta_pipeline_spark.operators.governance import (  # noqa: E402
+    four_fifths_oracle_sql,
+    k_anonymity_oracle_sql,
+)
+from pasta_pipeline_spark.operators.text_analysis import (  # noqa: E402
+    stopword_discovery_oracle_sql,
+)
+from pasta_pipeline_spark.operators.timeseries import (  # noqa: E402
+    daily_acf_oracle_sql,
+)
+
+
+@register(
+    "k_anonymity_audit",
+    k_anonymity_oracle_sql("customer", ["c_nationkey", "c_mktsegment"], k=5),
+    doc="k-anonymity re-identification audit (operators/governance.py, "
+    "Sweeney 2002) over the (nation, market segment) quasi-identifiers "
+    "of the customer table: equivalence-class size histogram with the "
+    "at-risk (size < k) mass. One groupBy + a bounded distinct-size "
+    "frame at any scale.",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.governance import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register(
+    "quality_disparity",
+    four_fifths_oracle_sql(
+        "documents", "source", "n_chars >= 200 AND n_chars <= 20000"
+    ),
+    doc="Four-fifths adverse-impact screen (operators/governance.py) on "
+    "a length quality gate per document source: selection rates, ratio "
+    "to the best-rate source, and the EEOC 4/5 flag via the exact "
+    "cross-multiplied integer test (5*pass*ref_n < 4*ref_pass*n) — the "
+    "curation-bias audit for corpus filters. 1-row broadcast reference "
+    "scalar (audited crossJoin handoff).",
+)
+def q_quality_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.governance import four_fifths_disparity
+
+    docs = _t(spark, sf_dir, "documents")
+    return four_fifths_disparity(
+        docs, "source", (F.col("n_chars") >= 200) & (F.col("n_chars") <= 20000)
+    )
+
+
+@register(
+    "dau_mau_stickiness",
+    dau_mau_oracle_sql(),
+    doc="Per-month DAU/MAU engagement rollup (operators/engagement.py): "
+    "average daily actives, monthly actives, and the stickiness ratio — "
+    "pure distinct-count rollups at day/month grain, every frame "
+    "bounded by the calendar.",
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.engagement import dau_mau_stickiness
+
+    return dau_mau_stickiness(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "interarrival_profile",
+    interarrival_oracle_sql(),
+    doc="Per-event-type inter-arrival cadence profile (operators/"
+    "engagement.py): exact epoch-microsecond gaps between a user's "
+    "consecutive same-type events, p50/p90/max picked closed-form from "
+    "the per-type cumulative gap histogram (bounded value-domain "
+    "frames, never an empty-OVER ntile). Session-timeout tuning and "
+    "bot-cadence detection.",
+)
+def q_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.engagement import interarrival_profile
+
+    return interarrival_profile(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "acf_daily_revenue",
+    daily_acf_oracle_sql("orders", "o_orderdate", "o_totalprice", max_lag=7),
+    doc="Sample autocorrelation of daily revenue at calendar lags 1..7 "
+    "(operators/timeseries.py): pairwise-complete Pearson r per lag via "
+    "calendar-exact date_sub equi-joins of the |days|-row rollup "
+    "against itself — the periodicity detector feeding "
+    "weekly_seasonality. Co-moments in decimal(38,0), r as the fixed "
+    "double tree.",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import daily_autocorrelation
+
+    return daily_autocorrelation(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice", max_lag=7
+    )
+
+
+@register(
+    "stopword_discovery",
+    stopword_discovery_oracle_sql(),
+    doc="Corpus-driven stopword candidates (operators/text_analysis.py): "
+    "top-50 tokens by document frequency with df-ratio and per-doc "
+    "burstiness, flagged at df >= 50% of the corpus — the language-"
+    "agnostic stoplist the quality tiers would derive per language at "
+    "100 TB. One explode, two term-grain groupBys, deterministic "
+    "TakeOrdered.",
+)
+def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import stopword_discovery
+
+    return stopword_discovery(_tp(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 12 (r8): curriculum, concentration, bot cadence, contrastive positives
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.curriculum import (  # noqa: E402
+    curriculum_oracle_sql,
+)
+from pasta_pipeline_spark.operators.engagement import (  # noqa: E402
+    bot_cadence_oracle_sql,
+)
+from pasta_pipeline_spark.operators.stats import lorenz_oracle_sql  # noqa: E402
+
+
+@register(
+    "curriculum_phases",
+    curriculum_oracle_sql(),
+    doc="Equal-token-budget curriculum phases (operators/curriculum.py, "
+    "Bengio et al. 2009 ordering with mean-token-length difficulty): "
+    "corpus collapses to a bounded difficulty-grain histogram, "
+    "cumulative token sums over that frame, closed-form phase "
+    "quotient — phase 0 holds the easiest quarter of TOKENS. No "
+    "fact-scale window.",
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.curriculum import curriculum_phases
+
+    return curriculum_phases(_tp(spark, sf_dir, "documents"))
+
+
+@register(
+    "revenue_lorenz_deciles",
+    lorenz_oracle_sql(),
+    doc="Customer-revenue Lorenz deciles (operators/stats.py): rank "
+    "customers by spend via the range-partition + driver-prefix-sum id "
+    "machinery (never an empty-OVER ntile), closed-form equal-depth "
+    "decile quotient, per-decile + cumulative revenue shares over the "
+    "10-row frame — the 80/20 concentration read.",
+)
+def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stats import revenue_lorenz_deciles
+
+    return revenue_lorenz_deciles(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "bot_cadence",
+    bot_cadence_oracle_sql(),
+    doc="Per-user automation screen (operators/engagement.py): median "
+    "inter-event gap from exact epoch-microsecond diffs (closed-form "
+    "pick over per-user gap histograms — partitions bounded by a "
+    "user's own history), events/hour over the active span, and the "
+    "machine-cadence flag. Robust: a bot cannot hide a sub-second "
+    "median behind long pauses.",
+)
+def q_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.engagement import bot_cadence_report
+
+    return bot_cadence_report(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "contrastive_positives",
+    _hard_negatives_oracle(same_label=True),
+    doc="Positive-pair mining for contrastive training (operators/"
+    "negatives.py, same_label=True): per anchor the top-3 nearest "
+    "SAME-label vectors (self excluded) through the identical capped "
+    "sign-LSH gate as hard_negatives — the other half of an "
+    "InfoNCE/SimCSE training set, hash-checked against the same "
+    "replayed oracle with the label predicate flipped.",
+)
+def q_contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.negatives import hard_negative_mining
+
+    return hard_negative_mining(_t(spark, sf_dir, "embeddings"), same_label=True)
+
+
+# ---------------------------------------------------------------------------
+# Wave 13 (r8): curation prioritization — ensemble scoring, quality-aware
+# survivorship, per-source dedup funnel
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.ensemble import (  # noqa: E402
+    ensemble_deciles_oracle_sql,
+    quality_survivors_oracle_sql,
+    source_funnel_oracle_sql,
+)
+
+
+@register(
+    "quality_ensemble_deciles",
+    ensemble_deciles_oracle_sql(),
+    doc="Fixed-weight quality-ensemble score deciles (operators/"
+    "ensemble.py): portable int64 features (length, gate-stopword "
+    "hits, mean token length via the shared floor-double tree, "
+    "sentence punctuation) combined with frozen literal weights, "
+    "bucketed equal-depth via the range-partition rank machinery — "
+    "the hand-weighted stand-in for a FineWeb-style classifier score, "
+    "riding the exact bucketing a learned score would use.",
+)
+def q_quality_ensemble_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.ensemble import quality_ensemble_deciles
+
+    return quality_ensemble_deciles(_tp(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_dedup_survivors",
+    quality_survivors_oracle_sql(),
+    doc="Quality-aware near-dup survivorship (operators/ensemble.py): "
+    "within each lede-fingerprint group (first 8 normalized tokens — "
+    "the syndication/template shape) the highest-ensemble-score "
+    "member survives (score desc, id asc); election above the exact "
+    "rung, where raw-text scores actually differ — the curation "
+    "counterpart of golden-record mode election. Survivor window "
+    "partitions by content hash only.",
+)
+def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.ensemble import quality_dedup_survivors
+
+    return quality_dedup_survivors(_tp(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_dedup_funnel",
+    source_funnel_oracle_sql(),
+    doc="Per-source dedup-ladder survival (operators/ensemble.py): raw "
+    "-> exact-text -> normalized-text survivor counts with corpus-wide "
+    "min-id survivorship, cross-source losses charged to the losing "
+    "source — the ablation row that identifies the copy-farm feed. One "
+    "groupBy per rung, left-joined so zero-survivor sources keep their "
+    "row.",
+)
+def q_source_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.ensemble import source_dedup_funnel
+
+    return source_dedup_funnel(_tp(spark, sf_dir, "documents"))

@@ -41,6 +41,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- Driver/executor heap: in local mode the driver JVM hosts
+        # every executor thread, so Spark's 1g default is the binding
+        # limit for the WHOLE engine — long multi-query runs (bench,
+        # scale ladder, oracle gate) accumulate broadcast/cache/codegen
+        # state and OOM at 1g (bit the r8 ladder on its 41st query).
+        # Only honored at JVM start; a cluster deploy sizes executors
+        # via spark-submit instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # --- Adaptive Query Execution: runtime re-planning --------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -71,6 +71,8 @@ SCALAR_CROSSJOIN_OK = {
     "important_parts": "1-row grand-total/part-count scalar for the Q11 share test",
     "domain_blocklist_stats": "1-row corpus total for the domain share",
     "key_skew_profile": "1-row total/max/n_keys scalar for the skew factor",
+    "quality_disparity": "1-row best-rate reference group (LIMIT 1 over the "
+    "bounded group dimension) for the four-fifths ratio",
     "mixture_allocation": "1-row weight-total and remaining-budget scalars "
     "over the metadata-scale domain table (water-fill handoffs)",
     "bigram_nll": "1-row model token+vocab total (T+V) scalar for the "

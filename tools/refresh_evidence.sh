@@ -27,7 +27,8 @@ echo "registered queries: ${REGISTERED}"
 
 echo "== oracle gate (${SF_DIR}) -> ${ORACLE_OUT}"
 python tools/check_oracle.py "${SF_DIR}" 2>&1 \
-  | grep -vE "WARN|INFO|^\[Stage|^ *$" | tr -d '\r' > "${ORACLE_OUT}" || {
+  | tr '\r' '\n' | sed 's/^[[:space:]]*//' \
+  | grep -vE "WARN|INFO|^\[Stage|^$" > "${ORACLE_OUT}" || {
     echo "ORACLE GATE FAILED — see ${ORACLE_OUT}"; exit 1; }
 ORACLE_PASS=$(grep -c "^PASS " "${ORACLE_OUT}" || true)
 echo "oracle PASS lines: ${ORACLE_PASS}"
