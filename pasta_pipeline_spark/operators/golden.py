@@ -45,8 +45,20 @@ def golden_part_records(
     edges = pairs.select(
         F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
     )
+    # Unlike text near-dup components (diameter 2-4, where the plain
+    # min-label fixpoint converges in a few rounds), tolerance-scored
+    # linkage graphs CHAIN — a is within price-tolerance of b, b of c,
+    # … — so component diameter grows with block size and the default
+    # fixpoint needs O(diameter) rounds whose accumulated plan lineage
+    # OOMs the driver (bit the r8 scale ladder at sf0.1). Pointer
+    # jumping makes rounds O(log diameter) and the periodic
+    # localCheckpoint truncates lineage growth.
     clusters = duplicate_clusters(
-        parts.select(F.col("p_partkey")), edges, id_col="p_partkey"
+        parts.select(F.col("p_partkey")),
+        edges,
+        id_col="p_partkey",
+        doubling=True,
+        checkpoint_every=2,
     ).select("p_partkey", "cluster_id")
 
     members = clusters.join(parts, "p_partkey")
