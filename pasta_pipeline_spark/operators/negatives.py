@@ -8,7 +8,8 @@ Two verbs for building contrastive / metric-learning datasets:
   easy; the hardest same-region different-label points carry the
   gradient). Candidates are gated by shared sign-LSH band buckets
   (similarity.with_lsh_bands, the bitext/semantic-dedup scaling
-  pattern — recall grows with bands, never a cartesian), only
+  pattern — never a cartesian; a bigger corpus re-calibrates
+  planes+bands per the with_lsh_bands growth recipe), only
   candidates pay the exact cosine, and the per-anchor top-k is a
   bounded anchor-partitioned window.
 

@@ -1860,8 +1860,8 @@ def bitext_margin_pairs(
 
     Scale: both sides shuffle once on (band, bucket); per-side top-k
     runs as bounded window frames over candidate lists. Growing the
-    corpus adds bands (recall up, candidates bounded per band) — the
-    with_lsh_bands scaling law. Determinism: cosine is floored to an
+    corpus re-calibrates planes+bands per the with_lsh_bands growth
+    recipe (planes hold bucket occupancy, bands hold recall). Determinism: cosine is floored to an
     int ``cos_sc``; avgk sums ints; the only doubles —
     ``(sa/ka + sb/kb)/2`` and ``cos_sc/denom*1e6`` — are fixed
     expression trees, so margins hash-match the replayed DuckDB twin.
