@@ -68,3 +68,80 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def packing_waste_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_len: int = 512,
+) -> DataFrame:
+    """Context-window padding-waste accounting (r8): if each document
+    is split into ceil(n_tok / target) fixed-length training sequences
+    (the no-packing baseline), how many pad tokens does each source
+    cost? The number that justifies sequence packing — compare with
+    ``greedy_pack``'s efficiency to quantify the win.
+
+    Pure integer arithmetic: chunks = (n_tok + target - 1) div target,
+    pad = chunks·target − n_tok; zero-token docs are excluded (fail
+    closed). One expression scan + one groupBy(source).
+
+    Returns per source: n_docs, n_tokens, n_chunks, pad_tokens,
+    waste_share_sc (pad / (chunks·target), floored 1e-6).
+    """
+    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    per_doc = df.select(
+        F.col(source_col).alias("source"), n_tok.alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    per_doc = per_doc.withColumn(
+        "n_chunks", F.expr(f"(n_tok + {target_len} - 1) div {target_len}")
+    ).withColumn("pad", F.col("n_chunks") * target_len - F.col("n_tok"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("pad").alias("pad_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chunks",
+            "pad_tokens",
+            F.floor(
+                F.col("pad_tokens").cast("double")
+                / (F.col("n_chunks") * target_len).cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("waste_share_sc"),
+        )
+        .orderBy("source")
+    )
+
+
+def packing_waste_oracle_sql(table: str = "documents", target_len: int = 512) -> str:
+    """DuckDB twin of :func:`packing_waste_report`."""
+    return f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  y -> y <> '')) AS BIGINT) AS n_tok
+      FROM {table}
+    ), d AS (
+      SELECT source, n_tok,
+             (n_tok + {target_len} - 1) // {target_len} AS n_chunks
+      FROM per_doc WHERE n_tok > 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunks * {target_len} - n_tok) AS BIGINT) AS pad_tokens,
+           CAST(FLOOR(CAST(SUM(n_chunks * {target_len} - n_tok) AS DOUBLE)
+             / CAST(SUM(n_chunks) * {target_len} AS DOUBLE) * 1000000) AS BIGINT)
+             AS waste_share_sc
+    FROM d GROUP BY source ORDER BY source
+    """

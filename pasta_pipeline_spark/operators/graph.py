@@ -154,3 +154,86 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def transitivity_report(edges: DataFrame) -> DataFrame:
+    """Global transitivity (clustering coefficient) of an undirected
+    graph (r8): ``3·triangles / wedges`` where wedges = Σ_v deg(v)
+    choose 2. Applied to a near-dup pair graph this audits the dedup
+    THRESHOLD itself — high transitivity means "a~b and b~c usually
+    implies a~c" (clean clusters, threshold consistent); low
+    transitivity means chain-shaped components that transitive cluster
+    closure will over-merge.
+
+    Input: (doc_a, doc_b) with doc_a < doc_b, one row per edge.
+    Returns one row: n_nodes, n_edges, wedges, n_triangles,
+    transitivity_sc (floored 1e-6; NULL when the graph has no wedge).
+
+    Scale: degree rollup + one int64 sum for wedges; triangles via
+    :func:`triangle_count` (oriented wedge equi-joins); the final
+    combine is a 1-row broadcast scalar handoff.
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    # the edge set feeds three consumers (degrees, edge count, the
+    # triangle join) — persist the (possibly expensive) upstream pair
+    # generation once; the caller releases via release_cached_deps
+    e = (
+        edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+        .distinct()
+        .persist()
+    )
+    both = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = both.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = triangle_count(e.select(F.col("x").alias("src"), F.col("y").alias("dst")))
+    joined = summary.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+    trans = F.when(
+        F.col("wedges") > 0,
+        F.col("n_triangles").cast("double") * 3.0
+        / F.col("wedges").cast("double"),
+    )
+    out = joined.select(
+        "n_nodes",
+        "n_edges",
+        "wedges",
+        "n_triangles",
+        F.floor(trans * 1000000).cast("long").alias("transitivity_sc"),
+    )
+    return attach_cached_deps(out, [e])
+
+
+def transitivity_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`transitivity_report`. ``pairs_sql`` must
+    yield (doc_a, doc_b) with doc_a < doc_b."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    eu AS (SELECT DISTINCT doc_a AS x, doc_b AS y FROM pairs),
+    both_dir AS (
+      SELECT x, y FROM eu UNION ALL SELECT y AS x, x AS y FROM eu
+    ),
+    deg AS (SELECT x, COUNT(*) AS d FROM both_dir GROUP BY x),
+    s AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS wedges
+      FROM deg
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM eu),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM eu ab
+      JOIN eu ac ON ab.x = ac.x AND ab.y < ac.y
+      JOIN eu bc ON bc.x = ab.y AND bc.y = ac.y
+    )
+    SELECT s.n_nodes, ne.n_edges, s.wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN s.wedges > 0 THEN CAST(FLOOR(
+             CAST(tri.n_triangles AS DOUBLE) * 3.0
+             / CAST(s.wedges AS DOUBLE) * 1000000) AS BIGINT) END
+             AS transitivity_sc
+    FROM s CROSS JOIN ne CROSS JOIN tri
+    """

@@ -12593,3 +12593,52 @@ def q_source_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.ensemble import source_dedup_funnel
 
     return source_dedup_funnel(_tp(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 14 (r8): packing-waste accounting, dup-graph transitivity audit
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.chunking import (  # noqa: E402
+    packing_waste_oracle_sql,
+)
+from pasta_pipeline_spark.operators.graph import (  # noqa: E402
+    transitivity_oracle_sql,
+)
+
+
+@register(
+    "packing_waste",
+    packing_waste_oracle_sql(),
+    doc="Context-window padding-waste accounting (operators/chunking.py): "
+    "per source, pad tokens of the no-packing ceil(n_tok/512) baseline "
+    "and the waste share — the number that justifies sequence packing "
+    "(compare greedy_pack's efficiency). Pure integer arithmetic, one "
+    "scan + one groupBy.",
+)
+def q_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.chunking import packing_waste_report
+
+    return packing_waste_report(_tp(spark, sf_dir, "documents"))
+
+
+@register(
+    "dup_graph_transitivity",
+    transitivity_oracle_sql(_JACCARD_ORACLE),
+    doc="Dedup-threshold consistency audit (operators/graph.py): global "
+    "transitivity 3*triangles/wedges of the exact 3-gram Jaccard>=0.5 "
+    "near-dup graph. High = clean clusters (a~b, b~c implies a~c); low "
+    "= chain components that transitive closure will over-merge. "
+    "Triangles ride the degree-oriented wedge join (hub fan-out "
+    "bounded O(sqrt(E))); final combine is two 1-row broadcast "
+    "handoffs.",
+)
+def q_dup_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.graph import transitivity_report
+    from pasta_pipeline_spark.operators.text_dedup import jaccard_pairs
+
+    docs = _tp(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return transitivity_report(pairs)

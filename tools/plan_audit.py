@@ -73,6 +73,8 @@ SCALAR_CROSSJOIN_OK = {
     "key_skew_profile": "1-row total/max/n_keys scalar for the skew factor",
     "quality_disparity": "1-row best-rate reference group (LIMIT 1 over the "
     "bounded group dimension) for the four-fifths ratio",
+    "dup_graph_transitivity": "two 1-row scalar handoffs (edge count + "
+    "triangle count) combined with the 1-row degree summary",
     "mixture_allocation": "1-row weight-total and remaining-budget scalars "
     "over the metadata-scale domain table (water-fill handoffs)",
     "bigram_nll": "1-row model token+vocab total (T+V) scalar for the "
