@@ -1,0 +1,238 @@
+"""In-plan model training — distributed gradient descent as unrolled
+DataFrame aggregates.
+
+Trains a quasi-logistic classifier (softsign link) entirely inside
+the query plan: each gradient step is ONE full-scan aggregate whose
+1-row result is broadcast back for the next step — the classic
+full-batch GD data flow (compute is where the data is; only the
+d+1-scalar gradient crosses the network). The same shape as the
+in-plan PCA power iteration in ``operators/similarity.py``, without
+the Python stage: everything here is native Column expressions.
+
+Why softsign instead of exp-sigmoid: the whole engine's oracle
+discipline bans libm transcendentals (exp/log differ in the last ulp
+across runtimes — see trending_decay / weekly_seasonality), so the
+link is the rational squash s(z) = 1/2 + z / (2·(1+|z|)) evaluated in
+int64 fixed point. It is a proper sigmoid (monotone, s(0)=1/2,
+saturating), its GD behaves like logistic regression with a bounded
+surrogate gradient, and every step is bit-identical across engines,
+partitionings, and reruns — the training run itself is
+oracle-checkable, which exp-logistic can never be.
+
+Determinism/overflow contract: features are fixed-point int64 at
+scale 1e4 (normalized to [0, 1e4]), weights at scale 1e6, residuals
+in [-1e6, 1e6]; per-row gradient terms are <= 1e10 and accumulate in
+decimal(38,0) (NOTES #40), so the math holds to ~1e27 rows. Integer
+division is truncate-toward-zero in BOTH Spark ``div`` and DuckDB
+``//`` (verified on negatives), so signed updates agree exactly.
+
+Scale shape: ``steps`` sequential full scans (unavoidable for
+full-batch GD) + one accuracy scan per emitted step; all joins are
+1-row broadcast scalar handoffs (the audited crossJoin pattern).
+Lineage grows with steps; keep ``steps`` small (<= 8) or checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: feature fixed-point scale (values normalized into [0, FEAT_SCALE])
+FEAT_SCALE = 10_000
+#: weight / probability fixed-point scale
+W_SCALE = 1_000_000
+
+
+def _z_fp() -> Column:
+    """Linear score at weight scale: (w·x) div FEAT_SCALE, over the
+    joined (features × broadcast weights) frame."""
+    return F.expr(
+        f"(__w0 * x0 + __w1 * x1 + __w2 * x2) div {FEAT_SCALE}"
+    )
+
+
+_SOFTSIGN = (
+    f"{W_SCALE // 2} + (__z * {W_SCALE // 2}) div ({W_SCALE} + abs(__z))"
+)
+
+
+def logistic_gd_report(
+    feats: DataFrame,
+    steps: int = 3,
+    lr_num: int = 4,
+    lr_den: int = 1,
+) -> DataFrame:
+    """Full-batch GD on ``feats(x0, x1, x2, y)`` (x_j int64 in
+    [0, FEAT_SCALE], x0 the constant-FEAT_SCALE bias channel, y in
+    {0,1}). Returns one row per step 0..steps: (step, w0_fp, w1_fp,
+    w2_fp, acc_sc) — the weight trajectory and the training accuracy
+    of THOSE weights, i.e. the learning curve a training run logs.
+
+    Update rule (all int64/decimal ops): r = y·W_SCALE − s(z);
+    w_j += (lr_num · Σ r·x_j) div (n · FEAT_SCALE · lr_den).
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    spark = feats.sparkSession
+
+    def with_w(wdf: DataFrame) -> DataFrame:
+        j = feats.crossJoin(F.broadcast(wdf))
+        j = j.withColumn("__z", _z_fp())
+        return j.withColumn("__s", F.expr(_SOFTSIGN))
+
+    def acc_row(wdf: DataFrame, step: int) -> DataFrame:
+        scored = with_w(wdf)
+        correct = (
+            (F.col("__s") >= W_SCALE // 2) == (F.col("y") == 1)
+        ).cast("long")
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(correct).alias("__ok"),
+        )
+        return agg.crossJoin(F.broadcast(wdf)).select(
+            F.lit(step).cast("long").alias("step"),
+            "__w0",
+            "__w1",
+            "__w2",
+            F.floor(
+                F.col("__ok").cast("double")
+                / F.col("__n").cast("double")
+                * W_SCALE
+            )
+            .cast("long")
+            .alias("acc_sc"),
+        )
+
+    wdf = spark.range(1).select(
+        F.lit(0).cast("long").alias("__w0"),
+        F.lit(0).cast("long").alias("__w1"),
+        F.lit(0).cast("long").alias("__w2"),
+    )
+    out = acc_row(wdf, 0)
+    for k in range(1, steps + 1):
+        scored = with_w(wdf).withColumn(
+            "__r", F.lit(W_SCALE) * F.col("y") - F.col("__s")
+        )
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum((F.col("__r") * F.col("x0")).cast("decimal(38,0)")).alias("__g0"),
+            F.sum((F.col("__r") * F.col("x1")).cast("decimal(38,0)")).alias("__g1"),
+            F.sum((F.col("__r") * F.col("x2")).cast("decimal(38,0)")).alias("__g2"),
+        )
+        upd = agg.crossJoin(F.broadcast(wdf))
+        wdf = upd.select(
+            *[
+                F.expr(
+                    f"CAST(__w{j} + ({lr_num} * __g{j})"
+                    f" div (__n * {FEAT_SCALE} * {lr_den}) AS BIGINT)"
+                ).alias(f"__w{j}")
+                for j in range(3)
+            ]
+        )
+        out = out.unionByName(acc_row(wdf, k))
+    return out.select(
+        "step",
+        F.col("__w0").alias("w0_fp"),
+        F.col("__w1").alias("w1_fp"),
+        F.col("__w2").alias("w2_fp"),
+        "acc_sc",
+    ).orderBy("step")
+
+
+def doc_quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    pos_lang: str = "en",
+) -> DataFrame:
+    """Feature frame for :func:`logistic_gd_report` from the documents
+    table: x1 = whitespace-token count capped at 512, x2 = average
+    chars-per-token capped at 20, both normalized to [0, FEAT_SCALE];
+    label y = (lang == pos_lang). Zero-token docs are excluded (fail
+    closed). Pure expressions — one projection scan."""
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+
+    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    base = df.select(
+        n_tok.alias("__nt"),
+        F.length(F.col(text_col)).cast("long").alias("__ch"),
+        (F.col(lang_col) == pos_lang).cast("long").alias("y"),
+    ).where(F.col("__nt") > 0)
+    return base.select(
+        F.lit(FEAT_SCALE).cast("long").alias("x0"),
+        F.expr(f"(least(__nt, 512) * {FEAT_SCALE}) div 512").alias("x1"),
+        F.expr(
+            f"(least(__ch div __nt, 20) * {FEAT_SCALE}) div 20"
+        ).alias("x2"),
+        "y",
+    )
+
+
+def logistic_gd_oracle_sql(
+    table: str = "documents",
+    pos_lang: str = "en",
+    steps: int = 3,
+    lr_num: int = 4,
+    lr_den: int = 1,
+) -> str:
+    """DuckDB twin of doc_quality_features + logistic_gd_report:
+    the same unrolled GD as chained CTEs (HUGEINT accumulate, ``//``
+    truncating division — matches Spark's decimal sum + ``div``)."""
+    fs, ws = FEAT_SCALE, W_SCALE
+    half = ws // 2
+    sql = [
+        f"""
+    WITH feats AS (
+      SELECT CAST({fs} AS BIGINT) AS x0,
+             (LEAST(n_tok, 512) * {fs}) // 512 AS x1,
+             (LEAST(chars // n_tok, 20) * {fs}) // 20 AS x2,
+             CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT CAST(len(list_filter(regexp_split_to_array(lower(text),
+                 '\\s+'), z -> z <> '')) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS chars, lang
+        FROM {table}
+      ) WHERE n_tok > 0
+    ), w0 AS (
+      SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+             CAST(0 AS BIGINT) AS w2
+    )"""
+    ]
+    for k in range(1, steps + 1):
+        prev = f"w{k - 1}"
+        sql.append(
+            f""", s{k} AS (
+      SELECT COUNT(*) AS n,
+             SUM(r * x0) AS g0, SUM(r * x1) AS g1, SUM(r * x2) AS g2
+      FROM (
+        SELECT x0, x1, x2,
+               y * {ws} - ({half} + (z * {half}) // ({ws} + abs(z))) AS r
+        FROM (
+          SELECT f.*, (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // {fs} AS z
+          FROM feats f CROSS JOIN {prev} w
+        )
+      )
+    ), w{k} AS (
+      SELECT CAST(w.w0 + ({lr_num} * s.g0) // (s.n * {fs} * {lr_den}) AS BIGINT) AS w0,
+             CAST(w.w1 + ({lr_num} * s.g1) // (s.n * {fs} * {lr_den}) AS BIGINT) AS w1,
+             CAST(w.w2 + ({lr_num} * s.g2) // (s.n * {fs} * {lr_den}) AS BIGINT) AS w2
+      FROM s{k} s CROSS JOIN {prev} w
+    )"""
+        )
+    accs = []
+    for k in range(0, steps + 1):
+        accs.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS step, w.w0 AS w0_fp, w.w1 AS w1_fp,
+           w.w2 AS w2_fp,
+           CAST(FLOOR(CAST(SUM(CASE WHEN
+             (({half} + (((w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // {fs})
+               * {half}) // ({ws} + abs((w.w0 * f.x0 + w.w1 * f.x1
+               + w.w2 * f.x2) // {fs}))) >= {half}) = (f.y = 1)
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * {ws}) AS BIGINT) AS acc_sc
+    FROM feats f CROSS JOIN w{k} w GROUP BY w.w0, w.w1, w.w2"""
+        )
+    sql.append("\n    UNION ALL".join(accs))
+    sql.append("\n    ORDER BY step")
+    return "".join(sql)

@@ -1054,3 +1054,89 @@ def stopword_discovery_oracle_sql(
            df_ratio_sc >= {stop_ratio_sc} AS is_stopword
     FROM scored ORDER BY df DESC, token ASC LIMIT {top_k}
     """
+
+
+def term_burstiness(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 40,
+):
+    """Per-term burstiness (variance-to-mean index of dispersion,
+    zeros included) for the ``top_k`` terms by collection frequency —
+    the corpus-linguistics screen that separates bursty CONTENT words
+    (D >> 1: when a doc mentions the term it mentions it repeatedly)
+    from uniformly-sprinkled FUNCTION words (D ~ 1, Poisson-like).
+    Feeds stoplist curation and topical-template detection alongside
+    ``stopword_discovery_report`` (df-based) — a term with high df AND
+    high D is a template artifact, not a function word.
+
+    Exactness: with N docs, S1 = sum of per-doc counts, S2 = sum of
+    their squares (zero-count docs contribute 0 to both, so only
+    nonzero rows are scanned — no zero-fill join), the population
+    dispersion is D = (N*S2 - S1^2) / (N*S1). S1/df are int64, S2
+    accumulates in decimal(38,0) (NOTES #40), and D/mean are single
+    floored double divisions over those exact sums.
+
+    Scale shape: explode -> groupBy(doc, term) -> groupBy(term), a
+    TakeOrdered top-k (no global-sort shuffle), and one 1-row
+    broadcast N handoff (the audited crossJoin pattern).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokenize_ws(F.col(text_col))).alias("term"),
+    )
+    per_doc = toks.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.sum("c").alias("cf"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    topk = per_term.orderBy(F.desc("cf"), F.asc("term")).limit(top_k)
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = topk.crossJoin(F.broadcast(n))
+    n_d = F.col("n_docs").cast("double")
+    s1_d = F.col("cf").cast("double")
+    s2_d = F.col("s2").cast("double")
+    return joined.select(
+        "term",
+        F.col("cf").cast("long").alias("cf"),
+        F.col("df").cast("long").alias("df"),
+        F.floor(s1_d / n_d * 1000000).cast("long").alias("mean_sc"),
+        F.floor(
+            (n_d * s2_d - s1_d * s1_d) / (n_d * s1_d) * 1000000
+        )
+        .cast("long")
+        .alias("dispersion_sc"),
+    ).orderBy(F.desc("cf"), F.asc("term"))
+
+
+def term_burstiness_oracle_sql(table: str = "documents", top_k: int = 40) -> str:
+    """DuckDB twin of :func:`term_burstiness`."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                y -> y <> '')) AS term
+      FROM {table}
+    ), per_doc AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+    ), per_term AS (
+      SELECT term, CAST(SUM(c) AS BIGINT) AS cf, SUM(c * c) AS s2,
+             COUNT(*) AS df
+      FROM per_doc GROUP BY term
+    ), topk AS (
+      SELECT * FROM per_term ORDER BY cf DESC, term ASC LIMIT {top_k}
+    ), n AS (SELECT COUNT(*) AS n_docs FROM {table})
+    SELECT term, cf, CAST(df AS BIGINT) AS df,
+      CAST(FLOOR(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000)
+        AS BIGINT) AS mean_sc,
+      CAST(FLOOR(
+        (CAST(n_docs AS DOUBLE) * CAST(s2 AS DOUBLE)
+         - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE))
+        / (CAST(n_docs AS DOUBLE) * CAST(cf AS DOUBLE)) * 1000000)
+        AS BIGINT) AS dispersion_sc
+    FROM topk CROSS JOIN n ORDER BY cf DESC, term ASC
+    """

@@ -12642,3 +12642,82 @@ def q_dup_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return transitivity_report(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Wave 15 (r8): l-diversity, randomized response, term burstiness
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.governance import (  # noqa: E402
+    l_diversity_oracle_sql,
+    randomized_response_oracle_sql,
+)
+from pasta_pipeline_spark.operators.text_analysis import (  # noqa: E402
+    term_burstiness_oracle_sql,
+)
+
+
+@register(
+    "l_diversity_audit",
+    l_diversity_oracle_sql(
+        "customer",
+        ["c_nationkey", "c_mktsegment"],
+        "FLOOR(c_acctbal / 1000)",
+        l=3,
+    ),
+    doc="l-diversity homogeneity-attack audit (operators/governance.py, "
+    "Machanavajjhala 2007) over the same (nation, segment) "
+    "quasi-identifiers as k_anonymity_audit, sensitive attribute = "
+    "account-balance thousand band: per-class distinct-sensitive "
+    "histogram with the at-risk (l < 3) disclosure mass — the screen "
+    "k-anonymity misses when a big class is value-homogeneous. One "
+    "groupBy + bounded distinct-level frame.",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.governance import l_diversity_report
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__sens", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "__sens", l=3
+    )
+
+
+@register(
+    "randomized_response_counts",
+    randomized_response_oracle_sql("events", "event_id", "event_type"),
+    doc="Warner randomized-response mechanism + debias audit "
+    "(operators/governance.py, Warner 1965 direct-encoding k-ary): "
+    "each event reports its true type w.p. 3/4 else an md5-uniform "
+    "other type; per-type noisy counts and the unbiased estimate "
+    "n_hat = (c*den*(k-1) - (den-num)*n)/(num*(k-1) - (den-num)) with "
+    "abs error vs truth — the local-DP utility curve, fully "
+    "deterministic (noise is md5-derived) hence oracle-checkable. One "
+    "broadcast spine join + one groupBy at any scale.",
+)
+def q_randomized_response_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.governance import (
+        randomized_response_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return randomized_response_counts(ev, "event_id", "event_type")
+
+
+@register(
+    "term_burstiness",
+    term_burstiness_oracle_sql(),
+    doc="Term burstiness / index of dispersion, zeros included "
+    "(operators/text_analysis.py): variance-to-mean ratio of per-doc "
+    "counts for the top-40 terms by collection frequency — separates "
+    "bursty content words (D >> 1) from Poisson-like function words "
+    "(D ~ 1); high-df high-D terms are template artifacts. int64 "
+    "counts, decimal(38,0) sum-of-squares, TakeOrdered top-k, 1-row "
+    "broadcast N handoff.",
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import term_burstiness
+
+    docs = _tp(spark, sf_dir, "documents")
+    return term_burstiness(docs, "doc_id", "text", top_k=40)

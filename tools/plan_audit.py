@@ -122,6 +122,8 @@ SCALAR_CROSSJOIN_OK = {
     "nearest_centroid_confusion": "<=|labels|-row centroid-sum frame "
     "broadcast-scored against every vector — label-count metadata "
     "scale (the label_centroid_similarity precedent)",
+    "term_burstiness": "1-row corpus-N broadcast for the zeros-included "
+    "dispersion denominator (the tfidf_top_terms shape)",
 }
 
 
