@@ -2,34 +2,39 @@
 DataFrame aggregates.
 
 Trains a quasi-logistic classifier (softsign link) entirely inside
-the query plan: each gradient step is ONE full-scan aggregate whose
-1-row result is broadcast back for the next step — the classic
-full-batch GD data flow (compute is where the data is; only the
-d+1-scalar gradient crosses the network). The same shape as the
-in-plan PCA power iteration in ``operators/similarity.py``, without
-the Python stage: everything here is native Column expressions.
+the query plan: one moments pass standardizes the features, then each
+gradient step is ONE full-scan aggregate whose 1-row result is
+broadcast back for the next step — the classic full-batch GD data
+flow (compute is where the data is; only the d+1-scalar gradient
+crosses the network). The same shape as the in-plan PCA power
+iteration in ``operators/similarity.py``, without the Python stage:
+everything here is native Column expressions.
 
-Why softsign instead of exp-sigmoid: the whole engine's oracle
-discipline bans libm transcendentals (exp/log differ in the last ulp
-across runtimes — see trending_decay / weekly_seasonality), so the
-link is the rational squash s(z) = 1/2 + z / (2·(1+|z|)) evaluated in
-int64 fixed point. It is a proper sigmoid (monotone, s(0)=1/2,
-saturating), its GD behaves like logistic regression with a bounded
-surrogate gradient, and every step is bit-identical across engines,
+Why softsign instead of exp-sigmoid: the engine's oracle discipline
+bans libm transcendentals (exp/log differ in the last ulp across
+runtimes — see trending_decay / weekly_seasonality), so the link is
+the rational squash s(z) = 1/2 + z / (2·(1+|z|)) evaluated in int64
+fixed point. It is a proper sigmoid (monotone, s(0)=1/2, saturating),
+its GD behaves like logistic regression with a bounded surrogate
+gradient, and every step is bit-identical across engines,
 partitionings, and reruns — the training run itself is
-oracle-checkable, which exp-logistic can never be.
+oracle-checkable, which exp-logistic can never be. ``sqrt`` in the
+standardizer is fine: IEEE 754 requires correct rounding for sqrt
+(unlike exp/log), so Spark and DuckDB agree bit-for-bit.
 
-Determinism/overflow contract: features are fixed-point int64 at
-scale 1e4 (normalized to [0, 1e4]), weights at scale 1e6, residuals
-in [-1e6, 1e6]; per-row gradient terms are <= 1e10 and accumulate in
-decimal(38,0) (NOTES #40), so the math holds to ~1e27 rows. Integer
-division is truncate-toward-zero in BOTH Spark ``div`` and DuckDB
-``//`` (verified on negatives), so signed updates agree exactly.
+Determinism/overflow contract: standardized features are fixed-point
+int64 at scale FEAT_SCALE (=1e3, i.e. milli-sigmas) clipped to
+±CLIP_SIGMA_FP; weights and probabilities at scale 1e6; residuals in
+[-1e6, 1e6]; per-row gradient terms are <= 4e9 and accumulate in
+decimal(38,0) (NOTES #40). Integer division is truncate-toward-zero
+in BOTH Spark ``div`` and DuckDB ``//`` (verified on negatives), so
+signed updates agree exactly.
 
-Scale shape: ``steps`` sequential full scans (unavoidable for
-full-batch GD) + one accuracy scan per emitted step; all joins are
-1-row broadcast scalar handoffs (the audited crossJoin pattern).
-Lineage grows with steps; keep ``steps`` small (<= 8) or checkpoint.
+Scale shape: 1 moments scan + ``steps`` sequential full scans
+(unavoidable for full-batch GD) + one accuracy scan per emitted step;
+all joins are 1-row broadcast scalar handoffs (the audited crossJoin
+pattern). Lineage grows with steps; keep ``steps`` small (<= 8) or
+checkpoint between steps.
 """
 
 from __future__ import annotations
@@ -37,18 +42,90 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: feature fixed-point scale (values normalized into [0, FEAT_SCALE])
-FEAT_SCALE = 10_000
+#: standardized-feature fixed-point scale: 1000 = one sigma
+FEAT_SCALE = 1_000
+#: clip standardized features to ±4 sigma (fixed-point)
+CLIP_SIGMA_FP = 4_000
 #: weight / probability fixed-point scale
 W_SCALE = 1_000_000
+
+
+def doc_gate_features(
+    df: DataFrame,
+    text_col: str = "text",
+    gate_chars: int = 300,
+) -> DataFrame:
+    """Raw integer feature frame from the documents table: f1 =
+    whitespace-token count, f2 = avg chars-per-token (integer div);
+    label y = (char length >= gate_chars) — the cheap-classifier
+    distillation setup (train a 2-feature model to imitate a gate,
+    fastText-quality-classifier style). Zero-token docs excluded
+    (fail closed). Pure expressions, one projection scan."""
+    from pasta_pipeline_spark.functions.text import tokenize_ws
+
+    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    return (
+        df.select(
+            n_tok.alias("f1"),
+            F.length(F.col(text_col)).cast("long").alias("__ch"),
+        )
+        .where(F.col("f1") > 0)
+        .select(
+            "f1",
+            F.expr("__ch div f1").alias("f2"),
+            (F.col("__ch") >= gate_chars).cast("long").alias("y"),
+        )
+    )
+
+
+def standardize_features(
+    feats: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Z-score each int64 column into clipped fixed-point milli-sigmas
+    plus a constant bias channel: one moments scan (int64/decimal
+    sums), one 1-row broadcast handoff, then per-row
+    ``clip(floor((x - mean)/std * FEAT_SCALE))``. Deterministic: the
+    mean/std doubles come from exact integer sums through a pinned
+    expression tree, and IEEE sqrt is correctly rounded everywhere.
+
+    Returns (x0 = FEAT_SCALE bias, x1..xd standardized, y)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s1_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(
+                f"__s2_{c}"
+            )
+        )
+    moments = feats.agg(*aggs)
+    j = feats.crossJoin(F.broadcast(moments))
+    out_cols = [F.lit(FEAT_SCALE).cast("long").alias("x0")]
+    for i, c in enumerate(cols, start=1):
+        n_d = F.col("__n").cast("double")
+        m = F.col(f"__s1_{c}").cast("double") / n_d
+        var = F.col(f"__s2_{c}").cast("double") / n_d - m * m
+        std = F.sqrt(var)
+        z = F.floor(
+            (F.col(c).cast("double") - m) / std * FEAT_SCALE
+        ).cast("long")
+        clipped = (
+            # a zero-variance column carries no signal: standardize to
+            # 0 instead of dividing by std = 0 (ANSI-safe, both engines)
+            F.when(var <= 0.0, F.lit(0))
+            .when(z > CLIP_SIGMA_FP, F.lit(CLIP_SIGMA_FP))
+            .when(z < -CLIP_SIGMA_FP, F.lit(-CLIP_SIGMA_FP))
+            .otherwise(z)
+            .cast("long")
+        )
+        out_cols.append(clipped.alias(f"x{i}"))
+    out_cols.append(F.col("y"))
+    return j.select(*out_cols)
 
 
 def _z_fp() -> Column:
     """Linear score at weight scale: (w·x) div FEAT_SCALE, over the
     joined (features × broadcast weights) frame."""
-    return F.expr(
-        f"(__w0 * x0 + __w1 * x1 + __w2 * x2) div {FEAT_SCALE}"
-    )
+    return F.expr(f"(__w0 * x0 + __w1 * x1 + __w2 * x2) div {FEAT_SCALE}")
 
 
 _SOFTSIGN = (
@@ -58,12 +135,12 @@ _SOFTSIGN = (
 
 def logistic_gd_report(
     feats: DataFrame,
-    steps: int = 3,
-    lr_num: int = 4,
+    steps: int = 5,
+    lr_num: int = 2,
     lr_den: int = 1,
 ) -> DataFrame:
-    """Full-batch GD on ``feats(x0, x1, x2, y)`` (x_j int64 in
-    [0, FEAT_SCALE], x0 the constant-FEAT_SCALE bias channel, y in
+    """Full-batch GD on ``feats(x0, x1, x2, y)`` (x_j int64 fixed
+    point at FEAT_SCALE, x0 the constant-FEAT_SCALE bias channel, y in
     {0,1}). Returns one row per step 0..steps: (step, w0_fp, w1_fp,
     w2_fp, acc_sc) — the weight trajectory and the training accuracy
     of THOSE weights, i.e. the learning curve a training run logs.
@@ -73,7 +150,14 @@ def logistic_gd_report(
     """
     if steps < 1:
         raise ValueError("steps must be >= 1")
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
     spark = feats.sparkSession
+    # the feature frame is scanned 2*steps+1 times (gradient + accuracy
+    # passes); persist it once so the standardization lineage (moments
+    # scan included) is not replayed per step — the caller releases via
+    # release_cached_deps (house pattern, see operators/graph.py)
+    feats = feats.persist()
 
     def with_w(wdf: DataFrame) -> DataFrame:
         j = feats.crossJoin(F.broadcast(wdf))
@@ -130,69 +214,71 @@ def logistic_gd_report(
             ]
         )
         out = out.unionByName(acc_row(wdf, k))
-    return out.select(
+    result = out.select(
         "step",
         F.col("__w0").alias("w0_fp"),
         F.col("__w1").alias("w1_fp"),
         F.col("__w2").alias("w2_fp"),
         "acc_sc",
     ).orderBy("step")
-
-
-def doc_quality_features(
-    df: DataFrame,
-    text_col: str = "text",
-    lang_col: str = "lang",
-    pos_lang: str = "en",
-) -> DataFrame:
-    """Feature frame for :func:`logistic_gd_report` from the documents
-    table: x1 = whitespace-token count capped at 512, x2 = average
-    chars-per-token capped at 20, both normalized to [0, FEAT_SCALE];
-    label y = (lang == pos_lang). Zero-token docs are excluded (fail
-    closed). Pure expressions — one projection scan."""
-    from pasta_pipeline_spark.functions.text import tokenize_ws
-
-    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
-    base = df.select(
-        n_tok.alias("__nt"),
-        F.length(F.col(text_col)).cast("long").alias("__ch"),
-        (F.col(lang_col) == pos_lang).cast("long").alias("y"),
-    ).where(F.col("__nt") > 0)
-    return base.select(
-        F.lit(FEAT_SCALE).cast("long").alias("x0"),
-        F.expr(f"(least(__nt, 512) * {FEAT_SCALE}) div 512").alias("x1"),
-        F.expr(
-            f"(least(__ch div __nt, 20) * {FEAT_SCALE}) div 20"
-        ).alias("x2"),
-        "y",
-    )
+    return attach_cached_deps(result, [feats])
 
 
 def logistic_gd_oracle_sql(
     table: str = "documents",
-    pos_lang: str = "en",
-    steps: int = 3,
-    lr_num: int = 4,
+    gate_chars: int = 300,
+    steps: int = 5,
+    lr_num: int = 2,
     lr_den: int = 1,
 ) -> str:
-    """DuckDB twin of doc_quality_features + logistic_gd_report:
-    the same unrolled GD as chained CTEs (HUGEINT accumulate, ``//``
-    truncating division — matches Spark's decimal sum + ``div``)."""
-    fs, ws = FEAT_SCALE, W_SCALE
+    """DuckDB twin of doc_gate_features + standardize_features +
+    logistic_gd_report: the same unrolled GD as chained CTEs (HUGEINT
+    accumulate, ``//`` truncating division — matches Spark's decimal
+    sum + ``div``; identical double trees for the moments)."""
+    fs, ws, clip = FEAT_SCALE, W_SCALE, CLIP_SIGMA_FP
     half = ws // 2
     sql = [
         f"""
-    WITH feats AS (
-      SELECT CAST({fs} AS BIGINT) AS x0,
-             (LEAST(n_tok, 512) * {fs}) // 512 AS x1,
-             (LEAST(chars // n_tok, 20) * {fs}) // 20 AS x2,
-             CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS y
+    WITH raw AS (
+      SELECT f1, chars // f1 AS f2,
+             CASE WHEN chars >= {gate_chars} THEN 1 ELSE 0 END AS y
       FROM (
         SELECT CAST(len(list_filter(regexp_split_to_array(lower(text),
-                 '\\s+'), z -> z <> '')) AS BIGINT) AS n_tok,
-               CAST(length(text) AS BIGINT) AS chars, lang
+                 '\\s+'), z -> z <> '')) AS BIGINT) AS f1,
+               CAST(length(text) AS BIGINT) AS chars
         FROM {table}
-      ) WHERE n_tok > 0
+      ) WHERE f1 > 0
+    ), moments AS (
+      SELECT COUNT(*) AS n,
+             SUM(f1) AS s1_f1, SUM(f1 * f1) AS s2_f1,
+             SUM(f2) AS s1_f2, SUM(f2 * f2) AS s2_f2
+      FROM raw
+    ), feats AS (
+      SELECT CAST({fs} AS BIGINT) AS x0,
+        CASE WHEN CAST(s2_f1 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1_f1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1_f1 AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+          THEN CAST(0 AS BIGINT) ELSE
+        GREATEST(CAST(-{clip} AS BIGINT), LEAST(CAST({clip} AS BIGINT),
+          CAST(FLOOR((CAST(f1 AS DOUBLE) - CAST(s1_f1 AS DOUBLE)
+            / CAST(n AS DOUBLE))
+            / sqrt(CAST(s2_f1 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s1_f1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1_f1 AS DOUBLE) / CAST(n AS DOUBLE)))
+            * {fs}) AS BIGINT))) END AS x1,
+        CASE WHEN CAST(s2_f2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1_f2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1_f2 AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+          THEN CAST(0 AS BIGINT) ELSE
+        GREATEST(CAST(-{clip} AS BIGINT), LEAST(CAST({clip} AS BIGINT),
+          CAST(FLOOR((CAST(f2 AS DOUBLE) - CAST(s1_f2 AS DOUBLE)
+            / CAST(n AS DOUBLE))
+            / sqrt(CAST(s2_f2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s1_f2 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1_f2 AS DOUBLE) / CAST(n AS DOUBLE)))
+            * {fs}) AS BIGINT))) END AS x2,
+        y
+      FROM raw CROSS JOIN moments
     ), w0 AS (
       SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
              CAST(0 AS BIGINT) AS w2

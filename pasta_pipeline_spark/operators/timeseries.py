@@ -390,3 +390,138 @@ def daily_acf_oracle_sql(
         * 1000000) AS BIGINT) END AS r_sc
     FROM g ORDER BY lag
     """
+
+
+def holt_linear_fold(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "y_fp",
+    a_num: int = 3,
+    a_den: int = 10,
+    b_num: int = 1,
+    b_den: int = 10,
+    tail: int = 30,
+) -> DataFrame:
+    """Holt's double exponential smoothing (level + linear trend,
+    Holt 1957) over a daily series, as one exact-integer fold — the
+    trend-aware upgrade of ``ewma_fold`` and the forecasting
+    counterpart of ``weekly_seasonality``'s decomposition:
+
+        pred_t  = l_{t-1} + b_{t-1}
+        l_t     = (a_num·y_t + (a_den−a_num)·pred_t) div a_den
+        b_t     = (b_num·(l_t − l_{t-1}) + (b_den−b_num)·b_{t-1}) div b_den
+
+    seeded l_1 = y_1, b_1 = 0. Negative trends are fine: truncating
+    division agrees between Spark ``div`` and DuckDB ``//`` on signed
+    operands (both toward zero), so the run is bit-identical
+    cross-engine. Gaps in the calendar are treated as consecutive
+    observations (document the cadence upstream or resample first —
+    ``resample_locf`` is the companion).
+
+    The recurrence cannot regroup, so it folds the collected
+    per-day array — BOUNDED by the calendar span (metadata-scale, the
+    empty-OVER/day-domain precedent), after a fact-scale map-side
+    groupBy(day). Returns the LAST ``tail`` days: day_ed (epoch-day
+    BIGINT — the timezone-proof date bridge), y_fp, level_fp,
+    trend_fp, onestep_err_fp (y_t − pred_t; NULL for the seed row).
+    """
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(value_col).alias("y")))
+        ).alias("__a")
+    )
+    an, ad, bn, bd = a_num, a_den, b_num, b_den
+    folded = arr.select(
+        F.expr(
+            f"""
+            aggregate(
+              __a,
+              struct(
+                CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+                CAST(0 AS BIGINT) AS k,
+                CAST(array() AS
+                  ARRAY<STRUCT<d: DATE, y: BIGINT, l: BIGINT,
+                               b: BIGINT, e: BIGINT>>) AS out
+              ),
+              (acc, x) -> CASE WHEN acc.k = 0 THEN struct(
+                  x.y AS l, CAST(0 AS BIGINT) AS b, CAST(1 AS BIGINT) AS k,
+                  array_append(acc.out, struct(
+                    x.d AS d, x.y AS y, x.y AS l, CAST(0 AS BIGINT) AS b,
+                    CAST(NULL AS BIGINT) AS e)) AS out)
+                ELSE struct(
+                  ({an} * x.y + {ad - an} * (acc.l + acc.b)) div {ad} AS l,
+                  ({bn} * (({an} * x.y + {ad - an} * (acc.l + acc.b)) div {ad}
+                    - acc.l) + {bd - bn} * acc.b) div {bd} AS b,
+                  acc.k + 1 AS k,
+                  array_append(acc.out, struct(
+                    x.d AS d, x.y AS y,
+                    ({an} * x.y + {ad - an} * (acc.l + acc.b)) div {ad} AS l,
+                    ({bn} * (({an} * x.y + {ad - an} * (acc.l + acc.b)) div {ad}
+                      - acc.l) + {bd - bn} * acc.b) div {bd} AS b,
+                    x.y - (acc.l + acc.b) AS e)) AS out)
+                END,
+              acc -> acc.out
+            ) AS __rows
+            """
+        )
+    )
+    return (
+        folded.select(F.explode("__rows").alias("r"))
+        .select(
+            # epoch-day BIGINT, the engine's timezone-proof date bridge
+            F.unix_date(F.col("r.d")).cast("long").alias("day_ed"),
+            F.col("r.y").alias("y_fp"),
+            F.col("r.l").alias("level_fp"),
+            F.col("r.b").alias("trend_fp"),
+            F.col("r.e").alias("onestep_err_fp"),
+        )
+        .orderBy(F.desc("day_ed"))
+        .limit(tail)
+        .orderBy("day_ed")
+    )
+
+
+def daily_revenue_frame(orders: DataFrame) -> DataFrame:
+    """Daily order revenue in exact cents — the input frame for
+    :func:`holt_linear_fold`: groupBy(o_orderdate) over the fact scan
+    (map-side combined), day-domain output."""
+    return orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y_fp")
+    )
+
+
+def holt_revenue_oracle_sql(
+    a_num: int = 3,
+    a_den: int = 10,
+    b_num: int = 1,
+    b_den: int = 10,
+    tail: int = 30,
+) -> str:
+    """DuckDB twin of daily_revenue_frame + holt_linear_fold: the same
+    integer recurrence as a recursive CTE over the day domain."""
+    an, ad, bn, bd = a_num, a_den, b_num, b_den
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderdate::DATE AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ord AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS seq FROM daily
+    ), holt AS (
+      SELECT seq, day, y, y AS l, CAST(0 AS BIGINT) AS b,
+             CAST(NULL AS BIGINT) AS e
+      FROM ord WHERE seq = 1
+      UNION ALL
+      SELECT o.seq, o.day, o.y,
+        CAST(({an} * o.y + {ad - an} * (h.l + h.b)) // {ad} AS BIGINT),
+        CAST(({bn} * (({an} * o.y + {ad - an} * (h.l + h.b)) // {ad} - h.l)
+          + {bd - bn} * h.b) // {bd} AS BIGINT),
+        o.y - (h.l + h.b)
+      FROM holt h JOIN ord o ON o.seq = h.seq + 1
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_ed,
+           y AS y_fp, l AS level_fp, b AS trend_fp,
+           e AS onestep_err_fp
+    FROM (SELECT * FROM holt ORDER BY day DESC LIMIT {tail})
+    ORDER BY day_ed
+    """

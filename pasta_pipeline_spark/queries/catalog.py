@@ -12721,3 +12721,86 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return term_burstiness(docs, "doc_id", "text", top_k=40)
+
+
+# ---------------------------------------------------------------------------
+# Wave 16 (r8): in-plan GD training, Kaplan-Meier survival, Holt forecast
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.mlplan import (  # noqa: E402
+    logistic_gd_oracle_sql,
+)
+from pasta_pipeline_spark.operators.survival import (  # noqa: E402
+    km_shipping_oracle_sql,
+)
+from pasta_pipeline_spark.operators.timeseries import (  # noqa: E402
+    holt_revenue_oracle_sql,
+)
+
+
+@register(
+    "logistic_quality_gd",
+    logistic_gd_oracle_sql(steps=5, lr_num=2),
+    doc="In-plan classifier training (operators/mlplan.py): full-batch "
+    "gradient descent on a softsign-link quasi-logistic model imitating "
+    "a length quality gate (the fastText-classifier distillation "
+    "shape) — one moments scan standardizes features into clipped "
+    "milli-sigma int64, then 5 unrolled GD steps, each one full-scan "
+    "aggregate whose 1-row gradient broadcasts back. All-integer "
+    "updates (decimal(38,0) accumulate, signed div parity) make the "
+    "TRAINING RUN itself value-hash oracle-checkable; output is the "
+    "learning curve (step, weights, accuracy: 51% -> 99%+).",
+)
+def q_logistic_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.mlplan import (
+        doc_gate_features,
+        logistic_gd_report,
+        standardize_features,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    feats = standardize_features(doc_gate_features(docs), ["f1", "f2"])
+    return logistic_gd_report(feats, steps=5, lr_num=2)
+
+
+@register(
+    "kaplan_meier_shipping",
+    km_shipping_oracle_sql(cutoff=90),
+    doc="Kaplan-Meier product-limit survival curve (operators/"
+    "survival.py, Kaplan & Meier 1958) over order-to-ship lag with "
+    "administrative right-censoring at 90 days: per distinct duration "
+    "the at-risk count, events, censored mass, and S(t) via the exact "
+    "int64 fixed-point product fold (aggregate HOF over the bounded "
+    "<=91-row frame; DuckDB twin is the same recurrence as a recursive "
+    "CTE). Negative lags fail closed.",
+)
+def q_kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.survival import (
+        kaplan_meier,
+        order_ship_durations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    return kaplan_meier(order_ship_durations(li, od), cutoff=90)
+
+
+@register(
+    "holt_revenue_forecast",
+    holt_revenue_oracle_sql(),
+    doc="Holt double exponential smoothing (operators/timeseries.py, "
+    "Holt 1957): level+trend integer recurrence (alpha=3/10, "
+    "beta=1/10) over daily order revenue in exact cents, one "
+    "aggregate-HOF fold over the bounded day domain; returns the last "
+    "30 days with level, trend, and the one-step-ahead forecast error "
+    "— the ewma_fold upgrade that tracks drift. Signed truncating div "
+    "agrees cross-engine; day as epoch-day BIGINT.",
+)
+def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.timeseries import (
+        daily_revenue_frame,
+        holt_linear_fold,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    return holt_linear_fold(daily_revenue_frame(od))

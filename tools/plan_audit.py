@@ -124,6 +124,10 @@ SCALAR_CROSSJOIN_OK = {
     "scale (the label_centroid_similarity precedent)",
     "term_burstiness": "1-row corpus-N broadcast for the zeros-included "
     "dispersion denominator (the tfidf_top_terms shape)",
+    "logistic_quality_gd": "1-row scalar handoffs only: the moments row "
+    "(feature standardization) and one weight-vector row per unrolled "
+    "GD step — the in-plan training data flow (gradient crosses the "
+    "network, data never moves)",
 }
 
 
