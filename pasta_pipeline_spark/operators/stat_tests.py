@@ -403,3 +403,341 @@ def corr_matrix_oracle_sql(table: str, int_sql: dict[str, str]) -> str:
         + ", ".join(outs)
         + " FROM m"
     )
+
+
+def cuped_report(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    boundary: str = "2024-01-16",
+    value_scale: int = 100,
+) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng, Xu, Kohavi &
+    Walker 2013): per user, X = pre-period value sum (covariate) and
+    Y = post-period value sum (metric); theta = cov(X,Y)/var(X) from
+    pooled moments; the adjusted metric Y* = Y − theta·(X − mean X)
+    keeps each arm's expectation but strips the pre-period component
+    of the variance — the standard trick that makes small experiment
+    effects detectable.
+
+    Treatment assignment is the md5 user bucket (parity-established) —
+    arm = hash(user) mod 2 — so the whole readout is deterministic and
+    oracle-checkable.
+
+    Returns ONE row: n_users, n_treat, theta_sc, var_reduction_sc
+    (var(Y*)/var(Y) — well below 1e6 when the covariate helps),
+    diff_raw_fp (treat−control mean Y), diff_adj_fp (same on Y*).
+    Identities used: mean Y*_a = (sy_a − θ·sx_a)/n_a + θ·mx;
+    var(Y*) = var(Y) − 2θ·cov + θ²·var(X) — everything from one
+    user-level aggregate and one moment row (int64 sums, decimal(38,0)
+    second moments, fixed double tree; θ guarded NULL-free: var(X)<=0
+    degenerates to θ=0, i.e. no adjustment).
+
+    Scale shape: groupBy(user) over the fact scan (map-side combined),
+    then a 1-row moment aggregate — a count's cost at any scale.
+    """
+    import datetime as _dt
+
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    # epoch-micros comparison (NOTES #39): engines disagree on naive
+    # timestamp casts but agree on exact epoch integers
+    b_us = int(
+        _dt.datetime.fromisoformat(boundary)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    pre = F.unix_micros(F.col(ts_col)) < b_us
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.sum(
+            F.when(pre, F.floor(F.col(value_col) * value_scale)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(~pre, F.floor(F.col(value_col) * value_scale)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    per_user = per_user.withColumn(
+        "arm", (sample_bucket(F.col("__u"), 2)).cast("long")
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(F.col("arm")).alias("n1"),
+        F.sum(F.col("arm") * F.col("x")).alias("sx1"),
+        F.sum(F.col("arm") * F.col("y")).alias("sy1"),
+    )
+    n_d = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n_d
+    my = F.col("sy").cast("double") / n_d
+    var_x = F.col("sxx").cast("double") / n_d - mx * mx
+    var_y = F.col("syy").cast("double") / n_d - my * my
+    cov = (
+        F.col("sxy").cast("double") / n_d - mx * my
+    )
+    theta = F.when(var_x > 0.0, cov / var_x).otherwise(F.lit(0.0))
+    n1_d = F.col("n1").cast("double")
+    n0_d = n_d - n1_d
+    my1 = F.col("sy1").cast("double") / n1_d
+    my0 = (F.col("sy") - F.col("sy1")).cast("double") / n0_d
+    mx1 = F.col("sx1").cast("double") / n1_d
+    mx0 = (F.col("sx") - F.col("sx1")).cast("double") / n0_d
+    adj1 = my1 - theta * (mx1 - mx)
+    adj0 = my0 - theta * (mx0 - mx)
+    var_adj = var_y - 2.0 * theta * cov + theta * theta * var_x
+    reduction = F.when(var_y > 0.0, var_adj / var_y)
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.floor(theta * 1000000).cast("long").alias("theta_sc"),
+        F.floor(reduction * 1000000).cast("long").alias("var_reduction_sc"),
+        F.floor(my1 - my0).cast("long").alias("diff_raw_fp"),
+        F.floor(adj1 - adj0).cast("long").alias("diff_adj_fp"),
+    )
+
+
+def cuped_oracle_sql(
+    table: str = "events",
+    boundary: str = "2024-01-16",
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`cuped_report`."""
+    import datetime as _dt
+
+    b_us = int(
+        _dt.datetime.fromisoformat(boundary)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN epoch_us(ts) < {b_us}
+          THEN CAST(FLOOR(value * {value_scale}) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN epoch_us(ts) >= {b_us}
+          THEN CAST(FLOOR(value * {value_scale}) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS y,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+          AS arm
+      FROM {table} GROUP BY user_id
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+             SUM(arm) AS n1, SUM(arm * x) AS sx1, SUM(arm * y) AS sy1
+      FROM per_user
+    ), d AS (
+      SELECT n, n1, sx, sy, sx1, sy1,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_x,
+        CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y,
+        CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+      FROM m
+    ), t AS (
+      SELECT *, CASE WHEN var_x > 0 THEN cov / var_x ELSE 0 END AS theta
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(n1 AS BIGINT) AS n_treat,
+      CAST(FLOOR(theta * 1000000) AS BIGINT) AS theta_sc,
+      CASE WHEN var_y > 0 THEN
+        CAST(FLOOR((var_y - 2.0 * theta * cov + theta * theta * var_x)
+          / var_y * 1000000) AS BIGINT) END AS var_reduction_sc,
+      CAST(FLOOR(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(sy - sy1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)) AS BIGINT)
+        AS diff_raw_fp,
+      CAST(FLOOR(
+        (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - theta * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - mx))
+        - (CAST(sy - sy1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
+          - theta * (CAST(sx - sx1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) - mx))
+      ) AS BIGINT) AS diff_adj_fp
+    FROM t
+    """
+
+
+def did_report(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    boundary: str = "2024-01-16",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger 1994 design)
+    over the 2x2 (md5-bucket arm x pre/post period) cell grid:
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre), with the
+    large-sample standard error sqrt(Σ var_cell / n_cell) and the z
+    statistic — the panel-free causal companion to ``cuped_report``
+    (CUPED shrinks variance with the pre-period; DiD differences it
+    out entirely).
+
+    One conditional-aggregate scan: per cell n, Σv, Σv² (decimal(38,0))
+    → means/variances as fixed double trees (sqrt is IEEE-exact).
+    Value bridge: FLOOR(value·scale) int64. Returns ONE row:
+    n_{tp,tr,cp,cr}, mean_sc per cell, did_sc, se_sc, z_sc (NULL when
+    any cell is empty or se is 0 — fail closed, both engines).
+    """
+    import datetime as _dt
+
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    b_us = int(
+        _dt.datetime.fromisoformat(boundary)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    v = F.floor(F.col(value_col) * value_scale).cast("long")
+    arm = sample_bucket(F.col(user_col), 2)
+    post = (F.unix_micros(F.col(ts_col)) >= b_us).cast("long")
+    base = events.select(
+        arm.alias("__arm"), post.alias("__post"), v.alias("__v")
+    )
+    cells = {}
+    aggs = []
+    for a in (0, 1):
+        for p in (0, 1):
+            tag = f"{a}{p}"
+            cond = (F.col("__arm") == a) & (F.col("__post") == p)
+            aggs.append(F.sum(cond.cast("long")).alias(f"n_{tag}"))
+            aggs.append(
+                F.sum(F.when(cond, F.col("__v")).otherwise(0)).alias(f"s_{tag}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(cond, (F.col("__v") * F.col("__v")).cast("decimal(38,0)"))
+                    .otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"q_{tag}")
+            )
+            cells[tag] = None
+    m = base.agg(*aggs)
+    mean = {}
+    var = {}
+    for tag in cells:
+        n_d = F.col(f"n_{tag}").cast("double")
+        # NULL (not /0) on an empty cell: the guards downstream read
+        # these, so the division itself must be ANSI-safe
+        mean[tag] = F.when(
+            F.col(f"n_{tag}") > 0, F.col(f"s_{tag}").cast("double") / n_d
+        )
+        var[tag] = F.when(
+            F.col(f"n_{tag}") > 0,
+            F.col(f"q_{tag}").cast("double") / n_d - mean[tag] * mean[tag],
+        )
+    did = (mean["11"] - mean["10"]) - (mean["01"] - mean["00"])
+    se = F.sqrt(
+        var["11"] / F.col("n_11").cast("double")
+        + var["10"] / F.col("n_10").cast("double")
+        + var["01"] / F.col("n_01").cast("double")
+        + var["00"] / F.col("n_00").cast("double")
+    )
+    nonempty = (
+        (F.col("n_00") > 0)
+        & (F.col("n_01") > 0)
+        & (F.col("n_10") > 0)
+        & (F.col("n_11") > 0)
+    )
+    return m.select(
+        F.col("n_10").alias("n_treat_pre"),
+        F.col("n_11").alias("n_treat_post"),
+        F.col("n_00").alias("n_ctrl_pre"),
+        F.col("n_01").alias("n_ctrl_post"),
+        F.floor(F.when(nonempty, mean["10"]) * 10000).cast("long").alias("mean_tp_sc"),
+        F.floor(F.when(nonempty, mean["11"]) * 10000).cast("long").alias("mean_tq_sc"),
+        F.floor(F.when(nonempty, mean["00"]) * 10000).cast("long").alias("mean_cp_sc"),
+        F.floor(F.when(nonempty, mean["01"]) * 10000).cast("long").alias("mean_cq_sc"),
+        F.floor(F.when(nonempty, did) * 10000).cast("long").alias("did_sc"),
+        F.floor(F.when(nonempty, se) * 10000).cast("long").alias("se_sc"),
+        F.floor(F.when(nonempty & (se > 0.0), did / se) * 1000000)
+        .cast("long")
+        .alias("z_sc"),
+    )
+
+
+def did_oracle_sql(
+    table: str = "events",
+    boundary: str = "2024-01-16",
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`did_report`."""
+    import datetime as _dt
+
+    b_us = int(
+        _dt.datetime.fromisoformat(boundary)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    cell = lambda a, p: f"(arm = {a} AND post = {p})"  # noqa: E731
+    sums = []
+    for a in (0, 1):
+        for p in (0, 1):
+            t = f"{a}{p}"
+            sums.append(
+                f"CAST(SUM(CASE WHEN {cell(a, p)} THEN 1 ELSE 0 END) AS BIGINT) AS n_{t},"
+                f" CAST(SUM(CASE WHEN {cell(a, p)} THEN v ELSE 0 END) AS BIGINT) AS s_{t},"
+                f" SUM(CASE WHEN {cell(a, p)} THEN v * v ELSE 0 END) AS q_{t}"
+            )
+    agg = ",\n             ".join(sums)
+    mean = {
+        f"{a}{p}": f"(CASE WHEN n_{a}{p} > 0 THEN CAST(s_{a}{p} AS DOUBLE)"
+        f" / CAST(n_{a}{p} AS DOUBLE) END)"
+        for a in (0, 1)
+        for p in (0, 1)
+    }
+    var = {
+        t: f"(CASE WHEN n_{t} > 0 THEN CAST(q_{t} AS DOUBLE)"
+        f" / CAST(n_{t} AS DOUBLE) - {mean[t]} * {mean[t]} END)"
+        for t in mean
+    }
+    did = f"(({mean['11']} - {mean['10']}) - ({mean['01']} - {mean['00']}))"
+    se = (
+        "sqrt("
+        + " + ".join(
+            f"{var[t]} / CAST(n_{t} AS DOUBLE)" for t in ("11", "10", "01", "00")
+        )
+        + ")"
+    )
+    ok = "n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0"
+    return f"""
+    WITH base AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+             CASE WHEN epoch_us(ts) >= {b_us} THEN 1 ELSE 0 END AS post,
+             CAST(FLOOR(value * {value_scale}) AS BIGINT) AS v
+      FROM {table}
+    ), m AS (
+      SELECT {agg}
+      FROM base
+    )
+    SELECT n_10 AS n_treat_pre, n_11 AS n_treat_post,
+           n_00 AS n_ctrl_pre, n_01 AS n_ctrl_post,
+      CASE WHEN {ok} THEN CAST(FLOOR({mean['10']} * 10000) AS BIGINT) END AS mean_tp_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({mean['11']} * 10000) AS BIGINT) END AS mean_tq_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({mean['00']} * 10000) AS BIGINT) END AS mean_cp_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({mean['01']} * 10000) AS BIGINT) END AS mean_cq_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({did} * 10000) AS BIGINT) END AS did_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({se} * 10000) AS BIGINT) END AS se_sc,
+      CASE WHEN {ok} AND {se} > 0 THEN CAST(FLOOR({did} / {se} * 1000000) AS BIGINT) END AS z_sc
+    FROM m
+    """

@@ -1140,3 +1140,94 @@ def term_burstiness_oracle_sql(table: str = "documents", top_k: int = 40) -> str
         AS BIGINT) AS dispersion_sc
     FROM topk CROSS JOIN n ORDER BY cf DESC, term ASC
     """
+
+
+def vocab_coverage_curve(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grid: tuple = (10, 100, 1000, 10000),
+):
+    """Cumulative token-coverage curve of the vocabulary: for each
+    grid point k, what share of ALL token occurrences do the top-k
+    terms by collection frequency cover? The Zipf-side answer to "how
+    big does the vocab need to be" — a tokenizer/vocab-size decision
+    reads this curve directly (compare ``zipf_slope`` for the fitted
+    exponent and ``stopword_discovery_report`` for the head terms).
+
+    Scale shape: explode → groupBy(term) (vocabulary-scale frame),
+    then the global rank comes from ``assign_sequential_ids`` (range
+    partition + driver prefix-sum — NO empty-OVER window over the
+    vocabulary), and the curve is ONE conditional-aggregate pass over
+    the ranked frame. Output is |grid| rows: k, top_cf, total_cf,
+    share_sc. Deterministic rank tiebreak: cf desc, term asc.
+    """
+    from pasta_pipeline_spark.operators.ids import assign_sequential_ids
+
+    toks = df.select(
+        F.explode(tokenize_ws(F.col(text_col))).alias("term")
+    )
+    per_term = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    ranked = assign_sequential_ids(
+        per_term.withColumn("__ncf", -F.col("cf")),
+        ["__ncf", "term"],
+        out_col="__rnk",
+    )
+    aggs = [F.sum("cf").alias("total_cf")]
+    for k in grid:
+        aggs.append(
+            F.sum(F.when(F.col("__rnk") <= k, F.col("cf")).otherwise(0)).alias(
+                f"__top_{k}"
+            )
+        )
+    m = ranked.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"__top_{k}").cast("long").alias("top_cf"),
+            )
+            for k in grid
+        ]
+    )
+    return (
+        m.select(F.col("total_cf").cast("long").alias("total_cf"), F.explode(rows).alias("r"))
+        .select(
+            F.col("r.k").alias("k"),
+            F.col("r.top_cf").alias("top_cf"),
+            "total_cf",
+            F.floor(
+                F.col("r.top_cf").cast("double")
+                / F.col("total_cf").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("share_sc"),
+        )
+        .orderBy("k")
+    )
+
+
+def vocab_coverage_oracle_sql(
+    table: str = "documents", grid: tuple = (10, 100, 1000, 10000)
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage_curve`."""
+    ks = ", ".join(f"({k})" for k in grid)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                y -> y <> '')) AS term
+      FROM {table}
+    ), per_term AS (
+      SELECT term, COUNT(*) AS cf FROM toks GROUP BY term
+    ), ranked AS (
+      SELECT cf, ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS rnk
+      FROM per_term
+    ), grid(k) AS (VALUES {ks})
+    SELECT CAST(k AS BIGINT) AS k,
+      CAST(SUM(CASE WHEN rnk <= k THEN cf ELSE 0 END) AS BIGINT) AS top_cf,
+      CAST(SUM(cf) AS BIGINT) AS total_cf,
+      CAST(FLOOR(CAST(SUM(CASE WHEN rnk <= k THEN cf ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(cf) AS DOUBLE) * 1000000) AS BIGINT) AS share_sc
+    FROM ranked CROSS JOIN grid GROUP BY k ORDER BY k
+    """

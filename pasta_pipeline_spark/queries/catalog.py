@@ -12804,3 +12804,73 @@ def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = _t(spark, sf_dir, "orders")
     return holt_linear_fold(daily_revenue_frame(od))
+
+
+# ---------------------------------------------------------------------------
+# Wave 17 (r8): shuffle-quality audit, CUPED, vocab coverage curve
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.shuffle_audit import (  # noqa: E402
+    epoch_shuffle_oracle_sql,
+)
+from pasta_pipeline_spark.operators.stat_tests import (  # noqa: E402
+    cuped_oracle_sql,
+)
+from pasta_pipeline_spark.operators.text_analysis import (  # noqa: E402
+    vocab_coverage_oracle_sql,
+)
+
+
+@register(
+    "epoch_shuffle_audit",
+    epoch_shuffle_oracle_sql(),
+    doc="Training-epoch shuffle-quality audit (operators/"
+    "shuffle_audit.py): per-source run-length profile of the "
+    "md5(epoch:id) read order vs the 1/(1-p) ideal-mixing expectation "
+    "— long same-source runs mean correlated gradients. Both ranks "
+    "ride the range-partition + driver-prefix-sum machinery "
+    "(assign_sequential_ids / assign_grouped_sequential_ids), so no "
+    "empty-OVER or hot-source window touches the fact table.",
+)
+def q_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.shuffle_audit import epoch_shuffle_runs
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle_runs(docs, "doc_id", "source", epoch=1)
+
+
+@register(
+    "cuped_adjustment",
+    cuped_oracle_sql(),
+    doc="CUPED variance-reduced A/B readout (operators/stat_tests.py, "
+    "Deng/Xu/Kohavi/Walker 2013): per-user pre-period covariate X and "
+    "post-period metric Y, pooled theta = cov/var, adjusted-metric "
+    "means per md5-bucket arm, and the variance-reduction ratio. One "
+    "groupBy(user) + one 1-row moment aggregate; all statistics are "
+    "fixed double trees over int64/decimal sums; epoch-micros period "
+    "boundary (NOTES #39).",
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stat_tests import cuped_report
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_report(ev)
+
+
+@register(
+    "vocab_coverage_curve",
+    vocab_coverage_oracle_sql(),
+    doc="Cumulative token-coverage curve (operators/text_analysis.py): "
+    "share of all token occurrences covered by the top-k vocabulary "
+    "terms at k in {10,100,1000,10000} — the Zipf-side vocab-size "
+    "decision table. Global vocab rank via assign_sequential_ids "
+    "(range partition + driver prefix-sum, no empty-OVER over the "
+    "vocabulary), then one conditional-aggregate pass.",
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_analysis import (
+        vocab_coverage_curve,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    return vocab_coverage_curve(docs, "doc_id", "text")
