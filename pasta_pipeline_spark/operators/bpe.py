@@ -132,10 +132,10 @@ def bpe_learn_merges(words: DataFrame, k: int = 4) -> DataFrame:
     return attach_cached_deps(out.orderBy("step"), deps)
 
 
-def bpe_merges_oracle_sql(table: str = "documents", k: int = 4) -> str:
-    """DuckDB twin of word_freq_frame + bpe_learn_merges — the same K
-    unrolled rounds; the merge step is the positional run-parity
-    rewrite (see module docstring for why not string replace)."""
+def _bpe_cte_chain(table: str, k: int) -> str:
+    """Shared WITH-clause builder for the K unrolled BPE rounds (the
+    positional run-parity rewrite — see module docstring for why not
+    string replace)."""
     sql = [
         f"""
     WITH w0 AS (
@@ -187,6 +187,11 @@ def bpe_merges_oracle_sql(table: str = "documents", k: int = 4) -> str:
       FROM f{s} WHERE keep OR NOT prev_keep GROUP BY word, cnt
     )"""
         )
+    return "".join(sql)
+
+
+def bpe_merges_oracle_sql(table: str = "documents", k: int = 4) -> str:
+    """DuckDB twin of word_freq_frame + bpe_learn_merges."""
     selects = [
         f"""
     SELECT CAST({s} AS BIGINT) AS step, a, b, a || b AS merged,
@@ -194,6 +199,83 @@ def bpe_merges_oracle_sql(table: str = "documents", k: int = 4) -> str:
     FROM m{s}"""
         for s in range(1, k + 1)
     ]
-    sql.append("\n    UNION ALL".join(selects))
-    sql.append("\n    ORDER BY step")
-    return "".join(sql)
+    return (
+        _bpe_cte_chain(table, k)
+        + "\n    UNION ALL".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
+def bpe_compression_report(words: DataFrame, k: int = 4) -> DataFrame:
+    """Tokens-per-word compression curve of the first ``k`` BPE
+    merges: one row per step 0..k (0 = character baseline) with the
+    corpus-weighted token totals — the number that says how much
+    context window the subword vocab buys. Shares the learning loop
+    with :func:`bpe_learn_merges`; decimal(38,0) token totals.
+
+    Returns: step, vocab_words, total_tokens, tokens_per_word_sc.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    def stats(frame: DataFrame, step: int) -> DataFrame:
+        return frame.agg(
+            F.lit(step).cast("long").alias("step"),
+            F.count(F.lit(1)).cast("long").alias("vocab_words"),
+            F.sum(
+                (F.col("cnt") * F.size("toks")).cast("decimal(38,0)")
+            ).alias("__tt"),
+            F.sum("cnt").alias("__wc"),
+        ).select(
+            "step",
+            "vocab_words",
+            F.col("__tt").cast("long").alias("total_tokens"),
+            F.floor(
+                F.col("__tt").cast("double") / F.col("__wc").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("tokens_per_word_sc"),
+        )
+
+    deps = []
+    cur = words.persist()
+    deps.append(cur)
+    out = stats(cur, 0)
+    for step in range(1, k + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("pcnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.col("a").alias("__a"), F.col("b").alias("__b"))
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .withColumn("toks", F.expr(_MERGE_FOLD))
+            .select("word", "cnt", "toks")
+            .persist()
+        )
+        deps.append(cur)
+        out = out.unionByName(stats(cur, step))
+    return attach_cached_deps(out.orderBy("step"), deps)
+
+
+def bpe_compression_oracle_sql(table: str = "documents", k: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_compression_report`."""
+    selects = [
+        f"""
+    SELECT CAST({s} AS BIGINT) AS step,
+           CAST(COUNT(*) AS BIGINT) AS vocab_words,
+           CAST(SUM(cnt * len(toks)) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(CAST(SUM(cnt * len(toks)) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE) * 1000000) AS BIGINT)
+             AS tokens_per_word_sc
+    FROM w{s}"""
+        for s in range(0, k + 1)
+    ]
+    return (
+        _bpe_cte_chain(table, k)
+        + "\n    UNION ALL".join(selects)
+        + "\n    ORDER BY step"
+    )

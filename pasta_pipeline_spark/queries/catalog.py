@@ -12874,3 +12874,55 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return vocab_coverage_curve(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 (r8): BPE merge learning, difference-in-differences
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.bpe import (  # noqa: E402
+    bpe_merges_oracle_sql,
+)
+from pasta_pipeline_spark.operators.stat_tests import (  # noqa: E402
+    did_oracle_sql,
+)
+
+
+@register(
+    "bpe_merge_learning",
+    bpe_merges_oracle_sql(k=4),
+    doc="In-plan BPE merge learning (operators/bpe.py, Sennrich/"
+    "Haddow/Birch 2016 §3.2): the first 4 merges learned from the "
+    "corpus word-frequency frame — each round one vocabulary-scale "
+    "pair-count groupBy, a 1-row elected-merge broadcast, and a "
+    "greedy-LTR re-tokenization fold (aggregate HOF). The corpus is "
+    "scanned ONCE; rounds iterate the vocab frame (the classic BPE "
+    "trick). All-integer, value-hash oracle vs a positional "
+    "run-parity DuckDB twin.",
+)
+def q_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.bpe import (
+        bpe_learn_merges,
+        word_freq_frame,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    return bpe_learn_merges(word_freq_frame(docs), k=4)
+
+
+@register(
+    "did_estimator",
+    did_oracle_sql(),
+    doc="Difference-in-differences readout (operators/stat_tests.py, "
+    "Card & Krueger 1994 design): 2x2 md5-arm x pre/post cell means, "
+    "DiD estimate, large-sample SE and z — differences out secular "
+    "drift that a naive post-only compare absorbs; the causal "
+    "companion to cuped_adjustment. One conditional-aggregate scan "
+    "(decimal(38,0) second moments); empty cells and zero SE fail "
+    "closed to NULL on both engines.",
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stat_tests import did_report
+
+    ev = _t(spark, sf_dir, "events")
+    return did_report(ev)

@@ -1416,3 +1416,98 @@ def dsir_report_from_state(
     top = weighted.orderBy(*order).limit(k)
     w = Window.orderBy(*order)  # over <= k rows — benign
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def apply_daily_revenue_batch(
+    batch: DataFrame,
+    batch_id: int,
+    day_store: TableStore,
+    marker_path: str,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    scale: int = 100,
+) -> None:
+    """One micro-batch of daily-revenue sufficient statistics for the
+    streaming Holt forecast: per-day exact-cents sums, merged
+    ADDITIVELY into ``day_store`` (a day's revenue may arrive across
+    many batches). The state is bounded by the calendar span — the
+    same day-domain argument as the batch operator.
+
+    Like the DSIR sink, the MODEL is never materialized per batch: the
+    Holt level/trend recurrence depends on the whole ordered series,
+    so eager state would go stale if an earlier day's mass arrives
+    late. :func:`holt_report_from_state` folds the CURRENT day table
+    on demand — late data is simply absorbed into its day row, which a
+    running-state implementation could never repair.
+
+    Idempotent under intra-batch retry: the additive merge recomputes
+    against the pre-version pinned before the first mutation
+    (streaming/exactly_once.py MicroBatchPin)."""
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"days": day_store})
+    delta = batch.groupBy(F.col(date_col).cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col(amount_col) * scale).cast("long")).alias("y_fp")
+    )
+    if pre["days"] is not None:
+        prev = day_store.read(version=pre["days"]).select(
+            "day", F.col("y_fp").alias("py")
+        )
+        merged = delta.join(prev, "day", "full_outer").select(
+            "day",
+            (
+                F.coalesce(F.col("y_fp"), F.lit(0))
+                + F.coalesce(F.col("py"), F.lit(0))
+            )
+            .cast("long")
+            .alias("y_fp"),
+        )
+    else:
+        merged = delta
+    day_store.overwrite(merged)
+
+
+def incremental_holt_sink(
+    stream: DataFrame,
+    day_store: TableStore,
+    checkpoint_dir: str,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    trigger_once: bool = True,
+):
+    """Streaming Holt-forecast state: maintain the per-day revenue
+    table over micro-batches so the level/trend forecast is derivable
+    at ANY moment (holt_report_from_state) and late-arriving rows are
+    absorbed exactly — the forecasting tier of the corpus-stats
+    stack, streamed (the incremental_dsir_sink precedent)."""
+    if not checkpoint_dir:
+        raise ValueError("incremental_holt_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        apply_daily_revenue_batch(
+            batch,
+            batch_id,
+            day_store,
+            marker_path=os.path.join(checkpoint_dir, "_holt_mb.json"),
+            date_col=date_col,
+            amount_col=amount_col,
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def holt_report_from_state(day_store: TableStore, **kwargs) -> DataFrame:
+    """Holt level/trend/forecast-error frame from the CURRENT day
+    table — exactly equal to batch
+    ``holt_linear_fold(daily_revenue_frame(everything ingested))``
+    (pytest-pinned), because the state IS the daily frame."""
+    from pasta_pipeline_spark.operators.timeseries import holt_linear_fold
+
+    return holt_linear_fold(day_store.read(), **kwargs)

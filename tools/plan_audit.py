@@ -128,6 +128,9 @@ SCALAR_CROSSJOIN_OK = {
     "(feature standardization) and one weight-vector row per unrolled "
     "GD step — the in-plan training data flow (gradient crosses the "
     "network, data never moves)",
+    "bpe_merge_learning": "one 1-row elected-merge broadcast per BPE "
+    "round onto the vocabulary-scale word frame (the logistic_quality_gd "
+    "shape: only the winning pair crosses the network)",
 }
 
 
