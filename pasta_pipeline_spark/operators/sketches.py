@@ -626,3 +626,140 @@ def bloom_probe(
     member = F.when(F.col(item_col).isNull(), F.lit(False)).otherwise(member)
     drop = [c for i in range(k) for c in (f"__bx{i}", f"__bi{i}", f"__bw{i}")]
     return out.withColumn(out_col, member).drop(*drop)
+
+
+def hll_overlap_audit(
+    df: DataFrame,
+    item_col: str,
+    pred_a: Column,
+    pred_b: Column,
+    m: int = 64,
+    rho_cap: int = 36,
+) -> DataFrame:
+    """Sketch-algebra audience overlap: |A∩B| by inclusion-exclusion
+    over three HLL estimates (|A| + |B| − |A∪B|, the union sketch
+    being the register-wise MAX merge — the one set operation HLL
+    supports exactly), audited against the exact overlap from one
+    groupBy(item). The planning question this answers at 100 TB:
+    intersections of sketched audiences are NOISY (the subtraction
+    amplifies relative error), and this report measures exactly how
+    noisy — per the standard caveat on HLL set algebra.
+
+    Returns ONE row: est_a, est_b, est_union, est_inter (clamped at
+    0), exact_a, exact_b, exact_inter, err_inter_sc
+    (|est−exact|/exact, NULL when the exact overlap is 0 — fail
+    closed). All sketch arithmetic is the deterministic int64 HLL of
+    ``hll_state``/``hll_estimate`` — the audit itself hash-replays in
+    SQL.
+
+    Scale shape: two filtered register builds + a register-wise MAX
+    merge (≤ m rows each), one exact groupBy(item) with two
+    conditional flags, then 1-row scalar handoffs.
+    """
+    a_state = hll_state(df.where(pred_a), item_col, m=m, rho_cap=rho_cap)
+    b_state = hll_state(df.where(pred_b), item_col, m=m, rho_cap=rho_cap)
+    u_state = merge_hll(a_state, b_state)
+    ea = hll_estimate(a_state, m=m, rho_cap=rho_cap).select(
+        F.col("est").alias("est_a")
+    )
+    eb = hll_estimate(b_state, m=m, rho_cap=rho_cap).select(
+        F.col("est").alias("est_b")
+    )
+    eu = hll_estimate(u_state, m=m, rho_cap=rho_cap).select(
+        F.col("est").alias("est_union")
+    )
+    per_item = df.groupBy(F.col(item_col).alias("__it")).agg(
+        F.max(pred_a.cast("long")).alias("__a"),
+        F.max(pred_b.cast("long")).alias("__b"),
+    )
+    exact = per_item.agg(
+        F.sum("__a").cast("long").alias("exact_a"),
+        F.sum("__b").cast("long").alias("exact_b"),
+        F.sum((F.col("__a") * F.col("__b"))).cast("long").alias("exact_inter"),
+    )
+    row = (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+    )
+    est_inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    err = F.when(
+        F.col("exact_inter") > 0,
+        F.floor(
+            F.abs(est_inter - F.col("exact_inter")).cast("double")
+            / F.col("exact_inter").cast("double")
+            * 1000000
+        ).cast("long"),
+    )
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        est_inter.cast("long").alias("est_inter"),
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        err.alias("err_inter_sc"),
+    )
+
+
+def hll_overlap_oracle_sql(
+    table: str,
+    item_sql: str,
+    pred_a_sql: str,
+    pred_b_sql: str,
+    m: int = 64,
+    rho_cap: int = 36,
+) -> str:
+    """DuckDB twin of :func:`hll_overlap_audit` — three sketch chains
+    generated from the SAME CASE builders as the Spark operator."""
+    num = _hll_alpha_fp(m) * m * m * (1 << rho_cap)
+    rho = hll_rho_case_sql(f"h // {m}", rho_cap)
+    pow2 = hll_pow2_case_sql("r", rho_cap)
+
+    def chain(tag: str, pred: str) -> str:
+        return f"""h_{tag} AS (
+      SELECT ('0x' || substr(md5(CAST({item_sql} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table} WHERE {item_sql} IS NOT NULL AND ({pred})
+    ), st_{tag} AS (
+      SELECT h % {m} AS bucket, MAX({rho}) AS r FROM h_{tag} GROUP BY 1
+    ), es_{tag} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS filled,
+             CAST(SUM({pow2}) AS BIGINT) AS sum_pow
+      FROM st_{tag}
+    ), e_{tag} AS (
+      SELECT CASE WHEN ({m} - filled) > 0
+          AND 2 * ({num} // (10000 * (sum_pow + ({m} - filled) * {1 << rho_cap})))
+              <= {5 * m}
+        THEN CAST(FLOOR({m}.0 * ln({m}.0 / ({m} - filled))) AS BIGINT)
+        ELSE CAST({num} // (10000 * (sum_pow + ({m} - filled) * {1 << rho_cap}))
+          AS BIGINT) END AS est
+      FROM es_{tag}
+    )"""
+
+    return f"""
+    WITH {chain("a", pred_a_sql)},
+    {chain("b", pred_b_sql)},
+    {chain("u", f"({pred_a_sql}) OR ({pred_b_sql})")},
+    exact AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS exact_a,
+             CAST(SUM(ib) AS BIGINT) AS exact_b,
+             CAST(SUM(ia * ib) AS BIGINT) AS exact_inter
+      FROM (
+        SELECT {item_sql} AS it,
+               MAX(CASE WHEN {pred_a_sql} THEN 1 ELSE 0 END) AS ia,
+               MAX(CASE WHEN {pred_b_sql} THEN 1 ELSE 0 END) AS ib
+        FROM {table} GROUP BY 1
+      )
+    )
+    SELECT a.est AS est_a, b.est AS est_b, u.est AS est_union,
+      GREATEST(a.est + b.est - u.est, 0) AS est_inter,
+      exact_a, exact_b, exact_inter,
+      CASE WHEN exact_inter > 0 THEN
+        CAST(FLOOR(CAST(ABS(GREATEST(a.est + b.est - u.est, 0)
+          - exact_inter) AS DOUBLE) / CAST(exact_inter AS DOUBLE)
+          * 1000000) AS BIGINT) END AS err_inter_sc
+    FROM e_a a CROSS JOIN e_b b CROSS JOIN e_u u CROSS JOIN exact
+    """

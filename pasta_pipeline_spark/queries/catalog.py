@@ -12926,3 +12926,55 @@ def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return did_report(ev)
+
+
+# ---------------------------------------------------------------------------
+# Wave 19 (r8): Poisson bootstrap CI, BPE compression curve
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.bootstrap import (  # noqa: E402
+    bootstrap_mean_oracle_sql,
+)
+from pasta_pipeline_spark.operators.bpe import (  # noqa: E402
+    bpe_compression_oracle_sql,
+)
+
+
+@register(
+    "bootstrap_mean_ci",
+    bootstrap_mean_oracle_sql(),
+    doc="Poisson-bootstrap confidence interval (operators/bootstrap.py, "
+    "Chamandy et al. 2012): 40 replicate weighted means of order value "
+    "in ONE scan — per-row Poisson(1) weights from the md5-quantized "
+    "inverse CDF (no exp/log), decimal(38,0) weighted sums, in-row "
+    "sorted replicate vector, percentile band. THE at-scale CI "
+    "technique: B is aggregation width, not a shuffle; the whole "
+    "interval is value-hash oracle-checkable because the noise is "
+    "deterministic.",
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.bootstrap import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_mean_ci(od, "o_orderkey", "o_totalprice")
+
+
+@register(
+    "bpe_compression_curve",
+    bpe_compression_oracle_sql(k=4),
+    doc="BPE tokens-per-word compression curve (operators/bpe.py): "
+    "corpus-weighted token totals at each of the first 4 learned "
+    "merges (step 0 = character baseline) — how much context window "
+    "the subword vocab buys; shares the learning loop and the "
+    "CTE-chain oracle with bpe_merge_learning.",
+)
+def q_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.bpe import (
+        bpe_compression_report,
+        word_freq_frame,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    return bpe_compression_report(word_freq_frame(docs), k=4)

@@ -131,6 +131,8 @@ SCALAR_CROSSJOIN_OK = {
     "bpe_merge_learning": "one 1-row elected-merge broadcast per BPE "
     "round onto the vocabulary-scale word frame (the logistic_quality_gd "
     "shape: only the winning pair crosses the network)",
+    "bpe_compression_curve": "the bpe_merge_learning handoffs (shared "
+    "learning loop) — one 1-row elected-merge broadcast per round",
 }
 
 

@@ -93,6 +93,19 @@ QUERIES = [
     "pca_power_iteration",
     "bitext_margin_pairs",
     "rfm_segments",
+    # round-8 waves 11-19: grouped-rank consumers, pair/graph tiers,
+    # in-plan training loops, fold recurrences, wide bootstrap aggs
+    "stopword_discovery",
+    "contrastive_positives",
+    "source_dedup_funnel",
+    "dup_graph_transitivity",
+    "term_burstiness",
+    "epoch_shuffle_audit",
+    "vocab_coverage_curve",
+    "logistic_quality_gd",
+    "bpe_merge_learning",
+    "kaplan_meier_shipping",
+    "bootstrap_mean_ci",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
