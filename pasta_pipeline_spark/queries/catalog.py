@@ -12978,3 +12978,61 @@ def q_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return bpe_compression_report(word_freq_frame(docs), k=4)
+
+
+# ---------------------------------------------------------------------------
+# Wave 20 (r8): HLL overlap audit, interpolated quantiles
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.exact_quantiles import (  # noqa: E402
+    interpolated_quantiles_oracle_sql,
+)
+from pasta_pipeline_spark.operators.sketches import (  # noqa: E402
+    hll_overlap_oracle_sql,
+)
+
+
+@register(
+    "hll_overlap_audit",
+    hll_overlap_oracle_sql(
+        "events", "user_id", "event_type = 'purchase'", "event_type = 'click'"
+    ),
+    doc="Sketch-algebra audience overlap (operators/sketches.py): "
+    "|A∩B| by inclusion-exclusion over three deterministic HLL "
+    "estimates (purchase users, click users, register-wise-MAX "
+    "union), audited against the exact one-groupBy overlap — the "
+    "planning number for how noisy sketched intersections really "
+    "are. All 1-row scalar handoffs; ≤m-row register states.",
+)
+def q_hll_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.sketches import hll_overlap_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_overlap_audit(
+        ev,
+        "user_id",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
+
+
+@register(
+    "interpolated_quantiles",
+    interpolated_quantiles_oracle_sql(
+        "lineitem", "l_extendedprice", "l_orderkey"
+    ),
+    doc="Type-7 interpolated quantiles (operators/exact_quantiles.py, "
+    "Hyndman & Fan 1996 — the numpy/R default) of extended price, "
+    "WITHOUT a global sort task: ranks via assign_sequential_ids "
+    "(range partition + driver prefix-sum), a bounded rank-grid frame "
+    "broadcast-joined back, exact rational h = (n-1)p arithmetic, one "
+    "interpolation double tree. Matches numpy.quantile bit-for-bit on "
+    "the bridged values.",
+)
+def q_interpolated_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.exact_quantiles import (
+        interpolated_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return interpolated_quantiles(li, "l_extendedprice", "l_orderkey")

@@ -133,6 +133,8 @@ SCALAR_CROSSJOIN_OK = {
     "shape: only the winning pair crosses the network)",
     "bpe_compression_curve": "the bpe_merge_learning handoffs (shared "
     "learning loop) — one 1-row elected-merge broadcast per round",
+    "hll_overlap_audit": "three 1-row HLL-estimate scalars + the 1-row "
+    "exact-overlap aggregate combined into the report row",
 }
 
 
