@@ -13036,3 +13036,36 @@ def q_interpolated_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return interpolated_quantiles(li, "l_extendedprice", "l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Wave 21 (r8): isotonic calibration
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.isotonic import (  # noqa: E402
+    isotonic_oracle_sql,
+)
+
+
+@register(
+    "isotonic_calibration",
+    isotonic_oracle_sql(
+        "documents", "LEAST(n_chars // 40, 15)", "lang = 'en'"
+    ),
+    doc="Isotonic (PAVA) calibration of per-length-bin English rates "
+    "(operators/isotonic.py, Zadrozny & Elkan 2002): best monotone "
+    "step fit of empirical label rates over score bins, via the "
+    "bounded maximin closed form max_j<=i min_k>=i avg(j..k) — no "
+    "sequential stack, every step a bounded window/explode over the "
+    "<=16-row bin frame after one fact-scan groupBy. The calibrator "
+    "that turns a cheap quality score into a probability.",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.isotonic import isotonic_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    return isotonic_calibration(
+        docs,
+        F.least(F.expr("n_chars div 40"), F.lit(15)),
+        F.col("lang") == "en",
+    )
