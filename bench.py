@@ -54,6 +54,7 @@ BENCH_QUERIES_LLM = [
     "semantic_dedup",          # banded sign-LSH gate + exact cosine verify
     "rfm_segments",            # range-partition ranks + closed-form ntile (wave-9 analytics)
     "pretrain_pipeline",       # composed capstone: filter+dedup+sample+pack
+    "logistic_quality_gd",     # in-plan GD training: 5 unrolled full-scan steps (wave-16)
 ]
 
 
