@@ -31,10 +31,13 @@ in BOTH Spark ``div`` and DuckDB ``//`` (verified on negatives), so
 signed updates agree exactly.
 
 Scale shape: 1 moments scan + ``steps`` sequential full scans
-(unavoidable for full-batch GD) + one accuracy scan per emitted step;
-all joins are 1-row broadcast scalar handoffs (the audited crossJoin
-pattern). Lineage grows with steps; keep ``steps`` small (<= 8) or
-checkpoint between steps.
+(unavoidable for full-batch GD; each step's scan emits BOTH the
+gradient and the previous weights' training accuracy) + 1 final
+accuracy scan — steps+2 scans total. The feature frame is persisted
+once; the 1-row per-step state is localCheckpointed (the PageRank
+precedent) so union branches never re-execute earlier aggregates.
+All joins are 1-row broadcast scalar handoffs (the audited crossJoin
+pattern).
 """
 
 from __future__ import annotations
@@ -192,18 +195,43 @@ def logistic_gd_report(
         F.lit(0).cast("long").alias("__w1"),
         F.lit(0).cast("long").alias("__w2"),
     )
-    out = acc_row(wdf, 0)
+    out = None
     for k in range(1, steps + 1):
+        # one scan per step: the gradient of w_{k-1} AND its training
+        # accuracy ride the same aggregate (the scan already evaluates
+        # s(z) under w_{k-1}); only the FINAL weights need the extra
+        # accuracy pass below — steps+2 scans total, not 2*steps+1
         scored = with_w(wdf).withColumn(
             "__r", F.lit(W_SCALE) * F.col("y") - F.col("__s")
         )
+        correct = (
+            (F.col("__s") >= W_SCALE // 2) == (F.col("y") == 1)
+        ).cast("long")
         agg = scored.agg(
             F.count(F.lit(1)).alias("__n"),
+            F.sum(correct).alias("__ok"),
             F.sum((F.col("__r") * F.col("x0")).cast("decimal(38,0)")).alias("__g0"),
             F.sum((F.col("__r") * F.col("x1")).cast("decimal(38,0)")).alias("__g1"),
             F.sum((F.col("__r") * F.col("x2")).cast("decimal(38,0)")).alias("__g2"),
         )
-        upd = agg.crossJoin(F.broadcast(wdf))
+        # localCheckpoint the 1-row step state (PageRank precedent):
+        # without it every union branch re-executes the whole chain of
+        # prior aggregates — O(steps^2) scans instead of steps+2
+        upd = agg.crossJoin(F.broadcast(wdf)).localCheckpoint(eager=True)
+        prev_row = upd.select(
+            F.lit(k - 1).cast("long").alias("step"),
+            "__w0",
+            "__w1",
+            "__w2",
+            F.floor(
+                F.col("__ok").cast("double")
+                / F.col("__n").cast("double")
+                * W_SCALE
+            )
+            .cast("long")
+            .alias("acc_sc"),
+        )
+        out = prev_row if out is None else out.unionByName(prev_row)
         wdf = upd.select(
             *[
                 F.expr(
@@ -213,7 +241,7 @@ def logistic_gd_report(
                 for j in range(3)
             ]
         )
-        out = out.unionByName(acc_row(wdf, k))
+    out = out.unionByName(acc_row(wdf, steps))
     result = out.select(
         "step",
         F.col("__w0").alias("w0_fp"),
