@@ -741,3 +741,153 @@ def did_oracle_sql(
       CASE WHEN {ok} AND {se} > 0 THEN CAST(FLOOR({did} / {se} * 1000000) AS BIGINT) END AS z_sc
     FROM m
     """
+
+
+def ratio_metric_delta(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Delta-method readout for a RATIO metric (Deng, Knoblich & Lu
+    2018; the value-per-event shape): per user X = Σ value, Y = event
+    count; the metric is R = ΣX/ΣY (= mean x̄/ȳ over users), whose
+    variance a naive per-user mean gets WRONG because users are the
+    randomization unit, not events. Per arm (md5 user bucket):
+
+        var(R) ≈ (1/n·ȳ²)·(s_xx − 2R·s_xy + R²·s_yy)
+
+    with s_** the user-level (co)variances — the first-order Taylor
+    (delta-method) expansion. Reports both arms' ratios, the
+    difference, its SE (sqrt of summed arm variances), and z.
+
+    One groupBy(user) + one conditional-moment scan (decimal(38,0)
+    second moments); all statistics fixed double trees (sqrt is
+    IEEE-exact). Degenerate arms (empty, or zero event mass) fail
+    closed to NULL.
+
+    Returns ONE row: n_ctrl, n_treat, ratio0_sc, ratio1_sc, diff_sc,
+    se_sc, z_sc (scale 1e6 for ratios/diff/se, 1e6 for z).
+    """
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    v = F.floor(F.col(value_col) * value_scale).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.sum(v).alias("x"), F.count(F.lit(1)).alias("y")
+    )
+    per_user = per_user.withColumn(
+        "arm", sample_bucket(F.col("__u"), 2).cast("long")
+    )
+    aggs = []
+    for a in (0, 1):
+        c = F.col("arm") == a
+        aggs += [
+            F.sum(c.cast("long")).alias(f"n{a}"),
+            F.sum(F.when(c, F.col("x")).otherwise(0)).alias(f"sx{a}"),
+            F.sum(F.when(c, F.col("y")).otherwise(0)).alias(f"sy{a}"),
+            F.sum(
+                F.when(c, (F.col("x") * F.col("x")).cast("decimal(38,0)"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"qxx{a}"),
+            F.sum(
+                F.when(c, (F.col("x") * F.col("y")).cast("decimal(38,0)"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"qxy{a}"),
+            F.sum(
+                F.when(c, (F.col("y") * F.col("y")).cast("decimal(38,0)"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"qyy{a}"),
+        ]
+    m = per_user.agg(*aggs)
+
+    def arm_stats(a: int):
+        n = F.col(f"n{a}").cast("double")
+        ok = (F.col(f"n{a}") > 1) & (F.col(f"sy{a}") > 0)
+        mx = F.col(f"sx{a}").cast("double") / n
+        my = F.col(f"sy{a}").cast("double") / n
+        sxx = F.col(f"qxx{a}").cast("double") / n - mx * mx
+        sxy = F.col(f"qxy{a}").cast("double") / n - mx * my
+        syy = F.col(f"qyy{a}").cast("double") / n - my * my
+        r = F.when(ok, mx / my)
+        var_r = F.when(
+            ok,
+            (sxx - 2.0 * r * sxy + r * r * syy) / (n * my * my),
+        )
+        return r, var_r, ok
+
+    r0, v0, ok0 = arm_stats(0)
+    r1, v1, ok1 = arm_stats(1)
+    ok = ok0 & ok1
+    diff = r1 - r0
+    se = F.sqrt(v0 + v1)
+    return m.select(
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.floor(F.when(ok, r0) * 1000000).cast("long").alias("ratio0_sc"),
+        F.floor(F.when(ok, r1) * 1000000).cast("long").alias("ratio1_sc"),
+        F.floor(F.when(ok, diff) * 1000000).cast("long").alias("diff_sc"),
+        F.floor(F.when(ok, se) * 1000000).cast("long").alias("se_sc"),
+        F.floor(F.when(ok & (se > 0.0), diff / se) * 1000000)
+        .cast("long")
+        .alias("z_sc"),
+    )
+
+
+def ratio_delta_oracle_sql(
+    table: str = "events", value_scale: int = 100
+) -> str:
+    """DuckDB twin of :func:`ratio_metric_delta`."""
+    arm = ("(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+           " % 2)")
+    aggs = []
+    for a in (0, 1):
+        c = f"arm = {a}"
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n{a},"
+            f" CAST(SUM(CASE WHEN {c} THEN x ELSE 0 END) AS BIGINT) AS sx{a},"
+            f" CAST(SUM(CASE WHEN {c} THEN y ELSE 0 END) AS BIGINT) AS sy{a},"
+            f" SUM(CASE WHEN {c} THEN x * x ELSE 0 END) AS qxx{a},"
+            f" SUM(CASE WHEN {c} THEN x * y ELSE 0 END) AS qxy{a},"
+            f" SUM(CASE WHEN {c} THEN y * y ELSE 0 END) AS qyy{a}"
+        )
+    agg = ",\n             ".join(aggs)
+
+    def stats(a: int):
+        n = f"CAST(n{a} AS DOUBLE)"
+        mx = f"(CAST(sx{a} AS DOUBLE) / {n})"
+        my = f"(CAST(sy{a} AS DOUBLE) / {n})"
+        sxx = f"(CAST(qxx{a} AS DOUBLE) / {n} - {mx} * {mx})"
+        sxy = f"(CAST(qxy{a} AS DOUBLE) / {n} - {mx} * {my})"
+        syy = f"(CAST(qyy{a} AS DOUBLE) / {n} - {my} * {my})"
+        r = f"({mx} / {my})"
+        var = (
+            f"(({sxx} - 2.0 * {r} * {sxy} + {r} * {r} * {syy})"
+            f" / ({n} * {my} * {my}))"
+        )
+        return r, var
+
+    r0, v0 = stats(0)
+    r1, v1 = stats(1)
+    ok = "n0 > 1 AND n1 > 1 AND sy0 > 0 AND sy1 > 0"
+    se = f"sqrt({v0} + {v1})"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * {value_scale}) AS BIGINT)) AS BIGINT) AS x,
+             COUNT(*) AS y,
+             {arm} AS arm
+      FROM {table} GROUP BY user_id
+    ), m AS (
+      SELECT {agg}
+      FROM per_user
+    )
+    SELECT n0 AS n_ctrl, n1 AS n_treat,
+      CASE WHEN {ok} THEN CAST(FLOOR({r0} * 1000000) AS BIGINT) END AS ratio0_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({r1} * 1000000) AS BIGINT) END AS ratio1_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR(({r1} - {r0}) * 1000000) AS BIGINT) END AS diff_sc,
+      CASE WHEN {ok} THEN CAST(FLOOR({se} * 1000000) AS BIGINT) END AS se_sc,
+      CASE WHEN {ok} AND {se} > 0 THEN
+        CAST(FLOOR(({r1} - {r0}) / {se} * 1000000) AS BIGINT) END AS z_sc
+    FROM m
+    """

@@ -13069,3 +13069,29 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.expr("n_chars div 40"), F.lit(15)),
         F.col("lang") == "en",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 22 (r8): delta-method ratio metric
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.stat_tests import (  # noqa: E402
+    ratio_delta_oracle_sql,
+)
+
+
+@register(
+    "ratio_metric_delta",
+    ratio_delta_oracle_sql(),
+    doc="Delta-method ratio-metric A/B readout (operators/"
+    "stat_tests.py, Deng/Knoblich/Lu 2018): per-arm value-per-event "
+    "ratio with the Taylor-expansion variance that respects USERS as "
+    "the randomization unit (naive per-event variance is wrong for "
+    "ratio metrics), diff, SE, z. One groupBy(user) + one "
+    "conditional-moment scan; degenerate arms fail closed to NULL.",
+)
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.stat_tests import ratio_metric_delta
+
+    ev = _t(spark, sf_dir, "events")
+    return ratio_metric_delta(ev)
