@@ -28,6 +28,57 @@ import time
 
 N_ITER = 3
 
+#: idle-box gate (r8 verdict ask #3): the committed BENCH artifact was
+#: load-polluted two rounds running (r7 silently, r8 with load_avg 5.17
+#: recorded).  Recording the load was not enough — the tooling now
+#: REFUSES to emit an artifact on a busy box instead of warning.
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+IDLE_MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_IDLE_MAX_WAIT", "900"))
+IDLE_POLL_SEC = float(os.environ.get("SPARK_GRAFT_IDLE_POLL", "20"))
+
+
+def wait_for_idle(
+    threshold: float = None,
+    max_wait: float = None,
+    poll: float = None,
+    getloadavg=os.getloadavg,
+    sleep=time.sleep,
+    log=lambda msg: print(msg, file=sys.stderr),
+) -> float:
+    """Block until the 1-min load average drops to ``threshold``.
+
+    Retry-until-idle, then refuse: polls every ``poll`` seconds for up
+    to ``max_wait`` seconds; if the box never goes idle, raises
+    ``SystemExit(3)`` WITHOUT printing the stdout JSON line — so a
+    driver capturing stdout gets no committable artifact from a
+    polluted run. ``SPARK_GRAFT_FORCE_BENCH=1`` overrides (explicit,
+    visible in the artifact's load_avg field).
+
+    Returns the load average that passed the gate.
+    """
+    threshold = MAX_LOAD if threshold is None else threshold
+    max_wait = IDLE_MAX_WAIT_SEC if max_wait is None else max_wait
+    poll = IDLE_POLL_SEC if poll is None else poll
+    forced = os.environ.get("SPARK_GRAFT_FORCE_BENCH") == "1"
+    waited = 0.0
+    load = round(getloadavg()[0], 2)
+    while load > threshold and not forced:
+        if waited >= max_wait:
+            log(
+                f"REFUSED: load_avg={load} still > {threshold} after "
+                f"{int(waited)}s — not emitting a bench artifact from a "
+                "loaded box (set SPARK_GRAFT_FORCE_BENCH=1 to override)"
+            )
+            raise SystemExit(3)
+        log(
+            f"waiting for idle box: load_avg={load} > {threshold} "
+            f"(waited {int(waited)}s / max {int(max_wait)}s)"
+        )
+        sleep(poll)
+        waited += poll
+        load = round(getloadavg()[0], 2)
+    return load
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Headline queries: one per operator family that matters at scale.
@@ -62,17 +113,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # idle-machine protocol (r7 verdict ask #7): record the 1-min load
-    # average so reviewers can discount runs collected under load — the
-    # r7 committed BENCH carried a phantom 25% "regression" that was
-    # pure machine state. Warn loudly when the box is busy.
-    load_avg = round(os.getloadavg()[0], 2)
-    if load_avg > 4.0:
-        print(
-            f"WARNING: load_avg={load_avg} at bench start — results will "
-            "be noise-polluted; re-run on an idle machine",
-            file=sys.stderr,
-        )
+    # idle-machine protocol (r7 ask #7 recorded the load; r8 ask #3
+    # enforces it): block until the box is idle, refuse if it never is.
+    load_avg = wait_for_idle()
 
     from pasta_pipeline_spark.session import get_spark
 
