@@ -31,14 +31,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import DEFAULT_BUCKET_CAP, cap_band_buckets, cosine, with_lsh_bands
+from .similarity import (
+    DEFAULT_BUCKET_CAP,
+    auto_lsh_config,
+    cap_band_buckets,
+    cosine,
+    with_lsh_bands,
+)
 
 
 def hard_negative_mining(
     embeddings: DataFrame,
     dim: int = 64,
     k: int = 3,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -58,6 +64,14 @@ def hard_negative_mining(
     Each (band, bucket) is bounded by ``bucket_cap``
     (similarity.cap_band_buckets — the hot-bucket guard; a hub-heavy
     corpus is exactly where hard-negative mining gets pointed).
+
+    ``num_planes=None`` (the default) auto-calibrates (planes, bands)
+    from the corpus size via :func:`similarity.auto_lsh_config`, base
+    (4, ``num_bands``) — the growth recipe is the default, so a 100×
+    corpus cannot hit the fixed-config quadratic footgun. Explicit
+    ``num_planes`` pins the config (the catalog oracle replays fixed
+    plane constants at the gate scale, where auto resolves to the
+    same base).
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
@@ -70,6 +84,10 @@ def hard_negative_mining(
         )
         .persist()
     )
+    if num_planes is None:
+        num_planes, num_bands = auto_lsh_config(
+            src.count(), base_planes=4, base_bands=num_bands
+        )
     banded = cap_band_buckets(
         with_lsh_bands(src, "vec", dim, num_planes, num_bands), "vid", bucket_cap
     )

@@ -547,7 +547,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.4, dim=64, num_planes=4, num_bands=2)
+    # num_planes=None engages the auto-calibrated growth recipe
+    # (similarity.auto_lsh_config): at the oracle gate scales
+    # (n <= LSH_CALIBRATED_N) it resolves to exactly the (4, 2) base
+    # the DuckDB twin replays; at bigger corpora planes/bands grow so
+    # the plan stays near-linear (r8 verdict ask #1).
+    return semantic_dedup(emb, threshold=0.4, dim=64, num_planes=None, num_bands=2)
 
 
 # ---------------------------------------------------------------------------

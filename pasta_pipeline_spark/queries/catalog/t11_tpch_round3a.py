@@ -840,8 +840,10 @@ def q_cross_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     emb = _t(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") % 2 == 0)
     ev = emb.filter(F.col("vec_id") % 2 == 1)
+    # auto-calibrated gate (num_planes=None): resolves to the oracle's
+    # (4, 2) base at gate scales, grows past LSH_CALIBRATED_N
     return cross_corpus_cosine_pairs(
-        train, ev, threshold=0.4, dim=64, num_planes=4, num_bands=2
+        train, ev, threshold=0.4, dim=64, num_planes=None, num_bands=2
     )
 
 

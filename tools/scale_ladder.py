@@ -354,91 +354,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Re-calibrated sign-LSH configs (r8): the fixed-plane catalog
-    # configs are calibrated to the catalog corpus; at 10x the vectors,
-    # bucket occupancy n/2^planes grows 10x and in-bucket pair
-    # generation ~100x — super-linear BY CONFIG, not by operator. The
-    # documented recipe (planes += log2(growth) to hold bucket size,
-    # bands up to restore recall) is measured here explicitly: the
-    # sf0.1 side runs the catalog config, the sf1 side the recipe's
-    # re-calibration. Linear ratios in these rows are the evidence the
-    # recipe works; the fixed-config rows above keep their honest flag.
-    from pasta_pipeline_spark.schemas import load_table
-
-    def _hn(sf_dir: str, planes: int, bands: int):
-        from pasta_pipeline_spark.operators.negatives import hard_negative_mining
-
-        return hard_negative_mining(
-            load_table(spark, sf_dir, "embeddings"),
-            dim=64, k=3, num_planes=planes, num_bands=bands,
-        )
-
-    def _sd(sf_dir: str, planes: int, bands: int):
-        from pasta_pipeline_spark.operators.similarity import semantic_dedup
-
-        return semantic_dedup(
-            load_table(spark, sf_dir, "embeddings"),
-            threshold=0.4, dim=64, num_planes=planes, num_bands=bands,
-        )
-
-    SCALED = {
-        "hard_negatives_recalibrated": (
-            lambda d: _hn(d, 4, 4),   # catalog config @ sf0.1 (2k vectors)
-            lambda d: _hn(d, 7, 8),   # +log2(10) planes, 2x bands @ sf1
-        ),
-        "semantic_dedup_recalibrated": (
-            lambda d: _sd(d, 4, 2),
-            lambda d: _sd(d, 7, 4),
-        ),
-    }
-
-    def run_fn(make, sf_dir: str) -> float:
-        best = float("inf")
-        dfs = []
-        for _ in range(2):
-            t0 = time.time()
-            df = make(sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            dfs.append(df)
-        for df in dfs:
-            release_cached_deps(df)
-        return best
-
-    for name, (small_fn, big_fn) in SCALED.items():
-        t_mid = run_fn(small_fn, SF_BIG)
-        t_big = run_fn(big_fn, SF1_DIR)
-        ratio = round(t_big / t_mid, 2) if t_mid > 0 else None
-        flag = bool(
-            ratio is not None
-            and t_big >= MIN_BIG_SEC
-            and ratio > FLAG_FACTOR * DATA_RATIO
-        )
-        sf1_report[name] = {
-            "t_sf0_1": round(t_mid, 3),
-            "t_sf1": round(t_big, 3),
-            "ratio": ratio,
-            "flag": flag,
-        }
-        if flag:
-            flagged.append(f"sf1:{name}")
-        print(
-            f"sf1 {name}: {t_mid:.3f}s -> {t_big:.3f}s  ratio {ratio}"
-            f"{'  ** SUPER-LINEAR **' if flag else ''}",
-            file=sys.stderr,
-        )
-
     doc = {
         "notes": {
-            "sf1_fixed_config_lsh": (
-                "hard_negatives/semantic_dedup run their CATALOG configs "
-                "(planes fixed at 4) at every sf: bucket occupancy grows "
-                "linearly with the corpus, so in-bucket pair generation "
-                "grows quadratically — a config-calibration effect, not "
-                "an operator defect. The *_recalibrated rows measure the "
-                "documented recipe (planes += log2(growth), bands up for "
-                "recall) on the same data; their ~linear ratios are the "
-                "operator's true scaling."
+            "sf1_auto_lsh": (
+                "The r8 *_recalibrated side-rows are gone because the "
+                "growth recipe is now the DEFAULT (r8 verdict ask #1): "
+                "hard_negatives/semantic_dedup/bitext/cross-corpus "
+                "resolve (planes, bands) from the corpus size via "
+                "similarity.auto_lsh_config (planes += round(log2("
+                "n/2000)), bands double per 2 extra planes), so the "
+                "catalog rows above already measure the auto-calibrated "
+                "plan at every sf. At the oracle gate scales auto "
+                "resolves to the former fixed configs exactly."
             ),
         },
         "sf_small": 0.01,
