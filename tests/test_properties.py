@@ -360,3 +360,152 @@ def test_seasonal_residuals_sum_to_zero_per_weekday(spark):
     assert len(sums) == 7
     for dow, s in sums.items():
         assert -counts[dow] <= s <= 1, (dow, s, counts[dow])
+
+
+# ---------------------------------------------------------------------------
+# Causal/AB tier invariants (r8 verdict ask #6): seeded synthetic
+# populations with KNOWN ground truth — zero-effect nulls, sign
+# symmetry, algebraic variance bounds, CI shrink rates. Deterministic
+# (hash-seeded values, the operators' own md5 arm assignment), so
+# these can't encode a fixture's bug as the contract (NOTES #38).
+# ---------------------------------------------------------------------------
+
+
+def _hashu(i: int, salt: str) -> float:
+    """Deterministic uniform in [0, 1) from (i, salt) — no RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}:{i}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**64
+
+
+def _causal_events(spark, n_users: int, effect: float, salt: str,
+                   effect_arm: int = 1, events_per_user: int = 4):
+    """Synthetic A/B panel: every user emits pre- and post-period
+    events with iid-ish hash-noise values; ``effect`` is added to the
+    POST values of users in ``effect_arm`` (the operators' own md5
+    bucket), so the true DiD/diff equals ``effect`` exactly."""
+    import datetime as dt
+
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(u,) for u in range(1, n_users + 1)], "user_id long")
+    arms = {
+        r["user_id"]: r["arm"]
+        for r in ids.select(
+            "user_id", sample_bucket(F.col("user_id"), 2).alias("arm")
+        ).collect()
+    }
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        for j in range(events_per_user):
+            eid += 1
+            pre_day, post_day = 2 + (j % 10), 20 + (j % 10)
+            noise_pre = 50.0 + 20.0 * _hashu(eid, salt + ":pre")
+            noise_post = 50.0 + 20.0 * _hashu(eid, salt + ":post")
+            boost = effect if arms[u] == effect_arm else 0.0
+            rows.append((eid, dt.datetime(2024, 1, pre_day, 12), u, noise_pre))
+            rows.append((eid + 10**6, dt.datetime(2024, 1, post_day, 12), u, noise_post + boost))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_causal_zero_effect_null(spark):
+    """Invariant 1: a zero-effect population reads as null — |z| small
+    and the implied CI covers 0 — for DiD AND the delta-method ratio."""
+    from pasta_pipeline_spark.operators.stat_tests import did_report, ratio_metric_delta
+
+    df = _causal_events(spark, 120, effect=0.0, salt="null1")
+    d = did_report(df).collect()[0]
+    assert d["z_sc"] is not None
+    assert abs(d["z_sc"]) < 4_000_000  # |z| < 4 under the null
+    assert abs(d["did_sc"]) <= 4 * d["se_sc"] + 10_000  # CI covers 0
+    r = ratio_metric_delta(df).collect()[0]
+    assert abs(r["z_sc"]) < 4_000_000
+    assert abs(r["diff_sc"]) <= 4 * r["se_sc"] + 10
+
+
+def test_causal_arm_relabel_flips_sign(spark):
+    """Invariant 2: planting the same effect in the OTHER arm flips the
+    DiD estimate's sign (magnitude preserved within noise)."""
+    from pasta_pipeline_spark.operators.stat_tests import did_report
+
+    a = did_report(_causal_events(spark, 100, 30.0, "flip", effect_arm=1)).collect()[0]
+    b = did_report(_causal_events(spark, 100, 30.0, "flip", effect_arm=0)).collect()[0]
+    assert a["did_sc"] > 0 > b["did_sc"]
+    # same noise, mirrored planting: magnitudes match within 20%
+    assert abs(a["did_sc"] + b["did_sc"]) < 0.2 * abs(a["did_sc"])
+    # and the planted effect (30.0 * scale 100 * sc 1e4 / 1e4...) is
+    # recovered: did ~ 30.0 in value units = 3000 in floor(v*100) units
+    assert 2000 * 10000 < a["did_sc"] < 4000 * 10000
+
+
+def test_cuped_variance_ratio_at_most_one(spark):
+    """Invariant 3: var(Y*)/var(Y) = 1 - rho^2 <= 1 BY CONSTRUCTION —
+    holds for predictive, anti-predictive, and useless covariates."""
+    import datetime as dt
+
+    from pasta_pipeline_spark.operators.stat_tests import cuped_report
+
+    for mode, salt in (("pos", "c1"), ("neg", "c2"), ("none", "c3")):
+        rows = []
+        eid = 0
+        for u in range(1, 80):
+            base = 100.0 * _hashu(u, salt)
+            for d in (2, 5):  # pre period
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, d, 12), u, base + 5 * _hashu(eid, salt)))
+            for d in (20, 25):  # post period
+                eid += 1
+                post = (
+                    base if mode == "pos"
+                    else (100.0 - base) if mode == "neg"
+                    else 50.0 * _hashu(eid, salt + "x")
+                )
+                rows.append((eid, dt.datetime(2024, 1, d, 12), u, post + 5 * _hashu(eid, salt)))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        r = cuped_report(df).collect()[0]
+        assert r["var_reduction_sc"] <= 1_000_000, mode
+        assert r["var_reduction_sc"] >= 0, mode
+        if mode in ("pos", "neg"):
+            # a strongly (anti)correlated covariate must actually help
+            assert r["var_reduction_sc"] < 500_000, mode
+
+
+def test_bootstrap_ci_width_shrinks_sqrt_n(spark):
+    """Invariant 4: the Poisson-bootstrap CI width shrinks ~1/sqrt(n):
+    16x the rows -> ~4x narrower, asserted within [2, 8]."""
+    from pasta_pipeline_spark.operators.bootstrap import poisson_bootstrap_mean_ci
+
+    def width(n: int) -> int:
+        df = spark.createDataFrame(
+            [(i, 10.0 + 10.0 * _hashu(i, "bw")) for i in range(n)],
+            "id long, value double",
+        )
+        row = poisson_bootstrap_mean_ci(df, "id", "value").collect()[0]
+        assert row["ci_lo_sc"] <= row["mean_sc"] <= row["ci_hi_sc"] + 1
+        return row["width_sc"]
+
+    w_small, w_big = width(400), width(6400)
+    assert w_big < w_small
+    ratio = w_small / max(w_big, 1)
+    assert 2.0 <= ratio <= 8.0, ratio
+
+
+def test_bootstrap_ci_covers_true_mean(spark):
+    """Invariant 5: the CI covers the KNOWN population mean of a
+    symmetric synthetic (values 10..20, mean ~15)."""
+    from pasta_pipeline_spark.operators.bootstrap import poisson_bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, 10.0 + 10.0 * _hashu(i, "cov")) for i in range(2000)],
+        "id long, value double",
+    )
+    row = poisson_bootstrap_mean_ci(df, "id", "value").collect()[0]
+    true_mean_sc = 15.0 * 100 * 10000  # value*scale(100) -> sc 1e4
+    assert row["ci_lo_sc"] <= true_mean_sc <= row["ci_hi_sc"]
