@@ -34,6 +34,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def isotonic_bin_moments(
+    df: DataFrame,
+    score_bin: Column,
+    label: Column,
+) -> DataFrame:
+    """The SUFFICIENT STATISTICS of the isotonic fit: per-bin (n, s)
+    int64 moments — one map-side-combined groupBy over the fact scan.
+    Additively mergeable (any batch boundaries give the same state),
+    which is what makes the streaming twin
+    (streaming/sink.py incremental_isotonic_sink) exact."""
+    return df.select(
+        score_bin.cast("long").alias("bin"), label.cast("long").alias("y")
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("s")
+    )
+
+
 def isotonic_calibration(
     df: DataFrame,
     score_bin: Column,
@@ -44,11 +61,14 @@ def isotonic_calibration(
     bin, n, rate_sc (raw empirical rate), iso_sc (monotone fit),
     pooled (fit != raw — this bin was averaged with a violator).
     """
-    bins = df.select(
-        score_bin.cast("long").alias("bin"), label.cast("long").alias("y")
-    ).groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
-    )
+    return isotonic_fit_from_bins(isotonic_bin_moments(df, score_bin, label))
+
+
+def isotonic_fit_from_bins(bins: DataFrame) -> DataFrame:
+    """The PAVA closed form over a ``(bin, n, s)`` moment frame —
+    shared by the batch operator (which computes the bins from a fact
+    scan) and the streaming report (which reads them from maintained
+    sink state), so maintained == batch is structural."""
     w_ord = Window.partitionBy().orderBy("bin")  # bounded: n_bins rows
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = bins.select(

@@ -96,22 +96,21 @@ def apply_summary_batch(
 ) -> None:
     """One micro-batch of summary-state maintenance — module-level so
     tests can drive a simulated intra-batch retry (the apply_ks_batch
-    pattern). Pre-version pinning makes the re-run recompute the SAME
-    merged frame: state reads go through the version recorded before
-    the batch's first mutation."""
-    from pasta_pipeline_spark.operators.summaries import (
-        merge_summaries,
-        partial_summary,
-    )
-    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+    pattern). Ported to the sufficient-stats factory (r8 verdict ask
+    #5): the per-column laws replicate operators/summaries.py
+    merge_summaries exactly (union + one groupBy; counts/sums add,
+    min/max fold, absence is the identity)."""
+    from pasta_pipeline_spark.operators.summaries import partial_summary
 
-    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"s": store})
-    part = partial_summary(batch, keys, value_col)
-    if pre["s"] is not None:
-        merged = merge_summaries(store.read(version=pre["s"]), part, keys)
-    else:
-        merged = part
-    store.overwrite(merged)
+    apply_sufficient_stats_batch(
+        batch, batch_id, store, marker_path,
+        delta_fn=lambda b: partial_summary(b, keys, value_col),
+        keys=keys,
+        merge_laws={
+            "n": "sum", "sum_x": "sum", "min_x": "min",
+            "max_x": "max", "sumsq_x": "sum",
+        },
+    )
 
 
 def incremental_summary_sink(
@@ -172,21 +171,21 @@ def apply_histogram_batch(
     n_bins: int = 64,
 ) -> None:
     """One micro-batch of histogram-state maintenance; idempotent
-    under re-execution via pre-version pinning (apply_ks_batch
-    pattern)."""
-    from pasta_pipeline_spark.operators.summaries import (
-        merge_histograms,
-        partial_histogram,
-    )
-    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+    under re-execution via pre-version pinning. Ported to the
+    sufficient-stats factory (r8 verdict ask #5): keyed on
+    (keys..., bin) with the single additive law, which is exactly
+    operators/summaries.py merge_histograms."""
+    from pasta_pipeline_spark.operators.summaries import partial_histogram
 
-    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"h": store})
-    part = partial_histogram(batch, keys, value_col, lo=lo, hi=hi, n_bins=n_bins)
-    if pre["h"] is not None:
-        merged = merge_histograms(store.read(version=pre["h"]), part, keys)
-    else:
-        merged = part
-    store.overwrite(merged)
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    apply_sufficient_stats_batch(
+        batch, batch_id, store, marker_path,
+        delta_fn=lambda b: partial_histogram(
+            b, ks, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ),
+        keys=ks + ["bin"],
+        merge_laws={"bin_n": "sum"},
+    )
 
 
 def incremental_histogram_sink(
@@ -1440,31 +1439,21 @@ def apply_daily_revenue_batch(
     on demand — late data is simply absorbed into its day row, which a
     running-state implementation could never repair.
 
-    Idempotent under intra-batch retry: the additive merge recomputes
-    against the pre-version pinned before the first mutation
-    (streaming/exactly_once.py MicroBatchPin)."""
-    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+    Idempotent under intra-batch retry via the factory's pre-version
+    pinning. Ported to the sufficient-stats factory (r8 verdict ask
+    #5): the union+groupBy sum law equals the former full_outer +
+    coalesce-add merge row for row (absence is the identity in
+    both)."""
 
-    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"days": day_store})
-    delta = batch.groupBy(F.col(date_col).cast("date").alias("day")).agg(
-        F.sum(F.floor(F.col(amount_col) * scale).cast("long")).alias("y_fp")
+    def delta(b: DataFrame) -> DataFrame:
+        return b.groupBy(F.col(date_col).cast("date").alias("day")).agg(
+            F.sum(F.floor(F.col(amount_col) * scale).cast("long")).alias("y_fp")
+        )
+
+    apply_sufficient_stats_batch(
+        batch, batch_id, day_store, marker_path,
+        delta_fn=delta, keys="day", merge_laws={"y_fp": "sum"},
     )
-    if pre["days"] is not None:
-        prev = day_store.read(version=pre["days"]).select(
-            "day", F.col("y_fp").alias("py")
-        )
-        merged = delta.join(prev, "day", "full_outer").select(
-            "day",
-            (
-                F.coalesce(F.col("y_fp"), F.lit(0))
-                + F.coalesce(F.col("py"), F.lit(0))
-            )
-            .cast("long")
-            .alias("y_fp"),
-        )
-    else:
-        merged = delta
-    day_store.overwrite(merged)
 
 
 def incremental_holt_sink(
@@ -1511,3 +1500,257 @@ def holt_report_from_state(day_store: TableStore, **kwargs) -> DataFrame:
     from pasta_pipeline_spark.operators.timeseries import holt_linear_fold
 
     return holt_linear_fold(day_store.read(), **kwargs)
+
+# ---------------------------------------------------------------------------
+# Generic sufficient-statistics sink factory (r8 verdict ask #5): the
+# additive/bounded-domain sinks above all share one shape — pin the
+# pre-version, reduce the batch to keyed int64 state, merge under a
+# per-column associative law, overwrite, derive the report on demand.
+# The factory extracts that shape; incremental_{summary,histogram,holt}
+# are ports (behavior pinned by their pre-existing suites), and the
+# isotonic / interpolated-quantile twins are built directly on it.
+# ---------------------------------------------------------------------------
+
+#: per-column merge laws: every law is associative + commutative with
+#: absence as identity, so ANY batch boundaries yield the same state
+_MERGE_LAWS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_keyed_state(
+    prev: DataFrame,
+    delta: DataFrame,
+    keys: str | list[str],
+    merge_laws: dict[str, str],
+) -> DataFrame:
+    """union + one groupBy — the merge tree's associativity means this
+    equals folding row-level facts directly (maintained == batch)."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    aggs = [
+        _MERGE_LAWS[law](F.col(c)).cast("long").alias(c)
+        for c, law in merge_laws.items()
+    ]
+    return prev.unionByName(delta).groupBy(*ks).agg(*aggs)
+
+
+def apply_sufficient_stats_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store: TableStore,
+    marker_path: str,
+    *,
+    delta_fn,
+    keys: str | list[str],
+    merge_laws: dict[str, str],
+) -> None:
+    """One micro-batch of keyed-state maintenance: ``delta_fn(batch)``
+    reduces the batch to state rows (keys + int64 stat columns), which
+    merge into the store under ``merge_laws``. Idempotent under
+    intra-batch retry via pre-version pinning (MicroBatchPin): a rerun
+    of the same batch_id recomputes the identical merged frame."""
+    from pasta_pipeline_spark.streaming.exactly_once import MicroBatchPin
+
+    pre = MicroBatchPin(marker_path).pre_versions(batch_id, {"s": store})
+    delta = delta_fn(batch)
+    if pre["s"] is not None:
+        merged = merge_keyed_state(
+            store.read(version=pre["s"]), delta, keys, merge_laws
+        )
+    else:
+        merged = delta
+    store.overwrite(merged)
+
+
+def sufficient_stats_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    *,
+    delta_fn,
+    keys: str | list[str],
+    merge_laws: dict[str, str],
+    marker_name: str = "_suffstats_mb.json",
+    trigger_once: bool = True,
+):
+    """Start a foreachBatch query maintaining keyed sufficient
+    statistics. ``delta_fn: batch -> DataFrame`` must emit the key
+    columns plus exactly the ``merge_laws`` stat columns (int64), and
+    each stat column's law must make absence an identity — then the
+    maintained state equals the from-scratch reduction of everything
+    ever ingested, under any batch boundaries, with intra-batch
+    retries idempotent (apply_sufficient_stats_batch). State size is
+    |key domain| rows — the caller's bounded-domain obligation."""
+    if not checkpoint_dir:
+        raise ValueError("sufficient_stats_sink requires checkpoint_dir")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        apply_sufficient_stats_batch(
+            batch, batch_id, store,
+            marker_path=os.path.join(checkpoint_dir, marker_name),
+            delta_fn=delta_fn, keys=keys, merge_laws=merge_laws,
+        )
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_isotonic_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    score_bin_sql: str,
+    label_sql: str,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/isotonic.py isotonic_calibration:
+    maintain the per-bin (n, s) moment table — the fit's sufficient
+    statistics — so the monotone calibrator is derivable at ANY moment
+    (isotonic_report_from_state) and late/out-of-order facts are
+    absorbed exactly. State is |bins| rows of int64."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        from pasta_pipeline_spark.operators.isotonic import isotonic_bin_moments
+
+        return isotonic_bin_moments(
+            batch, F.expr(score_bin_sql), F.expr(label_sql)
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys="bin", merge_laws={"n": "sum", "s": "sum"},
+        marker_name="_isotonic_mb.json", trigger_once=trigger_once,
+    )
+
+
+def isotonic_report_from_state(store: TableStore) -> DataFrame:
+    """PAVA fit from the CURRENT bin-moment state — equal to batch
+    isotonic_calibration over everything ingested (pytest-pinned),
+    because the state IS the batch operator's bin frame."""
+    from pasta_pipeline_spark.operators.isotonic import isotonic_fit_from_bins
+
+    return isotonic_fit_from_bins(store.read())
+
+
+def incremental_quantiles_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    value_col: str,
+    value_scale: int = 100,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/exact_quantiles.py
+    interpolated_quantiles: maintain the exact VALUE HISTOGRAM
+    (fixed-point value -> count) — the order statistics' sufficient
+    state — so Type-7 quantiles are derivable at any moment
+    (quantiles_report_from_state) with no corpus rescans and no global
+    sort. State is |distinct quantized values| rows (the fixed-point
+    bridge bounds the domain the same way the batch operator's int64
+    values do)."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        v = F.floor(F.col(value_col) * value_scale).cast("long")
+        return (
+            batch.filter(F.col(value_col).isNotNull())
+            .groupBy(v.alias("v_fp"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys="v_fp", merge_laws={"cnt": "sum"},
+        marker_name="_quantiles_mb.json", trigger_once=trigger_once,
+    )
+
+
+def quantiles_report_from_state(store: TableStore, grid: tuple = None) -> DataFrame:
+    """Hyndman-Fan Type-7 quantiles from the maintained value
+    histogram — bit-equal to batch interpolated_quantiles over
+    everything ingested (pytest-pinned): the histogram's cumulative
+    counts give every order statistic exactly (rank r falls in the
+    first value whose cumulative count reaches r), and the
+    interpolation replays the batch operator's integer/double tree.
+
+    One bounded window over |distinct values| rows + a broadcast
+    range join against the |grid|-row target frame — no global sort
+    of fact rows at any corpus size."""
+    from pyspark.sql import Window
+
+    from pasta_pipeline_spark.operators.exact_quantiles import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    hist = store.read()
+    w = Window.partitionBy().orderBy("v_fp")  # bounded: |distinct v|
+    # each value owns the rank interval (cum_prev, cum]
+    ranked = hist.select("v_fp", "cnt").withColumn(
+        "cum",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    n_row = hist.agg(F.sum("cnt").cast("long").alias("__n"))
+    targets = n_row.select(
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(num).cast("long").alias("num"),
+                        F.lit(den).cast("long").alias("den"),
+                    )
+                    for num, den in grid
+                ]
+            )
+        ).alias("g"),
+    ).select(
+        "__n",
+        F.col("g.num").alias("__num"),
+        F.col("g.den").alias("__den"),
+        (F.expr("((__n - 1) * g.num) div g.den") + 1).alias("__lo"),
+        F.when(
+            F.expr("((__n - 1) * g.num) % g.den") == 0,
+            F.expr("((__n - 1) * g.num) div g.den") + 1,
+        )
+        .otherwise(F.expr("((__n - 1) * g.num) div g.den") + 2)
+        .alias("__hi"),
+    )
+    # rank r lives in the first value whose cumulative count reaches r:
+    # a broadcast range join — |grid| rows against the bounded histogram
+    lo_j = ranked.join(
+        F.broadcast(targets),
+        (targets["__lo"] > ranked["cum_prev"]) & (targets["__lo"] <= ranked["cum"]),
+    ).select("__num", "__den", "__n", "__lo", "__hi", F.col("v_fp").alias("__vlo"))
+    hi_j = ranked.join(
+        F.broadcast(
+            targets.select(
+                F.col("__num").alias("__num2"),
+                F.col("__den").alias("__den2"),
+                "__hi",
+            )
+        ),
+        (F.col("__hi") > ranked["cum_prev"]) & (F.col("__hi") <= ranked["cum"]),
+    ).select("__num2", "__den2", F.col("v_fp").alias("__vhi"))
+    both = lo_j.join(
+        F.broadcast(hi_j),
+        (lo_j["__num"] == hi_j["__num2"]) & (lo_j["__den"] == hi_j["__den2"]),
+    )
+    frac = (
+        F.expr("((__n - 1) * __num) % __den").cast("double")
+        / F.col("__den").cast("double")
+    )
+    q = F.col("__vlo").cast("double") + frac * (
+        F.col("__vhi") - F.col("__vlo")
+    ).cast("double")
+    return both.select(
+        F.expr("(__num * 1000000) div __den").cast("long").alias("p_sc"),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__lo").cast("long").alias("lo_rank"),
+        F.col("__hi").cast("long").alias("hi_rank"),
+        F.floor(q * 10000).cast("long").alias("q_sc"),
+    ).orderBy("p_sc")
