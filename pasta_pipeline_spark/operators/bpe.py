@@ -484,10 +484,13 @@ def bpe_learn_merges(words: DataFrame, k: int = 4) -> DataFrame:
     return attach_cached_deps(out.orderBy("step"), deps)
 
 
-def _bpe_cte_chain(table: str, k: int) -> str:
+def _bpe_cte_chain(table: str, k: int, word_filter_sql: str = "") -> str:
     """Shared WITH-clause builder for the K unrolled BPE rounds (the
     positional run-parity rewrite — see module docstring for why not
-    string replace)."""
+    string replace). ``word_filter_sql`` (e.g. a length cap) lets the
+    unigram-fertility oracle train on the same word population as its
+    Spark twin; empty keeps the historical unfiltered chain."""
+    where = f"WHERE {word_filter_sql}" if word_filter_sql else ""
     sql = [
         f"""
     WITH w0 AS (
@@ -497,7 +500,7 @@ def _bpe_cte_chain(table: str, k: int) -> str:
         SELECT unnest(list_filter(regexp_split_to_array(lower(text),
                  '\\s+'), y -> y <> '')) AS word
         FROM {table}
-      ) GROUP BY word
+      ) {where} GROUP BY word
     )"""
     ]
     for s in range(1, k + 1):

@@ -1,0 +1,79 @@
+"""Catalog tier: wave 23 (r9) — unigram-LM tokenizer training.
+
+Registration stays APPEND-ONLY: this module is imported LAST by the
+package __init__, so the driver's correctness window over the earlier
+311 queries is byte-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pasta_pipeline_spark.queries.catalog._core import _t, register
+
+from pasta_pipeline_spark.operators.unigram_lm import (  # noqa: E402
+    unigram_doc_nll_oracle_sql,
+    unigram_fertility_oracle_sql,
+    unigram_vocab_oracle_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Wave 23 (r9): unigram-LM (SentencePiece-style) tokenizer training —
+# Kudo 2018 Viterbi-EM as an in-plan computation (r8 verdict ask #7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_vocab",
+    unigram_vocab_oracle_sql("documents"),
+    doc="Unigram-LM tokenizer training (Kudo 2018, Viterbi-EM variant): "
+    "substring-seeded vocabulary, 2 statically-unrolled EM rounds where "
+    "the E-step Viterbi-segments every distinct word as ONE aggregate "
+    "fold (flat int64 best*8+len encoding — no UDF, no driver loop) "
+    "under fixed-point-ln piece costs, M-step recounts and prunes. "
+    "Oracle replays the identical recurrence as statically-unrolled "
+    "lateral columns (DuckDB 1.0 list_reduce is thread-unsafe with "
+    "captured columns). operators/unigram_lm.py; complements the BPE "
+    "trainer (operators/bpe.py) per the r8 verdict's ask.",
+)
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.unigram_lm import unigram_train
+
+    return unigram_train(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "unigram_fertility",
+    unigram_fertility_oracle_sql("documents"),
+    doc="Tokenizer fertility comparison (pieces per word, Ács 2019) on "
+    "the same word population: the trained unigram-LM vs the 4-merge "
+    "BPE state — the standard quality metric for comparing tokenizers. "
+    "operators/unigram_lm.py unigram_fertility_vs_bpe.",
+)
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.unigram_lm import (
+        unigram_fertility_vs_bpe,
+    )
+
+    return unigram_fertility_vs_bpe(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "unigram_doc_nll",
+    unigram_doc_nll_oracle_sql("documents"),
+    doc="apply_unigram — the trained tokenizer's inference replay over "
+    "documents: per-doc word/piece totals and the summed fixed-point "
+    "path NLL (the unigram-LM analog of perplexity filtering). The "
+    "expensive Viterbi runs once per DISTINCT word; documents join "
+    "back — corpus-scale work is one explode + hash join + groupBy. "
+    "operators/unigram_lm.py apply_unigram.",
+)
+def q_unigram_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.unigram_lm import (
+        apply_unigram,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(docs)
+    return apply_unigram(docs, vocab.select("piece", "cost_fp"))

@@ -79,6 +79,12 @@ SCALAR_CROSSJOIN_OK = {
     "over the metadata-scale domain table (water-fill handoffs)",
     "bigram_nll": "1-row model token+vocab total (T+V) scalar for the "
     "interpolated-probability denominator",
+    "unigram_vocab": "1-row vocabulary-total scalar per EM round + final "
+    "(the ln_fp cost normalizer in unigram_lm._with_costs)",
+    "unigram_fertility": "the unigram_vocab cost-normalizer scalars plus "
+    "the 1-row unigram-totals x BPE-totals combine",
+    "unigram_doc_nll": "the unigram_vocab cost-normalizer scalars (train "
+    "chain reused by the apply path)",
     "source_concentration": "1-row totals and 1-row HHI handoffs over the "
     "metadata-scale source table (diversity report)",
     "corpus_datacard": "1-row card blocks (volume/top-share/dup/concentration) "

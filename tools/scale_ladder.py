@@ -106,6 +106,9 @@ QUERIES = [
     "bpe_merge_learning",
     "kaplan_meier_shipping",
     "bootstrap_mean_ci",
+    # r9: unigram-LM trainer (wave 23)
+    "unigram_vocab",
+    "unigram_fertility",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -146,6 +149,11 @@ SF1_QUERIES = [
     "pca_power_iteration",
     "bitext_margin_pairs",
     "rfm_segments",
+    # r9 (verdict ask #2): the last near-band sf0.1 query without an
+    # sf1 rung (reads orders — already in the fixture); plus the new
+    # unigram trainer over 10x the word distribution
+    "bootstrap_mean_ci",
+    "unigram_vocab",
 ]
 
 
