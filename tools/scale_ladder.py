@@ -302,6 +302,11 @@ def main() -> None:
             dfs.append(df)
         for df in dfs:
             release_cached_deps(df)
+        # drop any cache a query persisted without registering deps —
+        # the r9 run showed late sf1-tier readings inflating >10x from
+        # accumulated session state in one long driver JVM (both sides
+        # of a ratio inflate together, but absolutes go misleading)
+        spark.catalog.clearCache()
         return best
 
     # untimed warmup at the smallest sf: JIT/codegen + Python workers
