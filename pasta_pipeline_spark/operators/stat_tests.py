@@ -437,9 +437,24 @@ def cuped_report(
     Scale shape: groupBy(user) over the fact scan (map-side combined),
     then a 1-row moment aggregate — a count's cost at any scale.
     """
-    import datetime as _dt
+    return cuped_from_user_stats(
+        cuped_user_stats(events, user_col, ts_col, value_col, boundary, value_scale)
+    )
 
-    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+def cuped_user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    boundary: str = "2024-01-16",
+    value_scale: int = 100,
+) -> DataFrame:
+    """The CUPED readout's SUFFICIENT STATISTICS: per-user int64
+    (x = pre-period sum, y = post-period sum) — ADDITIVE on the user
+    key, so the streaming twin (streaming/sink.py
+    incremental_cuped_sink) maintains exactly this frame."""
+    import datetime as _dt
 
     # epoch-micros comparison (NOTES #39): engines disagree on naive
     # timestamp casts but agree on exact epoch integers
@@ -450,7 +465,7 @@ def cuped_report(
         * 1_000_000
     )
     pre = F.unix_micros(F.col(ts_col)) < b_us
-    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+    return events.groupBy(F.col(user_col).alias("__u")).agg(
         F.sum(
             F.when(pre, F.floor(F.col(value_col) * value_scale)).otherwise(
                 F.lit(0)
@@ -466,6 +481,14 @@ def cuped_report(
         .cast("long")
         .alias("y"),
     )
+
+
+def cuped_from_user_stats(per_user: DataFrame) -> DataFrame:
+    """The 1-row CUPED report from a ``(__u, x, y)`` frame — shared by
+    the batch operator and the streaming report, so maintained ==
+    batch is structural."""
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
     per_user = per_user.withColumn(
         "arm", (sample_bucket(F.col("__u"), 2)).cast("long")
     )
@@ -770,12 +793,33 @@ def ratio_metric_delta(
     Returns ONE row: n_ctrl, n_treat, ratio0_sc, ratio1_sc, diff_sc,
     se_sc, z_sc (scale 1e6 for ratios/diff/se, 1e6 for z).
     """
+    return ratio_delta_from_user_stats(
+        ratio_user_stats(events, user_col, value_col, value_scale)
+    )
+
+
+def ratio_user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> DataFrame:
+    """The ratio metric's SUFFICIENT STATISTICS: per-user int64
+    (x = value sum, y = event count) — additive on the user key (the
+    streaming twin's state; streaming/sink.py
+    incremental_ratio_delta_sink)."""
+    v = F.floor(F.col(value_col) * value_scale).cast("long")
+    return events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.sum(v).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+
+
+def ratio_delta_from_user_stats(per_user: DataFrame) -> DataFrame:
+    """The 1-row delta-method report from a ``(__u, x, y)`` frame —
+    shared by batch and streaming (maintained == batch structural)."""
     from pasta_pipeline_spark.operators.sampling import sample_bucket
 
-    v = F.floor(F.col(value_col) * value_scale).cast("long")
-    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
-        F.sum(v).alias("x"), F.count(F.lit(1)).alias("y")
-    )
     per_user = per_user.withColumn(
         "arm", sample_bucket(F.col("__u"), 2).cast("long")
     )

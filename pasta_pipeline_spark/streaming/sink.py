@@ -1754,3 +1754,87 @@ def quantiles_report_from_state(store: TableStore, grid: tuple = None) -> DataFr
         F.col("__hi").cast("long").alias("hi_rank"),
         F.floor(q * 10000).cast("long").alias("q_sc"),
     ).orderBy("p_sc")
+
+
+def incremental_cuped_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    boundary: str = "2024-01-16",
+    value_scale: int = 100,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/stat_tests.py cuped_report — the
+    LIVE A/B readout: maintain the per-user (x = pre-period sum,
+    y = post-period sum) table over micro-batches so the CUPED
+    variance-reduced estimate is derivable at ANY moment
+    (cuped_report_from_state) while the experiment runs. Late or
+    out-of-order events (a user's pre-period rows arriving after post
+    rows) are absorbed exactly — the additive user-keyed state makes
+    batch boundaries irrelevant, where a running-estimate sink could
+    never repair an earlier user's moments. State is |users| rows of
+    int64 (the experiment's own bounded domain)."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        from pasta_pipeline_spark.operators.stat_tests import cuped_user_stats
+
+        return cuped_user_stats(
+            batch, user_col, ts_col, value_col, boundary, value_scale
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys="__u", merge_laws={"x": "sum", "y": "sum"},
+        marker_name="_cuped_mb.json", trigger_once=trigger_once,
+    )
+
+
+def cuped_report_from_state(store: TableStore) -> DataFrame:
+    """CUPED report from the CURRENT per-user state — equal to batch
+    cuped_report over everything ingested (pytest-pinned): the state
+    IS the batch operator's user frame, and the md5 arm assignment is
+    a pure function of the user id."""
+    from pasta_pipeline_spark.operators.stat_tests import cuped_from_user_stats
+
+    return cuped_from_user_stats(store.read())
+
+
+def incremental_ratio_delta_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    value_scale: int = 100,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/stat_tests.py ratio_metric_delta:
+    per-user (value sum, event count) state — the delta-method ratio
+    readout (diff/SE/z with users as the randomization unit) derivable
+    live at any moment (ratio_delta_report_from_state). Same additive
+    user-keyed contract as the CUPED sink."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        from pasta_pipeline_spark.operators.stat_tests import ratio_user_stats
+
+        return ratio_user_stats(batch, user_col, value_col, value_scale)
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys="__u", merge_laws={"x": "sum", "y": "sum"},
+        marker_name="_ratio_delta_mb.json", trigger_once=trigger_once,
+    )
+
+
+def ratio_delta_report_from_state(store: TableStore) -> DataFrame:
+    """Delta-method ratio report from the CURRENT per-user state —
+    equal to batch ratio_metric_delta over everything ingested
+    (pytest-pinned)."""
+    from pasta_pipeline_spark.operators.stat_tests import (
+        ratio_delta_from_user_stats,
+    )
+
+    return ratio_delta_from_user_stats(store.read())

@@ -7,8 +7,6 @@ their own pre-existing suites — unchanged behavior is their gate."""
 from __future__ import annotations
 
 
-ORDERS_SCHEMA = "o_orderkey long, o_totalprice double"
-
 ISO_WAVES = [
     # (key, score in [0, 100), label)
     [(i, float(s), y) for i, (s, y) in enumerate(
@@ -153,3 +151,103 @@ def test_merge_laws_min_max(spark):
         ).collect()
     }
     assert got == {1: (7, 1, 11), 2: (3, 1, 4), 3: (7, 0, 0)}
+
+
+AB_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _ab_waves():
+    import datetime as dt
+
+    w1, w2 = [], []
+    eid = 0
+    for u in range(1, 41):
+        eid += 1
+        w1.append((eid, dt.datetime(2024, 1, 20, 12), u, 40.0 + u))
+        eid += 1
+        # wave 2 delivers the PRE-period rows late — a running-estimate
+        # sink could never repair theta; the user-keyed state absorbs it
+        w2.append((eid, dt.datetime(2024, 1, 5, 12), u, 30.0 + u))
+        if u % 3 == 0:
+            eid += 1
+            w2.append((eid, dt.datetime(2024, 1, 25, 12), u, 15.5))
+    return [w1, w2]
+
+
+def test_incremental_cuped_equals_batch(spark, tmp_table_dir):
+    from pasta_pipeline_spark.operators.stat_tests import cuped_report
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        cuped_report_from_state,
+        incremental_cuped_sink,
+    )
+
+    waves = _ab_waves()
+    store = TableStore(spark, f"{tmp_table_dir}/cuped_state")
+    _stream_waves(
+        spark, tmp_table_dir, waves, AB_SCHEMA,
+        lambda s, st, ck: incremental_cuped_sink(s, st, ck),
+        store,
+    )
+    all_rows = spark.createDataFrame(waves[0] + waves[1], AB_SCHEMA)
+    want = [tuple(r) for r in cuped_report(all_rows).collect()]
+    got = [tuple(r) for r in cuped_report_from_state(store).collect()]
+    assert got == want
+    # the late pre-period mass landed: every user has nonzero x
+    assert all(r["x"] > 0 for r in store.read().collect())
+
+
+def test_incremental_ratio_delta_equals_batch(spark, tmp_table_dir):
+    from pasta_pipeline_spark.operators.stat_tests import ratio_metric_delta
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        incremental_ratio_delta_sink,
+        ratio_delta_report_from_state,
+    )
+
+    waves = _ab_waves()
+    store = TableStore(spark, f"{tmp_table_dir}/ratio_state")
+    _stream_waves(
+        spark, tmp_table_dir, waves, AB_SCHEMA,
+        lambda s, st, ck: incremental_ratio_delta_sink(s, st, ck),
+        store,
+    )
+    all_rows = spark.createDataFrame(waves[0] + waves[1], AB_SCHEMA)
+    want = [tuple(r) for r in ratio_metric_delta(all_rows).collect()]
+    got = [tuple(r) for r in ratio_delta_report_from_state(store).collect()]
+    assert got == want
+    # y counts events per user: users divisible by 3 have 3, others 2
+    y = {r["__u"]: r["y"] for r in store.read().collect()}
+    assert y[3] == 3 and y[1] == 2
+
+
+def test_cuped_batch_apply_retry_idempotent(spark, tmp_table_dir):
+    from pasta_pipeline_spark.operators.stat_tests import cuped_user_stats
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_sufficient_stats_batch
+
+    waves = _ab_waves()
+    store = TableStore(spark, f"{tmp_table_dir}/cuped_retry")
+    marker = f"{tmp_table_dir}/cuped_retry_ckpt/_cuped_mb.json"
+
+    def apply(rows, bid):
+        apply_sufficient_stats_batch(
+            spark.createDataFrame(rows, AB_SCHEMA), bid, store, marker,
+            delta_fn=lambda b: cuped_user_stats(b),
+            keys="__u", merge_laws={"x": "sum", "y": "sum"},
+        )
+
+    apply(waves[0], 0)
+    once = sorted(tuple(r) for r in store.read().collect())
+    apply(waves[0], 0)  # crash-retry of the same batch id: no-op
+    assert sorted(tuple(r) for r in store.read().collect()) == once
+    apply(waves[1], 1)
+    total_y = sum(r["y"] for r in store.read().collect())
+    # y counts post-period value mass (floor(v*100)) — assert against
+    # the direct computation
+    want_y = sum(
+        int(v * 100)
+        for _, ts, _, v in waves[0] + waves[1]
+        if ts.day >= 16
+    )
+    assert total_y == want_y
