@@ -509,3 +509,78 @@ def test_bootstrap_ci_covers_true_mean(spark):
     row = poisson_bootstrap_mean_ci(df, "id", "value").collect()[0]
     true_mean_sc = 15.0 * 100 * 10000  # value*scale(100) -> sc 1e4
     assert row["ci_lo_sc"] <= true_mean_sc <= row["ci_hi_sc"]
+
+
+# ---------------------------------------------------------------------------
+# Privacy-tier invariants (r9, extending the causal-tier pattern):
+# algebraic identities and monotonicity that a fixture pin can't fake.
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_at_risk_monotone_in_k(spark):
+    """The at-risk row mass is non-decreasing in k, zero at k=1, and
+    the histogram conserves the total row count at every k."""
+    from pasta_pipeline_spark.operators.governance import k_anonymity_report
+
+    rows = [(i, i % 7, (i * 3) % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, qa long, qb long")
+    prev_at_risk = -1
+    for k in (1, 2, 3, 5, 9, 50):
+        rep = k_anonymity_report(df, ["qa", "qb"], k=k).collect()
+        assert sum(r["n_rows"] for r in rep) == len(rows)  # conservation
+        at_risk = sum(r["n_rows"] for r in rep if r["at_risk"])
+        assert at_risk >= prev_at_risk
+        prev_at_risk = at_risk
+        if k == 1:
+            assert at_risk == 0  # class_size >= 1 by construction
+
+
+def test_randomized_response_debias_recovers_truth(spark):
+    """Unbiasedness in aggregate: the debiased estimates sum to ~n and
+    each group's estimate lands near its truth (the md5 mechanism is a
+    deterministic 'sample' of the coin distribution, so error is small
+    at n=3000, far under a no-debias gap), while the REPORTED counts
+    are visibly flattened toward uniform."""
+    from pasta_pipeline_spark.operators.governance import (
+        randomized_response_counts,
+    )
+
+    # skewed truth: group g gets ~(g+1) mass share over 4 groups
+    rows = []
+    for i in range(3000):
+        g = 0 if i % 10 < 1 else 1 if i % 10 < 3 else 2 if i % 10 < 6 else 3
+        rows.append((i, g))
+    df = spark.createDataFrame(rows, "id long, grp long")
+    rep = {r["grp"]: r for r in randomized_response_counts(df, "id", "grp").collect()}
+    n = len(rows)
+    assert abs(sum(r["est_n"] for r in rep.values()) - n) <= len(rep) + 1
+    for g, r in rep.items():
+        assert r["abs_err"] <= 0.1 * n  # estimate tracks truth
+        # reported counts shrink toward uniform: the biggest group
+        # reports FEWER than truth, the smallest reports MORE
+    assert rep[3]["reported_n"] < rep[3]["true_n"]
+    assert rep[0]["reported_n"] > rep[0]["true_n"]
+
+
+def test_l_diversity_invariants(spark):
+    """Structural invariants of the diversity histogram: levels are
+    bounded by the sensitive domain, the histogram conserves all rows,
+    a level's rows can't be fewer than l_distinct per class, at_risk
+    mass is non-increasing as data gets MORE diverse, and a
+    homogeneous class (the attack the audit exists for) surfaces at
+    l_distinct = 1."""
+    from pasta_pipeline_spark.operators.governance import l_diversity_report
+
+    rows = [(i, i % 5, (i * 7) % 3) for i in range(120)]
+    # plant a homogeneous class: qi=9 always carries sens=0
+    rows += [(1000 + i, 9, 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, qi long, sens long")
+    rep = l_diversity_report(df, ["qi"], "sens", l=2).collect()
+    assert sum(r["n_rows"] for r in rep) == len(rows)  # conservation
+    for r in rep:
+        assert 1 <= r["l_distinct"] <= 3  # |sensitive domain| = 3
+        # every class at this level has >= l_distinct rows
+        assert r["n_rows"] >= r["l_distinct"] * r["n_classes"]
+        assert r["at_risk"] == (r["l_distinct"] < 2)
+    by_l = {r["l_distinct"]: r for r in rep}
+    assert by_l[1].at_risk and by_l[1]["n_rows"] >= 8  # the planted class
