@@ -657,3 +657,162 @@ def unigram_doc_nll_oracle_sql(
     FROM dw JOIN wseg USING (word)
     GROUP BY doc_id"""
     )
+
+
+def unigram_em_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    rounds: int = 2,
+    seed_multi: int = 160,
+    final_multi: int = 96,
+) -> DataFrame:
+    """EM convergence curve — training observability for the unigram
+    trainer: one row per E-step (em_round 1..rounds, each segmenting
+    under the PREVIOUS round's vocabulary/costs) plus a final row
+    (em_round rounds+1) under the pruned final vocabulary.
+
+    Columns: em_round, vocab_size (pieces the segmentation could use),
+    total_pieces (corpus-weighted), total_nll_fp (corpus-weighted sum
+    of chosen path costs at the round's own cost scale). Reviewers
+    read piece totals falling as multi-char pieces win Viterbi races
+    and the NLL trajectory for convergence/pruning regressions — the
+    loss-curve the trainer itself would otherwise not expose.
+
+    Same scale shape as :func:`unigram_train` (vocabulary-scale after
+    one corpus scan); the per-round totals are 1-row aggregates.
+    """
+    from pasta_pipeline_spark.operators.bpe import word_freq_frame
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    _check(max_piece_len, rounds)
+    deps = []
+    words = (
+        word_freq_frame(docs, text_col=text_col)
+        .select("word", F.col("cnt").cast("long").alias("cnt"))
+        .where(
+            (F.length("word") >= 1) & (F.length("word") <= max_word_len)
+        )
+        .persist()
+    )
+    deps.append(words)
+    seed_counts = (
+        _candidates(words, max_piece_len)
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    chars = seed_counts.where(F.length("piece") == 1)
+    multi = (
+        seed_counts.where(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_multi)
+    )
+    vocab = chars.unionByName(multi).persist()
+    deps.append(vocab)
+
+    def totals(seg: DataFrame, vocab_df: DataFrame, em_round: int) -> DataFrame:
+        vs = vocab_df.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        t = seg.agg(
+            F.sum(F.col("cnt") * F.size("ps")).cast("long").alias("total_pieces"),
+            F.sum(F.col("cnt") * F.col("cost_fp")).cast("long").alias("total_nll_fp"),
+        )
+        return (
+            t.crossJoin(F.broadcast(vs))  # 1-row x 1-row
+            .select(
+                F.lit(em_round).cast("long").alias("em_round"),
+                "vocab_size",
+                "total_pieces",
+                "total_nll_fp",
+            )
+        )
+
+    curve = []
+    for r in range(1, rounds + 1):
+        seg = viterbi_segment(words, _with_costs(vocab), max_piece_len)
+        curve.append(totals(seg, vocab, r))
+        new_counts = (
+            seg.select("cnt", F.explode("ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("ncnt"))
+        )
+        vocab = (
+            vocab.join(new_counts, "piece", "left")
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1,
+                    F.greatest(F.coalesce("ncnt", F.lit(0)), F.lit(1)),
+                )
+                .otherwise(F.col("ncnt"))
+                .cast("long")
+                .alias("cnt"),
+            )
+            .where(F.col("cnt").isNotNull())
+            .persist()
+        )
+        deps.append(vocab)
+
+    final = vocab.where(F.length("piece") == 1).unionByName(
+        vocab.where(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(final_multi)
+    ).persist()
+    deps.append(final)
+    seg_f = viterbi_segment(words, _with_costs(final), max_piece_len)
+    curve.append(totals(seg_f, final, rounds + 1))
+
+    out = curve[0]
+    for c in curve[1:]:
+        out = out.unionByName(c)
+    return attach_cached_deps(out.orderBy("em_round"), deps)
+
+
+def unigram_em_curve_oracle_sql(
+    table: str = "documents",
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    rounds: int = 2,
+    seed_multi: int = 160,
+    final_multi: int = 96,
+) -> str:
+    """DuckDB twin of :func:`unigram_em_curve` — per-round totals read
+    straight off the training chain's dpfin/bw CTEs, plus the final
+    pass reused from the doc-NLL oracle machinery."""
+    m = max_piece_len
+    selects = []
+    for r in range(1, rounds + 1):
+        selects.append(f"""
+    SELECT CAST({r} AS BIGINT) AS em_round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v{r - 1}) AS vocab_size,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM bw{r}
+             WHERE piece IS NOT NULL) AS total_pieces,
+           (SELECT CAST(SUM(cnt * cost_fp) AS BIGINT) FROM dpfin{r})
+             AS total_nll_fp""")
+    selects.append(f"""
+    SELECT CAST({rounds + 1} AS BIGINT) AS em_round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS vocab_size,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM bwf
+             WHERE piece IS NOT NULL) AS total_pieces,
+           (SELECT CAST(SUM(cnt * cost_fp) AS BIGINT) FROM dpfinf)
+             AS total_nll_fp""")
+    return (
+        _oracle_words_cte(table, max_word_len)
+        + _oracle_em_chain(m, rounds, seed_multi, max_word_len)
+        + _oracle_final_cte(rounds, final_multi)
+        + f""", cvf AS (
+      SELECT piece,
+             CAST(FLOOR(ln(CAST(t AS DOUBLE)) * {LN_SCALE}) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * {LN_SCALE}) AS BIGINT)
+               AS cost_fp
+      FROM fin CROSS JOIN ftot
+    ), cmf AS MATERIALIZED (
+      SELECT word, cnt,
+             map_from_entries(list({{'k': idx, 'v': cost_fp}})
+               FILTER (cost_fp IS NOT NULL)) AS cmap
+      FROM cand LEFT JOIN cvf USING (piece)
+      GROUP BY word, cnt
+    ){_oracle_viterbi_ctes(m, "f", "cmf")}
+    {" UNION ALL ".join(selects)}
+    ORDER BY em_round"""
+    )

@@ -77,3 +77,28 @@ def q_unigram_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     vocab = unigram_train(docs)
     return apply_unigram(docs, vocab.select("piece", "cost_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 25 (r9): EM convergence observability for the unigram trainer
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.unigram_lm import (  # noqa: E402
+    unigram_em_curve_oracle_sql,
+)
+
+
+@register(
+    "unigram_em_curve",
+    unigram_em_curve_oracle_sql("documents"),
+    doc="EM convergence curve for the unigram-LM trainer: per E-step "
+    "round (plus the final pruned pass) the usable vocabulary size, "
+    "corpus-weighted piece total, and total Viterbi path NLL at the "
+    "round's own cost scale — the loss curve a tokenizer-training job "
+    "exposes for convergence/pruning-regression review. "
+    "operators/unigram_lm.py unigram_em_curve.",
+)
+def q_unigram_em_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.unigram_lm import unigram_em_curve
+
+    return unigram_em_curve(_t(spark, sf_dir, "documents"))

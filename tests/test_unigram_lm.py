@@ -226,3 +226,29 @@ def test_apply_unigram_doc_totals(spark):
             pieces += len(ps)
             nll += c
         assert out[i] == (len(words), pieces, nll), text
+
+
+def test_em_curve_invariants(spark):
+    """Structural invariants of the convergence curve: one row per
+    E-step plus the final pass; vocab never grows after pruning starts;
+    piece totals never undershoot the word count; the final NLL (under
+    the pruned vocab's own costs) does not explode vs round 1."""
+    from pasta_pipeline_spark.operators.unigram_lm import unigram_em_curve
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    rows = unigram_em_curve(
+        docs, max_piece_len=4, max_word_len=16, rounds=2,
+        seed_multi=10, final_multi=6,
+    ).collect()
+    assert [r["em_round"] for r in rows] == [1, 2, 3]
+    vocab_sizes = [r["vocab_size"] for r in rows]
+    assert vocab_sizes[0] >= vocab_sizes[1] >= vocab_sizes[2]  # pruning
+    n_words = sum(_word_freqs(TEXTS).values())
+    for r in rows:
+        assert r["total_pieces"] >= n_words  # >= one piece per word
+        assert r["total_nll_fp"] > 0
+    # hard-EM refits: round-2 NLL (under the refit costs) improves on
+    # the seed-cost round
+    assert rows[1]["total_nll_fp"] <= rows[0]["total_nll_fp"]

@@ -85,6 +85,8 @@ SCALAR_CROSSJOIN_OK = {
     "the 1-row unigram-totals x BPE-totals combine",
     "unigram_doc_nll": "the unigram_vocab cost-normalizer scalars (train "
     "chain reused by the apply path)",
+    "unigram_em_curve": "the unigram_vocab cost-normalizer scalars plus "
+    "per-round 1-row totals x 1-row vocab-size combines",
     "source_concentration": "1-row totals and 1-row HHI handoffs over the "
     "metadata-scale source table (diversity report)",
     "corpus_datacard": "1-row card blocks (volume/top-share/dup/concentration) "
