@@ -102,10 +102,11 @@ BENCH_QUERIES = [
 #: its main shapes. Kept separate so the legacy total stays
 #: round-over-round comparable.
 BENCH_QUERIES_LLM = [
-    "semantic_dedup",          # banded sign-LSH gate + exact cosine verify
+    "semantic_dedup",          # banded sign-LSH gate + exact cosine verify (auto-calibrated r9)
     "rfm_segments",            # range-partition ranks + closed-form ntile (wave-9 analytics)
     "pretrain_pipeline",       # composed capstone: filter+dedup+sample+pack
     "logistic_quality_gd",     # in-plan GD training: 5 unrolled full-scan steps (wave-16)
+    "unigram_vocab",           # unigram-LM tokenizer training: Viterbi-EM folds (wave-23)
 ]
 
 
