@@ -1,0 +1,502 @@
+"""A/B testing tier II — the experiment-practice checks around the
+r8 causal estimators (CUPED / DiD / delta-method): sample-ratio
+mismatch, quantile treatment effects, post-stratification, and the
+power-planning grid.
+
+All four follow the tier's determinism playbook: arms come from the
+md5 user bucket (``sampling.sample_bucket`` — a pure function of the
+id, so "random" assignment is cross-engine exact), values ride the
+FLOOR(v·scale) int64 bridge, second moments accumulate in
+decimal(38,0), and the only doubles are fixed expression trees whose
+sqrt/± operations are IEEE-exact (NOTES #45) — every report is
+full-hash oracle-checkable, including the z constants (rational
+literals, not a normal-quantile function call).
+
+Scale shapes: every operator is one groupBy(user) over the fact scan
+followed by bounded-domain work (1-row moments, a |strata|-row frame,
+or the quantile tier's range-partition ranks) — a count's cost at any
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point z constants (·1e6): two-sided alpha = 0.05 and
+#: power = 0.80 — the planning defaults every experimentation platform
+#: uses. Literals (not Phi^-1 calls) so both engines compute the same
+#: integers; swap via parameters for other designs.
+Z_ALPHA_SC = 1_959_964   # Phi^-1(0.975)
+Z_BETA_SC = 841_621      # Phi^-1(0.80)
+
+#: chi-square df=1 critical value at 5% (·1e6) for the SRM flag.
+CHI2_CRIT_SC = 3_841_459
+
+
+def _per_user(events: DataFrame, user_col: str, value_col: str, value_scale: int):
+    """(__u, arm, y): per-user int64 value sum + md5 arm."""
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    v = F.floor(F.col(value_col) * value_scale).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        # coalesce: an all-NULL user must sum to 0, not NULL — engines
+        # order NULLs differently, so a NULL y would break QTE ranks
+        F.coalesce(F.sum(v), F.lit(0)).cast("long").alias("y")
+    )
+    return per_user.withColumn("arm", sample_bucket(F.col("__u"), 2).cast("long"))
+
+
+def srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sample-ratio mismatch — the first sanity gate of any experiment
+    readout (Fabijan et al. 2019 catalog it as the most common and
+    most damaging A/B bug): with a 50/50 design, the chi-square
+    statistic for the observed user split is ``(n0 − n1)² / n``; a
+    value past the df=1 critical point means assignment, logging, or
+    filtering is broken and every downstream estimate is suspect.
+
+    Returns ONE row: n_users, n_ctrl, n_treat, chi2_sc (·1e6), and
+    srm_flag (chi2 above the 5% critical value). The statistic is one
+    double division of exact int64s — hash-stable; no p-value function
+    is needed because the decision constant is fixed.
+    """
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    users = events.select(F.col(user_col).alias("__u")).distinct()
+    m = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sample_bucket(F.col("__u"), 2)).alias("n1"),
+    )
+    n_d = F.col("n").cast("double")
+    n1_d = F.col("n1").cast("double")
+    diff = n_d - 2.0 * n1_d  # n0 - n1
+    chi2 = F.when(F.col("n") > 0, diff * diff / n_d)
+    chi2_sc = F.floor(chi2 * 1_000_000).cast("long")
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_ctrl"),
+        F.col("n1").cast("long").alias("n_treat"),
+        chi2_sc.alias("chi2_sc"),
+        (chi2_sc > CHI2_CRIT_SC).alias("srm_flag"),
+    )
+
+
+def srm_oracle_sql(table: str = "events", user_sql: str = "user_id") -> str:
+    """DuckDB twin of :func:`srm_check`."""
+    return f"""
+    WITH users AS (
+      SELECT DISTINCT {user_sql} AS u FROM {table}
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2)
+               AS BIGINT) AS n1
+      FROM users
+    )
+    SELECT n AS n_users, n - n1 AS n_ctrl, n1 AS n_treat,
+      CAST(FLOOR(
+        (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        * (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS chi2_sc,
+      CAST(FLOOR(
+        (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        * (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        / CAST(n AS DOUBLE) * 1000000) AS BIGINT) > {CHI2_CRIT_SC} AS srm_flag
+    FROM m"""
+
+
+def quantile_treatment_effect(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    grid: tuple = None,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Quantile treatment effects — the distributional readout a mean
+    difference hides (heavy-tailed revenue metrics move in the tail
+    long before the mean is significant): per grid point p, the
+    difference of the two arms' Type-7 quantiles of the per-user
+    metric. Reuses the exact_quantiles machinery per arm (rank via
+    range partitioning — no global sort), joined on p.
+
+    Returns one row per grid point, ordered: p_sc, n_ctrl, n_treat,
+    q_ctrl_sc, q_treat_sc, qte_sc (treat − ctrl).
+    """
+    from pasta_pipeline_spark.operators.exact_quantiles import (
+        DEFAULT_GRID,
+        interpolated_quantiles,
+    )
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    per_user = _per_user(events, user_col, value_col, value_scale)
+    # the quantile operator applies its own FLOOR(v·scale) bridge —
+    # feed back the already-exact integer sum at scale 1
+    arm = {
+        a: interpolated_quantiles(
+            per_user.where(F.col("arm") == a).select("__u", "y"),
+            "y",
+            "__u",
+            grid=grid,
+            value_scale=1,
+        )
+        for a in (0, 1)
+    }
+    c = arm[0].select(
+        F.col("p_sc"),
+        F.col("n").alias("n_ctrl"),
+        F.col("q_sc").alias("q_ctrl_sc"),
+    )
+    t = arm[1].select(
+        F.col("p_sc").alias("p_sc_t"),
+        F.col("n").alias("n_treat"),
+        F.col("q_sc").alias("q_treat_sc"),
+    )
+    return (
+        c.join(F.broadcast(t), c["p_sc"] == t["p_sc_t"])
+        .select(
+            "p_sc",
+            "n_ctrl",
+            "n_treat",
+            "q_ctrl_sc",
+            "q_treat_sc",
+            (F.col("q_treat_sc") - F.col("q_ctrl_sc")).alias("qte_sc"),
+        )
+        .orderBy("p_sc")
+    )
+
+
+def qte_oracle_sql(
+    table: str = "events",
+    user_sql: str = "user_id",
+    value_sql: str = "value",
+    grid: tuple = None,
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`quantile_treatment_effect` — the
+    exact_quantiles rank/target recipe, once per arm."""
+    from pasta_pipeline_spark.operators.exact_quantiles import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    grid_rows = ", ".join(f"({num}, {den})" for num, den in grid)
+    arms = []
+    for a in (0, 1):
+        arms.append(f""", ranked{a} AS (
+      SELECT y AS v, ROW_NUMBER() OVER (ORDER BY y, u) AS rnk
+      FROM per_user WHERE arm = {a}
+    ), n{a} AS (SELECT COUNT(*) AS n FROM per_user WHERE arm = {a}),
+    targets{a} AS (
+      SELECT num, den, n,
+             ((n - 1) * num) // den + 1 AS lo,
+             CASE WHEN ((n - 1) * num) % den = 0
+               THEN ((n - 1) * num) // den + 1
+               ELSE ((n - 1) * num) // den + 2 END AS hi
+      FROM grid CROSS JOIN n{a}
+    ), q{a} AS (
+      SELECT CAST((t.num * 1000000) // t.den AS BIGINT) AS p_sc,
+        CAST(t.n AS BIGINT) AS n,
+        CAST(FLOOR((CAST(rl.v AS DOUBLE)
+          + (CAST(((t.n - 1) * t.num) % t.den AS DOUBLE)
+             / CAST(t.den AS DOUBLE))
+            * CAST(rh.v - rl.v AS DOUBLE)) * 10000) AS BIGINT) AS q_sc
+      FROM targets{a} t
+      JOIN ranked{a} rl ON rl.rnk = t.lo
+      JOIN ranked{a} rh ON rh.rnk = t.hi
+    )""")
+    return f"""
+    WITH per_user AS (
+      SELECT u, y,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      FROM (
+        SELECT {user_sql} AS u,
+               CAST(COALESCE(SUM(CAST(FLOOR({value_sql} * {value_scale})
+                 AS BIGINT)), 0) AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+      )
+    ), grid(num, den) AS (VALUES {grid_rows}){"".join(arms)}
+    SELECT q0.p_sc, q0.n AS n_ctrl, q1.n AS n_treat,
+           q0.q_sc AS q_ctrl_sc, q1.q_sc AS q_treat_sc,
+           q1.q_sc - q0.q_sc AS qte_sc
+    FROM q0 JOIN q1 USING (p_sc)
+    ORDER BY p_sc"""
+
+
+def post_stratified_effect(
+    events: DataFrame,
+    user_col: str = "user_id",
+    strata_col: str = "stratum",
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Post-stratification — the free variance reduction when a
+    categorical covariate (country, platform, signup cohort) explains
+    outcome variance: estimate the effect within each stratum and
+    combine with POOLED stratum weights w_s = n_s/n, so imbalanced
+    stratum mixes across arms stop polluting the estimate
+    (Miratrix, Sekhon & Yu 2013). SE² = Σ w_s²(var_s1/n_s1 +
+    var_s0/n_s0); any stratum with an empty arm cell fails the whole
+    readout closed to NULL (both engines).
+
+    A user's stratum is its MINIMUM observed value (deterministic when
+    events disagree). Returns ONE row: n_strata, n_users, diff_raw_sc
+    (unstratified mean diff), diff_ps_sc, se_ps_sc, z_ps_sc (·1e6, on
+    the value scale).
+    """
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    v = F.floor(F.col(value_col) * value_scale).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.col(strata_col)).alias("s"),
+        F.coalesce(F.sum(v), F.lit(0)).cast("long").alias("y"),
+    )
+    per_user = per_user.withColumn(
+        "arm", sample_bucket(F.col("__u"), 2).cast("long")
+    )
+    cells = per_user.groupBy("s", "arm").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum("y").alias("cs"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("cq"),
+    )
+    cn_d = F.col("cn").cast("double")
+    mean_c = F.when(F.col("cn") > 0, F.col("cs").cast("double") / cn_d)
+    var_c = F.when(
+        F.col("cn") > 0, F.col("cq").cast("double") / cn_d - mean_c * mean_c
+    )
+    by_s = (
+        cells.groupBy("s")
+        .agg(
+            F.sum("cn").alias("ns"),
+            F.min(F.when(F.col("arm") == 0, F.col("cn"))).alias("n0"),
+            F.min(F.when(F.col("arm") == 1, F.col("cn"))).alias("n1"),
+            F.min(F.when(F.col("arm") == 0, mean_c)).alias("m0"),
+            F.min(F.when(F.col("arm") == 1, mean_c)).alias("m1"),
+            F.min(F.when(F.col("arm") == 0, var_c)).alias("v0"),
+            F.min(F.when(F.col("arm") == 1, var_c)).alias("v1"),
+        )
+    )  # bounded: |strata| rows
+    ns_d = F.col("ns").cast("double")
+    m = by_s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("ns").cast("long").alias("n_users"),
+        F.sum(ns_d * (F.col("m1") - F.col("m0"))).alias("wdiff_n"),
+        F.sum(
+            ns_d
+            * ns_d
+            * (
+                F.col("v1") / F.col("n1").cast("double")
+                + F.col("v0") / F.col("n0").cast("double")
+            )
+        ).alias("wvar_nn"),
+    )
+    # wdiff_n / n and sqrt(wvar_nn) / n: the 1/n weights factored out
+    # of the sums so both engines fold the same double tree
+    n_d = F.col("n_users").cast("double")
+    diff_ps = F.col("wdiff_n") / n_d
+    se_ps = F.sqrt(F.col("wvar_nn")) / n_d
+    raw = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, 1)).alias("k1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, 1)).alias("k0"),
+    ).select(
+        (
+            F.col("s1").cast("double") / F.col("k1").cast("double")
+            - F.col("s0").cast("double") / F.col("k0").cast("double")
+        ).alias("raw_diff")
+    )
+    return m.crossJoin(F.broadcast(raw)).select(
+        "n_strata",
+        "n_users",
+        F.floor(F.col("raw_diff") * 10000).cast("long").alias("diff_raw_sc"),
+        F.floor(diff_ps * 10000).cast("long").alias("diff_ps_sc"),
+        F.floor(se_ps * 10000).cast("long").alias("se_ps_sc"),
+        F.floor(F.when(se_ps > 0.0, diff_ps / se_ps) * 1_000_000)
+        .cast("long")
+        .alias("z_ps_sc"),
+    )
+
+
+def post_stratified_oracle_sql(
+    table: str = "events",
+    user_sql: str = "user_id",
+    strata_sql: str = "stratum",
+    value_sql: str = "value",
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`post_stratified_effect`."""
+    return f"""
+    WITH per_user AS (
+      SELECT u, s, y,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      FROM (
+        SELECT {user_sql} AS u, MIN({strata_sql}) AS s,
+               CAST(COALESCE(SUM(CAST(FLOOR({value_sql} * {value_scale})
+                 AS BIGINT)), 0) AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+      )
+    ), cells AS (
+      SELECT s, arm, CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(y) AS BIGINT) AS cs,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS cq
+      FROM per_user GROUP BY 1, 2
+    ), by_s AS (
+      SELECT s, SUM(cn) AS ns,
+        MIN(CASE WHEN arm = 0 THEN cn END) AS n0,
+        MIN(CASE WHEN arm = 1 THEN cn END) AS n1,
+        MIN(CASE WHEN arm = 0 AND cn > 0
+            THEN CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) END) AS m0,
+        MIN(CASE WHEN arm = 1 AND cn > 0
+            THEN CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) END) AS m1,
+        MIN(CASE WHEN arm = 0 AND cn > 0
+            THEN CAST(cq AS DOUBLE) / CAST(cn AS DOUBLE)
+               - (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE))
+                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) END) AS v0,
+        MIN(CASE WHEN arm = 1 AND cn > 0
+            THEN CAST(cq AS DOUBLE) / CAST(cn AS DOUBLE)
+               - (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE))
+                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) END) AS v1
+      FROM cells GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(ns) AS BIGINT) AS n_users,
+             SUM(CAST(ns AS DOUBLE) * (m1 - m0)) AS wdiff_n,
+             SUM(CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
+                 * (v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)))
+               AS wvar_nn
+      FROM by_s
+    ), raw AS (
+      SELECT SUM(CASE WHEN arm = 1 THEN CAST(y AS DOUBLE) END)
+               / SUM(CASE WHEN arm = 1 THEN 1.0 END)
+           - SUM(CASE WHEN arm = 0 THEN CAST(y AS DOUBLE) END)
+               / SUM(CASE WHEN arm = 0 THEN 1.0 END) AS raw_diff
+      FROM per_user
+    )
+    SELECT n_strata, n_users,
+      CAST(FLOOR(raw_diff * 10000) AS BIGINT) AS diff_raw_sc,
+      CAST(FLOOR(wdiff_n / CAST(n_users AS DOUBLE) * 10000) AS BIGINT)
+        AS diff_ps_sc,
+      CAST(FLOOR(sqrt(wvar_nn) / CAST(n_users AS DOUBLE) * 10000) AS BIGINT)
+        AS se_ps_sc,
+      CAST(FLOOR(CASE WHEN sqrt(wvar_nn) / CAST(n_users AS DOUBLE) > 0.0
+        THEN (wdiff_n / CAST(n_users AS DOUBLE))
+             / (sqrt(wvar_nn) / CAST(n_users AS DOUBLE)) END * 1000000)
+        AS BIGINT) AS z_ps_sc
+    FROM m CROSS JOIN raw"""
+
+
+DEFAULT_MDE_GRID_SC = (10_000, 20_000, 50_000, 100_000)  # 1/2/5/10% (·1e6)
+
+
+def ab_power_grid(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    mde_grid_sc: tuple = DEFAULT_MDE_GRID_SC,
+    value_scale: int = 100,
+    z_alpha_sc: int = Z_ALPHA_SC,
+    z_beta_sc: int = Z_BETA_SC,
+) -> DataFrame:
+    """Power planning off the live metric moments: for each relative
+    MDE, the classical two-sample required n per arm,
+
+        n = 2 σ² (z_{α/2} + z_β)² / δ²,   δ = mde · mean,
+
+    with σ²/mean the pooled per-user moments of the CURRENT population
+    — the "how long must this test run" table, derivable from one
+    scan. The z constants are fixed-point literals (no Φ⁻¹ call), so
+    the whole grid is hash-stable.
+
+    Returns one row per MDE, ordered: mde_sc, mean_sc, delta_sc,
+    required_n_per_arm, current_n_per_arm, powered.
+    """
+    per_user = _per_user(events, user_col, value_col, value_scale)
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("qy"),
+        F.sum("arm").alias("n1"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / n_d
+    var = F.col("qy").cast("double") / n_d - mean * mean
+    z = (z_alpha_sc + z_beta_sc) / 1_000_000.0
+    rows = m.select(
+        "n",
+        "n1",
+        mean.alias("mean"),
+        var.alias("var"),
+        F.explode(
+            F.array(*[F.lit(g).cast("long") for g in mde_grid_sc])
+        ).alias("mde_sc"),
+    )
+    delta = F.col("mean") * F.col("mde_sc").cast("double") / 1_000_000.0
+    req = F.when(
+        (delta > 0.0) & (F.col("var") > 0.0),
+        F.ceil(2.0 * F.col("var") * F.lit(z * z) / (delta * delta)),
+    ).cast("long")
+    cur = F.least(F.col("n1"), F.col("n") - F.col("n1")).cast("long")
+    return rows.select(
+        "mde_sc",
+        F.floor(F.col("mean") * 10000).cast("long").alias("mean_sc"),
+        F.floor(delta * 10000).cast("long").alias("delta_sc"),
+        req.alias("required_n_per_arm"),
+        cur.alias("current_n_per_arm"),
+        (cur >= req).alias("powered"),
+    ).orderBy("mde_sc")
+
+
+def power_grid_oracle_sql(
+    table: str = "events",
+    user_sql: str = "user_id",
+    value_sql: str = "value",
+    mde_grid_sc: tuple = DEFAULT_MDE_GRID_SC,
+    value_scale: int = 100,
+    z_alpha_sc: int = Z_ALPHA_SC,
+    z_beta_sc: int = Z_BETA_SC,
+) -> str:
+    """DuckDB twin of :func:`ab_power_grid`."""
+    grid = ", ".join(f"({g})" for g in mde_grid_sc)
+    z = (z_alpha_sc + z_beta_sc) / 1_000_000.0
+    return f"""
+    WITH per_user AS (
+      SELECT u, y,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      FROM (
+        SELECT {user_sql} AS u,
+               CAST(COALESCE(SUM(CAST(FLOOR({value_sql} * {value_scale})
+                 AS BIGINT)), 0) AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+      )
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS qy,
+             CAST(SUM(arm) AS BIGINT) AS n1
+      FROM per_user
+    ), grid(mde_sc) AS (VALUES {grid}),
+    rows_ AS (
+      SELECT CAST(mde_sc AS BIGINT) AS mde_sc, n, n1,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(qy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               * CAST(mde_sc AS DOUBLE) / 1000000.0 AS delta
+      FROM m CROSS JOIN grid
+    )
+    SELECT mde_sc,
+      CAST(FLOOR(mean * 10000) AS BIGINT) AS mean_sc,
+      CAST(FLOOR(delta * 10000) AS BIGINT) AS delta_sc,
+      CAST(CASE WHEN delta > 0.0 AND var > 0.0
+        THEN CEIL(2.0 * var * {z * z!r} / (delta * delta)) END AS BIGINT)
+        AS required_n_per_arm,
+      CAST(LEAST(n1, n - n1) AS BIGINT) AS current_n_per_arm,
+      CAST(LEAST(n1, n - n1) AS BIGINT) >=
+        CAST(CASE WHEN delta > 0.0 AND var > 0.0
+          THEN CEIL(2.0 * var * {z * z!r} / (delta * delta)) END AS BIGINT)
+        AS powered
+    FROM rows_
+    ORDER BY mde_sc"""

@@ -102,3 +102,77 @@ def q_unigram_em_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.unigram_lm import unigram_em_curve
 
     return unigram_em_curve(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 26 (r9): A/B testing tier II — the experiment-practice checks
+# around the causal estimators (operators/abtest2.py)
+# ---------------------------------------------------------------------------
+
+from pasta_pipeline_spark.operators.abtest2 import (  # noqa: E402
+    post_stratified_oracle_sql,
+    power_grid_oracle_sql,
+    qte_oracle_sql,
+    srm_oracle_sql,
+)
+
+
+@register(
+    "srm_check",
+    srm_oracle_sql("events"),
+    doc="Sample-ratio mismatch gate (Fabijan 2019): chi-square of the "
+    "observed 50/50 user split vs design, flagged past the df=1 "
+    "critical constant — the first sanity check of any experiment "
+    "readout. operators/abtest2.py srm_check.",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.abtest2 import srm_check
+
+    return srm_check(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "quantile_treatment_effect",
+    qte_oracle_sql("events"),
+    doc="Quantile treatment effects: per grid point, the difference of "
+    "the arms' Type-7 quantiles of the per-user metric — the "
+    "distributional readout a mean diff hides on heavy-tailed metrics. "
+    "Reuses the exact_quantiles range-partition rank machinery per arm. "
+    "operators/abtest2.py quantile_treatment_effect.",
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.abtest2 import quantile_treatment_effect
+
+    return quantile_treatment_effect(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "post_stratified_effect",
+    post_stratified_oracle_sql("events", strata_sql="event_type"),
+    doc="Post-stratification (Miratrix 2013): within-stratum effects "
+    "combined under pooled stratum weights, SE from the weighted cell "
+    "variances — free variance reduction when a categorical covariate "
+    "explains outcomes; empty arm cells fail closed. "
+    "operators/abtest2.py post_stratified_effect.",
+)
+def q_post_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.abtest2 import post_stratified_effect
+
+    return post_stratified_effect(
+        _t(spark, sf_dir, "events"), strata_col="event_type"
+    )
+
+
+@register(
+    "ab_power_grid",
+    power_grid_oracle_sql("events"),
+    doc="Power planning off the live metric moments: required n per "
+    "arm at each relative MDE via n = 2*sigma^2*(z_a+z_b)^2/delta^2 "
+    "with fixed-point z literals (no normal-quantile call) — the "
+    "how-long-must-this-run table from one scan. "
+    "operators/abtest2.py ab_power_grid.",
+)
+def q_ab_power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.abtest2 import ab_power_grid
+
+    return ab_power_grid(_t(spark, sf_dir, "events"))

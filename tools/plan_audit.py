@@ -87,6 +87,13 @@ SCALAR_CROSSJOIN_OK = {
     "chain reused by the apply path)",
     "unigram_em_curve": "the unigram_vocab cost-normalizer scalars plus "
     "per-round 1-row totals x 1-row vocab-size combines",
+    "post_stratified_effect": "1-row stratified moments x 1-row raw-diff "
+    "combine",
+    "quantile_treatment_effect": "per-arm exact_quantiles machinery "
+    "(1-row n broadcast into the rank-grid joins)",
+    "ab_power_grid": "1-row pooled moments exploded over the constant "
+    "MDE grid",
+    "srm_check": "1-row distinct-user split (no joins at all)",
     "source_concentration": "1-row totals and 1-row HHI handoffs over the "
     "metadata-scale source table (diversity report)",
     "corpus_datacard": "1-row card blocks (volume/top-share/dup/concentration) "

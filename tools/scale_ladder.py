@@ -109,6 +109,8 @@ QUERIES = [
     # r9: unigram-LM trainer (wave 23)
     "unigram_vocab",
     "unigram_fertility",
+    # r9: A/B tier II (wave 26) — per-arm rank machinery
+    "quantile_treatment_effect",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
