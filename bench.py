@@ -107,6 +107,8 @@ BENCH_QUERIES_LLM = [
     "pretrain_pipeline",       # composed capstone: filter+dedup+sample+pack
     "logistic_quality_gd",     # in-plan GD training: 5 unrolled full-scan steps (wave-16)
     "unigram_vocab",           # unigram-LM tokenizer training: Viterbi-EM folds (wave-23)
+    "golden_records",          # linkage CC + survivorship: per-block union-find (r10)
+    "hard_negatives",          # banded LSH gate + capped exact rerank (r10 anchor cap)
 ]
 
 

@@ -63,9 +63,17 @@ def srm_check(
     double division of exact int64s — hash-stable; no p-value function
     is needed because the decision constant is fixed.
     """
+    return srm_from_users(events.select(F.col(user_col).alias("__u")).distinct())
+
+
+def srm_from_users(users: DataFrame) -> DataFrame:
+    """SRM readout from a distinct-user frame (``__u``) — the shared
+    core of :func:`srm_check` and the streaming twin
+    (``streaming/sink.py incremental_srm_sink``): live == batch by
+    construction because both derive from the same user set and the
+    md5 arm is a pure function of the id."""
     from pasta_pipeline_spark.operators.sampling import sample_bucket
 
-    users = events.select(F.col(user_col).alias("__u")).distinct()
     m = users.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(sample_bucket(F.col("__u"), 2)).alias("n1"),
@@ -124,6 +132,17 @@ def quantile_treatment_effect(
     Returns one row per grid point, ordered: p_sc, n_ctrl, n_treat,
     q_ctrl_sc, q_treat_sc, qte_sc (treat − ctrl).
     """
+    return qte_from_per_user(
+        _per_user(events, user_col, value_col, value_scale), grid=grid
+    )
+
+
+def qte_from_per_user(per_user: DataFrame, grid: tuple = None) -> DataFrame:
+    """QTE readout from a per-user frame (``__u``, ``arm``, ``y``) —
+    the shared core of :func:`quantile_treatment_effect` and the
+    streaming twin (``incremental_qte_sink``): the per-user int64 sums
+    ARE the sufficient state, so a live readout over maintained state
+    equals the batch readout over all events ever ingested."""
     from pasta_pipeline_spark.operators.exact_quantiles import (
         DEFAULT_GRID,
         interpolated_quantiles,
@@ -131,7 +150,6 @@ def quantile_treatment_effect(
 
     if grid is None:
         grid = DEFAULT_GRID
-    per_user = _per_user(events, user_col, value_col, value_scale)
     # the quantile operator applies its own FLOOR(v·scale) bridge —
     # feed back the already-exact integer sum at scale 1
     arm = {
@@ -238,7 +256,11 @@ def post_stratified_effect(
     stratum mixes across arms stop polluting the estimate
     (Miratrix, Sekhon & Yu 2013). SE² = Σ w_s²(var_s1/n_s1 +
     var_s0/n_s0); any stratum with an empty arm cell fails the whole
-    readout closed to NULL (both engines).
+    readout closed to NULL — enforced by an explicit bad-stratum
+    count gating diff_ps/se_ps/z (SUM alone would silently DROP the
+    NULL per-stratum terms while n_users still counts those users,
+    deflating the estimate — the r9 advisor finding), mirrored in the
+    DuckDB twin (both engines).
 
     A user's stratum is its MINIMUM observed value (deterministic when
     events disagree). Returns ONE row: n_strata, n_users, diff_raw_sc
@@ -255,6 +277,14 @@ def post_stratified_effect(
     per_user = per_user.withColumn(
         "arm", sample_bucket(F.col("__u"), 2).cast("long")
     )
+    return post_strat_from_per_user(per_user)
+
+
+def post_strat_from_per_user(per_user: DataFrame) -> DataFrame:
+    """Post-stratified readout from a per-user frame (``__u``, ``s``,
+    ``y``, ``arm``) — the shared core of :func:`post_stratified_effect`
+    and the streaming twin (``incremental_post_strat_sink``); the
+    (user, stratum)-keyed int64 sums are the sufficient state."""
     cells = per_user.groupBy("s", "arm").agg(
         F.count(F.lit(1)).alias("cn"),
         F.sum("y").alias("cs"),
@@ -290,12 +320,18 @@ def post_stratified_effect(
                 + F.col("v0") / F.col("n0").cast("double")
             )
         ).alias("wvar_nn"),
+        # strata where an arm cell is empty: SUM skips their NULL
+        # terms, so the estimate must fail closed when any exist
+        F.sum(
+            F.when(F.col("n0").isNull() | F.col("n1").isNull(), 1).otherwise(0)
+        ).alias("bad_strata"),
     )
     # wdiff_n / n and sqrt(wvar_nn) / n: the 1/n weights factored out
     # of the sums so both engines fold the same double tree
     n_d = F.col("n_users").cast("double")
-    diff_ps = F.col("wdiff_n") / n_d
-    se_ps = F.sqrt(F.col("wvar_nn")) / n_d
+    ok = F.col("bad_strata") == 0
+    diff_ps = F.when(ok, F.col("wdiff_n") / n_d)
+    se_ps = F.when(ok, F.sqrt(F.col("wvar_nn")) / n_d)
     raw = per_user.agg(
         F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("s1"),
         F.sum(F.when(F.col("arm") == 1, 1)).alias("k1"),
@@ -365,7 +401,9 @@ def post_stratified_oracle_sql(
              SUM(CAST(ns AS DOUBLE) * (m1 - m0)) AS wdiff_n,
              SUM(CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
                  * (v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)))
-               AS wvar_nn
+               AS wvar_nn,
+             SUM(CASE WHEN n0 IS NULL OR n1 IS NULL THEN 1 ELSE 0 END)
+               AS bad_strata
       FROM by_s
     ), raw AS (
       SELECT SUM(CASE WHEN arm = 1 THEN CAST(y AS DOUBLE) END)
@@ -376,11 +414,14 @@ def post_stratified_oracle_sql(
     )
     SELECT n_strata, n_users,
       CAST(FLOOR(raw_diff * 10000) AS BIGINT) AS diff_raw_sc,
-      CAST(FLOOR(wdiff_n / CAST(n_users AS DOUBLE) * 10000) AS BIGINT)
+      CAST(FLOOR(CASE WHEN bad_strata = 0
+        THEN wdiff_n / CAST(n_users AS DOUBLE) END * 10000) AS BIGINT)
         AS diff_ps_sc,
-      CAST(FLOOR(sqrt(wvar_nn) / CAST(n_users AS DOUBLE) * 10000) AS BIGINT)
+      CAST(FLOOR(CASE WHEN bad_strata = 0
+        THEN sqrt(wvar_nn) / CAST(n_users AS DOUBLE) END * 10000) AS BIGINT)
         AS se_ps_sc,
-      CAST(FLOOR(CASE WHEN sqrt(wvar_nn) / CAST(n_users AS DOUBLE) > 0.0
+      CAST(FLOOR(CASE WHEN bad_strata = 0
+          AND sqrt(wvar_nn) / CAST(n_users AS DOUBLE) > 0.0
         THEN (wdiff_n / CAST(n_users AS DOUBLE))
              / (sqrt(wvar_nn) / CAST(n_users AS DOUBLE)) END * 1000000)
         AS BIGINT) AS z_ps_sc

@@ -12,8 +12,10 @@ value — deterministic, engine-portable, and expressible as a per-field
 (count DESC, value ASC) rank. Numeric fields also report min/max so
 downstream QA sees the spread the election collapsed.
 
-Scale posture: clustering is the already-hardened CC fixpoint
-(pointer-jumping + checkpoint available); survivorship is one
+Scale posture: clustering is ONE per-block union-find shuffle
+(linkage.blocked_components — linkage edges are block-confined by
+construction, so no iterative fixpoint and no O(diameter) barrier
+rounds; r10 cut 19.8 s → 4 s at sf0.1); survivorship is one
 groupBy(cluster, field-value) per elected field plus a
 cluster-partitioned rank window — clusters are tiny (bounded by the
 blocking key), so every window partition is a handful of rows.
@@ -24,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .linkage import part_linkage_pairs
+from .linkage import blocked_components, part_linkage_pairs
 from .text_dedup import duplicate_clusters
 
 
@@ -41,25 +43,43 @@ def golden_part_records(
     price_cents_min/max (exact int64 cents).
     """
     if pairs is None:
-        pairs = part_linkage_pairs(parts)
-    edges = pairs.select(
-        F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
-    )
+        pairs = part_linkage_pairs(parts, with_block=True)
     # Unlike text near-dup components (diameter 2-4, where the plain
     # min-label fixpoint converges in a few rounds), tolerance-scored
     # linkage graphs CHAIN — a is within price-tolerance of b, b of c,
-    # … — so component diameter grows with block size and the default
-    # fixpoint needs O(diameter) rounds whose accumulated plan lineage
-    # OOMs the driver (bit the r8 scale ladder at sf0.1). Pointer
-    # jumping makes rounds O(log diameter) and the periodic
-    # localCheckpoint truncates lineage growth.
-    clusters = duplicate_clusters(
-        parts.select(F.col("p_partkey")),
-        edges,
-        id_col="p_partkey",
-        doubling=True,
-        checkpoint_every=2,
-    ).select("p_partkey", "cluster_id")
+    # … — so component diameter grows with block size and the
+    # iterative fixpoint needs O(diameter) cluster-wide barrier
+    # rounds (r10 profile: 22 rounds ≈ 19 s at sf0.1, pointer jumping
+    # powerless on chains). Linkage edges are BLOCK-CONFINED by
+    # construction, so exact CC is one per-block union-find shuffle
+    # instead (linkage.blocked_components; equivalence to the
+    # duplicate_clusters fixpoint is pytest-pinned).
+    if "blk_noun" in pairs.columns:
+        comp = blocked_components(pairs, ["blk_noun", "blk_brand"])
+    else:
+        # caller-supplied pairs without block columns: fall back to
+        # the generic iterative fixpoint
+        comp = duplicate_clusters(
+            parts.select(F.col("p_partkey")),
+            pairs.select(
+                F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
+            ),
+            id_col="p_partkey",
+            doubling=True,
+            checkpoint_every=2,
+        ).select(F.col("p_partkey").alias("node"), "cluster_id")
+    clusters = (
+        parts.select("p_partkey")
+        .join(
+            comp.select(F.col("node").alias("p_partkey"), "cluster_id"),
+            "p_partkey",
+            "left",
+        )
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("cluster_id"), F.col("p_partkey")).alias("cluster_id"),
+        )
+    )
 
     members = clusters.join(parts, "p_partkey")
 

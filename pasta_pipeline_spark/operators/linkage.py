@@ -68,12 +68,79 @@ def agreement_score(
     )
 
 
+def blocked_components(
+    edges: DataFrame,
+    block_cols: list[str],
+    a_col: str = "a_key",
+    b_col: str = "b_key",
+) -> DataFrame:
+    """Connected components of a BLOCK-CONFINED pair graph in one
+    shuffle — no fixpoint loop.
+
+    Contract: every node's edges all share one value of ``block_cols``
+    (guaranteed when the pairs come from a blocked equi-join on those
+    columns and each node carries exactly one blocking key — linkage
+    graphs by construction). Components then cannot cross blocks, so
+    exact CC is a per-block computation: groupBy(block) + union-find
+    inside an Arrow batch. Returns (node, cluster_id) for every node
+    that appears in an edge; cluster_id is the component's minimum
+    node id (the duplicate_clusters label contract), deterministic
+    regardless of row order.
+
+    Why not the iterative min-label fixpoint (text_dedup.
+    duplicate_clusters): tolerance-scored linkage graphs CHAIN, and
+    min-label propagation needs O(diameter) cluster-wide barrier
+    rounds — the r10 profile measured 22 rounds ≈ 19 s at sf0.1, with
+    pointer jumping unable to help (intermediate chain nodes still
+    hold their own labels, so lbl[lbl] is a no-op until the min
+    arrives). Per-block union-find replaces the barrier chain with
+    ONE groupBy shuffle whose task size is bounded by the blocking
+    key — the same bound that already caps the pair join. This is the
+    sanctioned-Arrow-stage case (SURVEY §2.10): per-group imperative
+    state no built-in expresses.
+    """
+    import pandas as pd
+
+    def _uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[a_col], pdf[b_col]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        nodes = set(pdf[a_col]) | set(pdf[b_col])
+        roots = {n: find(n) for n in nodes}
+        # label = min member id per component: order-independent
+        label: dict = {}
+        for n, r in roots.items():
+            if r not in label or n < label[r]:
+                label[r] = n
+        return pd.DataFrame(
+            {"node": list(nodes), "cluster_id": [label[roots[n]] for n in nodes]}
+        )
+
+    return (
+        edges.select(*block_cols, a_col, b_col)
+        .groupBy(*block_cols)
+        .applyInPandas(_uf, "node long, cluster_id long")
+    )
+
+
 def part_linkage_pairs(
     parts: DataFrame,
     max_adj_lev: int = 3,
     size_tol: int = 2,
     price_tol: float = 5.0,
     min_score: int = 5,
+    with_block: bool = False,
 ) -> DataFrame:
     """Entity-resolution pairs over the part dimension.
 
@@ -85,6 +152,11 @@ def part_linkage_pairs(
     Every comparator is engine-portable: Spark's ``levenshtein`` and
     DuckDB's ``levenshtein`` agree on ASCII tokens; the numeric
     tolerances compare IEEE-deterministic double subtractions.
+
+    ``with_block=True`` additionally emits the blocking key columns
+    (blk_noun, blk_brand) so downstream clustering can run per block
+    (:func:`blocked_components`); default off keeps the public
+    (a_key, b_key, score) shape the catalog oracle hashes.
     """
     a = prefixed_link_side(parts, "a")
     b = prefixed_link_side(parts, "b")
@@ -95,11 +167,20 @@ def part_linkage_pairs(
         & (F.col("a_p_partkey") < F.col("b_p_partkey")),
     )
     score = agreement_score("a", "b", max_adj_lev, size_tol, price_tol)
+    block_cols = (
+        [
+            F.col("a_noun").alias("blk_noun"),
+            F.col("a_p_brand").alias("blk_brand"),
+        ]
+        if with_block
+        else []
+    )
     return (
         j.select(
             F.col("a_p_partkey").alias("a_key"),
             F.col("b_p_partkey").alias("b_key"),
             score.cast("long").alias("score"),
+            *block_cols,
         )
         .where(F.col("score") >= min_score)
         .orderBy("a_key", "b_key")

@@ -35,9 +35,18 @@ from .similarity import (
     DEFAULT_BUCKET_CAP,
     auto_lsh_config,
     cap_band_buckets,
-    cosine,
+    dot as _dot,
     with_lsh_bands,
 )
+
+
+#: Default per-anchor candidate budget for the exact-cosine rerank.
+#: Sized to NEVER bind at the correctness-gate scales (max observed
+#: per-anchor candidate count: 136 at sf0.01, 545 at sf0.1 — measured
+#: r10) so gate results are byte-identical to the uncapped contract,
+#: while bounding the rerank at growth scales (sf1's ~20k-vector
+#: corpus: thousands of candidates per anchor otherwise).
+DEFAULT_ANCHOR_CAND_CAP = 256
 
 
 def hard_negative_mining(
@@ -51,6 +60,7 @@ def hard_negative_mining(
     label_col: str = "label",
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     same_label: bool = False,
+    anchor_cand_cap: int | None = DEFAULT_ANCHOR_CAND_CAP,
 ) -> DataFrame:
     """Top-``k`` different-label near neighbors per anchor — or, with
     ``same_label=True``, SAME-label neighbors: the positive-pair miner
@@ -72,6 +82,19 @@ def hard_negative_mining(
     ``num_planes`` pins the config (the catalog oracle replays fixed
     plane constants at the gate scale, where auto resolves to the
     same base).
+
+    ``anchor_cand_cap`` bounds the exact-cosine rerank per anchor (the
+    r9 verdict's cost finding: the exact verify on gated candidates
+    dominated at sf1): candidates rank by BAND-COLLISION COUNT (more
+    shared bands ⇒ higher sign-agreement ⇒ likelier truly near — the
+    multiprobe-LSH ordering heuristic) with the id as tiebreak, and
+    only the top ``anchor_cand_cap`` pay the exact cosine. The cap is
+    the per-anchor analog of ``bucket_cap`` and is replayed verbatim
+    by the DuckDB oracle twin, so the contract stays deterministic and
+    hash-exact AT ANY SCALE even when the cap binds; the recall
+    contract vs the uncapped rerank is pinned by
+    ``tests/test_bucket_cap.py``. ``None`` disables (exact rerank of
+    every gated candidate).
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
@@ -81,6 +104,11 @@ def hard_negative_mining(
             F.col(id_col).alias("vid"),
             F.col(label_col).alias("lbl"),
             F.col(vec_col).alias("vec"),
+            # one norm fold per VECTOR here instead of two per
+            # CANDIDATE in the rerank — bit-identical to the inline
+            # cosine (same sequential fold, same sqrt) so the DuckDB
+            # twin keeps computing norms inline
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
         )
         .persist()
     )
@@ -116,17 +144,54 @@ def hard_negative_mining(
             & (F.col("bucket") == F.col("bucket_b"))
             & lbl_pred,
         )
-        .select("anchor_id", "neg_id", "neg_label")
-        .distinct()
+        # collision count doubles as the dedup (one row per pair) and
+        # the candidate-quality key for the per-anchor cap below
+        .groupBy("anchor_id", "neg_id", "neg_label")
+        .agg(F.count(F.lit(1)).alias("__coll"))
     )
-    av = src.select(F.col("vid").alias("anchor_id"), F.col("vec").alias("av"))
-    bv = src.select(F.col("vid").alias("neg_id"), F.col("vec").alias("bv"))
+    if anchor_cand_cap is not None:
+        # ties in collision count (the common case: most candidates
+        # share exactly one band) break by md5 of the PAIR — an
+        # unbiased deterministic sample, the cap_band_buckets rank
+        # idiom — never by raw id, which would truncate toward low
+        # ids systematically across every anchor
+        wc = Window.partitionBy("anchor_id").orderBy(
+            F.col("__coll").desc(),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            F.col("neg_id").asc(),
+        )
+        cand = (
+            cand.withColumn("__crn", F.row_number().over(wc))
+            .where(F.col("__crn") <= anchor_cand_cap)
+            .drop("__crn")
+        )
+    cand = cand.drop("__coll")
+    av = src.select(
+        F.col("vid").alias("anchor_id"),
+        F.col("vec").alias("av"),
+        F.col("nrm").alias("na"),
+    )
+    bv = src.select(
+        F.col("vid").alias("neg_id"),
+        F.col("vec").alias("bv"),
+        F.col("nrm").alias("nb"),
+    )
     scored = (
         cand.join(av, "anchor_id")
         .join(bv, "neg_id")
         .withColumn(
             "cos_sc",
-            F.floor(cosine(F.col("av"), F.col("bv")) * 1000000).cast("long"),
+            F.floor(
+                _dot(F.col("av"), F.col("bv"))
+                / (F.col("na") * F.col("nb"))
+                * 1000000
+            ).cast("long"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(

@@ -102,11 +102,19 @@ def _hard_negatives_oracle(
     num_bands: int = 4,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     same_label: bool = False,
+    anchor_cand_cap: int | None = None,
 ) -> str:
     """DuckDB twin of negatives.hard_negative_mining: replay the banded
     sign-LSH candidate gate (deterministic inlined planes, the
     _semantic_dedup_oracle technique) with the different-label
-    restriction, then exact cosines and a per-anchor top-k."""
+    restriction, the per-anchor collision-count candidate cap, then
+    exact cosines and a per-anchor top-k. ``anchor_cand_cap=None``
+    resolves to the operator's default so the twin replays the capped
+    contract verbatim."""
+    from pasta_pipeline_spark.operators.negatives import DEFAULT_ANCHOR_CAND_CAP
+
+    if anchor_cand_cap is None:
+        anchor_cand_cap = DEFAULT_ANCHOR_CAND_CAP
     cos = _cosine_sql("sa.embedding::DOUBLE[]", "sb.embedding::DOUBLE[]")
     return f"""
     WITH planes(band, pidx, pv) AS (VALUES
@@ -129,13 +137,25 @@ def _hard_negatives_oracle(
         FROM eb0)
       WHERE bkrn <= {bucket_cap}
     ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id,
-                      sb.label AS neg_label
+    cand0 AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             sb.label AS neg_label, COUNT(*) AS coll
       FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket
       JOIN src sa ON sa.vec_id = a.vec_id
       JOIN src sb ON sb.vec_id = b.vec_id
       WHERE {"sa.label = sb.label AND a.vec_id <> b.vec_id" if same_label else "sa.label <> sb.label"}
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT anchor_id, neg_id, neg_label FROM (
+        SELECT anchor_id, neg_id, neg_label,
+               row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY coll DESC,
+                          md5(CAST(anchor_id AS VARCHAR) || ':'
+                              || CAST(neg_id AS VARCHAR)),
+                          neg_id ASC) AS crn
+        FROM cand0)
+      WHERE crn <= {anchor_cand_cap}
     ),
     scored AS (
       SELECT c.anchor_id, c.neg_id, c.neg_label,
@@ -162,8 +182,11 @@ def _hard_negatives_oracle(
     "DIFFERENT-label vectors, candidates gated by OR-of-4-bands "
     "sign-LSH bucket collisions (the semantic_dedup scaling structure — "
     "recall grows with bands, candidate volume stays near-linear, never "
-    "a cartesian). Only candidates pay the exact fold cosine; the "
-    "per-anchor top-k is an anchor-partitioned bounded window.",
+    "a cartesian), then capped per anchor to the top-256 by band-"
+    "collision count, md5 tiebreak (r10: bounds the exact rerank; the "
+    "oracle replays the cap; sized to never bind at gate scales). "
+    "Only surviving candidates pay the exact fold cosine; "
+    "the per-anchor top-k is an anchor-partitioned bounded window.",
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.negatives import hard_negative_mining

@@ -1838,3 +1838,138 @@ def ratio_delta_report_from_state(store: TableStore) -> DataFrame:
     )
 
     return ratio_delta_from_user_stats(store.read())
+
+
+# ---------------------------------------------------------------------------
+# A/B tier II streaming twins (r9 verdict ask #4): SRM, QTE,
+# post-stratification as live readouts on the sufficient_stats factory
+# ---------------------------------------------------------------------------
+
+
+def incremental_srm_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/abtest2.py srm_check — the FIRST
+    live gate an experiment dashboard needs (a sample-ratio mismatch
+    should page within minutes, not at readout time): maintain the
+    distinct-user set as keyed state (``__u`` → seen=1, max law) so
+    the chi-square split check is derivable at any moment
+    (srm_report_from_state). Re-ingesting a user is absorbed by the
+    max law; state is |users| rows."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(F.col(user_col).alias("__u"))
+            .distinct()
+            .withColumn("seen", F.lit(1).cast("long"))
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys="__u", merge_laws={"seen": "max"},
+        marker_name="_srm_mb.json", trigger_once=trigger_once,
+    )
+
+
+def srm_report_from_state(store: TableStore) -> DataFrame:
+    """SRM readout from the CURRENT user state — equal to batch
+    srm_check over everything ingested (pytest-pinned): the state IS
+    the distinct-user frame and the md5 arm is a pure function of the
+    id."""
+    from pasta_pipeline_spark.operators.abtest2 import srm_from_users
+
+    return srm_from_users(store.read().select("__u"))
+
+
+def incremental_qte_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    value_scale: int = 100,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/abtest2.py
+    quantile_treatment_effect: per-user int64 value sums as keyed
+    state (the same additive contract as the CUPED sink), so the
+    distributional treatment readout is derivable live at any moment
+    (qte_report_from_state). Late per-user facts are absorbed exactly
+    — the sum law repairs ANY earlier user; a maintained quantile
+    estimate never could."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        v = F.floor(F.col(value_col) * value_scale).cast("long")
+        return batch.groupBy(F.col(user_col).alias("__u")).agg(
+            F.coalesce(F.sum(v), F.lit(0)).cast("long").alias("y")
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys="__u", merge_laws={"y": "sum"},
+        marker_name="_qte_mb.json", trigger_once=trigger_once,
+    )
+
+
+def qte_report_from_state(store: TableStore, grid: tuple = None) -> DataFrame:
+    """QTE readout from the CURRENT per-user state — equal to batch
+    quantile_treatment_effect over everything ingested (pytest-pinned
+    via qte_from_per_user, the shared core)."""
+    from pasta_pipeline_spark.operators.abtest2 import qte_from_per_user
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    per_user = store.read().withColumn(
+        "arm", sample_bucket(F.col("__u"), 2).cast("long")
+    )
+    return qte_from_per_user(per_user, grid=grid)
+
+
+def incremental_post_strat_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    strata_col: str = "stratum",
+    value_col: str = "value",
+    value_scale: int = 100,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/abtest2.py post_stratified_effect:
+    state keyed on (``__u``, ``s``) with the int64 value sum per cell.
+    The stratum rides in the KEY (merge laws cast stats to int64, and
+    a user may surface new strata late) — the report derives each
+    user's batch-contract stratum (the MIN observed) from the state
+    itself, so live == batch under any arrival order."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        v = F.floor(F.col(value_col) * value_scale).cast("long")
+        return batch.groupBy(
+            F.col(user_col).alias("__u"), F.col(strata_col).alias("s")
+        ).agg(F.coalesce(F.sum(v), F.lit(0)).cast("long").alias("y"))
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys=["__u", "s"], merge_laws={"y": "sum"},
+        marker_name="_post_strat_mb.json", trigger_once=trigger_once,
+    )
+
+
+def post_strat_report_from_state(store: TableStore) -> DataFrame:
+    """Post-stratified readout from the CURRENT (user, stratum) state
+    — equal to batch post_stratified_effect over everything ingested
+    (pytest-pinned): per user, s = MIN observed stratum and y = the
+    sum across ALL its strata cells, exactly the batch per-user frame."""
+    from pasta_pipeline_spark.operators.abtest2 import post_strat_from_per_user
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    per_user = (
+        store.read()
+        .groupBy("__u")
+        .agg(F.min("s").alias("s"), F.sum("y").cast("long").alias("y"))
+        .withColumn("arm", sample_bucket(F.col("__u"), 2).cast("long"))
+    )
+    return post_strat_from_per_user(per_user)

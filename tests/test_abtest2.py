@@ -132,3 +132,61 @@ def test_power_grid_monotone_and_scales_with_variance(spark):
     assert 3.5 <= reqs[2] / reqs[3] <= 4.5
     for r in rows:
         assert r["powered"] == (r["current_n_per_arm"] >= r["required_n_per_arm"])
+
+
+def test_post_stratified_fails_closed_on_empty_arm_cell(spark):
+    """A stratum whose users all land in ONE arm must null out the
+    whole post-stratified readout — SUM alone would silently drop the
+    stratum's NULL terms while n_users still counts its users,
+    deflating the estimate (the r9 advisor finding). Both engines."""
+    import duckdb
+    import pandas as pd
+
+    from pasta_pipeline_spark.operators.abtest2 import (
+        post_stratified_effect,
+        post_stratified_oracle_sql,
+    )
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(u,) for u in range(1, 201)], "user_id long")
+    arms = {
+        r["user_id"]: r["arm"]
+        for r in ids.select(
+            "user_id", sample_bucket(F.col("user_id"), 2).alias("arm")
+        ).collect()
+    }
+    # stratum "solo" holds ONLY arm-0 users; everyone else is "both"
+    solo = [u for u, a in arms.items() if a == 0][:10]
+    rows, eid = [], 0
+    for u in range(1, 201):
+        eid += 1
+        stratum = "solo" if u in solo else "both"
+        rows.append(
+            (eid, dt.datetime(2024, 1, 10, 12), u, stratum, 50.0 + (u % 9))
+        )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    ev = spark.createDataFrame(rows, schema)
+    r = post_stratified_effect(ev, strata_col="event_type").collect()[0]
+    assert r["n_strata"] == 2
+    assert r["n_users"] == 200
+    assert r["diff_raw_sc"] is not None
+    assert r["diff_ps_sc"] is None
+    assert r["se_ps_sc"] is None
+    assert r["z_ps_sc"] is None
+
+    # the DuckDB twin fails closed identically
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    o = con.execute(
+        post_stratified_oracle_sql("events", strata_sql="event_type")
+    ).fetchone()
+    assert o[0] == 2 and o[1] == 200
+    assert o[2] is not None  # diff_raw_sc
+    assert o[3] is None and o[4] is None and o[5] is None

@@ -144,3 +144,70 @@ def test_hard_negatives_bounded_under_hub(spark):
     for r in out:
         per_anchor.setdefault(r["anchor_id"], []).append(r)
     assert all(len(v) <= 3 for v in per_anchor.values())
+
+
+def _near_dup_corpus(spark, n=200):
+    """n pseudo-random vectors with alternating labels, PLUS for each
+    an opposite-label near-duplicate partner (scaled copy + tiny
+    jitter): the partner collides in EVERY band (top collision count)
+    while random background vectors collide in only some bands — the
+    fixture the anchor-cap recall contract is pinned on."""
+    import hashlib
+
+    def u01(seed):
+        return (
+            int.from_bytes(hashlib.md5(seed.encode()).digest()[:8], "big") / 2**64
+        )
+
+    rows = []
+    for i in range(n):
+        v = [2.0 * u01(f"ncap:{i}:{d}") - 1.0 for d in range(DIM)]
+        rows.append((2 * i, v, i % 2))
+        partner = [c * 1.25 + 1e-9 for c in v]
+        rows.append((2 * i + 1, partner, (i + 1) % 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_anchor_cand_cap_recall_contract(spark):
+    """The per-anchor candidate cap (negatives.DEFAULT_ANCHOR_CAND_CAP
+    precedent, r10) must never lose the true nearest different-label
+    neighbor when it collides in more bands than the background: with
+    a cap of 8 on a corpus whose anchors each have ~dozens of gated
+    candidates, every anchor's rank-1 hard negative is its planted
+    near-duplicate partner — same as the uncapped rerank."""
+    from pasta_pipeline_spark.operators.negatives import hard_negative_mining
+
+    emb = _near_dup_corpus(spark)
+    capped = hard_negative_mining(
+        emb, dim=DIM, k=1, num_planes=4, num_bands=4, anchor_cand_cap=8
+    ).collect()
+    uncapped = hard_negative_mining(
+        emb, dim=DIM, k=1, num_planes=4, num_bands=4, anchor_cand_cap=None
+    ).collect()
+    top_capped = {r["anchor_id"]: r["neg_id"] for r in capped}
+    top_uncapped = {r["anchor_id"]: r["neg_id"] for r in uncapped}
+    # every anchor found its planted partner, cap or no cap
+    assert len(top_capped) == 400
+    assert top_capped == top_uncapped
+    partner = {r["anchor_id"]: r["neg_id"] for r in capped}
+    assert all(
+        nid == (aid - 1 if aid % 2 else aid + 1) for aid, nid in partner.items()
+    )
+
+
+def test_anchor_cand_cap_identity_at_gate_scale(spark):
+    """DEFAULT_ANCHOR_CAND_CAP is sized to NEVER bind at the
+    correctness-gate scales (max per-anchor candidates: 136 at sf0.01),
+    so the capped default is byte-identical to the uncapped contract
+    there — the 'oracle byte-stable at gate scales' bar."""
+    from pasta_pipeline_spark.operators.negatives import hard_negative_mining
+    from pasta_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    capped = sorted(map(tuple, hard_negative_mining(emb).collect()))
+    uncapped = sorted(
+        map(tuple, hard_negative_mining(emb, anchor_cand_cap=None).collect())
+    )
+    assert capped == uncapped

@@ -584,3 +584,154 @@ def test_l_diversity_invariants(spark):
         assert r["at_risk"] == (r["l_distinct"] < 2)
     by_l = {r["l_distinct"]: r for r in rep}
     assert by_l[1].at_risk and by_l[1]["n_rows"] >= 8  # the planted class
+
+
+# ---------------------------------------------------------------------------
+# A/B tier II + unigram trainer invariants (r9 verdict ask #7)
+# ---------------------------------------------------------------------------
+
+
+def _ab2_events(spark, n_users, shift=0.0, per_user=2, salt="p", strata=("x",)):
+    """Seeded per-user events with a known md5 arm map; treated users'
+    values shift by ``shift``; strata cycle deterministically."""
+    import datetime as dt
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    def u01(seed):
+        return (
+            int.from_bytes(hashlib.md5(seed.encode()).digest()[:8], "big") / 2**64
+        )
+
+    rows, eid = [], 0
+    for u in range(1, n_users + 1):
+        for j in range(per_user):
+            eid += 1
+            v = 40.0 + 20.0 * u01(f"{salt}:{eid}")
+            if arm(u) == 1:
+                v += shift
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 10 + j % 3, 8),
+                    u,
+                    strata[u % len(strata)],
+                    v,
+                )
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_srm_chi2_is_z_squared_identity(spark):
+    """With two arms, the SRM chi-square equals the square of the
+    normal z for the binomial split: chi2 = (n0-n1)²/n = z² where
+    z = (n1 - n/2)/sqrt(n/4). The operator must satisfy the identity
+    against its OWN reported counts (algebra a fixture can't fake),
+    and a fair md5 split must not flag."""
+    from pasta_pipeline_spark.operators.abtest2 import srm_check
+
+    r = srm_check(_ab2_events(spark, 600)).collect()[0]
+    n, n0, n1 = r["n_users"], r["n_ctrl"], r["n_treat"]
+    assert n == n0 + n1 == 600
+    z = (n1 - n / 2.0) / (n / 4.0) ** 0.5
+    import math
+
+    assert r["chi2_sc"] == math.floor(z * z * 1_000_000)
+    assert not r["srm_flag"]
+
+
+def test_srm_flags_designed_imbalance(spark):
+    """The designed-split alternative: keep only arm-1 users plus a
+    token arm-0 minority — the check must flag, and chi2 must place
+    the planted imbalance far past the df=1 critical point."""
+    import hashlib
+
+    from pasta_pipeline_spark.operators.abtest2 import CHI2_CRIT_SC, srm_check
+
+    ev = _ab2_events(spark, 800)
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    keep = [u for u in range(1, 801) if arm(u) == 0][:40] + [
+        u for u in range(1, 801) if arm(u) == 1
+    ]
+    from pyspark.sql import functions as F
+
+    r = srm_check(ev.where(F.col("user_id").isin(keep))).collect()[0]
+    assert r["srm_flag"] and r["chi2_sc"] > 10 * CHI2_CRIT_SC
+    assert r["n_ctrl"] == 40
+
+
+def test_qte_monotone_on_stochastically_ordered_arms(spark):
+    """A constant positive shift for the treated arm stochastically
+    orders the two per-user distributions: every grid quantile of the
+    treated arm must sit at or above control (qte_sc >= 0 pointwise),
+    and each arm's quantile curve must be non-decreasing in p (the
+    quantile function of ANY distribution is monotone)."""
+    from pasta_pipeline_spark.operators.abtest2 import quantile_treatment_effect
+
+    rows = quantile_treatment_effect(
+        _ab2_events(spark, 500, shift=25.0)
+    ).collect()
+    assert len(rows) >= 3
+    ps = [r["p_sc"] for r in rows]
+    assert ps == sorted(ps)
+    for r in rows:
+        assert r["qte_sc"] >= 0
+    qc = [r["q_ctrl_sc"] for r in rows]
+    qt = [r["q_treat_sc"] for r in rows]
+    assert qc == sorted(qc) and qt == sorted(qt)
+    # the planted +25/event shift is +50 per user (2 events), i.e.
+    # 50e6 at the q_sc scale (value·1e6); the median QTE must sit on
+    # it within sampling noise (~250 users/arm)
+    med = [r for r in rows if r["p_sc"] == 500_000]
+    assert med and abs(med[0]["qte_sc"] - 50_000_000) <= 5_000_000
+
+
+def test_post_stratified_equals_raw_when_single_stratum(spark):
+    """With a single (homogeneous) stratum the post-stratified
+    estimator degenerates to the plain difference of means: w_s = 1
+    and the within-stratum diff IS the raw diff — diff_ps_sc must
+    equal diff_raw_sc exactly (same double tree on both paths)."""
+    from pasta_pipeline_spark.operators.abtest2 import post_stratified_effect
+
+    r = post_stratified_effect(
+        _ab2_events(spark, 400, shift=10.0), strata_col="event_type"
+    ).collect()[0]
+    assert r["n_strata"] == 1
+    assert r["diff_ps_sc"] == r["diff_raw_sc"]
+    assert r["se_ps_sc"] is not None and r["se_ps_sc"] > 0
+
+
+def test_unigram_em_total_nll_non_increasing(spark):
+    """Viterbi-EM's objective: each E-step segments under costs fit to
+    the PREVIOUS segmentation, so the corpus-total best-path NLL is
+    non-increasing across EM rounds (hard-EM monotonicity) while the
+    vocabulary is held open; the final pruned row may only rise
+    because pruning removes pieces. Piece totals must also never
+    increase (a better model never needs more pieces under the same
+    candidate set)."""
+    from pasta_pipeline_spark.operators.unigram_lm import unigram_em_curve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat ran"),
+            (2, "a mat and a cat and a rat sat"),
+            (3, "the rat ran on and on and the cat sat"),
+            (4, "cats rats mats the cat the rat the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = unigram_em_curve(docs, rounds=3).orderBy("em_round").collect()
+    assert len(rows) == 4  # 3 E-steps + the pruned final
+    em = [r["total_nll_fp"] for r in rows[:3]]
+    assert all(a >= b for a, b in zip(em, em[1:])), em
+    pieces = [r["total_pieces"] for r in rows[:3]]
+    assert all(a >= b for a, b in zip(pieces, pieces[1:])), pieces

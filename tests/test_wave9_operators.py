@@ -299,3 +299,45 @@ def test_rfm_quintiles_match_ntile(spark):
     assert got["111"]["monetary_cents_sum"] == 1000
     # 7 customers, every score dimension spreads 1..5 with tile sizes 2,2,1,1,1
     assert sum(r["n_customers"] for r in got.values()) == 7
+
+
+def test_blocked_components_equals_iterative_fixpoint(spark):
+    """linkage.blocked_components (per-block union-find, one shuffle)
+    must produce the exact label set of the iterative min-label
+    fixpoint on the same block-confined linkage graph — including on
+    CHAINED components (the shape that forced the fixpoint to
+    O(diameter) rounds and motivated the r10 replacement)."""
+    from pasta_pipeline_spark.operators.linkage import (
+        blocked_components,
+        part_linkage_pairs,
+    )
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters
+    from pasta_pipeline_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    parts = load_table(spark, "/root/testdata/sf0.01", "part")
+    pairs = part_linkage_pairs(parts, with_block=True).persist()
+    new = blocked_components(pairs, ["blk_noun", "blk_brand"]).collect()
+    old = duplicate_clusters(
+        parts.select("p_partkey"),
+        pairs.select(F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")),
+        id_col="p_partkey",
+        doubling=True,
+        checkpoint_every=2,
+    ).collect()
+    pairs.unpersist()
+    new_map = {r["node"]: r["cluster_id"] for r in new}
+    # duplicate_clusters also labels edge-free singletons; restrict to
+    # edge-touched nodes (blocked_components' contract)
+    old_map = {
+        r["p_partkey"]: r["cluster_id"] for r in old if r["p_partkey"] in new_map
+    }
+    assert new_map == old_map
+    # chained synthetic block: a-b, b-c, c-d in ONE block must collapse
+    # to min label even though no direct a-d pair exists
+    edges = spark.createDataFrame(
+        [("blk", "B", 1, 2), ("blk", "B", 2, 3), ("blk", "B", 3, 4)],
+        "blk_noun string, blk_brand string, a_key long, b_key long",
+    )
+    chain = blocked_components(edges, ["blk_noun", "blk_brand"]).collect()
+    assert {r["node"]: r["cluster_id"] for r in chain} == {1: 1, 2: 1, 3: 1, 4: 1}

@@ -111,6 +111,14 @@ QUERIES = [
     "unigram_fertility",
     # r9: A/B tier II (wave 26) — per-arm rank machinery
     "quantile_treatment_effect",
+    # r10 (r9 verdict ask #2): the unladdered r9 tier — the corpus-
+    # scale unigram joinback, the EM curve, and the remaining A/B-II
+    # readouts (per-user groupBy + bounded-domain combines)
+    "unigram_doc_nll",
+    "unigram_em_curve",
+    "srm_check",
+    "post_stratified_effect",
+    "ab_power_grid",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -156,6 +164,12 @@ SF1_QUERIES = [
     # unigram trainer over 10x the word distribution
     "bootstrap_mean_ci",
     "unigram_vocab",
+    # r10 (r9 verdict ask #2): the corpus-scale unigram joinback and
+    # the per-arm rank machinery over 10x users (events fixture added
+    # to ensure_sf1); golden_records re-laddered on the r10 per-block
+    # union-find CC
+    "unigram_doc_nll",
+    "quantile_treatment_effect",
 ]
 
 
@@ -174,7 +188,7 @@ def ensure_sf1(spark) -> None:
     if all(
         os.path.isdir(os.path.join(SF1_DIR, f"{t}.parquet"))
         or os.path.isfile(os.path.join(SF1_DIR, f"{t}.parquet"))
-        for t in ("documents", "embeddings", "lineitem", "part", "orders")
+        for t in ("documents", "embeddings", "lineitem", "part", "orders", "events")
     ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -281,6 +295,23 @@ def ensure_sf1(spark) -> None:
         os.path.join(SF1_DIR, "orders.parquet")
     )
 
+    # events (r10, A/B-II tier): fresh event AND user keys per replica
+    # — 10x users with unchanged per-user history, the linear shape
+    # for per-user-groupBy readouts (SRM/QTE/post-strat); the md5 arm
+    # map re-rolls per replica since the ids are new
+    events = load_table(spark, SF_BIG, "events")
+    parts = [
+        events.withColumn("event_id", F.col("event_id") + F.lit(k * 100000))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * 1500))
+        for k in range(n_rep)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "events.parquet")
+    )
+
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALELADDER.json"
@@ -369,7 +400,53 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # fresh-process cross-check (r9 verdict ask #1): the 3 slowest sf1
+    # rungs re-measured in brand-new JVMs; committed absolutes must
+    # match fresh-process numbers within ~1.5x or the in-session
+    # reading is JVM-state-inflated and the artifact must not ship
+    import subprocess
+
+    slowest = sorted(
+        sf1_report.items(), key=lambda kv: kv[1]["t_sf1"], reverse=True
+    )[:3]
+    fresh_checks: dict = {}
+    for name, row in slowest:
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "fresh_query_time.py"),
+                    name,
+                    SF1_DIR,
+                    "2",
+                ],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            fresh = json.loads(out.stdout.strip().splitlines()[-1])
+            ratio_vs_fresh = (
+                round(row["t_sf1"] / fresh["best_sec"], 2)
+                if fresh["best_sec"] > 0
+                else None
+            )
+            fresh_checks[name] = {
+                "t_sf1_in_session": row["t_sf1"],
+                "t_sf1_fresh_process": fresh["best_sec"],
+                "in_session_over_fresh": ratio_vs_fresh,
+            }
+            if ratio_vs_fresh is not None and ratio_vs_fresh > 1.5:
+                flagged.append(f"stale-absolute:{name}")
+            print(
+                f"fresh-process {name}: in-session {row['t_sf1']:.2f}s vs "
+                f"fresh {fresh['best_sec']:.2f}s (x{ratio_vs_fresh})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # record, don't hide
+            fresh_checks[name] = {"error": str(exc)}
+            flagged.append(f"fresh-check-failed:{name}")
+
     doc = {
+        "fresh_process_crosscheck": fresh_checks,
         "notes": {
             "sf1_auto_lsh": (
                 "The r8 *_recalibrated side-rows are gone because the "
