@@ -541,3 +541,240 @@ def power_grid_oracle_sql(
         AS powered
     FROM rows_
     ORDER BY mde_sc"""
+
+
+def srm_by_segment(
+    events: DataFrame,
+    user_col: str = "user_id",
+    segment_col: str = "event_type",
+) -> DataFrame:
+    """Segment-level SRM — the check that catches assignment bugs a
+    global SRM passes (Fabijan et al. 2019: segment-scoped logging or
+    filter defects skew ONE platform/country/page while the overall
+    split stays 50/50): per segment, the distinct-user arm split, its
+    chi-square against the design, and the flag.
+
+    A user active in several segments counts in each (the audit is of
+    the users EXPOSED within the segment — exactly the population a
+    segment-scoped readout would use). Returns one row per segment,
+    ordered: segment, n_users, n_ctrl, n_treat, chi2_sc (·1e6),
+    srm_flag. One distinct + one groupBy; no joins at any scale.
+    """
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    users = events.select(
+        F.col(segment_col).alias("segment"), F.col(user_col).alias("__u")
+    ).distinct()
+    m = users.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sample_bucket(F.col("__u"), 2)).alias("n1"),
+    )
+    n_d = F.col("n").cast("double")
+    diff = n_d - 2.0 * F.col("n1").cast("double")
+    chi2_sc = F.floor(
+        F.when(F.col("n") > 0, diff * diff / n_d) * 1_000_000
+    ).cast("long")
+    return m.select(
+        "segment",
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_ctrl"),
+        F.col("n1").cast("long").alias("n_treat"),
+        chi2_sc.alias("chi2_sc"),
+        (chi2_sc > CHI2_CRIT_SC).alias("srm_flag"),
+    ).orderBy("segment")
+
+
+def srm_by_segment_oracle_sql(
+    table: str = "events",
+    user_sql: str = "user_id",
+    segment_sql: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`srm_by_segment`."""
+    return f"""
+    WITH users AS (
+      SELECT DISTINCT {segment_sql} AS segment, {user_sql} AS u FROM {table}
+    ), m AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2)
+               AS BIGINT) AS n1
+      FROM users GROUP BY segment
+    )
+    SELECT segment, n AS n_users, n - n1 AS n_ctrl, n1 AS n_treat,
+      CAST(FLOOR(CASE WHEN n > 0 THEN
+        (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        * (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        / CAST(n AS DOUBLE) END * 1000000) AS BIGINT) AS chi2_sc,
+      CAST(FLOOR(CASE WHEN n > 0 THEN
+        (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        * (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
+        / CAST(n AS DOUBLE) END * 1000000) AS BIGINT) > {CHI2_CRIT_SC}
+        AS srm_flag
+    FROM m ORDER BY segment"""
+
+
+def trimmed_mean_effect(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    trim_num: int = 5,
+    trim_den: int = 100,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Trimmed-mean treatment effect — the heavy-tail-robust readout
+    (revenue metrics: one whale user moves a mean difference more than
+    a thousand typical users; trimming g = floor(n·trim) users from
+    EACH end of each arm's per-user distribution bounds any single
+    user's influence).
+
+    No per-user sort: the trimmed sum comes from the exact per-arm
+    VALUE HISTOGRAM (the exact_quantiles state shape) — for each
+    distinct value, the trim takes min(cnt, remaining-g) from the
+    bottom cumulative side and symmetrically from the top, so the
+    windows run over |distinct (arm, value)| rows, never fact rows.
+    Everything is int64 until the final mean division; arms with
+    n − 2g <= 0 fail closed to NULL.
+
+    Returns ONE row: n_ctrl, n_treat, g_ctrl, g_treat,
+    tmean_ctrl_sc, tmean_treat_sc, tdiff_sc (·1e4 on the value scale).
+    """
+    return trimmed_mean_from_per_user(
+        _per_user(events, user_col, value_col, value_scale),
+        trim_num=trim_num,
+        trim_den=trim_den,
+    )
+
+
+def trimmed_mean_from_per_user(
+    per_user: DataFrame,
+    trim_num: int = 5,
+    trim_den: int = 100,
+) -> DataFrame:
+    """Trimmed-mean readout from a per-user frame (``__u``, ``arm``,
+    ``y``) — the shared core of :func:`trimmed_mean_effect` and the
+    live readout over the QTE sink's maintained state
+    (``streaming/sink.py trimmed_mean_report_from_state``): the
+    per-user int64 sums are the SAME sufficient state QTE keeps, so
+    one sink serves both distributional readouts."""
+    hist = per_user.groupBy("arm", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("arm")
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_arm = W.partitionBy("arm")
+    h = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .withColumn("n", F.sum("cnt").over(w_arm))
+        .withColumn("g", F.expr(f"(n * {trim_num}) div {trim_den}"))
+        .withColumn("cum_after", F.col("n") - F.col("cum_before") - F.col("cnt"))
+        .withColumn(
+            "take_bot",
+            F.greatest(
+                F.lit(0), F.least(F.col("cnt"), F.col("g") - F.col("cum_before"))
+            ),
+        )
+        .withColumn(
+            "take_top",
+            F.greatest(
+                F.lit(0), F.least(F.col("cnt"), F.col("g") - F.col("cum_after"))
+            ),
+        )
+    )
+    arms = h.groupBy("arm").agg(
+        F.min("n").alias("n"),
+        F.min("g").alias("g"),
+        F.sum(F.col("y") * F.col("cnt")).cast("long").alias("s_all"),
+        F.sum(F.col("y") * F.col("take_bot")).cast("long").alias("s_bot"),
+        F.sum(F.col("y") * F.col("take_top")).cast("long").alias("s_top"),
+    )
+    kept = F.col("n") - 2 * F.col("g")
+    tmean = F.when(
+        kept > 0,
+        (F.col("s_all") - F.col("s_bot") - F.col("s_top")).cast("double")
+        / kept.cast("double"),
+    )
+    a = arms.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.col("g").cast("long").alias("g"),
+        tmean.alias("tm"),
+    )
+    c = a.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_ctrl"),
+        F.col("g").alias("g_ctrl"),
+        F.col("tm").alias("tm0"),
+    )
+    t = a.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("g").alias("g_treat"),
+        F.col("tm").alias("tm1"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "n_ctrl",
+        "n_treat",
+        "g_ctrl",
+        "g_treat",
+        F.floor(F.col("tm0") * 10000).cast("long").alias("tmean_ctrl_sc"),
+        F.floor(F.col("tm1") * 10000).cast("long").alias("tmean_treat_sc"),
+        F.floor((F.col("tm1") - F.col("tm0")) * 10000).cast("long").alias(
+            "tdiff_sc"
+        ),
+    )
+
+
+def trimmed_mean_oracle_sql(
+    table: str = "events",
+    user_sql: str = "user_id",
+    value_sql: str = "value",
+    trim_num: int = 5,
+    trim_den: int = 100,
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean_effect`."""
+    return f"""
+    WITH per_user AS (
+      SELECT u, y,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      FROM (
+        SELECT {user_sql} AS u,
+               CAST(COALESCE(SUM(CAST(FLOOR({value_sql} * {value_scale})
+                 AS BIGINT)), 0) AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+      )
+    ), hist AS (
+      SELECT arm, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM per_user GROUP BY arm, y
+    ), h AS (
+      SELECT arm, y, cnt,
+        COALESCE(SUM(cnt) OVER (PARTITION BY arm ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        SUM(cnt) OVER (PARTITION BY arm) AS n
+      FROM hist
+    ), h2 AS (
+      SELECT *, (n * {trim_num}) // {trim_den} AS g,
+             n - cum_before - cnt AS cum_after
+      FROM h
+    ), arms AS (
+      SELECT arm, MIN(n) AS n, MIN(g) AS g,
+        CAST(SUM(y * cnt) AS BIGINT) AS s_all,
+        CAST(SUM(y * GREATEST(0, LEAST(cnt, g - cum_before))) AS BIGINT) AS s_bot,
+        CAST(SUM(y * GREATEST(0, LEAST(cnt, g - cum_after))) AS BIGINT) AS s_top
+      FROM h2 GROUP BY arm
+    ), rep AS (
+      SELECT arm, n, g,
+        CASE WHEN n - 2 * g > 0 THEN
+          CAST(s_all - s_bot - s_top AS DOUBLE) / CAST(n - 2 * g AS DOUBLE)
+        END AS tm
+      FROM arms
+    )
+    SELECT CAST(c.n AS BIGINT) AS n_ctrl, CAST(t.n AS BIGINT) AS n_treat,
+           CAST(c.g AS BIGINT) AS g_ctrl, CAST(t.g AS BIGINT) AS g_treat,
+           CAST(FLOOR(c.tm * 10000) AS BIGINT) AS tmean_ctrl_sc,
+           CAST(FLOOR(t.tm * 10000) AS BIGINT) AS tmean_treat_sc,
+           CAST(FLOOR((t.tm - c.tm) * 10000) AS BIGINT) AS tdiff_sc
+    FROM (SELECT * FROM rep WHERE arm = 0) c
+    CROSS JOIN (SELECT * FROM rep WHERE arm = 1) t"""

@@ -19,7 +19,7 @@ the TableStore pattern every other index in this repo uses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -458,3 +458,153 @@ def kwic_snippets(
             ).alias("snippet"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of BM25 and embedding cosine (r10)
+# ---------------------------------------------------------------------------
+
+#: RRF constant (Cormack, Clarke & Buettcher SIGIR 2009: k=60 is the
+#: published default and remarkably insensitive) and the fixed-point
+#: numerator: contributions are RRF_SCALE div (k + rank) — INTEGER
+#: division of int64s, so fused scores are hash-exact cross-engine
+#: with no double division anywhere.
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    n_deep: int = 50,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search — the retrieval shape every modern RAG stack
+    runs: a lexical ranking (Okapi BM25 over the query terms) and a
+    semantic ranking (exact cosine against the query embedding — here
+    the lowest-id vector, the cosine_topk convention) fused by
+    Reciprocal Rank Fusion: score(d) = Σ_lists 1/(rrf_k + rank_d).
+    RRF needs no score calibration between the two systems (ranks
+    only), which is exactly why it is the production default for
+    BM25+vector fusion.
+
+    Each list is cut to its top ``n_deep`` BEFORE fusion (the fusion
+    depth — a bounded frame by construction), so the rank windows run
+    over LIMITed n_deep-row frames: the SinglePartition exchange the
+    plan audit reports here is a ≤n_deep-row handoff, never the
+    corpus. Returns ``(id, lex_rank, sem_rank, rrf_fp)`` for the k
+    best fused documents (rrf_fp desc, id asc); a document present in
+    only one list contributes only that list's term (the standard RRF
+    absent-rank convention).
+
+    Scale shape: BM25 moves only query-term posting lists; the cosine
+    side is one corpus scan + TakeOrderedAndProject; fusion is a
+    full-outer join of two ≤n_deep-row frames.
+    """
+    from pasta_pipeline_spark.operators.similarity import cosine_topk
+
+    lex_top = bm25_topk(docs, query_terms, k=n_deep, id_col=id_col,
+                        text_col=text_col)
+    w_lex = Window.orderBy(F.desc("score_fp"), F.asc(id_col))
+    lex = lex_top.withColumn("lex_rank", F.row_number().over(w_lex)).select(
+        F.col(id_col).alias("__id"), "lex_rank"
+    )
+    query = (
+        embeddings.orderBy(vec_id_col)
+        .limit(1)
+        .select(F.col(vec_col).alias("qv"))
+    )
+    sem_top = cosine_topk(
+        embeddings, query, k=n_deep, id_col=vec_id_col, vec_col=vec_col
+    )
+    w_sem = Window.orderBy(F.desc("sim"), F.asc(vec_id_col))
+    sem = sem_top.withColumn("sem_rank", F.row_number().over(w_sem)).select(
+        F.col(vec_id_col).alias("__id"), "sem_rank"
+    )
+    fused = lex.join(sem, "__id", "full_outer")
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"CAST({RRF_SCALE} AS BIGINT) div (CAST({rrf_k} AS BIGINT) + {r})"),
+        F.lit(0),
+    )
+    return (
+        fused.select(
+            F.col("__id").alias(id_col),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            (term("lex_rank") + term("sem_rank")).cast("long").alias("rrf_fp"),
+        )
+        .orderBy(F.desc("rrf_fp"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    n_deep: int = 50,
+    rrf_k: int = RRF_K,
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk`: the bm25_oracle_sql CTE
+    chain cut at n_deep + the cosine_topk ranking + integer-division
+    RRF fusion."""
+    terms = ", ".join(sql_quote(t.lower()) for t in query_terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS term
+      FROM {doc_table} WHERE text IS NOT NULL
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS T FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id, CAST({bm25_term_sql()} AS BIGINT) AS c_fp
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+    ), lex_top AS (
+      SELECT doc_id, CAST(SUM(c_fp) AS BIGINT) AS score_fp
+      FROM contrib GROUP BY doc_id
+      ORDER BY score_fp DESC, doc_id ASC LIMIT {n_deep}
+    ), lex AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+      FROM lex_top
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM {emb_table}
+      ORDER BY vec_id LIMIT 1
+    ), sem_top AS (
+      SELECT vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM {emb_table} e CROSS JOIN q
+      ORDER BY sim DESC, vec_id ASC LIMIT {n_deep}
+    ), sem AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS sem_rank
+      FROM sem_top
+    )
+    SELECT COALESCE(lex.id, sem.id) AS doc_id,
+           CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem.sem_rank AS BIGINT) AS sem_rank,
+           CAST(COALESCE({RRF_SCALE} // ({rrf_k} + lex.lex_rank), 0)
+              + COALESCE({RRF_SCALE} // ({rrf_k} + sem.sem_rank), 0)
+             AS BIGINT) AS rrf_fp
+    FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+    ORDER BY rrf_fp DESC, doc_id ASC
+    LIMIT {k}
+    """

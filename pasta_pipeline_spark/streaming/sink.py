@@ -1973,3 +1973,21 @@ def post_strat_report_from_state(store: TableStore) -> DataFrame:
         .withColumn("arm", sample_bucket(F.col("__u"), 2).cast("long"))
     )
     return post_strat_from_per_user(per_user)
+
+
+def trimmed_mean_report_from_state(
+    store: TableStore, trim_num: int = 5, trim_den: int = 100
+) -> DataFrame:
+    """Trimmed-mean treatment effect from the QTE sink's maintained
+    per-user state — the per-user int64 sums are the sufficient state
+    for EVERY distributional readout, so one ``incremental_qte_sink``
+    serves quantiles AND the whale-robust trimmed mean live (equal to
+    batch trimmed_mean_effect over everything ingested,
+    pytest-pinned)."""
+    from pasta_pipeline_spark.operators.abtest2 import trimmed_mean_from_per_user
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    per_user = store.read().withColumn(
+        "arm", sample_bucket(F.col("__u"), 2).cast("long")
+    )
+    return trimmed_mean_from_per_user(per_user, trim_num=trim_num, trim_den=trim_den)

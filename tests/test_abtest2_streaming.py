@@ -160,3 +160,27 @@ def test_ab2_suffstats_retry_idempotent(spark, tmp_table_dir):
     total_y = sum(r["y"] for r in store.read().collect())
     want_y = sum(int(v * 100) for *_, v in waves[0] + waves[1])
     assert total_y == want_y
+
+
+def test_trimmed_mean_live_from_qte_state(spark, tmp_table_dir):
+    """The QTE sink's per-user state is sufficient for the trimmed
+    mean too: the live trimmed readout over maintained state equals
+    batch trimmed_mean_effect over everything ingested — one sink,
+    two distributional readouts."""
+    from pasta_pipeline_spark.operators.abtest2 import trimmed_mean_effect
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        incremental_qte_sink,
+        trimmed_mean_report_from_state,
+    )
+
+    waves = _waves()
+    store = TableStore(spark, f"{tmp_table_dir}/qte_tm_state")
+    _stream_waves(
+        spark, tmp_table_dir, waves,
+        lambda s, st, ck: incremental_qte_sink(s, st, ck), store,
+    )
+    all_rows = spark.createDataFrame(waves[0] + waves[1], AB2_SCHEMA)
+    want = [tuple(r) for r in trimmed_mean_effect(all_rows).collect()]
+    got = [tuple(r) for r in trimmed_mean_report_from_state(store).collect()]
+    assert got == want

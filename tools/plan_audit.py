@@ -150,6 +150,11 @@ SCALAR_CROSSJOIN_OK = {
     "learning loop) — one 1-row elected-merge broadcast per round",
     "hll_overlap_audit": "three 1-row HLL-estimate scalars + the 1-row "
     "exact-overlap aggregate combined into the report row",
+    "hybrid_rrf_topk": "the bm25_topk corpus-totals scalar + the "
+    "cosine_topk 1-row query vector (both inherited); fusion joins two "
+    "LIMITed 50-row rank frames",
+    "trimmed_mean_effect": "1-row control-arm x 1-row treatment-arm "
+    "trimmed-moment combine (the post_stratified_effect shape)",
 }
 
 
