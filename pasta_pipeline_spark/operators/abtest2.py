@@ -778,3 +778,189 @@ def trimmed_mean_oracle_sql(
            CAST(FLOOR((t.tm - c.tm) * 10000) AS BIGINT) AS tdiff_sc
     FROM (SELECT * FROM rep WHERE arm = 0) c
     CROSS JOIN (SELECT * FROM rep WHERE arm = 1) t"""
+
+
+def obf_boundaries_sc(n_looks: int = 4, c_sc: int = 2_024_000) -> list[int]:
+    """O'Brien-Fleming group-sequential z boundaries (·1e6) for
+    ``n_looks`` equally-spaced analyses: z_k = C·sqrt(K/k) with the
+    two-sided alpha=0.05 constant C = 2.024 for K = 4 (O'Brien &
+    Fleming 1979; Jennison & Turnbull's standard tables). Computed
+    once in Python and inlined as identical integer literals into BOTH
+    engines — no boundary arithmetic crosses the engine boundary."""
+    import math
+
+    return [
+        int(math.floor(c_sc * math.sqrt(n_looks / k))) for k in range(1, n_looks + 1)
+    ]
+
+
+def group_sequential_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_looks: int = 4,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Group-sequential early-stopping readout — the peeking problem
+    solved the pre-registered way (O'Brien-Fleming boundaries): the
+    experiment's time range splits into ``n_looks`` equally-spaced
+    interim analyses; at look k the z statistic of the cumulative
+    per-user sums compares against the OBF boundary C·sqrt(K/k),
+    which spends almost no alpha early (boundary ~4 at the first
+    look) and converges to ~the fixed-horizon z at the last. A
+    dashboard reading THIS table may stop the experiment at any
+    crossed look without inflating false positives — unlike reading
+    the plain z every day.
+
+    Returns one row per look, ordered: look, n_users, n_ctrl,
+    n_treat, diff_sc (·1e4), z_sc (·1e6), boundary_sc (·1e6),
+    crossed. Determinism: look thresholds are integer epoch-micro
+    arithmetic off the 1-row (min, max) scalar (NOTES #39); moments
+    ride int64/decimal(38,0); z is the IEEE-exact sqrt/± tree; the
+    boundary constants are Python-computed integer literals identical
+    in both engines. Scale shape: each event lands in its suffix of
+    looks (≤ K× row expansion), then one groupBy(look, user) and a
+    |looks×arms|-row combine.
+    """
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    bounds = events.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("minv"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("maxv"),
+    )
+    v = F.floor(F.col(value_col) * value_scale).cast("long")
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.coalesce(v, F.lit(0)).alias("yv"),
+    ).crossJoin(F.broadcast(bounds))
+    thr = F.when(F.col("look") == n_looks, F.col("maxv")).otherwise(
+        F.col("minv")
+        + F.col("look") * F.expr(f"(maxv - minv) div {n_looks}")
+    )
+    looked = (
+        base.withColumn("look", F.explode(F.sequence(F.lit(1), F.lit(n_looks))))
+        .where(F.col("ts_us") <= thr)
+    )
+    per_user = looked.groupBy("look", "__u").agg(
+        F.sum("yv").cast("long").alias("y")
+    )
+    per_user = per_user.withColumn("arm", sample_bucket(F.col("__u"), 2))
+    cells = per_user.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum("y").cast("long").alias("cs"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("cq"),
+    )
+    cn_d = F.col("cn").cast("double")
+    mean_c = F.when(F.col("cn") > 0, F.col("cs").cast("double") / cn_d)
+    var_c = F.when(
+        F.col("cn") > 0, F.col("cq").cast("double") / cn_d - mean_c * mean_c
+    )
+    by_look = cells.groupBy("look").agg(
+        F.sum("cn").cast("long").alias("n_users"),
+        F.min(F.when(F.col("arm") == 0, F.col("cn"))).cast("long").alias("n0"),
+        F.min(F.when(F.col("arm") == 1, F.col("cn"))).cast("long").alias("n1"),
+        F.min(F.when(F.col("arm") == 0, mean_c)).alias("m0"),
+        F.min(F.when(F.col("arm") == 1, mean_c)).alias("m1"),
+        F.min(F.when(F.col("arm") == 0, var_c)).alias("v0"),
+        F.min(F.when(F.col("arm") == 1, var_c)).alias("v1"),
+    )
+    bnd = obf_boundaries_sc(n_looks)
+    boundary = F.element_at(
+        F.array(*[F.lit(b).cast("long") for b in bnd]), F.col("look").cast("int")
+    )
+    ok = F.col("n0").isNotNull() & F.col("n1").isNotNull()
+    diff = F.when(ok, F.col("m1") - F.col("m0"))
+    se = F.when(
+        ok,
+        F.sqrt(
+            F.col("v1") / F.col("n1").cast("double")
+            + F.col("v0") / F.col("n0").cast("double")
+        ),
+    )
+    z_sc = F.floor(F.when(se > 0.0, diff / se) * 1_000_000).cast("long")
+    return by_look.select(
+        F.col("look").cast("long").alias("look"),
+        "n_users",
+        F.coalesce(F.col("n0"), F.lit(0)).alias("n_ctrl"),
+        F.coalesce(F.col("n1"), F.lit(0)).alias("n_treat"),
+        F.floor(diff * 10000).cast("long").alias("diff_sc"),
+        z_sc.alias("z_sc"),
+        boundary.alias("boundary_sc"),
+        (F.abs(z_sc) > boundary).alias("crossed"),
+    ).orderBy("look")
+
+
+def group_sequential_oracle_sql(
+    table: str = "events",
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    value_sql: str = "value",
+    n_looks: int = 4,
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`group_sequential_check`."""
+    bnd = obf_boundaries_sc(n_looks)
+    bnd_rows = ", ".join(f"({k + 1}, {b})" for k, b in enumerate(bnd))
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(epoch_us({ts_sql}) AS BIGINT)) AS minv,
+             MAX(CAST(epoch_us({ts_sql}) AS BIGINT)) AS maxv
+      FROM {table}
+    ), base AS (
+      SELECT {user_sql} AS u, CAST(epoch_us({ts_sql}) AS BIGINT) AS ts_us,
+             COALESCE(CAST(FLOOR({value_sql} * {value_scale}) AS BIGINT), 0) AS yv
+      FROM {table}
+    ), looked AS (
+      SELECT l.look, b.u, b.yv
+      FROM base b
+      CROSS JOIN bounds
+      CROSS JOIN (SELECT unnest(generate_series(1, {n_looks})) AS look) l
+      WHERE b.ts_us <= CASE WHEN l.look = {n_looks} THEN bounds.maxv
+        ELSE bounds.minv + l.look * ((bounds.maxv - bounds.minv) // {n_looks}) END
+    ), per_user AS (
+      SELECT look, u, CAST(SUM(yv) AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      FROM looked GROUP BY look, u
+    ), cells AS (
+      SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(y) AS BIGINT) AS cs,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS cq
+      FROM per_user GROUP BY look, arm
+    ), by_look AS (
+      SELECT look, CAST(SUM(cn) AS BIGINT) AS n_users,
+        MIN(CASE WHEN arm = 0 THEN cn END) AS n0,
+        MIN(CASE WHEN arm = 1 THEN cn END) AS n1,
+        MIN(CASE WHEN arm = 0 AND cn > 0
+            THEN CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) END) AS m0,
+        MIN(CASE WHEN arm = 1 AND cn > 0
+            THEN CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) END) AS m1,
+        MIN(CASE WHEN arm = 0 AND cn > 0
+            THEN CAST(cq AS DOUBLE) / CAST(cn AS DOUBLE)
+               - (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE))
+                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) END) AS v0,
+        MIN(CASE WHEN arm = 1 AND cn > 0
+            THEN CAST(cq AS DOUBLE) / CAST(cn AS DOUBLE)
+               - (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE))
+                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) END) AS v1
+      FROM cells GROUP BY look
+    ), bnd(look, boundary_sc) AS (VALUES {bnd_rows})
+    SELECT CAST(b.look AS BIGINT) AS look, n_users,
+      CAST(COALESCE(n0, 0) AS BIGINT) AS n_ctrl,
+      CAST(COALESCE(n1, 0) AS BIGINT) AS n_treat,
+      CAST(FLOOR(CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+        THEN m1 - m0 END * 10000) AS BIGINT) AS diff_sc,
+      CAST(FLOOR(CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+          AND sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)) > 0.0
+        THEN (m1 - m0)
+          / sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)) END
+        * 1000000) AS BIGINT) AS z_sc,
+      CAST(bd.boundary_sc AS BIGINT) AS boundary_sc,
+      ABS(CAST(FLOOR(CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+          AND sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)) > 0.0
+        THEN (m1 - m0)
+          / sqrt(v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)) END
+        * 1000000) AS BIGINT)) > bd.boundary_sc AS crossed
+    FROM by_look b JOIN bnd bd ON b.look = bd.look
+    ORDER BY b.look"""

@@ -608,3 +608,178 @@ def hybrid_rrf_oracle_sql(
     ORDER BY rrf_fp DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+def retrieval_rank_agreement(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    n_deep: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-system retrieval agreement audit — the observability a
+    hybrid stack needs before trusting fusion: how similarly do the
+    lexical (BM25) and semantic (cosine) rankings order the documents
+    they BOTH retrieve? Reports overlap counts and Kendall's tau over
+    the common set (ranks are distinct integers, so plain tau — no
+    tie correction): tau = (C − D) / (m(m−1)/2). Near +1 the systems
+    are redundant; near 0 they disagree (fusion adds the most); a
+    LOW-overlap pair of lists is the signal that one system is
+    misconfigured for the corpus.
+
+    Everything is integer (concordant/discordant counts, integer
+    division for tau_sc at 1e6) — hash-exact. The pair comparison is
+    a self-join of the ≤n_deep-row common frame: bounded by the
+    fusion depth, never the corpus. Returns ONE row: n_lex, n_sem,
+    n_common, concordant, discordant, tau_sc (NULL when m < 2).
+    """
+    from pasta_pipeline_spark.operators.similarity import cosine_topk
+
+    lex_top = bm25_topk(docs, query_terms, k=n_deep, id_col=id_col,
+                        text_col=text_col)
+    w_lex = Window.orderBy(F.desc("score_fp"), F.asc(id_col))
+    lex = lex_top.withColumn("lex_rank", F.row_number().over(w_lex)).select(
+        F.col(id_col).alias("__id"), "lex_rank"
+    )
+    query = (
+        embeddings.orderBy(vec_id_col)
+        .limit(1)
+        .select(F.col(vec_col).alias("qv"))
+    )
+    sem_top = cosine_topk(
+        embeddings, query, k=n_deep, id_col=vec_id_col, vec_col=vec_col
+    )
+    w_sem = Window.orderBy(F.desc("sim"), F.asc(vec_id_col))
+    sem = sem_top.withColumn("sem_rank", F.row_number().over(w_sem)).select(
+        F.col(vec_id_col).alias("__id"), "sem_rank"
+    )
+    common = lex.join(sem, "__id")
+    a = common.select(
+        F.col("__id").alias("ia"),
+        F.col("lex_rank").alias("la"),
+        F.col("sem_rank").alias("sa"),
+    )
+    b = common.select(
+        F.col("__id").alias("ib"),
+        F.col("lex_rank").alias("lb"),
+        F.col("sem_rank").alias("sb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    agree = F.sum(
+        F.when(
+            (F.col("la") - F.col("lb")) * (F.col("sa") - F.col("sb")) > 0, 1
+        ).otherwise(0)
+    )
+    disagree = F.sum(
+        F.when(
+            (F.col("la") - F.col("lb")) * (F.col("sa") - F.col("sb")) < 0, 1
+        ).otherwise(0)
+    )
+    counts = pairs.agg(
+        agree.cast("long").alias("concordant"),
+        disagree.cast("long").alias("discordant"),
+    )
+    sizes = (
+        lex.agg(F.count(F.lit(1)).cast("long").alias("n_lex"))
+        .crossJoin(
+            F.broadcast(sem.agg(F.count(F.lit(1)).cast("long").alias("n_sem")))
+        )
+        .crossJoin(
+            F.broadcast(
+                common.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+            )
+        )
+    )
+    out = sizes.crossJoin(F.broadcast(counts))
+    denom = F.col("n_common") * (F.col("n_common") - 1) / 2
+    tau_sc = F.when(
+        F.col("n_common") >= 2,
+        F.expr("((concordant - discordant) * 1000000) div "
+               "((n_common * (n_common - 1)) div 2)"),
+    ).cast("long")
+    _ = denom  # documented formula; integer form used above
+    return out.select(
+        "n_lex",
+        "n_sem",
+        "n_common",
+        F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+        tau_sc.alias("tau_sc"),
+    )
+
+
+def rank_agreement_oracle_sql(
+    query_terms: list[str],
+    n_deep: int = 50,
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`retrieval_rank_agreement`."""
+    terms = ", ".join(sql_quote(t.lower()) for t in query_terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS term
+      FROM {doc_table} WHERE text IS NOT NULL
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS T FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id, CAST({bm25_term_sql()} AS BIGINT) AS c_fp
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+    ), lex_top AS (
+      SELECT doc_id, CAST(SUM(c_fp) AS BIGINT) AS score_fp
+      FROM contrib GROUP BY doc_id
+      ORDER BY score_fp DESC, doc_id ASC LIMIT {n_deep}
+    ), lex AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+      FROM lex_top
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM {emb_table}
+      ORDER BY vec_id LIMIT 1
+    ), sem_top AS (
+      SELECT vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM {emb_table} e CROSS JOIN q
+      ORDER BY sim DESC, vec_id ASC LIMIT {n_deep}
+    ), sem AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS sem_rank
+      FROM sem_top
+    ), com AS (
+      SELECT lex.id, lex.lex_rank, sem.sem_rank
+      FROM lex JOIN sem ON lex.id = sem.id
+    ), cnt AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN (a.lex_rank - b.lex_rank)
+          * (a.sem_rank - b.sem_rank) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS concordant,
+        CAST(COALESCE(SUM(CASE WHEN (a.lex_rank - b.lex_rank)
+          * (a.sem_rank - b.sem_rank) < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS discordant
+      FROM com a JOIN com b ON a.id < b.id
+    ), sizes AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM lex) AS n_lex,
+             (SELECT CAST(count(*) AS BIGINT) FROM sem) AS n_sem,
+             (SELECT CAST(count(*) AS BIGINT) FROM com) AS n_common
+    )
+    SELECT n_lex, n_sem, n_common, concordant, discordant,
+      CAST(CASE WHEN n_common >= 2 THEN
+        ((concordant - discordant) * 1000000)
+          // ((n_common * (n_common - 1)) // 2)
+      END AS BIGINT) AS tau_sc
+    FROM sizes CROSS JOIN cnt"""

@@ -2054,3 +2054,58 @@ def bitext_margin_pairs(
         .select("a_id", "b_id", "cos_sc", "margin_sc")
     )
     return attach_cached_deps(out, [A, B, scored])
+
+
+def cosine_threshold_sweep(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int | None = None,
+    num_bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    sim_scale: int = 20,
+) -> DataFrame:
+    """Dedup-threshold planning sweep — the histogram a curation team
+    reads BEFORE committing to a semantic-dedup threshold: all
+    LSH-gated candidate pairs pay one exact cosine, bucketed at
+    1/``sim_scale`` resolution, with the suffix-cumulative count
+    ("how many pairs — i.e. how much of the corpus — would a
+    threshold of b/scale drop?"). Because the sweep runs through the
+    SAME banded gate as :func:`semantic_dedup`, the counts are
+    exactly the pair population that dedup would see, not an
+    idealized all-pairs number.
+
+    Returns (sim_bucket, n_pairs, cum_pairs_ge) ordered by bucket
+    descending — sim_bucket = floor(sim·sim_scale), so [-sim_scale,
+    sim_scale]. The cumulative window runs over ≤ 2·sim_scale+1 rows.
+    Same auto-calibration/pinning contract as cosine_dup_pairs.
+    """
+    pairs = cosine_dup_pairs(
+        embeddings,
+        threshold=-2.0,  # keep every gated pair; cosine >= -1 always
+        id_col=id_col,
+        vec_col=vec_col,
+        use_lsh=True,
+        dim=dim,
+        num_planes=num_planes,
+        num_bands=num_bands,
+        bucket_cap=bucket_cap,
+    )
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    hist = (
+        pairs.select(
+            F.floor(F.col("sim") * sim_scale).cast("long").alias("sim_bucket")
+        )
+        .groupBy("sim_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("sim_bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = hist.withColumn(
+        "cum_pairs_ge", F.sum("n_pairs").over(w).cast("long")
+    ).orderBy(F.desc("sim_bucket"))
+    return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))

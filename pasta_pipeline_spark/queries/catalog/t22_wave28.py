@@ -84,3 +84,128 @@ def q_trimmed_mean_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.abtest2 import trimmed_mean_effect
 
     return trimmed_mean_effect(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 29 (r10): retrieval agreement, sequential testing, threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def _rank_agreement_oracle() -> str:
+    from pasta_pipeline_spark.operators.search import rank_agreement_oracle_sql
+
+    return rank_agreement_oracle_sql(["spark", "join", "window"])
+
+
+@register(
+    "retrieval_rank_agreement",
+    None,  # generated below (single source of truth in operators/search.py)
+    doc="Cross-system retrieval agreement audit (operators/search.py "
+    "retrieval_rank_agreement): overlap + Kendall tau between the BM25 "
+    "and cosine top-50 rankings — near +1 the systems are redundant, "
+    "near 0 fusion adds the most, low overlap flags a misconfigured "
+    "side. Integer concordant/discordant counts + integer-division tau "
+    "(hash-exact); the pair compare is a self-join of the bounded "
+    "common frame, never the corpus.",
+)
+def q_retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.search import retrieval_rank_agreement
+
+    docs = _tp(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval_rank_agreement(docs, emb, ["spark", "join", "window"])
+
+
+REGISTRY["retrieval_rank_agreement"] = QuerySpec(
+    spark_fn=REGISTRY["retrieval_rank_agreement"].spark_fn,
+    oracle=_rank_agreement_oracle(),
+    doc=REGISTRY["retrieval_rank_agreement"].doc,
+)
+
+
+def _group_sequential_oracle() -> str:
+    from pasta_pipeline_spark.operators.abtest2 import group_sequential_oracle_sql
+
+    return group_sequential_oracle_sql("events")
+
+
+@register(
+    "group_sequential_check",
+    None,  # generated below (single source of truth in operators/abtest2.py)
+    doc="Group-sequential early stopping (operators/abtest2.py "
+    "group_sequential_check; O'Brien-Fleming 1979): cumulative z at 4 "
+    "equally-spaced interim looks vs the OBF boundary C*sqrt(K/k) — "
+    "the pre-registered answer to the peeking problem. Look thresholds "
+    "are integer epoch-micro arithmetic; boundaries are Python-computed "
+    "integer literals identical in both engines; moments ride "
+    "int64/decimal(38,0) with the IEEE-exact z tree.",
+)
+def q_group_sequential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.abtest2 import group_sequential_check
+
+    return group_sequential_check(_t(spark, sf_dir, "events"))
+
+
+REGISTRY["group_sequential_check"] = QuerySpec(
+    spark_fn=REGISTRY["group_sequential_check"].spark_fn,
+    oracle=_group_sequential_oracle(),
+    doc=REGISTRY["group_sequential_check"].doc,
+)
+
+
+def _threshold_sweep_oracle(
+    dim: int = 64, num_planes: int = 4, num_bands: int = 2, sim_scale: int = 20
+) -> str:
+    """DuckDB twin of similarity.cosine_threshold_sweep: the
+    _cosine_dup_lsh_oracle banded gate (same inlined deterministic
+    planes + hot-bucket cap rank) with every candidate pair bucketed
+    instead of thresholded, plus the suffix-cumulative window."""
+    from pasta_pipeline_spark.operators.similarity import DEFAULT_BUCKET_CAP
+    from pasta_pipeline_spark.queries.catalog.t04_similarity_ann import _cosine_sql
+    from pasta_pipeline_spark.queries.catalog.t05_multimodal import (
+        _banded_eb_sql,
+        _banded_planes_sql,
+    )
+
+    cos = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    return f"""
+    WITH planes(band, pidx, pv) AS (VALUES
+        {_banded_planes_sql(dim, num_planes, num_bands)}),{_banded_eb_sql(DEFAULT_BUCKET_CAP)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM eb a JOIN eb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    hist AS (
+      SELECT CAST(FLOOR({cos} * {sim_scale}) AS BIGINT) AS sim_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
+      GROUP BY 1
+    )
+    SELECT sim_bucket, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY sim_bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pairs_ge
+    FROM hist ORDER BY sim_bucket DESC"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    _threshold_sweep_oracle(),
+    doc="Dedup-threshold planning sweep (similarity.cosine_threshold_"
+    "sweep): every LSH-gated candidate pair pays one exact cosine, "
+    "bucketed at 0.05 resolution with the suffix-cumulative 'pairs "
+    "dropped at threshold b' count — the histogram read before "
+    "committing a semantic-dedup threshold, over EXACTLY the pair "
+    "population the dedup gate would see (same bands, same hot-bucket "
+    "cap). Cumulative window over <= 41 bucket rows.",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import cosine_threshold_sweep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # pinned (4, 2) matches the inlined oracle planes; auto resolves to
+    # the same base at gate scales (the semantic_dedup convention)
+    return cosine_threshold_sweep(emb, dim=64, num_planes=4, num_bands=2)

@@ -145,3 +145,127 @@ def test_trimmed_mean_fails_closed_when_trim_consumes_arm(spark):
     assert r["tmean_ctrl_sc"] is None
     assert r["tmean_treat_sc"] is None
     assert r["tdiff_sc"] is None
+
+
+def test_rank_agreement_tau_extremes(spark):
+    """Identical orderings give tau = +1e6; reversing one side gives
+    -1e6; counts replay the Kendall definition exactly."""
+    from pasta_pipeline_spark.operators.search import retrieval_rank_agreement
+
+    # doc k repeats 'spark' (6-k) times => lexical order 1,2,3,4;
+    # embeddings: doc k has cosine decreasing in k vs the query (id 1)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark"),
+            (2, "spark spark spark spark pad"),
+            (3, "spark spark spark pad pad"),
+            (4, "spark spark pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    fwd = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.8, 0.3]),
+            (4, [0.7, 0.6]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = retrieval_rank_agreement(docs, fwd, ["spark"], n_deep=4).collect()[0]
+    assert r["n_common"] == 4
+    assert r["concordant"] == 6 and r["discordant"] == 0
+    assert r["tau_sc"] == 1_000_000
+    # reverse the semantic geometry (id 1 stays the query and its own
+    # rank-1; the remaining 3 invert) — tau drops below zero
+    rev = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.7, 0.6]),
+            (3, [0.8, 0.3]),
+            (4, [0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = retrieval_rank_agreement(docs, rev, ["spark"], n_deep=4).collect()[0]
+    # doc 1 (the query itself) still leads BOTH lists → its 3 pairs
+    # stay concordant; the other 3 pairs invert → tau exactly 0
+    assert r2["concordant"] == 3 and r2["discordant"] == 3
+    assert r2["tau_sc"] == 0
+
+
+def test_group_sequential_boundaries_and_crossing(spark):
+    """Boundary constants replay obf_boundaries_sc (strictly decreasing
+    in the look index), cumulative user counts are non-decreasing, the
+    final look covers everyone, and a huge planted effect crosses by
+    the final look while a zero-effect split does not cross anywhere."""
+    from pasta_pipeline_spark.operators.abtest2 import (
+        group_sequential_check,
+        obf_boundaries_sc,
+    )
+
+    def events(shift):
+        rows, eid = [], 0
+        for day in range(1, 21):
+            for u in range(1, 201):
+                eid += 1
+                v = 100.0 + (u % 9)
+                if _arm(u) == 1:
+                    v += shift
+                rows.append((eid, dt.datetime(2024, 1, day, 12), u, "t", v))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double",
+        )
+
+    null_rows = group_sequential_check(events(0.0)).collect()
+    bnd = obf_boundaries_sc(4)
+    assert [r["boundary_sc"] for r in null_rows] == bnd
+    assert bnd == sorted(bnd, reverse=True)
+    ns = [r["n_users"] for r in null_rows]
+    assert ns == sorted(ns) and ns[-1] == 200
+    assert not any(r["crossed"] for r in null_rows)
+
+    eff_rows = group_sequential_check(events(50.0)).collect()
+    assert eff_rows[-1]["crossed"]
+
+
+def test_threshold_sweep_histogram_accounting(spark):
+    """The sweep's histogram totals the gated pair population exactly,
+    the suffix-cumulative column replays it, and a planted near-dup
+    pair lands in the top occupied bucket."""
+    from pasta_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_threshold_sweep,
+    )
+
+    import hashlib
+
+    def u01(seed):
+        return (
+            int.from_bytes(hashlib.md5(seed.encode()).digest()[:8], "big") / 2**64
+        )
+
+    rows = [
+        (i, [2.0 * u01(f"sw:{i}:{d}") - 1.0 for d in range(8)])
+        for i in range(120)
+    ]
+    rows.append((500, [c * 1.5 + 1e-9 for c in rows[0][1]]))  # near-dup of 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sweep = cosine_threshold_sweep(emb, dim=8, num_planes=4, num_bands=2).collect()
+    n_pairs = {r["sim_bucket"]: r["n_pairs"] for r in sweep}
+    total = sum(n_pairs.values())
+    gated = cosine_dup_pairs(
+        emb, -2.0, use_lsh=True, dim=8, num_planes=4, num_bands=2
+    ).count()
+    assert total == gated > 0
+    # suffix-cumulative replays the histogram
+    buckets = sorted(n_pairs, reverse=True)
+    cum = {r["sim_bucket"]: r["cum_pairs_ge"] for r in sweep}
+    run = 0
+    for b in buckets:
+        run += n_pairs[b]
+        assert cum[b] == run
+    # the planted ~cosine-1 pair sits in the top occupied bucket (19 or 20)
+    assert max(buckets) >= 19

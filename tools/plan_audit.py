@@ -155,6 +155,12 @@ SCALAR_CROSSJOIN_OK = {
     "LIMITed 50-row rank frames",
     "trimmed_mean_effect": "1-row control-arm x 1-row treatment-arm "
     "trimmed-moment combine (the post_stratified_effect shape)",
+    "retrieval_rank_agreement": "the bm25/cosine 1-row scalar handoffs "
+    "(inherited) plus 1-row size/count combines over the bounded "
+    "common-rank frame",
+    "group_sequential_check": "1-row (min, max) epoch-micros scalar "
+    "broadcast for the look thresholds (the incremental_scan "
+    "frozen-watermark shape)",
 }
 
 

@@ -119,6 +119,14 @@ QUERIES = [
     "srm_check",
     "post_stratified_effect",
     "ab_power_grid",
+    # r10 waves 28-29: retrieval fusion + the robust/sequential A/B
+    # tier + the dedup-threshold planning sweep
+    "hybrid_rrf_topk",
+    "retrieval_rank_agreement",
+    "srm_by_segment",
+    "trimmed_mean_effect",
+    "group_sequential_check",
+    "dedup_threshold_sweep",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -170,6 +178,12 @@ SF1_QUERIES = [
     # union-find CC
     "unigram_doc_nll",
     "quantile_treatment_effect",
+    # r10 waves 28-29: the gated-pair sweep (the one new query whose
+    # cost grows with the pair population) + the per-user A/B readouts
+    # over 10x users + the fusion composite over 10x docs/vectors
+    "dedup_threshold_sweep",
+    "trimmed_mean_effect",
+    "hybrid_rrf_topk",
 ]
 
 
