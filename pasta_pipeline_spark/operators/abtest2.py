@@ -1,9 +1,11 @@
 """A/B testing tier II — the experiment-practice checks around the
 r8 causal estimators (CUPED / DiD / delta-method): sample-ratio
-mismatch, quantile treatment effects, post-stratification, and the
-power-planning grid.
+mismatch (global and per-segment), quantile treatment effects,
+post-stratification, the power-planning grid, the trimmed-mean
+(whale-robust) effect, and group-sequential early stopping
+(O'Brien-Fleming boundaries).
 
-All four follow the tier's determinism playbook: arms come from the
+All of them follow the tier's determinism playbook: arms come from the
 md5 user bucket (``sampling.sample_bucket`` — a pure function of the
 id, so "random" assignment is cross-engine exact), values ride the
 FLOOR(v·scale) int64 bridge, second moments accumulate in

@@ -2079,7 +2079,14 @@ def cosine_threshold_sweep(
     Returns (sim_bucket, n_pairs, cum_pairs_ge) ordered by bucket
     descending — sim_bucket = floor(sim·sim_scale), so [-sim_scale,
     sim_scale]. The cumulative window runs over ≤ 2·sim_scale+1 rows.
-    Same auto-calibration/pinning contract as cosine_dup_pairs.
+
+    ``num_planes=None`` (the default) auto-calibrates with the
+    semantic_dedup base (4, ``num_bands``) — this operator keeps EVERY
+    gated pair, so it is the catalog's most pair-volume-sensitive
+    query and a pinned config goes quadratic-by-config fastest (the
+    r10 ladder measured 13.8× at sf1 pinned vs in-band auto).
+    Explicit ``num_planes`` pins (the oracle gate scales, where auto
+    resolves to the same base).
     """
     pairs = cosine_dup_pairs(
         embeddings,
@@ -2091,6 +2098,7 @@ def cosine_threshold_sweep(
         num_planes=num_planes,
         num_bands=num_bands,
         bucket_cap=bucket_cap,
+        base_planes=4,
     )
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 

@@ -206,6 +206,10 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import cosine_threshold_sweep
 
     emb = _t(spark, sf_dir, "embeddings")
-    # pinned (4, 2) matches the inlined oracle planes; auto resolves to
-    # the same base at gate scales (the semantic_dedup convention)
-    return cosine_threshold_sweep(emb, dim=64, num_planes=4, num_bands=2)
+    # num_planes=None engages the auto-calibrated growth recipe with
+    # base (4, 2) — at the oracle gate scales (n <= LSH_CALIBRATED_N)
+    # it resolves to exactly the config the DuckDB twin inlines; at
+    # bigger corpora planes/bands grow so the kept-every-pair sweep
+    # stays near-linear (the semantic_dedup convention; a pinned
+    # config measured 13.8x at sf1 in the r10 ladder)
+    return cosine_threshold_sweep(emb, dim=64, num_planes=None, num_bands=2)
