@@ -1991,3 +1991,60 @@ def trimmed_mean_report_from_state(
         "arm", sample_bucket(F.col("__u"), 2).cast("long")
     )
     return trimmed_mean_from_per_user(per_user, trim_num=trim_num, trim_den=trim_den)
+
+
+def incremental_srm_by_segment_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    segment_col: str = "event_type",
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/abtest2.py srm_by_segment: the
+    (segment, user) exposure set as keyed state (max law — re-ingests
+    collapse), so the per-segment assignment check pages live, not at
+    readout time. State is |segment × exposed users| rows."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                F.col(segment_col).alias("segment"),
+                F.col(user_col).alias("__u"),
+            )
+            .distinct()
+            .withColumn("seen", F.lit(1).cast("long"))
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys=["segment", "__u"], merge_laws={"seen": "max"},
+        marker_name="_srm_seg_mb.json", trigger_once=trigger_once,
+    )
+
+
+def srm_by_segment_report_from_state(store: TableStore) -> DataFrame:
+    """Per-segment SRM from the CURRENT exposure state — equal to
+    batch srm_by_segment over everything ingested (pytest-pinned): the
+    state IS the distinct (segment, user) frame."""
+    from pasta_pipeline_spark.operators.abtest2 import CHI2_CRIT_SC
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    users = store.read().select("segment", "__u")
+    m = users.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sample_bucket(F.col("__u"), 2)).alias("n1"),
+    )
+    n_d = F.col("n").cast("double")
+    diff = n_d - 2.0 * F.col("n1").cast("double")
+    chi2_sc = F.floor(
+        F.when(F.col("n") > 0, diff * diff / n_d) * 1_000_000
+    ).cast("long")
+    return m.select(
+        "segment",
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_ctrl"),
+        F.col("n1").cast("long").alias("n_treat"),
+        chi2_sc.alias("chi2_sc"),
+        (chi2_sc > CHI2_CRIT_SC).alias("srm_flag"),
+    ).orderBy("segment")

@@ -184,3 +184,29 @@ def test_trimmed_mean_live_from_qte_state(spark, tmp_table_dir):
     want = [tuple(r) for r in trimmed_mean_effect(all_rows).collect()]
     got = [tuple(r) for r in trimmed_mean_report_from_state(store).collect()]
     assert got == want
+
+
+def test_incremental_srm_by_segment_equals_batch(spark, tmp_table_dir):
+    """Per-segment SRM maintained on the (segment, user) exposure set:
+    live == batch under repeat exposures across batches."""
+    from pasta_pipeline_spark.operators.abtest2 import srm_by_segment
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        incremental_srm_by_segment_sink,
+        srm_by_segment_report_from_state,
+    )
+
+    waves = _waves()
+    store = TableStore(spark, f"{tmp_table_dir}/srm_seg_state")
+    _stream_waves(
+        spark, tmp_table_dir, waves,
+        lambda s, st, ck: incremental_srm_by_segment_sink(s, st, ck), store,
+    )
+    all_rows = spark.createDataFrame(waves[0] + waves[1], AB2_SCHEMA)
+    want = [tuple(r) for r in srm_by_segment(all_rows).collect()]
+    got = [tuple(r) for r in srm_by_segment_report_from_state(store).collect()]
+    assert got == want
+    # two segments ('m' everyone, 'a' the late every-third-user set);
+    # repeats collapsed by the max law
+    segs = {r["segment"] for r in store.read().collect()}
+    assert segs == {"m", "a"}
