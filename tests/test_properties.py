@@ -735,3 +735,72 @@ def test_unigram_em_total_nll_non_increasing(spark):
     assert all(a >= b for a, b in zip(em, em[1:])), em
     pieces = [r["total_pieces"] for r in rows[:3]]
     assert all(a >= b for a, b in zip(pieces, pieces[1:])), pieces
+
+
+def test_trimmed_mean_invariant_to_whale_magnitude(spark):
+    """The defining robustness property of the trimmed mean: once a
+    user is inside the trim, the ESTIMATE cannot depend on how extreme
+    their value is — a 1e6 whale and a 1e9 whale yield bit-identical
+    reports (a winsorized or plain mean would move)."""
+    import datetime as dt
+    import hashlib
+
+    from pasta_pipeline_spark.operators.abtest2 import trimmed_mean_effect
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    whale = next(u for u in range(1, 500) if arm(u) == 1)
+
+    def events(wv):
+        rows = []
+        for u in range(1, 301):
+            v = 80.0 + (u % 5) if u != whale else wv
+            rows.append((u, dt.datetime(2024, 1, 10, 12), u, "t", v))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double",
+        )
+
+    a = trimmed_mean_effect(events(1_000_000.0)).collect()
+    b = trimmed_mean_effect(events(1_000_000_000.0)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["tmean_treat_sc"] is not None
+
+
+def test_rrf_fused_score_monotone_in_ranks(spark):
+    """RRF's defining property: moving a document UP either input list
+    can never lower its fused score, and the fused ordering depends
+    only on ranks, never raw scores — verified by scaling every BM25
+    input (same ranks, different scores) and asserting the identical
+    fused output."""
+    from pasta_pipeline_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark"),
+            (2, "spark spark spark pad"),
+            (3, "spark spark pad pad"),
+            (4, "spark pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    # doubling every doc's text preserves tf ORDER (and dl ratios), so
+    # lexical ranks are unchanged while raw BM25 scores move
+    docs2 = docs.selectExpr("doc_id", "concat(text, ' ', text) AS text")
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [0.9, 0.2]),
+            (3, [0.8, 0.4]),
+            (4, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = [tuple(r) for r in hybrid_rrf_topk(docs, emb, ["spark"], k=4).collect()]
+    r2 = [tuple(r) for r in hybrid_rrf_topk(docs2, emb, ["spark"], k=4).collect()]
+    assert r1 == r2
+    # rank monotonicity: fused scores ordered the same as rank sums here
+    by_id = {t[0]: t for t in r1}
+    assert by_id[1][3] >= by_id[2][3] >= by_id[3][3] >= by_id[4][3]
