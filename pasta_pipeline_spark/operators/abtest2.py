@@ -562,11 +562,28 @@ def srm_by_segment(
     ordered: segment, n_users, n_ctrl, n_treat, chi2_sc (·1e6),
     srm_flag. One distinct + one groupBy; no joins at any scale.
     """
-    from pasta_pipeline_spark.operators.sampling import sample_bucket
-
     users = events.select(
         F.col(segment_col).alias("segment"), F.col(user_col).alias("__u")
     ).distinct()
+    return srm_by_segment_from_users(users)
+
+
+def srm_by_segment_from_users(users: DataFrame) -> DataFrame:
+    """Per-segment SRM readout from a distinct (``segment``, ``__u``)
+    exposure frame — the shared core of :func:`srm_by_segment` and the
+    live readout over the segment-exposure sink's maintained state
+    (``streaming/sink.py srm_by_segment_report_from_state``), extracted
+    so live == batch holds by construction, matching the
+    srm_from_users / qte_from_per_user / post_strat_from_per_user
+    pattern (r10 advisor).
+
+    Ordering: ``asc_nulls_last`` on segment — a NULL segment (kept by
+    the distinct as its own exposure population) must sort the same
+    way in both engines, and DuckDB's ASC default is NULLS LAST while
+    Spark's is NULLS FIRST (r10 advisor).
+    """
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
     m = users.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(sample_bucket(F.col("__u"), 2)).alias("n1"),
@@ -583,7 +600,7 @@ def srm_by_segment(
         F.col("n1").cast("long").alias("n_treat"),
         chi2_sc.alias("chi2_sc"),
         (chi2_sc > CHI2_CRIT_SC).alias("srm_flag"),
-    ).orderBy("segment")
+    ).orderBy(F.asc_nulls_last("segment"))
 
 
 def srm_by_segment_oracle_sql(
@@ -591,7 +608,9 @@ def srm_by_segment_oracle_sql(
     user_sql: str = "user_id",
     segment_sql: str = "event_type",
 ) -> str:
-    """DuckDB twin of :func:`srm_by_segment`."""
+    """DuckDB twin of :func:`srm_by_segment` — ORDER BY segment NULLS
+    LAST, explicit, to match the Spark side's asc_nulls_last (DuckDB's
+    ASC default is already NULLS LAST; Spark's is NULLS FIRST)."""
     return f"""
     WITH users AS (
       SELECT DISTINCT {segment_sql} AS segment, {user_sql} AS u FROM {table}
@@ -611,7 +630,7 @@ def srm_by_segment_oracle_sql(
         * (CAST(n AS DOUBLE) - 2.0 * CAST(n1 AS DOUBLE))
         / CAST(n AS DOUBLE) END * 1000000) AS BIGINT) > {CHI2_CRIT_SC}
         AS srm_flag
-    FROM m ORDER BY segment"""
+    FROM m ORDER BY segment NULLS LAST"""
 
 
 def trimmed_mean_effect(
@@ -852,7 +871,14 @@ def group_sequential_check(
     cells = per_user.groupBy("look", "arm").agg(
         F.count(F.lit(1)).alias("cn"),
         F.sum("y").cast("long").alias("cs"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("cq"),
+        # widen BEFORE multiplying (r10 advisor): y*y in int64 would
+        # overflow for per-user |y| > ~3.0e9 scaled units while the
+        # DuckDB twin multiplies in HUGEINT and stays exact — the
+        # decimal cast on each factor keeps both engines exact for
+        # whale users
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("cq"),
     )
     cn_d = F.col("cn").cast("double")
     mean_c = F.when(F.col("cn") > 0, F.col("cs").cast("double") / cn_d)

@@ -34,6 +34,7 @@ def golden_part_records(
     parts: DataFrame,
     pairs: DataFrame | None = None,
     min_members: int = 2,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Golden records over the part dimension.
 
@@ -41,9 +42,20 @@ def golden_part_records(
     smallest member key), n_members, member_keys (sorted), golden_brand
     and golden_type (mode, ties → min), size_min/size_max, and
     price_cents_min/max (exact int64 cents).
+
+    ``block_cols`` is the caller's EXPLICIT declaration that the
+    supplied ``pairs`` edges are confined to those block columns (every
+    node appears under exactly one block key) — the precondition of the
+    one-shuffle :func:`linkage.blocked_components` fast path. It is
+    never inferred from the columns that happen to ride on ``pairs``:
+    a relaxed-blocking caller whose frame still carries blk_* columns
+    would otherwise get silently wrong clusters (r10 advisor finding).
+    Internally-built pairs (``pairs=None``) are block-confined by
+    construction and take the fast path automatically.
     """
     if pairs is None:
         pairs = part_linkage_pairs(parts, with_block=True)
+        block_cols = ["blk_noun", "blk_brand"]
     # Unlike text near-dup components (diameter 2-4, where the plain
     # min-label fixpoint converges in a few rounds), tolerance-scored
     # linkage graphs CHAIN — a is within price-tolerance of b, b of c,
@@ -54,11 +66,11 @@ def golden_part_records(
     # construction, so exact CC is one per-block union-find shuffle
     # instead (linkage.blocked_components; equivalence to the
     # duplicate_clusters fixpoint is pytest-pinned).
-    if "blk_noun" in pairs.columns:
-        comp = blocked_components(pairs, ["blk_noun", "blk_brand"])
+    if block_cols is not None:
+        comp = blocked_components(pairs, list(block_cols))
     else:
-        # caller-supplied pairs without block columns: fall back to
-        # the generic iterative fixpoint
+        # caller-supplied pairs without a declared confinement
+        # contract: the generic iterative fixpoint is always correct
         comp = duplicate_clusters(
             parts.select(F.col("p_partkey")),
             pairs.select(

@@ -694,13 +694,11 @@ def retrieval_rank_agreement(
         )
     )
     out = sizes.crossJoin(F.broadcast(counts))
-    denom = F.col("n_common") * (F.col("n_common") - 1) / 2
     tau_sc = F.when(
         F.col("n_common") >= 2,
         F.expr("((concordant - discordant) * 1000000) div "
                "((n_common * (n_common - 1)) div 2)"),
     ).cast("long")
-    _ = denom  # documented formula; integer form used above
     return out.select(
         "n_lex",
         "n_sem",

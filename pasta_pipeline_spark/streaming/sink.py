@@ -2025,26 +2025,10 @@ def incremental_srm_by_segment_sink(
 
 def srm_by_segment_report_from_state(store: TableStore) -> DataFrame:
     """Per-segment SRM from the CURRENT exposure state — equal to
-    batch srm_by_segment over everything ingested (pytest-pinned): the
-    state IS the distinct (segment, user) frame."""
-    from pasta_pipeline_spark.operators.abtest2 import CHI2_CRIT_SC
-    from pasta_pipeline_spark.operators.sampling import sample_bucket
+    batch srm_by_segment over everything ingested BY CONSTRUCTION: the
+    state IS the distinct (segment, user) frame and both paths call
+    the same srm_by_segment_from_users core (r10 advisor — the other
+    three tier-II twins already shared their cores)."""
+    from pasta_pipeline_spark.operators.abtest2 import srm_by_segment_from_users
 
-    users = store.read().select("segment", "__u")
-    m = users.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(sample_bucket(F.col("__u"), 2)).alias("n1"),
-    )
-    n_d = F.col("n").cast("double")
-    diff = n_d - 2.0 * F.col("n1").cast("double")
-    chi2_sc = F.floor(
-        F.when(F.col("n") > 0, diff * diff / n_d) * 1_000_000
-    ).cast("long")
-    return m.select(
-        "segment",
-        F.col("n").cast("long").alias("n_users"),
-        (F.col("n") - F.col("n1")).cast("long").alias("n_ctrl"),
-        F.col("n1").cast("long").alias("n_treat"),
-        chi2_sc.alias("chi2_sc"),
-        (chi2_sc > CHI2_CRIT_SC).alias("srm_flag"),
-    ).orderBy("segment")
+    return srm_by_segment_from_users(store.read().select("segment", "__u"))
