@@ -48,6 +48,23 @@ from .similarity import (
 #: corpus: thousands of candidates per anchor otherwise).
 DEFAULT_ANCHOR_CAND_CAP = 256
 
+#: Default per-anchor survivor budget for the JL-projected coarse
+#: prefilter between the collision cap and the exact rerank (r11, the
+#: r10 verdict's named lever): candidates rank by the COARSE cosine
+#: estimate dot(P·a, P·b)/(‖a‖‖b‖) in the 16-dim Rademacher sign
+#: projection (E[⟨Pa,Pb⟩] = k·⟨a,b⟩ for ±1 entries, so the JL dot is
+#: an unbiased—up to the common k factor—cosine surrogate; 16 int
+#: multiplies instead of the 64-dim double fold), and only the top
+#: ``c·k`` survivors pay the exact cosine. Deterministic and replayed
+#: verbatim by the DuckDB oracle twin (the anchor-cap precedent), so
+#: the contract stays hash-exact at any scale even where it binds;
+#: recall vs the fully-exact rerank is pinned by
+#: ``tests/test_bucket_cap.py``. Sized by the r11 sf0.01 sweep:
+#: recall vs the fully-exact contract was 0.70 @ 32, 0.92 @ 64,
+#: 0.993 @ 96 (jl_k=16) — 96 keeps the exact stage 2.7× smaller than
+#: the collision cap where both bind while staying ~lossless.
+DEFAULT_JL_CAND_CAP = 96
+
 
 def hard_negative_mining(
     embeddings: DataFrame,
@@ -61,6 +78,8 @@ def hard_negative_mining(
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     same_label: bool = False,
     anchor_cand_cap: int | None = DEFAULT_ANCHOR_CAND_CAP,
+    jl_cand_cap: int | None = DEFAULT_JL_CAND_CAP,
+    jl_k: int = 16,
 ) -> DataFrame:
     """Top-``k`` different-label near neighbors per anchor — or, with
     ``same_label=True``, SAME-label neighbors: the positive-pair miner
@@ -95,6 +114,19 @@ def hard_negative_mining(
     contract vs the uncapped rerank is pinned by
     ``tests/test_bucket_cap.py``. ``None`` disables (exact rerank of
     every gated candidate).
+
+    ``jl_cand_cap`` (r11) inserts the two-tier rerank the
+    :func:`similarity.jl_ann_topk` operator proves out between the
+    collision cap and the exact stage: surviving candidates score by
+    the COARSE cosine in the deterministic ``jl_k``-dim Rademacher
+    sign projection (:func:`similarity.jl_signs` — 16 int64 multiplies
+    per pair instead of the 64-dim double fold, and the candidate
+    frame joins 16-component projections instead of full vectors), and
+    only the top ``jl_cand_cap`` per anchor pay the exact cosine. Same
+    determinism contract as ``anchor_cand_cap``: ranked by (coarse
+    estimate DESC, md5(pair), id), replayed verbatim by the oracle
+    twin. ``None`` disables (every collision-capped candidate reranks
+    exactly).
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
@@ -113,8 +145,14 @@ def hard_negative_mining(
         .persist()
     )
     if num_planes is None:
+        # linear_pair_growth (r11): top-k mining ranks its candidates,
+        # so per-band occupancy shrinks as bands multiply and the gate
+        # pair volume stays ~linear in n (24.3M → 12.4M pairs at sf1;
+        # the band join + collision groupBy, not the exact rerank, is
+        # what dominated the sf1 profile)
         num_planes, num_bands = auto_lsh_config(
-            src.count(), base_planes=4, base_bands=num_bands
+            src.count(), base_planes=4, base_bands=num_bands,
+            linear_pair_growth=True,
         )
     banded = cap_band_buckets(
         with_lsh_bands(src, "vec", dim, num_planes, num_bands), "vid", bucket_cap
@@ -144,6 +182,14 @@ def hard_negative_mining(
             & (F.col("bucket") == F.col("bucket_b"))
             & lbl_pred,
         )
+        # ONE exchange of the pair frame (r11): hash-partitioning on
+        # anchor_id alone satisfies the clustering the dedup groupBy
+        # needs (same anchor ⇒ same partition ⇒ same (anchor, neg)
+        # together) AND the partitioning every downstream per-anchor
+        # row_number window needs — without it Catalyst exchanges the
+        # multi-million-row frame once for the groupBy keys and again
+        # for the window key
+        .repartition(F.col("anchor_id"))
         # collision count doubles as the dedup (one row per pair) and
         # the candidate-quality key for the per-anchor cap below
         .groupBy("anchor_id", "neg_id", "neg_label")
@@ -172,6 +218,60 @@ def hard_negative_mining(
             .drop("__crn")
         )
     cand = cand.drop("__coll")
+    if jl_cand_cap is not None:
+        # coarse tier (r11): rank the collision-capped candidates by
+        # the JL cosine estimate and keep only the top jl_cand_cap per
+        # anchor for the exact stage. The candidate frame joins 16
+        # int64 components + the precomputed norm per side instead of
+        # the full 64-dim vectors; each pair pays a 16-term double
+        # fold instead of the 64-term exact fold. The fold is double
+        # end-to-end (terms reach ~4e15, past int64 comfort but folded
+        # identically in both engines — sequential zip_with/
+        # list_dot_product order, NOTES #45), floored to int64 for the
+        # rank; ties break by md5(pair) exactly like the collision cap.
+        from .similarity import jl_project
+        proj = jl_project(
+            src.select("vid", "vec", "nrm"), "vid", "vec", k=jl_k, d=dim,
+            extra_cols=["nrm"],
+        )
+        ap = proj.select(
+            F.col("vid").alias("anchor_id"),
+            F.col("proj").alias("pa"),
+            F.col("nrm").alias("na"),
+        )
+        bp = proj.select(
+            F.col("vid").alias("neg_id"),
+            F.col("proj").alias("pb"),
+            F.col("nrm").alias("nb"),
+        )
+        jl_dot = F.aggregate(
+            F.zip_with(
+                F.col("pa"), F.col("pb"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        coarse = F.floor(jl_dot / (F.col("na") * F.col("nb"))).cast("long")
+        wj = Window.partitionBy("anchor_id").orderBy(
+            F.col("__jl").desc(),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            F.col("neg_id").asc(),
+        )
+        cand = (
+            cand.join(ap, "anchor_id")
+            .join(bp, "neg_id")
+            .withColumn("__jl", coarse)
+            .withColumn("__jrn", F.row_number().over(wj))
+            .where(F.col("__jrn") <= jl_cand_cap)
+            .select("anchor_id", "neg_id", "neg_label")
+        )
     av = src.select(
         F.col("vid").alias("anchor_id"),
         F.col("vec").alias("av"),

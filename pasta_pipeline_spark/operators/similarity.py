@@ -255,6 +255,7 @@ def auto_lsh_config(
     base_planes: int = 4,
     base_bands: int = 1,
     calibrated_n: int = LSH_CALIBRATED_N,
+    linear_pair_growth: bool = False,
 ) -> tuple[int, int]:
     """Resolve the sign-LSH (num_planes, num_bands) for a corpus of
     ``n`` vectors — the growth recipe as the DEFAULT, not documentation
@@ -274,6 +275,22 @@ def auto_lsh_config(
       (recall = 1-(1-q^planes)^bands grows in bands) while each band's
       buckets stay small.
 
+    ``linear_pair_growth=True`` (r11) additionally folds the band
+    growth back into the planes — ``planes += extra + extra // 2`` —
+    so per-band bucket occupancy SHRINKS as bands multiply and the
+    per-row candidate count stays ~constant instead of growing with
+    the band factor: total gate pair volume becomes ~linear in n
+    (occ·bands ≈ occ₀·bands₀) rather than n·2^(extra/2). The price is
+    per-band selectivity q^(extra//2) for moderate-similarity pairs,
+    partially repaid by the extra bands — the right trade for TOP-K
+    MINING consumers (hard negatives / positives), where candidates
+    are ranked and the contract is the best k, not an exhaustive
+    above-threshold pair list. Threshold-DEDUP consumers
+    (semantic_dedup: a missed pair is a kept duplicate) stay on the
+    default recipe, which buys recall with band growth. Measured r11
+    at sf1 (20k vectors): gate pairs 24.3M → 12.4M, same planted-
+    partner recall contract.
+
     At ``n <= calibrated_n`` this is exactly the base config, which is
     what keeps the catalog oracles (replaying fixed plane constants in
     DuckDB) bit-stable at the gate scale factors. When the recipe DOES
@@ -287,7 +304,8 @@ def auto_lsh_config(
     if n <= calibrated_n or calibrated_n <= 0:
         return base_planes, base_bands
     extra = int(math.floor(math.log2(n / calibrated_n) + 0.5))
-    resolved = (base_planes + extra, base_bands << (extra // 2))
+    planes_extra = extra + extra // 2 if linear_pair_growth else extra
+    resolved = (base_planes + planes_extra, base_bands << (extra // 2))
     logging.getLogger(__name__).warning(
         "auto_lsh_config: n=%d grew base (planes=%d, bands=%d) -> %s; "
         "fixed-plane-constant oracles will NOT match at this corpus size",
@@ -1513,6 +1531,7 @@ def jl_project(
     vec_col: str,
     k: int = 16,
     d: int = 64,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Project embeddings to ``k`` dimensions with the sign matrix of
     :func:`jl_signs` — the cheap dimensionality-reduction tier in
@@ -1530,6 +1549,10 @@ def jl_project(
     pads short vectors with NULL while DuckDB's list_sum skips NULLs,
     so a malformed embedding would otherwise silently diverge between
     the engines instead of failing consistently.
+
+    ``extra_cols`` carries the named input columns through unchanged
+    (e.g. a precomputed norm), so a consumer that needs projection +
+    scalar sidecar pays ONE join instead of two.
     """
     signs = jl_signs(k, d)
     vec = F.col(vec_col)
@@ -1547,7 +1570,9 @@ def jl_project(
         )
 
     return df.where(F.size(vec) == d).select(
-        F.col(id_col), F.array(*[proj_expr(r) for r in signs]).alias("proj")
+        F.col(id_col),
+        F.array(*[proj_expr(r) for r in signs]).alias("proj"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 

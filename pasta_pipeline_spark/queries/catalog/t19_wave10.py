@@ -103,19 +103,48 @@ def _hard_negatives_oracle(
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     same_label: bool = False,
     anchor_cand_cap: int | None = None,
+    jl_cand_cap: int | None = None,
+    jl_k: int = 16,
 ) -> str:
     """DuckDB twin of negatives.hard_negative_mining: replay the banded
     sign-LSH candidate gate (deterministic inlined planes, the
     _semantic_dedup_oracle technique) with the different-label
-    restriction, the per-anchor collision-count candidate cap, then
-    exact cosines and a per-anchor top-k. ``anchor_cand_cap=None``
-    resolves to the operator's default so the twin replays the capped
-    contract verbatim."""
-    from pasta_pipeline_spark.operators.negatives import DEFAULT_ANCHOR_CAND_CAP
+    restriction, the per-anchor collision-count candidate cap, the
+    JL-projected coarse prefilter (r11 — same inlined sign matrix as
+    similarity.jl_project_oracle_sql, same floor/md5-tie ordering),
+    then exact cosines and a per-anchor top-k.
+    ``anchor_cand_cap=None`` / ``jl_cand_cap=None`` resolve to the
+    operator's defaults so the twin replays the capped contract
+    verbatim."""
+    from pasta_pipeline_spark.operators.negatives import (
+        DEFAULT_ANCHOR_CAND_CAP,
+        DEFAULT_JL_CAND_CAP,
+    )
+    from pasta_pipeline_spark.operators.similarity import JL_SCALE, jl_signs
 
     if anchor_cand_cap is None:
         anchor_cand_cap = DEFAULT_ANCHOR_CAND_CAP
+    if jl_cand_cap is None:
+        jl_cand_cap = DEFAULT_JL_CAND_CAP
     cos = _cosine_sql("sa.embedding::DOUBLE[]", "sb.embedding::DOUBLE[]")
+    proj_comps = ",\n             ".join(
+        "CAST(list_sum(list_transform(generate_series(1, {d}), i -> "
+        "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {s}) AS BIGINT)"
+        " * ([{row}])[i])) AS BIGINT)".format(
+            d=dim, s=JL_SCALE, row=", ".join(str(x) for x in r)
+        )
+        for r in jl_signs(jl_k, dim)
+    )
+    nrm = "sqrt(list_dot_product({e}::DOUBLE[], {e}::DOUBLE[]))"
+    jl_coarse = (
+        "CAST(FLOOR(list_dot_product("
+        "list_transform(pa.p, x -> CAST(x AS DOUBLE)), "
+        "list_transform(pb.p, x -> CAST(x AS DOUBLE))) / ("
+        + nrm.format(e="sa.embedding")
+        + " * "
+        + nrm.format(e="sb.embedding")
+        + ")) AS BIGINT)"
+    )
     return f"""
     WITH planes(band, pidx, pv) AS (VALUES
         {_banded_planes_sql(dim, num_planes, num_bands)}),
@@ -157,10 +186,30 @@ def _hard_negatives_oracle(
         FROM cand0)
       WHERE crn <= {anchor_cand_cap}
     ),
+    proj AS (
+      SELECT vec_id,
+             [{proj_comps}] AS p
+      FROM src
+    ),
+    pre AS (
+      SELECT anchor_id, neg_id, neg_label FROM (
+        SELECT c.anchor_id, c.neg_id, c.neg_label,
+               row_number() OVER (PARTITION BY c.anchor_id
+                 ORDER BY {jl_coarse} DESC,
+                          md5(CAST(c.anchor_id AS VARCHAR) || ':'
+                              || CAST(c.neg_id AS VARCHAR)),
+                          c.neg_id ASC) AS jrn
+        FROM cand c
+        JOIN proj pa ON pa.vec_id = c.anchor_id
+        JOIN proj pb ON pb.vec_id = c.neg_id
+        JOIN src sa ON sa.vec_id = c.anchor_id
+        JOIN src sb ON sb.vec_id = c.neg_id)
+      WHERE jrn <= {jl_cand_cap}
+    ),
     scored AS (
       SELECT c.anchor_id, c.neg_id, c.neg_label,
              CAST(FLOOR({cos} * 1000000) AS BIGINT) AS cos_sc
-      FROM cand c
+      FROM pre c
       JOIN src sa ON sa.vec_id = c.anchor_id
       JOIN src sb ON sb.vec_id = c.neg_id
     )

