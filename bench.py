@@ -108,7 +108,10 @@ BENCH_QUERIES_LLM = [
     "logistic_quality_gd",     # in-plan GD training: 5 unrolled full-scan steps (wave-16)
     "unigram_vocab",           # unigram-LM tokenizer training: Viterbi-EM folds (wave-23)
     "golden_records",          # linkage CC + survivorship: per-block union-find (r10)
-    "hard_negatives",          # banded LSH gate + capped exact rerank (r10 anchor cap)
+    "hard_negatives",          # banded LSH gate + JL coarse prefilter + exact rerank (r11)
+    "prefix_jaccard_pairs",    # PPJoin prefix filter + array-set verify (r11: was the
+                               # slowest sf1 rung with no bench row — the golden_records
+                               # invisibility lesson, applied before it bit twice)
 ]
 
 

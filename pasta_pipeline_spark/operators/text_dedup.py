@@ -526,31 +526,35 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates. No broadcast
-    # hints here: a boilerplate-heavy corpus grows the candidate set
-    # with corpus size, so an unconditional F.broadcast(cand) is a
-    # driver-OOM risk at scale. Plain equi-joins let AQE pick broadcast
-    # when the runtime size is actually small and fall back to a
-    # shuffle join when it is not.
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh"))
-    sb = sh.select(F.col("doc").alias("doc_b2"), F.col("sh").alias("sh2"))
-    inter = sa.join(cand, "doc_a")  # shingles of each pair's A side
-    common = (
-        sb.join(
-            inter,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh2")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # exact-Jaccard verification restricted to candidates: each doc's
+    # (distinct) shingle set rides as ONE sorted array and every
+    # candidate pair pays a per-row array_intersect (the r11
+    # prefix_jaccard_pairs fix — re-joining candidates against the
+    # posting list materialized Σ_cand |shingles| intermediate rows).
+    # A candidate sharing zero shingles gets jaccard 0 and is dropped
+    # by the threshold filter, exactly like the old inner join. No
+    # broadcast hints: a boilerplate-heavy corpus grows the candidate
+    # set with corpus size, so an unconditional F.broadcast(cand) is a
+    # driver-OOM risk at scale; AQE picks broadcast when the runtime
+    # size is actually small.
+    sets = sh.groupBy("doc").agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
     jac = (
-        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("__sb")),
+            "doc_b",
+        )
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            / (
+                F.size(F.col("__sa")) + F.size(F.col("__sb")) - F.col("n_common")
+            ).cast("double"),
         )
     )
     out = jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
@@ -1159,19 +1163,31 @@ def prefix_jaccard_pairs(
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    # exact verify: intersection sizes over the FULL shingle sets of
-    # candidate pairs only (cost = sum of candidate set sizes)
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(sh.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = cand.join(inter, ["doc_a", "doc_b"]).withColumn(
-        "jaccard",
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+    # exact verify: each doc's (distinct) shingle set rides as ONE
+    # sorted array and every candidate pair pays a per-row
+    # array_intersect — two document-scale joins of bounded-array
+    # payloads instead of re-exploding candidate pairs against the
+    # posting list (the r11 sf1 profile: the postings re-join
+    # materialized Σ_cand |shingles(a)| ≈ 165M intermediate rows and
+    # was ~80% of the operator's wall time; the array verify does the
+    # same exact intersection counting in-row)
+    sets = sh.groupBy("doc").agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
+    jac = (
+        cand.join(
+            sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("__sb")),
+            "doc_b",
+        )
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
     )
     out = jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
