@@ -844,18 +844,35 @@ def group_sequential_check(
     looks (≤ K× row expansion), then one groupBy(look, user) and a
     |looks×arms|-row combine.
     """
-    from pasta_pipeline_spark.operators.sampling import sample_bucket
-
-    bounds = events.agg(
-        F.min(F.unix_micros(F.col(ts_col))).alias("minv"),
-        F.max(F.unix_micros(F.col(ts_col))).alias("maxv"),
-    )
     v = F.floor(F.col(value_col) * value_scale).cast("long")
-    base = events.select(
+    ev = events.select(
         F.col(user_col).alias("__u"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.coalesce(v, F.lit(0)).alias("yv"),
-    ).crossJoin(F.broadcast(bounds))
+    )
+    return group_sequential_from_events(ev, n_looks=n_looks)
+
+
+def group_sequential_from_events(ev: DataFrame, n_looks: int = 4) -> DataFrame:
+    """Group-sequential readout from an event frame (``__u``,
+    ``ts_us``, ``yv``) — the shared core of
+    :func:`group_sequential_check` and the live readout over the
+    (user, ts) value-sum state of
+    ``streaming/sink.py incremental_group_sequential_sink``, so live
+    == batch by construction (the tier-II twin pattern). The (u, ts)
+    granularity is the SUFFICIENT state for this readout: look
+    boundaries derive from the global (min, max) timestamp and MOVE as
+    new data extends the range, so any coarser pre-assignment of
+    events to looks could not be replayed; summing ``yv`` per (u, ts)
+    first is exact because each event lands in a suffix of looks
+    purely by its timestamp."""
+    from pasta_pipeline_spark.operators.sampling import sample_bucket
+
+    bounds = ev.agg(
+        F.min(F.col("ts_us")).alias("minv"),
+        F.max(F.col("ts_us")).alias("maxv"),
+    )
+    base = ev.crossJoin(F.broadcast(bounds))
     thr = F.when(F.col("look") == n_looks, F.col("maxv")).otherwise(
         F.col("minv")
         + F.col("look") * F.expr(f"(maxv - minv) div {n_looks}")

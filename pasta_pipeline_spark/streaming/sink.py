@@ -2023,6 +2023,64 @@ def incremental_srm_by_segment_sink(
     )
 
 
+def incremental_group_sequential_sink(
+    stream: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+    trigger_once: bool = True,
+):
+    """Streaming twin of operators/abtest2.py group_sequential_check —
+    the ONE tier-II readout whose whole point is being read
+    mid-experiment (interim looks that may stop it early): state is
+    the (``__u``, ``ts_us``) → int64 value-sum histogram. That
+    granularity is the sufficient state, not an optimization miss:
+    the O'Brien-Fleming look boundaries derive from the global
+    (min, max) timestamp and MOVE as ingestion extends the range, so
+    any per-look pre-aggregation would be unreplayable the moment a
+    new batch shifts a boundary. Late or repeated (user, ts) facts are
+    absorbed exactly by the sum law; the report re-derives every look
+    from current state (group_sequential_report_from_state)."""
+
+    def delta(batch: DataFrame) -> DataFrame:
+        v = F.floor(F.col(value_col) * value_scale).cast("long")
+        return batch.groupBy(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        ).agg(
+            F.coalesce(F.sum(F.coalesce(v, F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("yv")
+        )
+
+    return sufficient_stats_sink(
+        stream, store, checkpoint_dir,
+        delta_fn=delta, keys=["__u", "ts_us"], merge_laws={"yv": "sum"},
+        marker_name="_group_seq_mb.json", trigger_once=trigger_once,
+    )
+
+
+def group_sequential_report_from_state(
+    store: TableStore, n_looks: int = 4
+) -> DataFrame:
+    """Group-sequential interim readout from the CURRENT (user, ts)
+    state — equal to batch group_sequential_check over everything
+    ingested BY CONSTRUCTION (shared group_sequential_from_events
+    core): every look boundary, z statistic, and OBF crossing flag is
+    re-derived from the live state, so a dashboard may act on a
+    crossed look at any moment without alpha inflation."""
+    from pasta_pipeline_spark.operators.abtest2 import (
+        group_sequential_from_events,
+    )
+
+    return group_sequential_from_events(
+        store.read().select("__u", "ts_us", "yv"), n_looks=n_looks
+    )
+
+
 def srm_by_segment_report_from_state(store: TableStore) -> DataFrame:
     """Per-segment SRM from the CURRENT exposure state — equal to
     batch srm_by_segment over everything ingested BY CONSTRUCTION: the

@@ -210,3 +210,83 @@ def test_incremental_srm_by_segment_equals_batch(spark, tmp_table_dir):
     # repeats collapsed by the max law
     segs = {r["segment"] for r in store.read().collect()}
     assert segs == {"m", "a"}
+
+
+def test_incremental_group_sequential_equals_batch(spark, tmp_table_dir):
+    """Group-sequential live == batch AT EVERY INGEST POINT — the twin
+    whose whole point is being read mid-experiment: after each wave
+    the report over maintained (user, ts) state equals batch
+    group_sequential_check over everything ingested SO FAR, including
+    the hard case where wave 2 EXTENDS the time range and every
+    O'Brien-Fleming look boundary moves."""
+    from pasta_pipeline_spark.operators.abtest2 import group_sequential_check
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import (
+        group_sequential_report_from_state,
+        incremental_group_sequential_sink,
+    )
+
+    waves = _waves()
+    store = TableStore(spark, f"{tmp_table_dir}/gseq_state")
+    src = f"{tmp_table_dir}/gseq_src"
+    ckpt = f"{tmp_table_dir}/gseq_ckpt"
+    seen = []
+    for wave in waves:
+        spark.createDataFrame(wave, AB2_SCHEMA).write.parquet(src, mode="append")
+        stream = spark.readStream.schema(AB2_SCHEMA).parquet(src)
+        incremental_group_sequential_sink(stream, store, ckpt).awaitTermination(120)
+        seen += wave
+        all_rows = spark.createDataFrame(seen, AB2_SCHEMA)
+        want = [tuple(r) for r in group_sequential_check(all_rows).collect()]
+        got = [
+            tuple(r) for r in group_sequential_report_from_state(store).collect()
+        ]
+        assert got == want  # every look row: boundary, z, crossed flag
+    # state is the (user, ts) histogram: wave 1 has one ts for 60
+    # users; wave 2 adds one more ts for evens and one for every third
+    n_w2 = sum(1 for u in range(1, 61) if u % 2 == 0) + sum(
+        1 for u in range(1, 61) if u % 3 == 0
+    )
+    assert store.read().count() == 60 + n_w2
+
+
+def test_group_sequential_retry_idempotent(spark, tmp_table_dir):
+    """Crash-mid-batch for the (user, ts)-keyed twin: re-applying a
+    batch id recomputes against the pinned pre-version — exactly-once
+    through MicroBatchPin for the event-histogram state."""
+    from pasta_pipeline_spark.sources.tables import TableStore
+    from pasta_pipeline_spark.streaming.sink import apply_sufficient_stats_batch
+    from pyspark.sql import functions as F
+
+    waves = _waves()
+    store = TableStore(spark, f"{tmp_table_dir}/gseq_retry")
+    marker = f"{tmp_table_dir}/gseq_retry_ckpt/_group_seq_mb.json"
+
+    def delta(batch):
+        v = F.floor(F.col("value") * 100).cast("long")
+        return batch.groupBy(
+            F.col("user_id").alias("__u"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        ).agg(
+            F.coalesce(F.sum(F.coalesce(v, F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("yv")
+        )
+
+    def apply(rows, bid):
+        apply_sufficient_stats_batch(
+            spark.createDataFrame(rows, AB2_SCHEMA), bid, store, marker,
+            delta_fn=delta, keys=["__u", "ts_us"], merge_laws={"yv": "sum"},
+        )
+
+    apply(waves[0], 0)
+    once = sorted(tuple(r) for r in store.read().collect())
+    apply(waves[0], 0)  # retry: no-op
+    assert sorted(tuple(r) for r in store.read().collect()) == once
+    apply(waves[1], 1)
+    final = sorted(tuple(r) for r in store.read().collect())
+    apply(waves[1], 1)
+    assert sorted(tuple(r) for r in store.read().collect()) == final
+    total = sum(r["yv"] for r in store.read().collect())
+    want = sum(int(v * 100) for *_, v in waves[0] + waves[1])
+    assert total == want
