@@ -804,3 +804,144 @@ def test_rrf_fused_score_monotone_in_ranks(spark):
     # rank monotonicity: fused scores ordered the same as rank sums here
     by_id = {t[0]: t for t in r1}
     assert by_id[1][3] >= by_id[2][3] >= by_id[3][3] >= by_id[4][3]
+
+
+def test_rrf_invariant_under_per_system_monotone_transforms(spark):
+    """Stronger than the r10 scaling test: REPLACE each system's raw
+    scores with entirely different values that preserve only the
+    per-system ORDER — the lexical side by tf inflation, the semantic
+    side by swapping the whole embedding set for one at different
+    angles with the same cosine ranking. RRF (ranks only) must emit
+    the bit-identical fused table."""
+    import math
+
+    from pasta_pipeline_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark"),
+            (2, "spark spark spark spark pad"),
+            (3, "spark spark spark pad pad"),
+            (4, "spark spark pad pad pad"),
+            (5, "spark pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    docs_t = docs.selectExpr(
+        "doc_id", "concat(text, ' ', text, ' ', text) AS text"
+    )
+
+    def emb_at(angles):
+        rows = [
+            (i + 1, [math.cos(a), math.sin(a)]) for i, a in enumerate(angles)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # query = lowest-id vector (angle 0); both sets rank 1<2<3<4<5 by
+    # cosine but with very different similarity VALUES
+    emb_a = emb_at([0.0, 0.2, 0.4, 0.6, 0.8])
+    emb_b = emb_at([0.0, 0.9, 1.0, 1.1, 1.2])
+    r_a = [tuple(r) for r in hybrid_rrf_topk(docs, emb_a, ["spark"], k=5).collect()]
+    r_b = [tuple(r) for r in hybrid_rrf_topk(docs_t, emb_b, ["spark"], k=5).collect()]
+    assert r_a == r_b
+    assert len(r_a) == 5
+
+
+def test_rank_agreement_tau_extremes(spark):
+    """Kendall's tau pins: identical lexical and semantic rankings
+    give tau_sc == +1e6 exactly; a fully reversed semantic ranking
+    gives -1e6 exactly (integer arithmetic, no tie correction needed —
+    ranks are distinct)."""
+    import math
+
+    from pasta_pipeline_spark.operators.search import retrieval_rank_agreement
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark"),
+            (2, "spark spark spark spark pad"),
+            (3, "spark spark spark pad pad"),
+            (4, "spark spark pad pad pad"),
+            (5, "spark pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def emb_at(angles):
+        rows = [
+            (i + 1, [math.cos(a), math.sin(a)]) for i, a in enumerate(angles)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    same = retrieval_rank_agreement(
+        docs, emb_at([0.0, 0.2, 0.4, 0.6, 0.8]), ["spark"]
+    ).collect()[0]
+    assert same["n_common"] == 5
+    assert same["concordant"] == 10 and same["discordant"] == 0
+    assert same["tau_sc"] == 1_000_000
+    # reversed semantic order: query is still vec 1 (rank 1 in sem by
+    # self-similarity), so reverse only the OTHER four
+    rev = retrieval_rank_agreement(
+        docs, emb_at([0.0, 0.8, 0.6, 0.4, 0.2]), ["spark"]
+    ).collect()[0]
+    # doc 1 agrees with everything (top of both); docs 2-5 fully
+    # reversed: C = 4, D = 6, tau = (4-6)/10 = -0.2 exactly
+    assert rev["concordant"] == 4 and rev["discordant"] == 6
+    assert rev["tau_sc"] == -200_000
+    # fully reversed COMMON set: flip the lexical side too by querying
+    # a term whose tf order is the mirror of the semantic order
+    docs_rev = spark.createDataFrame(
+        [
+            (1, "spark pad pad pad pad"),
+            (2, "spark spark pad pad pad"),
+            (3, "spark spark spark pad pad"),
+            (4, "spark spark spark spark pad"),
+            (5, "spark spark spark spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    full_rev = retrieval_rank_agreement(
+        docs_rev, emb_at([0.0, 0.2, 0.4, 0.6, 0.8]), ["spark"]
+    ).collect()[0]
+    assert full_rev["tau_sc"] == -1_000_000
+    assert full_rev["concordant"] == 0 and full_rev["discordant"] == 10
+
+
+def test_group_sequential_never_crosses_designed_null(spark):
+    """On a designed null (both arms draw from the same per-user value
+    law), no O'Brien-Fleming look may cross — the alpha-spending
+    guarantee the operator exists for. The fixture is deterministic
+    (md5 arms over a u%7 value lattice), so this pins behavior; the z
+    at the final look is asserted nonzero so the null is non-trivial
+    (sampling noise present, just bounded)."""
+    import datetime as dt
+
+    from pasta_pipeline_spark.operators.abtest2 import group_sequential_check
+
+    rows = []
+    eid = 0
+    for day in range(1, 9):
+        for u in range(1, 201):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, day, 12),
+                    u,
+                    "m",
+                    50.0 + ((u * 3 + day) % 7),
+                )
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = group_sequential_check(events).collect()
+    assert len(out) == 4
+    assert all(not r["crossed"] for r in out)
+    # OBF shape: boundaries strictly decrease toward ~2.024 at the end
+    bnds = [r["boundary_sc"] for r in out]
+    assert bnds == sorted(bnds, reverse=True)
+    assert bnds[-1] == 2_024_000
+    assert out[-1]["z_sc"] is not None and out[-1]["z_sc"] != 0
