@@ -132,6 +132,7 @@ from pasta_pipeline_spark.operators.quality_filters import curation_funnel
 from pasta_pipeline_spark.operators.divergence import ks_drift
 from pasta_pipeline_spark.operators.sampling import balanced_label_sample
 from pasta_pipeline_spark.operators.similarity import jl_project
+from pasta_pipeline_spark.operators.similarity import jl_project_expr
 from pasta_pipeline_spark.operators.search import bm25_topk, kwic_snippets, phrase_search
 from pasta_pipeline_spark.operators.anomaly import cusum_drift
 from pasta_pipeline_spark.operators.multimodal import (
@@ -254,6 +255,7 @@ __all__ = [
     "ks_drift",
     "balanced_label_sample",
     "jl_project",
+    "jl_project_expr",
     "bm25_topk",
     "phrase_search",
     "cusum_drift",

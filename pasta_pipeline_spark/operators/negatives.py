@@ -49,7 +49,7 @@ from .similarity import (
 DEFAULT_ANCHOR_CAND_CAP = 256
 
 #: Default per-anchor survivor budget for the JL-projected coarse
-#: prefilter between the collision cap and the exact rerank (r11, the
+#: rank between the candidate gate and the exact rerank (r11, the
 #: r10 verdict's named lever): candidates rank by the COARSE cosine
 #: estimate dot(P·a, P·b)/(‖a‖‖b‖) in the 16-dim Rademacher sign
 #: projection (E[⟨Pa,Pb⟩] = k·⟨a,b⟩ for ±1 entries, so the JL dot is
@@ -62,7 +62,7 @@ DEFAULT_ANCHOR_CAND_CAP = 256
 #: ``tests/test_bucket_cap.py``. Sized by the r11 sf0.01 sweep:
 #: recall vs the fully-exact contract was 0.70 @ 32, 0.92 @ 64,
 #: 0.993 @ 96 (jl_k=16) — 96 keeps the exact stage 2.7× smaller than
-#: the collision cap where both bind while staying ~lossless.
+#: the r10 collision cap where both bound while staying ~lossless.
 DEFAULT_JL_CAND_CAP = 96
 
 
@@ -115,18 +115,22 @@ def hard_negative_mining(
     ``tests/test_bucket_cap.py``. ``None`` disables (exact rerank of
     every gated candidate).
 
-    ``jl_cand_cap`` (r11) inserts the two-tier rerank the
-    :func:`similarity.jl_ann_topk` operator proves out between the
-    collision cap and the exact stage: surviving candidates score by
+    ``jl_cand_cap`` (r11) is the default per-anchor candidate budget —
+    the two-tier rerank the :func:`similarity.jl_ann_topk` operator
+    proves out, fused into the gate: every band-collision row computes
     the COARSE cosine in the deterministic ``jl_k``-dim Rademacher
-    sign projection (:func:`similarity.jl_signs` — 16 int64 multiplies
-    per pair instead of the 64-dim double fold, and the candidate
-    frame joins 16-component projections instead of full vectors), and
-    only the top ``jl_cand_cap`` per anchor pay the exact cosine. Same
-    determinism contract as ``anchor_cand_cap``: ranked by (coarse
-    estimate DESC, md5(pair), id), replayed verbatim by the oracle
-    twin. ``None`` disables (every collision-capped candidate reranks
-    exactly).
+    sign projection (:func:`similarity.jl_signs`, carried through the
+    banding explode — 16 int64 multiplies per collision, no
+    corpus-scale join against the pair frame), the dedup groupBy keeps
+    it, and ONE per-anchor window keeps the top ``jl_cand_cap`` for
+    the exact cosine. Deterministic: ranked by (coarse estimate DESC,
+    md5(pair), id), replayed verbatim by the oracle twin, so the
+    contract stays hash-exact at any scale. It subsumes the r10
+    collision-count rank (under the linear-growth recipe nearly every
+    pair collides in exactly one band, so collision count carries no
+    signal); ``anchor_cand_cap`` therefore applies only when
+    ``jl_cand_cap=None`` (collision-ranked cap, then exact rerank of
+    every survivor).
     """
     from pasta_pipeline_spark.operators.util import attach_cached_deps
 
@@ -154,20 +158,37 @@ def hard_negative_mining(
             src.count(), base_planes=4, base_bands=num_bands,
             linear_pair_growth=True,
         )
+    use_jl = jl_cand_cap is not None
+    pre_band = src
+    if use_jl:
+        # the 16-component projection rides INTO the band join (r11
+        # sf10 finding: joining a corpus-scale projection frame onto
+        # the pair frame AFTER candidate generation re-shuffles the
+        # multi-hundred-million-row frame twice once the projection
+        # side outgrows the broadcast threshold; carried through the
+        # banding explode it is a 128-byte sidecar on document-scale
+        # frames and the coarse score is a per-row expression)
+        from .similarity import jl_project_expr
+        pre_band = src.withColumn("proj", jl_project_expr(F.col("vec"), k=jl_k, d=dim))
     banded = cap_band_buckets(
-        with_lsh_bands(src, "vec", dim, num_planes, num_bands), "vid", bucket_cap
+        with_lsh_bands(pre_band, "vec", dim, num_planes, num_bands),
+        "vid",
+        bucket_cap,
     )
+    side_cols = (["proj", "nrm"] if use_jl else [])
     a = banded.select(
         F.col("vid").alias("anchor_id"),
         F.col("lbl").alias("anchor_lbl"),
         "band",
         "bucket",
+        *[F.col(c).alias(c + "_a") for c in side_cols],
     )
     b = banded.select(
         F.col("vid").alias("neg_id"),
         F.col("lbl").alias("neg_label"),
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
+        *[F.col(c).alias(c + "_b") for c in side_cols],
     )
     lbl_pred = (
         (F.col("anchor_lbl") == F.col("neg_label"))
@@ -175,103 +196,89 @@ def hard_negative_mining(
         if same_label
         else (F.col("anchor_lbl") != F.col("neg_label"))
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & lbl_pred,
-        )
-        # ONE exchange of the pair frame (r11): hash-partitioning on
-        # anchor_id alone satisfies the clustering the dedup groupBy
-        # needs (same anchor ⇒ same partition ⇒ same (anchor, neg)
-        # together) AND the partitioning every downstream per-anchor
-        # row_number window needs — without it Catalyst exchanges the
-        # multi-million-row frame once for the groupBy keys and again
-        # for the window key
-        .repartition(F.col("anchor_id"))
-        # collision count doubles as the dedup (one row per pair) and
-        # the candidate-quality key for the per-anchor cap below
-        .groupBy("anchor_id", "neg_id", "neg_label")
-        .agg(F.count(F.lit(1)).alias("__coll"))
+    joined = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
+        & lbl_pred,
     )
-    if anchor_cand_cap is not None:
-        # ties in collision count (the common case: most candidates
-        # share exactly one band) break by md5 of the PAIR — an
-        # unbiased deterministic sample, the cap_band_buckets rank
-        # idiom — never by raw id, which would truncate toward low
-        # ids systematically across every anchor
-        wc = Window.partitionBy("anchor_id").orderBy(
-            F.col("__coll").desc(),
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("anchor_id").cast("string"),
-                    F.col("neg_id").cast("string"),
-                )
-            ),
-            F.col("neg_id").asc(),
+    pair_md5 = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("anchor_id").cast("string"),
+            F.col("neg_id").cast("string"),
         )
-        cand = (
-            cand.withColumn("__crn", F.row_number().over(wc))
-            .where(F.col("__crn") <= anchor_cand_cap)
-            .drop("__crn")
-        )
-    cand = cand.drop("__coll")
-    if jl_cand_cap is not None:
-        # coarse tier (r11): rank the collision-capped candidates by
-        # the JL cosine estimate and keep only the top jl_cand_cap per
-        # anchor for the exact stage. The candidate frame joins 16
-        # int64 components + the precomputed norm per side instead of
-        # the full 64-dim vectors; each pair pays a 16-term double
-        # fold instead of the 64-term exact fold. The fold is double
-        # end-to-end (terms reach ~4e15, past int64 comfort but folded
-        # identically in both engines — sequential zip_with/
-        # list_dot_product order, NOTES #45), floored to int64 for the
-        # rank; ties break by md5(pair) exactly like the collision cap.
-        from .similarity import jl_project
-        proj = jl_project(
-            src.select("vid", "vec", "nrm"), "vid", "vec", k=jl_k, d=dim,
-            extra_cols=["nrm"],
-        )
-        ap = proj.select(
-            F.col("vid").alias("anchor_id"),
-            F.col("proj").alias("pa"),
-            F.col("nrm").alias("na"),
-        )
-        bp = proj.select(
-            F.col("vid").alias("neg_id"),
-            F.col("proj").alias("pb"),
-            F.col("nrm").alias("nb"),
-        )
-        jl_dot = F.aggregate(
-            F.zip_with(
-                F.col("pa"), F.col("pb"),
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        coarse = F.floor(jl_dot / (F.col("na") * F.col("nb"))).cast("long")
+    )
+    if use_jl:
+        # coarse tier (r11): every collision row computes the JL
+        # cosine estimate IN the join projection (16 multiplies — the
+        # arrays never materialize past the joined row), the dedup
+        # groupBy keeps it via max (it is a pure function of the pair,
+        # so max = the value), and ONE per-anchor window ranks by
+        # (coarse DESC, md5(pair), id) with the jl_cand_cap budget.
+        # The fold is double end-to-end (terms reach ~4e15, past int64
+        # comfort but folded identically in both engines — sequential
+        # zip_with/list_dot_product order, NOTES #45), floored to
+        # int64 for the rank. This subsumes the r10 collision-count
+        # rank: under linear_pair_growth the band plane sets are
+        # independent enough that nearly every pair collides in
+        # exactly one band, so collision count carries no signal and
+        # its md5 tiebreak degenerated to a random sample —
+        # ``anchor_cand_cap`` therefore applies only to the
+        # jl_cand_cap=None path.
+        # static element_at sum instead of zip_with+aggregate: no
+        # per-row 16-element array allocation on the collision frame,
+        # and the left-associated addition order is bit-identical to
+        # the fold (acc starts at 0.0; 0.0 + t1 == t1 exactly), so the
+        # DuckDB list_dot_product twin still matches
+        jl_dot = None
+        for i in range(1, jl_k + 1):
+            term = (
+                F.element_at(F.col("proj_a"), i).cast("double")
+                * F.element_at(F.col("proj_b"), i).cast("double")
+            )
+            jl_dot = term if jl_dot is None else jl_dot + term
+        coarse = F.floor(jl_dot / (F.col("nrm_a") * F.col("nrm_b"))).cast("long")
         wj = Window.partitionBy("anchor_id").orderBy(
-            F.col("__jl").desc(),
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("anchor_id").cast("string"),
-                    F.col("neg_id").cast("string"),
-                )
-            ),
-            F.col("neg_id").asc(),
+            F.col("__jl").desc(), pair_md5, F.col("neg_id").asc()
         )
         cand = (
-            cand.join(ap, "anchor_id")
-            .join(bp, "neg_id")
-            .withColumn("__jl", coarse)
+            joined.select("anchor_id", "neg_id", "neg_label", coarse.alias("__jl"))
+            # ONE exchange of the pair frame: hash-partitioning on
+            # anchor_id alone satisfies both the dedup groupBy
+            # clustering (same anchor ⇒ same partition) and the
+            # per-anchor window partitioning
+            .repartition(F.col("anchor_id"))
+            .groupBy("anchor_id", "neg_id", "neg_label")
+            .agg(F.max("__jl").alias("__jl"))
             .withColumn("__jrn", F.row_number().over(wj))
             .where(F.col("__jrn") <= jl_cand_cap)
             .select("anchor_id", "neg_id", "neg_label")
         )
+    else:
+        cand = (
+            joined
+            .repartition(F.col("anchor_id"))
+            # collision count doubles as the dedup (one row per pair)
+            # and the candidate-quality key for the per-anchor cap
+            .groupBy("anchor_id", "neg_id", "neg_label")
+            .agg(F.count(F.lit(1)).alias("__coll"))
+        )
+        if anchor_cand_cap is not None:
+            # ties in collision count (the common case: most
+            # candidates share exactly one band) break by md5 of the
+            # PAIR — an unbiased deterministic sample, the
+            # cap_band_buckets rank idiom — never by raw id, which
+            # would truncate toward low ids systematically
+            wc = Window.partitionBy("anchor_id").orderBy(
+                F.col("__coll").desc(), pair_md5, F.col("neg_id").asc()
+            )
+            cand = (
+                cand.withColumn("__crn", F.row_number().over(wc))
+                .where(F.col("__crn") <= anchor_cand_cap)
+                .drop("__crn")
+            )
+        cand = cand.drop("__coll")
     av = src.select(
         F.col("vid").alias("anchor_id"),
         F.col("vec").alias("av"),

@@ -275,16 +275,20 @@ def auto_lsh_config(
       (recall = 1-(1-q^planes)^bands grows in bands) while each band's
       buckets stay small.
 
-    ``linear_pair_growth=True`` (r11) additionally folds the band
-    growth back into the planes — ``planes += extra + extra // 2`` —
-    so per-band bucket occupancy SHRINKS as bands multiply and the
-    per-row candidate count stays ~constant instead of growing with
-    the band factor: total gate pair volume becomes ~linear in n
-    (occ·bands ≈ occ₀·bands₀) rather than n·2^(extra/2). The price is
-    per-band selectivity q^(extra//2) for moderate-similarity pairs,
-    partially repaid by the extra bands — the right trade for TOP-K
-    MINING consumers (hard negatives / positives), where candidates
-    are ranked and the contract is the best k, not an exhaustive
+    ``linear_pair_growth=True`` (r11) caps the band growth at 4× the
+    base (two doublings) and folds it back into the planes —
+    ``planes += extra + min(extra // 2, 2)`` — so per-band bucket
+    occupancy SHRINKS as bands multiply and the per-row candidate
+    count stays ~constant instead of growing with the band factor:
+    total gate pair volume becomes ~linear in n (occ·bands ≈
+    occ₀·bands₀) rather than n·2^(extra/2), and the per-VECTOR banding
+    cost planes·bands stays ~log n (the r11 sf10 profile: uncapped
+    band growth made banding itself the super-linear term — 448
+    hyperplane folds per vector at 200k). The price is per-band
+    selectivity q^planes for moderate-similarity pairs, partially
+    repaid by the extra bands — the right trade for TOP-K MINING
+    consumers (hard negatives / positives), where candidates are
+    ranked and the contract is the best k, not an exhaustive
     above-threshold pair list. Threshold-DEDUP consumers
     (semantic_dedup: a missed pair is a kept duplicate) stay on the
     default recipe, which buys recall with band growth. Measured r11
@@ -304,8 +308,9 @@ def auto_lsh_config(
     if n <= calibrated_n or calibrated_n <= 0:
         return base_planes, base_bands
     extra = int(math.floor(math.log2(n / calibrated_n) + 0.5))
-    planes_extra = extra + extra // 2 if linear_pair_growth else extra
-    resolved = (base_planes + planes_extra, base_bands << (extra // 2))
+    band_shift = min(extra // 2, 2) if linear_pair_growth else extra // 2
+    planes_extra = extra + band_shift if linear_pair_growth else extra
+    resolved = (base_planes + planes_extra, base_bands << band_shift)
     logging.getLogger(__name__).warning(
         "auto_lsh_config: n=%d grew base (planes=%d, bands=%d) -> %s; "
         "fixed-plane-constant oracles will NOT match at this corpus size",
@@ -1554,10 +1559,22 @@ def jl_project(
     (e.g. a precomputed norm), so a consumer that needs projection +
     scalar sidecar pays ONE join instead of two.
     """
-    signs = jl_signs(k, d)
-    vec = F.col(vec_col)
+    return df.where(F.size(F.col(vec_col)) == d).select(
+        F.col(id_col),
+        jl_project_expr(F.col(vec_col), k=k, d=d).alias("proj"),
+        *[F.col(c) for c in (extra_cols or [])],
+    )
 
-    def proj_expr(row: list[int]) -> Column:
+
+def jl_project_expr(vec: Column, k: int = 16, d: int = 64) -> Column:
+    """The :func:`jl_project` projection as a COLUMN expression —
+    array<long> of ``k`` components — for consumers that attach the
+    projection in place (e.g. before a banding explode) instead of
+    joining a projected frame. Caller owns the ``size(vec) = d``
+    filter that keeps malformed vectors out (jl_project's contract)."""
+    signs = jl_signs(k, d)
+
+    def proj_row(row: list[int]) -> Column:
         lits = F.array(*[F.lit(s) for s in row])
         return F.aggregate(
             F.zip_with(
@@ -1569,11 +1586,7 @@ def jl_project(
             lambda acc, x: acc + x,
         )
 
-    return df.where(F.size(vec) == d).select(
-        F.col(id_col),
-        F.array(*[proj_expr(r) for r in signs]).alias("proj"),
-        *[F.col(c) for c in (extra_cols or [])],
-    )
+    return F.array(*[proj_row(r) for r in signs])
 
 
 def jl_project_oracle_sql(

@@ -1329,7 +1329,11 @@ def winnowing_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.countDistinct("a.fp").cast("long").alias("n_shared"))
+        # plain count == count-distinct here: ``pruned`` is distinct
+        # per (doc, fp), so the equi-join emits exactly one row per
+        # (pair, shared fp) — and count skips the distinct-aggregate's
+        # per-group hash expansion (r11)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
 

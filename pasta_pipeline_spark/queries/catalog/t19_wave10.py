@@ -109,21 +109,17 @@ def _hard_negatives_oracle(
     """DuckDB twin of negatives.hard_negative_mining: replay the banded
     sign-LSH candidate gate (deterministic inlined planes, the
     _semantic_dedup_oracle technique) with the different-label
-    restriction, the per-anchor collision-count candidate cap, the
-    JL-projected coarse prefilter (r11 — same inlined sign matrix as
-    similarity.jl_project_oracle_sql, same floor/md5-tie ordering),
-    then exact cosines and a per-anchor top-k.
-    ``anchor_cand_cap=None`` / ``jl_cand_cap=None`` resolve to the
-    operator's defaults so the twin replays the capped contract
-    verbatim."""
-    from pasta_pipeline_spark.operators.negatives import (
-        DEFAULT_ANCHOR_CAND_CAP,
-        DEFAULT_JL_CAND_CAP,
-    )
+    restriction, the per-collision JL coarse cosine (r11 — same
+    inlined sign matrix as similarity.jl_project_oracle_sql), the
+    MAX-dedup + per-anchor JL-ranked candidate budget with the
+    floor/md5-tie ordering, then exact cosines and a per-anchor
+    top-k. ``jl_cand_cap=None`` resolves to the operator's default so
+    the twin replays the capped contract verbatim (``anchor_cand_cap``
+    is the jl-off path's knob and is unused here, matching the
+    operator)."""
+    from pasta_pipeline_spark.operators.negatives import DEFAULT_JL_CAND_CAP
     from pasta_pipeline_spark.operators.similarity import JL_SCALE, jl_signs
 
-    if anchor_cand_cap is None:
-        anchor_cand_cap = DEFAULT_ANCHOR_CAND_CAP
     if jl_cand_cap is None:
         jl_cand_cap = DEFAULT_JL_CAND_CAP
     cos = _cosine_sql("sa.embedding::DOUBLE[]", "sb.embedding::DOUBLE[]")
@@ -166,12 +162,19 @@ def _hard_negatives_oracle(
         FROM eb0)
       WHERE bkrn <= {bucket_cap}
     ),
+    proj AS (
+      SELECT vec_id,
+             [{proj_comps}] AS p
+      FROM src
+    ),
     cand0 AS (
       SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
-             sb.label AS neg_label, COUNT(*) AS coll
+             sb.label AS neg_label, MAX({jl_coarse}) AS jl
       FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket
       JOIN src sa ON sa.vec_id = a.vec_id
       JOIN src sb ON sb.vec_id = b.vec_id
+      JOIN proj pa ON pa.vec_id = a.vec_id
+      JOIN proj pb ON pb.vec_id = b.vec_id
       WHERE {"sa.label = sb.label AND a.vec_id <> b.vec_id" if same_label else "sa.label <> sb.label"}
       GROUP BY 1, 2, 3
     ),
@@ -179,37 +182,17 @@ def _hard_negatives_oracle(
       SELECT anchor_id, neg_id, neg_label FROM (
         SELECT anchor_id, neg_id, neg_label,
                row_number() OVER (PARTITION BY anchor_id
-                 ORDER BY coll DESC,
+                 ORDER BY jl DESC,
                           md5(CAST(anchor_id AS VARCHAR) || ':'
                               || CAST(neg_id AS VARCHAR)),
-                          neg_id ASC) AS crn
+                          neg_id ASC) AS jrn
         FROM cand0)
-      WHERE crn <= {anchor_cand_cap}
-    ),
-    proj AS (
-      SELECT vec_id,
-             [{proj_comps}] AS p
-      FROM src
-    ),
-    pre AS (
-      SELECT anchor_id, neg_id, neg_label FROM (
-        SELECT c.anchor_id, c.neg_id, c.neg_label,
-               row_number() OVER (PARTITION BY c.anchor_id
-                 ORDER BY {jl_coarse} DESC,
-                          md5(CAST(c.anchor_id AS VARCHAR) || ':'
-                              || CAST(c.neg_id AS VARCHAR)),
-                          c.neg_id ASC) AS jrn
-        FROM cand c
-        JOIN proj pa ON pa.vec_id = c.anchor_id
-        JOIN proj pb ON pb.vec_id = c.neg_id
-        JOIN src sa ON sa.vec_id = c.anchor_id
-        JOIN src sb ON sb.vec_id = c.neg_id)
       WHERE jrn <= {jl_cand_cap}
     ),
     scored AS (
       SELECT c.anchor_id, c.neg_id, c.neg_label,
              CAST(FLOOR({cos} * 1000000) AS BIGINT) AS cos_sc
-      FROM pre c
+      FROM cand c
       JOIN src sa ON sa.vec_id = c.anchor_id
       JOIN src sb ON sb.vec_id = c.neg_id
     )

@@ -127,6 +127,9 @@ QUERIES = [
     "trimmed_mean_effect",
     "group_sequential_check",
     "dedup_threshold_sweep",
+    # r11 wave 30: the stored-tokenizer apply (reads the persisted
+    # snapshot, not training lineage)
+    "unigram_doc_nll_stored",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -184,6 +187,31 @@ SF1_QUERIES = [
     "dedup_threshold_sweep",
     "trimmed_mean_effect",
     "hybrid_rrf_topk",
+    # r11 (r10 verdict ask #7): the remaining r10 rows with only an
+    # sf0.1 reading — the per-segment distinct set, the K-fold look
+    # explosion, and the bounded-frame tau audit over 10x inputs
+    "srm_by_segment",
+    "group_sequential_check",
+    "retrieval_rank_agreement",
+    # r11 wave 30
+    "unigram_doc_nll_stored",
+]
+
+#: sf1 → sf10 tier (r10 verdict ask #2): DIRECT second-decade
+#: evidence for the three operators the r10 ladder showed costliest.
+#: Both rungs of each ratio are measured in FRESH PROCESSES
+#: (tools/fresh_query_time.py), so the committed absolutes are
+#: process-clean by construction — no in-session/fresh cross-check
+#: needed for this tier. The sf10 fixture replicates the sf1 fixture
+#: 10x with the same cross-replica-dissimilarity construction
+#: (per-replica token suffixes / sign isometries), so the workload
+#: scales linearly BY CONSTRUCTION and any super-linear time is the
+#: operator's own.
+SF10_DIR = "/root/repo/.tmp_sf10"
+SF10_QUERIES = [
+    "hard_negatives",
+    "semantic_dedup",
+    "prefix_jaccard_pairs",
 ]
 
 
@@ -327,6 +355,81 @@ def ensure_sf1(spark) -> None:
     )
 
 
+def ensure_sf10(spark) -> None:
+    """Synthesize the sf10 fixture (documents/embeddings only — the
+    SF10_QUERIES inputs) from the sf1 fixture: 10 more replicas with
+    fresh keys, per-replica ``y{k}`` token suffixes (no shingle ever
+    matches across replicas) and per-replica random-sign isometries
+    (intra-replica geometry preserved, cross-replica similarity
+    destroyed). Deterministic; rebuilding yields identical content."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.schemas import load_table
+
+    if all(
+        os.path.isdir(os.path.join(SF10_DIR, f"{t}.parquet"))
+        for t in ("documents", "embeddings")
+    ):
+        return
+    ensure_sf1(spark)
+    os.makedirs(SF10_DIR, exist_ok=True)
+    n_rep, dim = 10, 64
+
+    docs = load_table(spark, SF1_DIR, "documents")
+    parts = []
+    for k in range(n_rep):
+        d = docs.select(
+            (F.col("doc_id") + F.lit(k * 50000)).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", rf"$1y{k}")
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(SF10_DIR, "documents.parquet")
+    )
+
+    emb = load_table(spark, SF1_DIR, "embeddings")
+    parts = []
+    for k in range(n_rep):
+        if k == 0:
+            e = emb
+        else:
+            signs = [
+                1
+                if int(hashlib.md5(f"sf10_{k}_{i}".encode()).hexdigest()[0], 16) % 2
+                == 0
+                else -1
+                for i in range(dim)
+            ]
+            sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+            e = emb.select(
+                "vec_id",
+                F.zip_with(
+                    F.col("embedding"), sign_arr, lambda a, b: (a * b).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        parts.append(
+            e.select((F.col("vec_id") + F.lit(k * 20000)).alias("vec_id"),
+                     "embedding", "label")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF10_DIR, "embeddings.parquet")
+    )
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALELADDER.json"
 
@@ -459,8 +562,54 @@ def main() -> None:
             fresh_checks[name] = {"error": str(exc)}
             flagged.append(f"fresh-check-failed:{name}")
 
+    # sf1 → sf10 tier (r10 verdict ask #2): both rungs fresh-process,
+    # one query per brand-new JVM, so the committed absolutes are
+    # process-clean by construction.
+    ensure_sf10(spark)
+    sf10_report: dict = {}
+
+    def fresh_time(name: str, sf_dir: str, runs: int, timeout: int) -> float:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "fresh_query_time.py"),
+                name, sf_dir, str(runs),
+            ],
+            capture_output=True, text=True, timeout=timeout, check=True,
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["best_sec"])
+
+    for name in SF10_QUERIES:
+        try:
+            t_sf1 = fresh_time(name, SF1_DIR, 2, 900)
+            t_sf10 = fresh_time(name, SF10_DIR, 2, 3600)
+            ratio = round(t_sf10 / t_sf1, 2) if t_sf1 > 0 else None
+            flag = bool(
+                ratio is not None
+                and t_sf10 >= MIN_BIG_SEC
+                and ratio > FLAG_FACTOR * DATA_RATIO
+            )
+            sf10_report[name] = {
+                "t_sf1_fresh": round(t_sf1, 3),
+                "t_sf10_fresh": round(t_sf10, 3),
+                "ratio": ratio,
+                "flag": flag,
+            }
+            if flag:
+                flagged.append(f"sf10:{name}")
+            print(
+                f"sf10 {name}: {t_sf1:.3f}s -> {t_sf10:.3f}s  ratio {ratio}"
+                f"{'  ** SUPER-LINEAR **' if flag else ''}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # record, don't hide
+            sf10_report[name] = {"error": str(exc)}
+            flagged.append(f"sf10-failed:{name}")
+
     doc = {
         "fresh_process_crosscheck": fresh_checks,
+        "queries_sf10": sf10_report,
         "notes": {
             "sf1_auto_lsh": (
                 "The r8 *_recalibrated side-rows are gone because the "
