@@ -420,48 +420,57 @@ def cosine_dup_pairs(
             id_col,
             bucket_cap,
         )
-        cand = (
-            banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-            .join(
-                banded.select(F.col(id_col).alias("id_b"), "band", "bucket"),
-                ["band", "bucket"],
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        pairs = cand.join(
-            src.select(
-                F.col(id_col).alias("id_a"),
-                F.col(vec_col).alias("va"),
-                F.col("__nrm").alias("__na"),
-            ),
-            "id_a",
-        ).join(
-            src.select(
-                F.col(id_col).alias("id_b"),
-                F.col(vec_col).alias("vb"),
-                F.col("__nrm").alias("__nb"),
-            ),
-            "id_b",
-        )
-    else:
-        a = src.select(
+        # the vector + norm ride THROUGH the band join and every
+        # collision row computes the exact cosine IN the join
+        # projection (r11 sf10 finding: the old shape distinct-ed the
+        # candidate frame and joined the corpus vectors back onto it —
+        # two shuffles of a pair-scale frame once the vector side
+        # outgrows the broadcast threshold; in-join the pair frame
+        # never re-shuffles and the distinct runs AFTER the threshold
+        # filter, over the true-duplicate survivors only). A pair
+        # colliding in several bands pays the fold once per collision
+        # (measured dedup factor ~1.0 — independent plane sets rarely
+        # agree twice) and the sim is a pure function of the pair, so
+        # the post-filter distinct yields the identical output set.
+        ab = banded.select(
             F.col(id_col).alias("id_a"),
+            "band",
+            "bucket",
             F.col(vec_col).alias("va"),
             F.col("__nrm").alias("__na"),
         )
-        b = src.select(
+        bb = banded.select(
             F.col(id_col).alias("id_b"),
+            "band",
+            "bucket",
             F.col(vec_col).alias("vb"),
             F.col("__nrm").alias("__nb"),
         )
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs = ab.join(bb, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        sim = (
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+        ).alias("sim")
+        out = (
+            pairs.select("id_a", "id_b", sim)
+            .filter(F.col("sim") >= threshold)
+            .distinct()
+        )
+        return attach_cached_deps(out, [src])
+    a = src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = (dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias(
         "sim"
     )
-    out = pairs.select("id_a", "id_b", sim).filter(F.col("sim") >= threshold)
-    return attach_cached_deps(out, [src]) if use_lsh else out
+    return pairs.select("id_a", "id_b", sim).filter(F.col("sim") >= threshold)
 
 
 def label_centroids(

@@ -33,7 +33,7 @@ def test_growth_recipe_matches_measured_recalibration():
     # the 20k-vector sf1 fixture as the configs that restore linear
     # scaling — auto must reproduce them
     assert auto_lsh_config(20_000, 4, 2) == (7, 4)   # semantic_dedup
-    assert auto_lsh_config(20_000, 4, 4) == (7, 8)   # hard_negatives
+    assert auto_lsh_config(20_000, 4, 4) == (7, 8)   # default recipe (hard_negatives uses linear_pair_growth since r11)
     # another 10x: +3 or +4 more planes, bands keep pace
     assert auto_lsh_config(200_000, 4, 2) == (11, 16)
 
