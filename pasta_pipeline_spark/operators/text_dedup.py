@@ -1146,23 +1146,44 @@ def prefix_jaccard_pairs(
     prefix = ordered.where(
         F.col("pos")
         <= F.col("n_sh") - F.expr(f"({t_floor} * n_sh) div 1000000") + 1
-    ).select("doc", "sh", "n_sh")
+    ).select("doc", "sh", "n_sh", "pos")
 
     a = prefix.select(
-        F.col("doc").alias("doc_a"), "sh", F.col("n_sh").alias("n_a")
+        F.col("doc").alias("doc_a"), "sh",
+        F.col("n_sh").alias("n_a"), F.col("pos").alias("pa"),
     )
     b = prefix.select(
-        F.col("doc").alias("doc_b"), "sh", F.col("n_sh").alias("n_b")
+        F.col("doc").alias("doc_b"), "sh",
+        F.col("n_sh").alias("n_b"), F.col("pos").alias("pb"),
     )
-    cand = (
+    cand0 = (
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         # length filter, conservative: J>=t needs t*max <= min
         .where(F.col("n_b") * 1_000_000 >= F.lit(t_floor) * F.col("n_a"))
         .where(F.col("n_a") * 1_000_000 >= F.lit(t_floor) * F.col("n_b"))
-        .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
     )
+    # PPJoin positional filter (Xiao et al. WWW'08 Lemma 1): the FIRST
+    # common prefix token in the global (df, sh) order — the one with
+    # min position in BOTH docs simultaneously, since per-doc positions
+    # follow the global order, so independent MINs recover it — admits
+    # no common token before it (an earlier common token would itself
+    # be in both prefixes), hence
+    #     overlap <= ub = 1 + min(n_a - pa, n_b - pb).
+    # J >= t needs overlap*(1+t) >= t*(n_a+n_b); killing pairs whose
+    # ub provably misses that is EXACT (never drops a qualifying
+    # pair), uses the conservative t_floor on both sides, and runs
+    # before the shingle-set arrays attach — the r11 sf10 profile put
+    # ~99.9% of candidates below threshold, so the fat verify frame
+    # was almost entirely waste.
+    ub = F.lit(1) + F.least(
+        F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")
+    )
+    cand = cand0.where(
+        ub * (1_000_000 + t_floor) >= F.lit(t_floor) * (F.col("n_a") + F.col("n_b"))
+    ).select("doc_a", "doc_b", "n_a", "n_b")
     # exact verify: each doc's (distinct) shingle set rides as ONE
     # sorted array and every candidate pair pays a per-row
     # array_intersect — two document-scale joins of bounded-array
