@@ -447,6 +447,12 @@ def cosine_dup_pairs(
             F.col("__nrm").alias("__nb"),
         )
         pairs = ab.join(bb, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        # NOTE: the zip_with fold stays — a 64-term static element_at
+        # sum (the 16-dim jl coarse-rank trick) measured 5x SLOWER
+        # here: ~300 expression nodes blow the whole-stage-codegen
+        # budget and the projection falls back to interpreted eval
+        # (sf1 fresh 9.3 s → 44 s). The static-sum trick is for SHORT
+        # folds only.
         sim = (
             dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
         ).alias("sim")
