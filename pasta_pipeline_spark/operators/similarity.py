@@ -2170,3 +2170,107 @@ def cosine_threshold_sweep(
         "cum_pairs_ge", F.sum("n_pairs").over(w).cast("long")
     ).orderBy(F.desc("sim_bucket"))
     return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))
+
+
+def gate_recall_report(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    num_planes: int | None = None,
+    num_bands: int = 2,
+    max_n: int | None = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_scale: int = 1_000_000,
+    base_planes: int = 4,
+) -> DataFrame:
+    """Measured recall of the sign-LSH candidate gate at ``threshold``
+    — the observability a curation team reads BEFORE trusting
+    LSH-gated dedup (r11's second-decade finding made this concrete:
+    the banding recipe's recall is a moving, θ-dependent quantity, so
+    it should be MEASURED on the corpus, not assumed). Ground truth is
+    the brute-force all-pairs cosine over a bounded deterministic
+    subsample; the gated side runs :func:`cosine_dup_pairs` with the
+    SAME config over the SAME subsample, and since its exact verify
+    admits no false positives, recall = n_gated / n_true.
+
+    ``max_n`` bounds the inherently-quadratic ground truth: the
+    md5-ranked TakeOrderedAndProject subsample (the cap_band_buckets
+    idiom — population-unbiased, deterministic, oracle-replayable)
+    keeps the audit ~constant-cost at ANY corpus size; pass ``None``
+    to audit the full corpus (gate/test scales only). Returns ONE row:
+    (n_vectors, n_true_pairs, n_gated_pairs, recall_sc) with
+    recall_sc = floor(recall · 1e6), NULL when no true pairs exist.
+    """
+    src = embeddings.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    if max_n is not None:
+        src = (
+            src.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col).asc()
+            )
+            .limit(max_n)
+        )
+    src = src.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    ).persist()
+    a = src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select("id_a", "id_b")
+    )
+    # base_planes defaults to 4 — the SEMANTIC-DEDUP tier's base
+    # (semantic_dedup passes base_planes=4 into cosine_dup_pairs; the
+    # standalone cosine_dup_pairs default is a sharper 8) — because
+    # the audit must replay the gate it audits, config for config
+    gated_raw = cosine_dup_pairs(
+        src.select(id_col, vec_col),
+        threshold,
+        use_lsh=True,
+        dim=dim,
+        num_planes=num_planes,
+        num_bands=num_bands,
+        base_planes=base_planes,
+    )
+    gated_pairs = gated_raw.select("id_a", "id_b")
+    n_vec = src.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_gated = gated_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gated_pairs")
+    )
+    out = (
+        n_vec.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_gated))
+        .select(
+            "n_vectors",
+            "n_true_pairs",
+            "n_gated_pairs",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.floor(
+                    F.col("n_gated_pairs").cast("double")
+                    / F.col("n_true_pairs").cast("double")
+                    * recall_scale
+                ).cast("long"),
+            ).alias("recall_sc"),
+        )
+    )
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    return attach_cached_deps(
+        out, [src] + list(getattr(gated_raw, "_pasta_cached_deps", []))
+    )

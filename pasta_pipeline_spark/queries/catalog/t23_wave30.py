@@ -55,3 +55,99 @@ def q_unigram_doc_nll_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="pasta_unigram_store_")
     save_unigram_vocab(spark, path, unigram_train(docs))
     return apply_unigram(docs, load_unigram_vocab(spark, path))
+
+
+def _gate_recall_oracle(
+    threshold: float = 0.4,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_bands: int = 2,
+    max_n: int = 4000,
+    recall_scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of similarity.gate_recall_report: replay the
+    md5-ranked subsample, the brute-force ground truth, and the banded
+    gate (inlined plane constants + bucket cap + exact verify — the
+    _semantic_dedup_oracle structure) over the SAME subsample. The
+    inlined base (planes, bands) is valid at the oracle gate scales,
+    where the sample is <= LSH_CALIBRATED_N and auto resolves to the
+    base config (test_tooling_consistency pins this)."""
+    from pasta_pipeline_spark.operators.similarity import DEFAULT_BUCKET_CAP
+    from pasta_pipeline_spark.queries.catalog.t04_similarity_ann import (
+        _cosine_sql,
+    )
+    from pasta_pipeline_spark.queries.catalog.t05_multimodal import (
+        _banded_planes_sql,
+    )
+
+    cos_ab = _cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    cos_sasb = _cosine_sql("sa.embedding::DOUBLE[]", "sb.embedding::DOUBLE[]")
+    return f"""
+    WITH planes(band, pidx, pv) AS (VALUES
+        {_banded_planes_sql(dim, num_planes, num_bands)}),
+    samp AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE len(embedding) = {dim}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max_n}
+    ),
+    tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true_pairs
+      FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {threshold!r}
+    ),
+    eb0 AS (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                           THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
+      FROM samp CROSS JOIN planes GROUP BY vec_id, embedding, band
+    ),
+    eb AS (
+      SELECT vec_id, band, bucket FROM (
+        SELECT vec_id, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS bkrn
+        FROM eb0)
+      WHERE bkrn <= {DEFAULT_BUCKET_CAP}
+    ),
+    gp AS (
+      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ),
+    gt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_gated_pairs
+      FROM gp
+      JOIN samp sa ON sa.vec_id = gp.ida
+      JOIN samp sb ON sb.vec_id = gp.idb
+      WHERE {cos_sasb} >= {threshold!r}
+    ),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM samp)
+    SELECT n_vectors, n_true_pairs, n_gated_pairs,
+           CASE WHEN n_true_pairs > 0 THEN
+             CAST(FLOOR(CAST(n_gated_pairs AS DOUBLE)
+                        / CAST(n_true_pairs AS DOUBLE)
+                        * {recall_scale}) AS BIGINT) END AS recall_sc
+    FROM nv CROSS JOIN tp CROSS JOIN gt
+    """
+
+
+@register(
+    "semantic_gate_recall",
+    _gate_recall_oracle(),
+    doc="Measured recall of the sign-LSH dedup gate at the dedup "
+    "tier's own threshold (similarity.gate_recall_report): brute-force "
+    "ground truth over a bounded md5-ranked subsample vs the gated "
+    "pair set with the SAME config — the observability a curation "
+    "team reads before trusting LSH-gated dedup (the r11 "
+    "second-decade finding made the gate's recall a measured, "
+    "theta-dependent quantity, not an assumption). Gated exact-verify "
+    "admits no false positives, so recall = n_gated / n_true. The "
+    "quadratic ground truth is bounded by the deterministic "
+    "subsample, so the audit is ~constant-cost at any corpus size.",
+)
+def q_semantic_gate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.similarity import gate_recall_report
+
+    return gate_recall_report(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_bands=2
+    )

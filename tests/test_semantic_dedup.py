@@ -418,3 +418,26 @@ def test_ivfpq_composite_recall_and_pruned_layout(spark, tmp_path):
         ivfpq_encode(emb, cents, cb), query, cents, cb, k=10, n_probe=2
     )
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_gate_recall_report_contract(spark):
+    """gate_recall_report: gated pairs are a subset of true pairs (the
+    exact verify admits no false positives), so recall_sc is in
+    [0, 1e6]; the md5-ranked subsample cap binds deterministically;
+    repeated runs are identical."""
+    from pasta_pipeline_spark.operators.similarity import gate_recall_report
+    from pasta_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    r = gate_recall_report(emb, threshold=0.4, num_bands=2).collect()[0]
+    assert r["n_vectors"] == 500
+    assert 0 <= r["n_gated_pairs"] <= r["n_true_pairs"]
+    assert r["recall_sc"] is None or 0 <= r["recall_sc"] <= 1_000_000
+    r2 = gate_recall_report(emb, threshold=0.4, num_bands=2).collect()[0]
+    assert tuple(r) == tuple(r2)
+    # the subsample cap binds: audit cost is bounded at any corpus size
+    small = gate_recall_report(emb, threshold=0.4, num_bands=2, max_n=50).collect()[0]
+    assert small["n_vectors"] == 50
+    # more bands can only widen the gate: recall is monotone in bands
+    r4 = gate_recall_report(emb, threshold=0.4, num_bands=4).collect()[0]
+    assert r4["n_gated_pairs"] >= r["n_gated_pairs"]

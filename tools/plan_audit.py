@@ -161,6 +161,12 @@ SCALAR_CROSSJOIN_OK = {
     "group_sequential_check": "1-row (min, max) epoch-micros scalar "
     "broadcast for the look thresholds (the incremental_scan "
     "frozen-watermark shape)",
+    "semantic_gate_recall": "the brute-force ground truth IS an "
+    "all-pairs id_a < id_b join — over the md5-ranked subsample "
+    "bounded by max_n (default 4000), never the corpus — plus three "
+    "1-row count scalars combined into the report row; the audit's "
+    "quadratic side is the point of the query and is subsample-"
+    "bounded by construction",
 }
 
 
