@@ -1249,8 +1249,18 @@ def winnowing_fingerprints(
     Engine-exact argmin without structs: each gram's key is
     ``h * 2^20 + (2^20 - 1 - p)`` — a plain int64 whose window MIN
     selects the smallest hash and, among ties, the rightmost
-    position; hash and position decode back arithmetically. One
-    per-document window pass; emits DISTINCT ``(id, fp, pos)``.
+    position; hash and position decode back arithmetically. Emits
+    DISTINCT ``(id, fp, pos)``.
+
+    Scale shape (r11): the sliding-window min runs ARRAY-SIDE — the
+    gram keys are already a per-document array, so each window's min
+    is an ``aggregate(slice(ckeys, i, w), least)`` fold and the
+    per-doc ``array_distinct`` happens before anything explodes. The
+    r10 form exploded EVERY gram and ran a per-doc window (one
+    full-corpus shuffle + sort of the gram rows); this emits only the
+    ~2/(w+1)-density selected fingerprints and shuffles nothing —
+    sf1 fingerprint stage 14.5 s → array-side, measured in
+    winnowing_pairs' rung.
     """
     ht = F.transform(
         tokenize_ws(F.col(text_col)),
@@ -1275,45 +1285,49 @@ def winnowing_fingerprints(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    exploded = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.posexplode(grams).alias("p0", "h"))
-        .select(
-            F.col(id_col),
-            (F.col("p0") + 1).alias("p"),
-            # Clamp the position term so documents with >= 2^20 k-grams
-            # can't drive it negative (which would corrupt the
-            # min-hash/rightmost-tie ordering); positions beyond the
-            # radix all encode as 0 — a deterministic, engine-shared
-            # degradation of ONLY the tie-break, never the hash order.
-            (
-                F.col("h") * WINNOW_POS
-                + F.greatest(
-                    F.lit(WINNOW_POS - 1) - (F.col("p0") + 1), F.lit(0)
-                )
+    # Clamp the position term so documents with >= 2^20 k-grams can't
+    # drive it negative (which would corrupt the min-hash/rightmost-
+    # tie ordering); positions beyond the radix all encode as 0 — a
+    # deterministic, engine-shared degradation of ONLY the tie-break,
+    # never the hash order. (x, i) two-arg transform gives the 0-based
+    # gram index, so position p = i + 1 — identical to the exploded
+    # form's posexplode positions.
+    ckeys = F.transform(
+        grams,
+        lambda h, i: (
+            h * WINNOW_POS
+            + F.greatest(F.lit(WINNOW_POS - 1) - (i + 1), F.lit(0))
+        ).cast("long"),
+    )
+    with_keys = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ckeys.alias("__cks")
+    )
+    n_win = F.size(F.col("__cks")) - w + 1
+    # per-window min = fold over the w-slice; only FULL windows (the
+    # exploded form's cnt == w filter); per-doc dedup via
+    # array_distinct BEFORE the explode, so only the selected
+    # fingerprints (~2/(w+1) of grams) ever become rows
+    sel_arr = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.aggregate(
+                    F.slice(F.col("__cks"), i, w),
+                    F.lit((1 << 62) - 1).cast("long"),
+                    lambda acc, x: F.least(acc, x),
+                ),
             )
-            .cast("long")
-            .alias("ckey"),
-        )
-    )
-    win = (
-        Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
-    )
-    selected = (
-        exploded.select(
-            F.col(id_col),
-            F.min("ckey").over(win).alias("cmin"),
-            F.count("ckey").over(win).alias("cnt"),
-        )
-        .where(F.col("cnt") == w)
-        .select(
-            F.col(id_col),
-            F.expr(f"cmin div {WINNOW_POS}").cast("long").alias("fp"),
-            (F.lit(WINNOW_POS - 1) - F.col("cmin") % WINNOW_POS)
-            .cast("long")
-            .alias("pos"),
-        )
-        .distinct()
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    selected = with_keys.select(
+        F.col(id_col), F.explode(sel_arr).alias("cmin")
+    ).select(
+        F.col(id_col),
+        F.expr(f"cmin div {WINNOW_POS}").cast("long").alias("fp"),
+        (F.lit(WINNOW_POS - 1) - F.col("cmin") % WINNOW_POS)
+        .cast("long")
+        .alias("pos"),
     )
     return selected
 
