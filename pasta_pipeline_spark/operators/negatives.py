@@ -159,6 +159,24 @@ def hard_negative_mining(
             linear_pair_growth=True,
         )
     use_jl = jl_cand_cap is not None
+    if (
+        use_jl
+        and anchor_cand_cap is not None
+        and anchor_cand_cap != DEFAULT_ANCHOR_CAND_CAP
+    ):
+        # r11 advisor finding: the JL path (default since r11) makes
+        # anchor_cand_cap a no-op, so a caller tuning the r9/r10 knob
+        # silently got cap-96 JL behavior instead. Fail loud.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hard_negative_mining: anchor_cand_cap=%d is IGNORED while "
+            "jl_cand_cap=%d is set (the JL coarse-rank path, the default "
+            "since r11, supersedes the collision-count cap) — pass "
+            "jl_cand_cap=None to use the anchor_cand_cap path",
+            anchor_cand_cap,
+            jl_cand_cap,
+        )
     pre_band = src
     if use_jl:
         # the 16-component projection rides INTO the band join (r11

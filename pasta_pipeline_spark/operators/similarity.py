@@ -2201,10 +2201,31 @@ def gate_recall_report(
     to audit the full corpus (gate/test scales only). Returns ONE row:
     (n_vectors, n_true_pairs, n_gated_pairs, recall_sc) with
     recall_sc = floor(recall · 1e6), NULL when no true pairs exist.
+
+    Config parity (r12, the r11 advisor's medium finding): with
+    ``num_planes=None`` the (planes, bands) are resolved from the
+    FULL corpus count — counted BEFORE subsampling — exactly as the
+    production gate resolves them, and passed into
+    :func:`cosine_dup_pairs` pinned. Resolving from the subsample
+    count would audit a config the production gate never runs the
+    moment the corpus outgrows ``max_n``'s window (corpus 2001–4000+
+    with LSH_CALIBRATED_N=2000: production grows to e.g. (11, 16) at
+    200k while the subsample audit stayed at the grown-from-4000
+    config) — the docstring's "SAME config" claim must hold at
+    exactly the scales the audit exists for. An explicit
+    ``num_planes`` still pins the config verbatim (the catalog oracle
+    replays fixed plane constants and additionally pins its gate
+    corpus <= LSH_CALIBRATED_N, where full-corpus auto == base).
     """
     src = embeddings.where(F.size(F.col(vec_col)) == dim).select(
         F.col(id_col), F.col(vec_col)
     )
+    if num_planes is None:
+        # one column-pruned metadata count over the FULL valid-vector
+        # corpus — the config the PRODUCTION gate would resolve
+        num_planes, num_bands = auto_lsh_config(
+            src.count(), base_planes=base_planes, base_bands=num_bands
+        )
     if max_n is not None:
         src = (
             src.orderBy(

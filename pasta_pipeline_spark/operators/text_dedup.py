@@ -531,8 +531,11 @@ def minhash_lsh_pairs(
     # candidate pair pays a per-row array_intersect (the r11
     # prefix_jaccard_pairs fix — re-joining candidates against the
     # posting list materialized Σ_cand |shingles| intermediate rows).
-    # A candidate sharing zero shingles gets jaccard 0 and is dropped
-    # by the threshold filter, exactly like the old inner join. No
+    # The explicit n_common >= 1 filter preserves the old inner
+    # join's semantics at EVERY threshold, including 0.0: a
+    # zero-overlap band-collision candidate never produced a joined
+    # row before, so it must not pass ">= 0.0" now (r11 advisor
+    # edge-case finding). No
     # broadcast hints: a boilerplate-heavy corpus grows the candidate
     # set with corpus size, so an unconditional F.broadcast(cand) is a
     # driver-OOM risk at scale; AQE picks broadcast when the runtime
@@ -549,6 +552,7 @@ def minhash_lsh_pairs(
             "doc_b",
         )
         .withColumn("n_common", n_common)
+        .filter(F.col("n_common") >= 1)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -1204,6 +1208,11 @@ def prefix_jaccard_pairs(
             "doc_b",
         )
         .withColumn("n_common", n_common)
+        # vacuously true here (prefix-blocked candidates share >= 1
+        # shingle by construction) but kept so the verify stage's
+        # threshold=0.0 semantics match the postings-join shape at
+        # every threshold, same as minhash_lsh_pairs (r11 advisor)
+        .filter(F.col("n_common") >= 1)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

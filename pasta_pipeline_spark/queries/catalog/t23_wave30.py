@@ -34,11 +34,13 @@ from pasta_pipeline_spark.operators.unigram_lm import (  # noqa: E402
     "driver gate exercises the exact train-once/apply-for-months "
     "boundary a production tokenizer lives behind. Same output "
     "contract and oracle as unigram_doc_nll (store->load->apply is "
-    "bit-identical to in-session apply, tests/test_tokenizer_store.py).",
+    "bit-identical to in-session apply, tests/test_tokenizer_store.py). "
+    "NOTE: unlike every other catalog entry, plan CONSTRUCTION is "
+    "eager here — the vocabulary snapshot (a few hundred rows) is "
+    "trained and saved at build time; that save IS the persistence "
+    "boundary under test.",
 )
 def q_unigram_doc_nll_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pasta_pipeline_spark.operators.tokenizer_store import (
         load_unigram_vocab,
         save_unigram_vocab,
@@ -49,12 +51,28 @@ def q_unigram_doc_nll_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # fresh per-invocation snapshot dir: the save is the point of the
-    # query (eager, vocabulary-scale — a few hundred rows), and a
-    # unique path keeps repeated/concurrent invocations independent
-    path = tempfile.mkdtemp(prefix="pasta_unigram_store_")
+    # ONE deterministic snapshot dir per (process, sf_dir), reused and
+    # overwritten across invocations (r11 advisor fix: a fresh mkdtemp
+    # per plan construction leaked a temp dir on every catalog/bench/
+    # gate run). TableStore.overwrite versions WITHIN the dir, so
+    # repeated bench iterations stay independent while the on-disk
+    # footprint is bounded to one dir per process.
+    path = _unigram_store_path(sf_dir)
     save_unigram_vocab(spark, path, unigram_train(docs))
     return apply_unigram(docs, load_unigram_vocab(spark, path))
+
+
+_UNIGRAM_STORE_DIRS: dict = {}
+
+
+def _unigram_store_path(sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir not in _UNIGRAM_STORE_DIRS:
+        _UNIGRAM_STORE_DIRS[sf_dir] = tempfile.mkdtemp(
+            prefix="pasta_unigram_store_"
+        )
+    return _UNIGRAM_STORE_DIRS[sf_dir]
 
 
 def _gate_recall_oracle(
@@ -69,9 +87,13 @@ def _gate_recall_oracle(
     md5-ranked subsample, the brute-force ground truth, and the banded
     gate (inlined plane constants + bucket cap + exact verify — the
     _semantic_dedup_oracle structure) over the SAME subsample. The
-    inlined base (planes, bands) is valid at the oracle gate scales,
-    where the sample is <= LSH_CALIBRATED_N and auto resolves to the
-    base config (test_tooling_consistency pins this)."""
+    inlined base (planes, bands) is valid at the oracle gate scales
+    because the Spark side resolves the config from the FULL corpus
+    count (r12 advisor fix — production parity) and the gate CORPORA
+    are pinned <= LSH_CALIBRATED_N by test_tooling_consistency, where
+    full-corpus auto resolves to exactly this base config. If a gate
+    fixture ever outgrows the calibration anchor, that test fails
+    before this oracle's hash does."""
     from pasta_pipeline_spark.operators.similarity import DEFAULT_BUCKET_CAP
     from pasta_pipeline_spark.queries.catalog.t04_similarity_ann import (
         _cosine_sql,
