@@ -36,6 +36,73 @@ MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
 IDLE_MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_IDLE_MAX_WAIT", "900"))
 IDLE_POLL_SEC = float(os.environ.get("SPARK_GRAFT_IDLE_POLL", "20"))
 
+#: Throughput-stability probe (r11 verdict ask #2): load average cannot
+#: see a sagged box — after the r11 sf10 campaign, per-core throughput
+#: sat ~1.9x low for ~20 min at load 0.03 (NOTES #67a) and the
+#: committed BENCH_r11 drifted +15-25% on UNTOUCHED queries. So after
+#: warmup the harness runs a pinned probe query (pricing_summary — a
+#: pure scan+group-agg with no pair tiers, untouched since r4) and
+#: refuses to emit an artifact until its min-of-3 lands within
+#: PROBE_FACTOR of the committed reference time. The reference is the
+#: BENCH_r10/r11 idle-box min (0.257/0.277 s); re-pin it if the query
+#: or the fixture ever changes shape.
+PROBE_QUERY = "pricing_summary"
+PROBE_REF_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "0.28"))
+PROBE_FACTOR = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "1.15"))
+PROBE_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_PROBE_ATTEMPTS", "10"))
+PROBE_RETRY_SLEEP_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_SLEEP", "60"))
+
+
+def wait_for_stable_throughput(
+    run_probe,
+    ref_sec: float = None,
+    factor: float = None,
+    max_attempts: int = None,
+    retry_sleep: float = None,
+    sleep=time.sleep,
+    log=lambda msg: print(msg, file=sys.stderr),
+) -> float:
+    """Block until ``run_probe()`` (returns the probe's min-of-N
+    seconds) lands within ``factor`` of ``ref_sec``.
+
+    Same retry-then-refuse contract as :func:`wait_for_idle`: at most
+    ``max_attempts`` probe runs, sleeping ``retry_sleep`` between
+    them; if the box never stabilizes, raises ``SystemExit(3)``
+    WITHOUT printing the stdout JSON line. ``SPARK_GRAFT_FORCE_BENCH=1``
+    overrides (the measured probe time lands in the artifact's
+    ``probe_sec`` field either way, so a forced artifact carries its
+    own health reading). Returns the passing (or forced) probe time.
+    """
+    ref_sec = PROBE_REF_SEC if ref_sec is None else ref_sec
+    factor = PROBE_FACTOR if factor is None else factor
+    max_attempts = PROBE_MAX_ATTEMPTS if max_attempts is None else max_attempts
+    retry_sleep = PROBE_RETRY_SLEEP_SEC if retry_sleep is None else retry_sleep
+    forced = os.environ.get("SPARK_GRAFT_FORCE_BENCH") == "1"
+    budget = ref_sec * factor
+    t = None
+    for attempt in range(1, max_attempts + 1):
+        t = run_probe()
+        if t <= budget or forced:
+            if t > budget:
+                log(
+                    f"FORCED past throughput probe: {PROBE_QUERY} "
+                    f"{t:.3f}s > budget {budget:.3f}s"
+                )
+            return round(t, 3)
+        log(
+            f"throughput probe {attempt}/{max_attempts}: {PROBE_QUERY} "
+            f"{t:.3f}s > budget {budget:.3f}s ({factor}x of {ref_sec}s) — "
+            f"box is sagged, sleeping {int(retry_sleep)}s"
+        )
+        if attempt < max_attempts:
+            sleep(retry_sleep)
+    log(
+        f"REFUSED: {PROBE_QUERY} still {t:.3f}s > {budget:.3f}s after "
+        f"{max_attempts} probes — not emitting a bench artifact from a "
+        "throughput-sagged box (set SPARK_GRAFT_FORCE_BENCH=1 to override)"
+    )
+    raise SystemExit(3)
+
 
 def wait_for_idle(
     threshold: float = None,
@@ -112,6 +179,9 @@ BENCH_QUERIES_LLM = [
     "prefix_jaccard_pairs",    # PPJoin prefix filter + array-set verify (r11: was the
                                # slowest sf1 rung with no bench row — the golden_records
                                # invisibility lesson, applied before it bit twice)
+    "semantic_dedup_clustered",  # k-means cluster gate (r12: the bounded-pair-volume
+                                 # SemDedup — pays Lloyd's training at sf0.1 to bound
+                                 # the second decade; see SCALELADDER sf10 tier)
 ]
 
 
@@ -167,6 +237,12 @@ def main() -> None:
         df = qs[warm](spark, warm_sf)
         df.write.format("noop").mode("overwrite").save()
         release_cached_deps(df)
+
+    # throughput-stability gate (r11 verdict ask #2): after warmup —
+    # so the probe measures the box, not first-call JIT — refuse to
+    # proceed until the pinned probe's min-of-3 is within budget. The
+    # passing reading lands in the artifact (probe_sec).
+    probe_sec = wait_for_stable_throughput(lambda: min(run(PROBE_QUERY)))
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -263,6 +339,8 @@ def main() -> None:
                 "queries_median": medians,
                 "n_iter": N_ITER,
                 "load_avg": load_avg,
+                "probe_sec": probe_sec,
+                "probe_ref_sec": PROBE_REF_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -32,6 +32,10 @@ from pasta_pipeline_spark.operators.similarity import (
     ann_topk_lsh,
     ivf_topk,
     label_centroids,
+    semantic_dedup_clustered,
+    ivf_dup_pairs,
+    cluster_gate_recall_report,
+    train_ivf_centroids_fp,
 )
 from pasta_pipeline_spark.operators.text_analysis import (
     detect_language,

@@ -805,6 +805,449 @@ def semantic_dedup(
     return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))
 
 
+#: Anchor corpus size for the IVF cell-count auto-recipe — shared with
+#: the LSH calibration anchor so the two gate families grow from the
+#: same baseline, and gate-scale fixtures (pinned <= LSH_CALIBRATED_N
+#: by tests/test_tooling_consistency.py) resolve to the base config in
+#: both.
+IVF_BASE_CELLS = 8
+
+
+def auto_ivf_cells(
+    n: int,
+    base_cells: int = IVF_BASE_CELLS,
+    calibrated_n: int = LSH_CALIBRATED_N,
+) -> int:
+    """Resolve the IVF cell count for a corpus of ``n`` vectors —
+    ``max(base_cells, round(sqrt(n)))`` above the calibration anchor.
+
+    Why √n: a cluster gate's two cost terms are the centroid
+    assignment (n·cells cosines) and the within-cell exact verify
+    (Σ|cell|² ≈ n²/cells for balanced cells); their sum n·c + n²/c is
+    minimized at c = √n, where BOTH terms are n^1.5 — the same
+    asymptotic as the recall-first LSH banding recipe (NOTES #66's
+    n·√(n/calibrated) verifies) but with a directly CONTROLLABLE
+    knob and no per-vector banding cost growing with n. Unlike the
+    LSH recipe, pair volume is bounded by construction (occupancy
+    n/√n = √n per cell) rather than by band-collision statistics, so
+    a skewed corpus cannot blow it past the budget.
+
+    At ``n <= calibrated_n`` resolves to ``base_cells`` exactly, which
+    keeps the catalog oracles (replaying an unrolled fixed-cell
+    Lloyd's in DuckDB) bit-stable at the gate scale factors; past the
+    anchor it logs the growth breadcrumb, same contract as
+    :func:`auto_lsh_config`.
+    """
+    if n <= calibrated_n or calibrated_n <= 0:
+        return base_cells
+    resolved = max(base_cells, int(round(math.sqrt(float(n)))))
+    logging.getLogger(__name__).warning(
+        "auto_ivf_cells: n=%d grew base_cells=%d -> %d; fixed-cell "
+        "oracles will NOT match at this corpus size",
+        n, base_cells, resolved,
+    )
+    return resolved
+
+
+def _nearest_cells(
+    src: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    carry_norm: bool,
+) -> DataFrame:
+    """Assign every ``src`` vector to its ``n_probe`` nearest centroids
+    by cosine (ties broken by cell_id asc — a total order, so both
+    engines pick the same cell). ``centroids`` is (cell_id, cv,
+    __cnrm) — broadcast; ``src`` must carry ``__nrm``.
+
+    The argmax runs SLIM: only (id, cell_id, csim) enters the
+    aggregate — max over a struct falls back to SortAggregate (no
+    mutable hash buffer for struct types), so the n·cells cross frame
+    gets locally sorted, and carrying the 64-float vector through
+    that sort multiplied its byte volume ~12× (measured sf1: 24 s →
+    12 s fresh after slimming). The vector (+ norm) is re-attached by
+    ONE corpus-scale id join afterwards — n rows against n rows,
+    linear at any scale. n_probe=1 still collapses map-side (partial
+    SortAggregate combines the cross frame's consecutive same-id runs
+    to n rows before the exchange); n_probe>1 takes the rank window,
+    and callers must distinct their pair output (a pair sharing
+    several probed cells collides once per cell).
+    """
+    payload = [F.col(id_col), F.col(vec_col)] + (
+        [F.col("__nrm")] if carry_norm else []
+    )
+    j = src.select(F.col(id_col), F.col(vec_col), F.col("__nrm")).crossJoin(
+        F.broadcast(centroids)
+    )
+    csim = (dot(F.col(vec_col), F.col("cv")) / (F.col("__nrm") * F.col("__cnrm"))).alias(
+        "__csim"
+    )
+    slim = j.select(F.col(id_col), F.col("cell_id"), csim)
+    if n_probe == 1:
+        st = F.max(
+            F.struct(
+                F.col("__csim").alias("s"),
+                (-F.col("cell_id")).cast("long").alias("nc"),
+            )
+        ).alias("__st")
+        assigned = (
+            slim.groupBy(id_col)
+            .agg(st)
+            .select(
+                F.col(id_col), (-F.col("__st.nc")).cast("int").alias("cell_id")
+            )
+        )
+    else:
+        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cell_id"))
+        assigned = (
+            slim.withColumn("__prn", F.row_number().over(w))
+            .where(F.col("__prn") <= n_probe)
+            .select(F.col(id_col), F.col("cell_id"))
+        )
+    return assigned.join(src.select(*payload), id_col)
+
+
+def train_ivf_centroids_fp(
+    embeddings: DataFrame,
+    n_cells: int = IVF_BASE_CELLS,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = 10_000_000,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Lloyd's k-means trainer with CROSS-ENGINE-EXACT arithmetic —
+    the oracle-replayable sibling of :func:`train_ivf_centroids`
+    (which keeps its F.avg means; its consumers' contracts are pinned
+    on that). Fully deterministic, no RNG: seeds are the ``n_cells``
+    lowest-id vectors; each round assigns every vector to its nearest
+    centroid (cosine desc, cell_id asc — a total tie order) and
+    recomputes per-cell dimension means through the fixed-point bridge
+    — ``(Σ floor(v·fp_scale)) / fp_scale / count`` with an int64 sum,
+    order-FREE where a double mean is not, so an unrolled DuckDB twin
+    reproduces every centroid bit for bit. Cells that lose every
+    member keep their previous centroid.
+
+    ``sample_mod`` trains on the deterministic ``id % sample_mod == 0``
+    subset (the train_ivf_centroids docstring's 100 TB recipe, made a
+    knob): centroid quality converges long before the full corpus is
+    seen, and training cost drops from n·cells to (n/mod)·cells per
+    round. The k×d centroid state is localCheckpointed per round,
+    exactly as the avg-based trainer does.
+    """
+    src = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    )
+    if sample_mod > 1:
+        src = src.where(F.col(id_col) % sample_mod == 0)
+    w = Window.orderBy(F.asc(id_col))
+    cent = (
+        src.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    with_cnrm = lambda c: c.select(  # noqa: E731
+        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    )
+    for _ in range(iterations):
+        assigned = _nearest_cells(
+            src, with_cnrm(cent), 1, id_col, vec_col, carry_norm=False
+        )
+        fp = F.floor(F.col("v").cast("double") * fp_scale).cast("long")
+        means = (
+            assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (
+                    (F.sum(fp).cast("double") / F.lit(float(fp_scale)))
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        new_cent = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        cent = (
+            cent.alias("o")
+            .join(new_cent.alias("n"), "cell_id", "left")
+            .select("cell_id", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ivf_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
+    fp_scale: int = 10_000_000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs gated by Lloyd's-trained IVF
+    cells instead of sign-LSH bands — the SemDedup paper's own gate
+    (Abbas et al. 2023 cluster k-means, then dedup within clusters):
+    all (id_a < id_b) sharing a probed cell with exact cosine >=
+    ``threshold``.
+
+    Why this exists next to the banded :func:`cosine_dup_pairs`
+    (r11's flagged frontier, NOTES #66): at fixed recall the banding
+    recipe's pair volume grows with band count and bucket occupancy —
+    statistics the corpus controls; a cluster gate bounds pair volume
+    by CONSTRUCTION at Σ|cell|²/2 with the cell count a direct knob
+    (:func:`auto_ivf_cells` resolves c = √n, putting assignment and
+    verify both at n^1.5). The trade is geometric recall (a near-dup
+    pair straddling a cell boundary is missed) instead of statistical
+    recall — measured, not assumed, via
+    :func:`cluster_gate_recall_report`; ``n_probe > 1`` assigns each
+    vector to its several nearest cells (multiprobe) to buy boundary
+    recall at n_probe× the assignment and pair volume.
+
+    Determinism: seeds, assignment tie-order, and fixed-point means
+    (:func:`train_ivf_centroids_fp`) are all total-ordered, so an
+    unrolled DuckDB twin replays the whole pipeline — training
+    included — bit for bit. Every emitted pair truly clears the
+    threshold (exact cosine, carried vector + norm in the join
+    projection — the r11 carried-sidecar shape; the pair frame never
+    re-shuffles).
+
+    ``n_cells=None`` auto-resolves via :func:`auto_ivf_cells`;
+    ``train_sample_mod=None`` auto-trains on ~64·cells vectors above
+    the calibration anchor (full corpus at gate scales), the
+    deterministic ``id % mod == 0`` subset.
+    """
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        ensure_parallelism,
+    )
+
+    src = ensure_parallelism(
+        embeddings.where(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+        )
+    ).persist()
+    n = None
+    if n_cells is None:
+        n = src.count()
+        n_cells = auto_ivf_cells(n)
+    if train_sample_mod is None:
+        if n is None:
+            n = src.count()
+        train_sample_mod = (
+            1 if n <= LSH_CALIBRATED_N else max(1, n // (64 * n_cells))
+        )
+    cent = train_ivf_centroids_fp(
+        src.select(id_col, vec_col),
+        n_cells=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        fp_scale=fp_scale,
+        sample_mod=train_sample_mod,
+    )
+    cent = cent.select(
+        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    )
+    assigned = _nearest_cells(src, cent, n_probe, id_col, vec_col, carry_norm=True)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "cell_id",
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "cell_id",
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = (dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias(
+        "sim"
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    if n_probe > 1:
+        pairs = pairs.distinct()
+    return attach_cached_deps(pairs, [src])
+
+
+def semantic_dedup_clustered(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup with the paper's own cluster gate (Abbas et al. 2023,
+    arXiv:2303.09540 §3: k-means the embeddings, dedup WITHIN each
+    cluster) — the bounded-pair-volume sibling of
+    :func:`semantic_dedup`, built for the second decade the LSH-band
+    recipe could not hold at fixed cost (SCALELADDER_r11's one flag).
+
+    Same keep contract: a vector is dropped iff some cell-sharing
+    neighbor with a SMALLER id has cosine >= threshold; the smallest
+    id of every near-dup group always survives, chains keep their
+    heads. Returns (id_col, kept 0/1). Gate volume is Σ|cell|²/2 with
+    cells = √n by default (:func:`auto_ivf_cells`) — ~n^1.5 total
+    work with a controllable constant, vs the banded recipe's
+    n·√(n/calibrated)·bands. Recall is geometric (cell-boundary
+    misses); audit it with :func:`cluster_gate_recall_report` before
+    trusting a threshold.
+    """
+    pairs = ivf_dup_pairs(
+        embeddings,
+        threshold,
+        dim=dim,
+        n_cells=n_cells,
+        iterations=iterations,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    out = (
+        embeddings.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )
+    return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))
+
+
+def cluster_gate_recall_report(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    n_probe: int = 1,
+    max_n: int | None = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_scale: int = 1_000_000,
+) -> DataFrame:
+    """Measured recall of the IVF cluster gate at ``threshold`` — the
+    :func:`gate_recall_report` instrument pointed at
+    :func:`semantic_dedup_clustered`'s gate.
+
+    Unlike the LSH audit (whose per-pair recall depends only on the
+    config, so it replays the gate over the subsample), a cluster
+    gate's recall depends on the trained centroid GEOMETRY — replaying
+    it on a subsample with subsample-sized cells would audit different
+    geometry than production runs. So this audit runs the PRODUCTION
+    gate over the FULL corpus (config resolved from the full count,
+    training included) and measures it against brute-force ground
+    truth on the bounded md5-ranked subsample: recall = |gate pairs
+    with both endpoints in the subsample| / |true subsample pairs|.
+    The gate's exact verify admits no false positives, so the
+    numerator is automatically a subset of the denominator. Ground
+    truth stays ~constant-cost at any corpus size; the gate side is
+    the production run being audited anyway. Returns ONE row:
+    (n_vectors, n_true_pairs, n_gated_pairs, recall_sc) — n_vectors is
+    the subsample size, recall_sc = floor(recall·1e6), NULL when no
+    true pairs exist.
+    """
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    valid = embeddings.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    sub = valid
+    if max_n is not None:
+        sub = sub.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col).asc()
+        ).limit(max_n)
+    sub = sub.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    ).persist()
+    a = sub.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = sub.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select("id_a", "id_b")
+    )
+    gated_raw = ivf_dup_pairs(
+        valid,
+        threshold,
+        dim=dim,
+        n_cells=n_cells,
+        iterations=iterations,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    sub_ids = sub.select(F.col(id_col))
+    gated_in_sub = (
+        gated_raw.join(
+            sub_ids.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+        ).join(sub_ids.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
+    )
+    n_vec = sub.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_gated = gated_in_sub.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gated_pairs")
+    )
+    out = (
+        n_vec.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_gated))
+        .select(
+            "n_vectors",
+            "n_true_pairs",
+            "n_gated_pairs",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.floor(
+                    F.col("n_gated_pairs").cast("double")
+                    / F.col("n_true_pairs").cast("double")
+                    * recall_scale
+                ).cast("long"),
+            ).alias("recall_sc"),
+        )
+    )
+    return attach_cached_deps(
+        out, [sub] + list(getattr(gated_raw, "_pasta_cached_deps", []))
+    )
+
+
 def embedding_outliers(
     embeddings: DataFrame,
     k: int = 5,

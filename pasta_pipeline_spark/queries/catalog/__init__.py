@@ -41,3 +41,4 @@ from pasta_pipeline_spark.queries.catalog import t20_waves11_22  # noqa: E402,F4
 from pasta_pipeline_spark.queries.catalog import t21_wave23  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t22_wave28  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t23_wave30  # noqa: E402,F401
+from pasta_pipeline_spark.queries.catalog import t24_wave32  # noqa: E402,F401

@@ -945,3 +945,50 @@ def test_group_sequential_never_crosses_designed_null(spark):
     assert bnds == sorted(bnds, reverse=True)
     assert bnds[-1] == 2_024_000
     assert out[-1]["z_sc"] is not None and out[-1]["z_sc"] != 0
+
+
+def test_minhash_gate_recall_vs_broder_bound(spark):
+    """Measured-recall audit for the MinHash-LSH gate (r11 verdict ask
+    #4): the banded gate's recall against brute-force exact Jaccard,
+    with the SAME (num_hashes, bands, n) config the catalog registers
+    (64 hashes / 16 bands / 3-gram shingles, threshold 0.5).
+
+    A full-hash DuckDB oracle is blocked (no xxhash64 there — NOTES
+    #68), so the contract is pinned HERE instead: since
+    minhash_lsh_pairs exact-verifies its candidates (no false
+    positives), recall = |gate| / |truth| directly. The banded
+    collision probability for a pair with Jaccard s is
+    1 - (1 - s^r)^b (Broder; r = hashes/bands = 4, b = 16), so the
+    EXPECTED recall over the fixture's true pairs is the mean of the
+    per-pair bounds; the deterministic xxhash64 family is one draw
+    from that ensemble, so assert measured >= mean_bound - 0.15
+    (measured at sf0.01: recall 1.0 vs mean bound ~0.97 — the
+    fixture's true pairs sit far above the 0.5 threshold)."""
+    from pasta_pipeline_spark.operators.text_dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert truth, "fixture has no true pairs at threshold 0.5"
+    gate = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    # the exact verify admits no false positives
+    assert gate <= set(truth)
+    measured = len(gate) / len(truth)
+    r, b = 64 // 16, 16
+    mean_bound = sum(
+        1.0 - (1.0 - s**r) ** b for s in truth.values()
+    ) / len(truth)
+    assert measured >= mean_bound - 0.15, (
+        f"minhash gate recall {measured:.3f} fell more than 0.15 below "
+        f"the Broder bound {mean_bound:.3f} for this config"
+    )

@@ -65,6 +65,12 @@ SCALAR_CROSSJOIN_OK = {
     "training_corpus": "1-row totals inside temperature mixing",
     "constraint_checks": "1-row expected-total scalar for the rule report",
     "dormant_rich_customers": "1-row Q22 balance-threshold scalar subquery",
+    "semantic_dedup_clustered": "broadcast k-row centroid matrix (k = "
+    "auto_ivf_cells = sqrt(n), bounded metadata like knn_join's query "
+    "matrix) for the nearest-cell assignment scans",
+    "cluster_gate_recall": "broadcast k-row centroid matrix for the "
+    "audited gate's assignment scans + 1-row count scalars for the "
+    "recall readout",
     "crawl_budget": "1-row weight-total scalar for the apportionment",
     "unigram_nll": "1-row corpus token total for the unigram model",
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",

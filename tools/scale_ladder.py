@@ -130,6 +130,9 @@ QUERIES = [
     # r11 wave 30: the stored-tokenizer apply (reads the persisted
     # snapshot, not training lineage)
     "unigram_doc_nll_stored",
+    # r12 wave 32: the cluster-gated SemDedup and its recall audit
+    "semantic_dedup_clustered",
+    "cluster_gate_recall",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -195,6 +198,12 @@ SF1_QUERIES = [
     "retrieval_rank_agreement",
     # r11 wave 30
     "unigram_doc_nll_stored",
+    # r12 (r11 verdict ask #5): the composed capstone without an sf1
+    # rung (pretrain_pipeline already has one) — prove the composed
+    # plan doesn't multiply its stages' shuffles
+    "training_corpus",
+    # r12 wave 32: the cluster-gated SemDedup over 10x vectors
+    "semantic_dedup_clustered",
 ]
 
 #: sf1 → sf10 tier (r10 verdict ask #2): DIRECT second-decade
@@ -212,6 +221,16 @@ SF10_QUERIES = [
     "hard_negatives",
     "semantic_dedup",
     "prefix_jaccard_pairs",
+    # r12 (r11 verdict ask #3): the worst sf1 ratios still unmeasured
+    # at sf10 — winnowing (HOF sliding-min floor), the gated-pair
+    # sweep, the CC capstone — plus the multimodal capstone
+    "winnowing_pairs",
+    "dedup_threshold_sweep",
+    "dedup_clusters",
+    "media_dedup_survivors",
+    # r12 wave 32 (r11 verdict ask #1): the cluster-gated SemDedup's
+    # second decade — the rung built to clear the r11 flag
+    "semantic_dedup_clustered",
 ]
 
 
