@@ -33,7 +33,10 @@ from pasta_pipeline_spark.operators.similarity import (
     ivf_topk,
     label_centroids,
     semantic_dedup_clustered,
+    semantic_dedup_diverse,
     ivf_dup_pairs,
+    ivf_cell_profile,
+    ivf_threshold_sweep,
     cluster_gate_recall_report,
     train_ivf_centroids_fp,
 )
@@ -143,6 +146,7 @@ from pasta_pipeline_spark.operators.multimodal import (
     audio_fingerprint,
     audio_fingerprint_pairs,
     banded_hamming_pairs,
+    hash_cluster_edges,
     decode_audio_samples,
     image_dhash,
     image_dhash_pairs,

@@ -2568,6 +2568,62 @@ def image_dhash_pairs(
     )
 
 
+def hash_cluster_edges(
+    hashes: DataFrame,
+    group_cols: list[str],
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    max_hamming: int = 5,
+    n_bands: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """CONNECTED-COMPONENT-EQUIVALENT reduced edge set for hash-based
+    media dedup — the exact-duplicate hot-group guard the pair frame
+    itself cannot provide.
+
+    A corpus with large identical-hash groups (exact re-uploads,
+    template families — or any signature whose diversity saturates
+    below the corpus size) makes the banded pair join quadratic in the
+    group size: the r12 sf10 fixture hashed 500k images into 998
+    distinct dHashes, i.e. 368.6M same-hash pairs before a single
+    cross-hash candidate. For CLUSTERING, the clique over an
+    identical-(group, hash) set and the STAR around its min-id member
+    have identical connected components, and connecting any member of
+    group A to any member of group B is component-equivalent to
+    connecting their representatives. So this emits:
+
+    - star edges (rep, member) within each identical-(group, hash)
+      set — |corpus| − |distinct| edges instead of Σ group²/2;
+    - :func:`banded_hamming_pairs` over the DISTINCT (group, hash)
+      rows only (998 instead of 500k at the measured fixture), ids =
+      group representatives.
+
+    Downstream ``duplicate_clusters`` computes exactly the components
+    (and therefore exactly the min-id survivors) it would get from
+    the full pair frame — pinned by tests/test_cluster_dedup.py's
+    star-reduction equivalence test. The pairwise CONTRACT differs
+    (this is an edge set for CC, not the all-pairs report); consumers
+    that need every pair keep :func:`image_dhash_pairs`.
+    """
+    reps = hashes.groupBy(*group_cols, hash_col).agg(
+        F.min(F.col(id_col)).alias("__rep")
+    )
+    star = (
+        hashes.join(reps, [*group_cols, hash_col])
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    rep_rows = reps.select(
+        *[F.col(c) for c in group_cols],
+        F.col(hash_col),
+        F.col("__rep").alias(id_col),
+    )
+    rep_pairs = banded_hamming_pairs(
+        rep_rows, group_cols, hash_col, id_col, max_hamming, n_bands, band_bits
+    ).select("id_a", "id_b")
+    return star.unionByName(rep_pairs)
+
+
 FRAME_DIFF_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -856,6 +856,7 @@ def _nearest_cells(
     id_col: str,
     vec_col: str,
     carry_norm: bool,
+    emit_csim: bool = False,
 ) -> DataFrame:
     """Assign every ``src`` vector to its ``n_probe`` nearest centroids
     by cosine (ties broken by cell_id asc — a total order, so both
@@ -885,6 +886,7 @@ def _nearest_cells(
         "__csim"
     )
     slim = j.select(F.col(id_col), F.col("cell_id"), csim)
+    extra = [F.col("__st.s").alias("__ccsim")] if emit_csim else []
     if n_probe == 1:
         st = F.max(
             F.struct(
@@ -896,7 +898,9 @@ def _nearest_cells(
             slim.groupBy(id_col)
             .agg(st)
             .select(
-                F.col(id_col), (-F.col("__st.nc")).cast("int").alias("cell_id")
+                F.col(id_col),
+                (-F.col("__st.nc")).cast("int").alias("cell_id"),
+                *extra,
             )
         )
     else:
@@ -904,7 +908,11 @@ def _nearest_cells(
         assigned = (
             slim.withColumn("__prn", F.row_number().over(w))
             .where(F.col("__prn") <= n_probe)
-            .select(F.col(id_col), F.col("cell_id"))
+            .select(
+                F.col(id_col),
+                F.col("cell_id"),
+                *([F.col("__csim").alias("__ccsim")] if emit_csim else []),
+            )
         )
     return assigned.join(src.select(*payload), id_col)
 
@@ -1246,6 +1254,220 @@ def cluster_gate_recall_report(
     return attach_cached_deps(
         out, [sub] + list(getattr(gated_raw, "_pasta_cached_deps", []))
     )
+
+
+def ivf_threshold_sweep(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_scale: int = 20,
+) -> DataFrame:
+    """Dedup-threshold planning sweep over the CLUSTER gate — the
+    histogram read before committing a :func:`semantic_dedup_clustered`
+    threshold, over exactly the pair population that gate would see.
+
+    Exists because the banded :func:`cosine_threshold_sweep` keeps
+    EVERY gated pair (no threshold filter can prune it), which makes
+    it the catalog's most pair-volume-sensitive query: at sf10 it
+    inherits the recall-first banding recipe's full n·√(n/calibrated)
+    pair volume (measured 226.6 s / ratio 15.75, SCALELADDER_r12's flag).
+    The cluster gate bounds the same readout at Σ|cell|²/2 by
+    construction — the sweep's cost is the profile
+    :func:`ivf_cell_profile` prints, with cells = √n by default.
+
+    Same output contract as cosine_threshold_sweep: (sim_bucket,
+    n_pairs, cum_pairs_ge) ordered by bucket descending, sim_bucket =
+    floor(sim·sim_scale); the cumulative window runs over ≤
+    2·sim_scale+1 rows.
+    """
+    pairs = ivf_dup_pairs(
+        embeddings,
+        threshold=-2.0,  # keep every gated pair; cosine >= -1 always
+        dim=dim,
+        n_cells=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    hist = (
+        pairs.select(
+            F.floor(F.col("sim") * sim_scale).cast("long").alias("sim_bucket")
+        )
+        .groupBy("sim_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("sim_bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = hist.withColumn(
+        "cum_pairs_ge", F.sum("n_pairs").over(w).cast("long")
+    ).orderBy(F.desc("sim_bucket"))
+    return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))
+
+
+def ivf_cell_profile(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Occupancy profile of the trained IVF cells — the observability
+    a curation team reads BEFORE running the cluster-gated dedup
+    (the key_skew_profile counterpart for the vector tier): per cell,
+    the member count and the deterministic min/max member ids. The
+    gate's pair volume is exactly Σ n_members·(n_members−1)/2, so a
+    hot cell here IS the cost and the multiprobe/recall discussion,
+    made visible as data. One bounded row per cell (cells = √n by
+    default via :func:`auto_ivf_cells`). Same deterministic training
+    and assignment as :func:`ivf_dup_pairs`, so the profile describes
+    the gate that would actually run.
+    """
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        ensure_parallelism,
+    )
+
+    src = ensure_parallelism(
+        embeddings.where(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+        )
+    ).persist()
+    if n_cells is None:
+        n_cells = auto_ivf_cells(src.count())
+    cent = train_ivf_centroids_fp(
+        src.select(id_col, vec_col),
+        n_cells=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cent = cent.select(
+        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    )
+    assigned = _nearest_cells(src, cent, 1, id_col, vec_col, carry_norm=False)
+    out = (
+        assigned.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            (
+                F.count(F.lit(1)).cast("long")
+                * (F.count(F.lit(1)).cast("long") - F.lit(1))
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("gate_pairs"),
+        )
+    )
+    return attach_cached_deps(out, [src])
+
+
+def semantic_dedup_diverse(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-gated SemDedup with the PAPER'S keep policy (Abbas et
+    al. 2023 §3.2: within a duplicate group, keep the example with
+    the LOWEST cosine similarity to its cluster centroid — the least
+    redundant representative, preserving diversity at the cluster
+    boundary) instead of the smallest-id convention
+    :func:`semantic_dedup_clustered` shares with the banded tier.
+
+    Contract (deterministic, order-free): for every cell-confined
+    pair with cosine >= threshold, the LOSER — dropped — is the side
+    whose (centroid_sim, id) is lexicographically LARGER (more
+    central ⇒ more redundant; ties break on the larger id). A vector
+    is dropped iff it loses ANY pair — the same greedy shape as the
+    keep-smallest-id contract, just under the paper's diversity
+    order, so chains keep their least-central heads. Returns
+    (id_col, kept 0/1); wrong-dim vectors are excluded from the gate
+    and kept. The DuckDB twin replays training, assignment (centroid
+    sim carried out of the argmax), and the loser rule bit for bit.
+    """
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        ensure_parallelism,
+    )
+
+    src = ensure_parallelism(
+        embeddings.where(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+        )
+    ).persist()
+    if n_cells is None:
+        n_cells = auto_ivf_cells(src.count())
+    cent = train_ivf_centroids_fp(
+        src.select(id_col, vec_col),
+        n_cells=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cent = cent.select(
+        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    )
+    assigned = _nearest_cells(
+        src, cent, 1, id_col, vec_col, carry_norm=True, emit_csim=True
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "cell_id",
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
+        F.col("__ccsim").alias("cs_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "cell_id",
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+        F.col("__ccsim").alias("cs_b"),
+    )
+    sim = (dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias(
+        "sim"
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cs_a", "cs_b", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    a_wins = (F.col("cs_a") < F.col("cs_b")) | (
+        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        pairs.select(
+            F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
+        )
+        .distinct()
+    )
+    out = (
+        embeddings.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )
+    return attach_cached_deps(out, [src])
 
 
 def embedding_outliers(

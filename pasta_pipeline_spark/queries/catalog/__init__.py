@@ -42,3 +42,4 @@ from pasta_pipeline_spark.queries.catalog import t21_wave23  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t22_wave28  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t23_wave30  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t24_wave32  # noqa: E402,F401
+from pasta_pipeline_spark.queries.catalog import t25_wave33  # noqa: E402,F401

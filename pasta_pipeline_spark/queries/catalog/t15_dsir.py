@@ -823,8 +823,8 @@ def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.multimodal import (
+        hash_cluster_edges,
         image_dhash,
-        image_dhash_pairs,
         synthesize_media,
     )
     from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters
@@ -834,9 +834,16 @@ def q_media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")), variant="png_full"
     )
     hashes = image_dhash(media)
-    pairs = image_dhash_pairs(hashes).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    # CC-equivalent reduced edges (r12): identical-dHash groups
+    # collapse to stars + banded hamming over DISTINCT hashes only —
+    # the full pair frame went quadratic when the sf10 fixture's hash
+    # diversity saturated (998 distinct hashes over 500k rows =
+    # 368.6M same-hash pairs); components and min-id survivors are
+    # identical by the clique->star reduction, so the oracle (which
+    # closes over the full pair graph) is untouched
+    pairs = hash_cluster_edges(
+        hashes, ["width", "height"], "dhash", "media_id"
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     # image near-dup components can chain (same-geometry template
     # families), and the ladder runs this at sf0.1 inside a long-lived
     # session — truncate fixpoint lineage so the plan never compounds

@@ -28,6 +28,7 @@ def _ivf_pairs_sql(
     iterations: int = 2,
     threshold: float = 0.4,
     fp_scale: int = 10_000_000,
+    carry_csim: bool = False,
 ) -> str:
     """WITH-clause chain replaying similarity.ivf_dup_pairs bit for
     bit, ending in ``dup(id_a, id_b, sim)``:
@@ -87,23 +88,27 @@ def _ivf_pairs_sql(
                  FROM mean{i + 1} GROUP BY cell_id) n USING (cell_id)
     )"""
         )
+    cs_proj = ", cs" if carry_csim else ""
+    cs_pair = ", a.cs AS cs_a, b.cs AS cs_b" if carry_csim else ""
+    cs_dup = ", cs_a, cs_b" if carry_csim else ""
     parts.append(
         f"""centf AS (
       SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
       FROM cent{iterations}
     ),
     af AS (
-      SELECT vec_id, emb, nrm, cell_id FROM (
+      SELECT vec_id, emb, nrm, cell_id{cs_proj} FROM (
         SELECT s.vec_id, s.emb, s.nrm, c.cell_id,
+               list_dot_product(s.emb, c.cv) / (s.nrm * c.cnrm) AS cs,
                row_number() OVER (PARTITION BY s.vec_id
                  ORDER BY list_dot_product(s.emb, c.cv) / (s.nrm * c.cnrm) DESC,
                           c.cell_id) AS rn
         FROM src s CROSS JOIN centf c) WHERE rn = 1
     ),
     dup AS (
-      SELECT id_a, id_b, sim FROM (
+      SELECT id_a, id_b, sim{cs_dup} FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+               list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim{cs_pair}
         FROM af a JOIN af b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
       WHERE sim >= {threshold!r}
     )"""

@@ -157,3 +157,101 @@ def test_wrong_dim_vectors_fail_closed(spark, emb):
     out = semantic_dedup_clustered(aug, 0.3, dim=64, n_cells=6)
     r = out.where(F.col("vec_id") == 999_999).collect()
     assert len(r) == 1 and r[0].kept == 1
+
+
+def test_diverse_keep_contract(spark, emb):
+    """semantic_dedup_diverse drops the more-central side of every
+    pair (paper keep policy): recompute the loser set from the gate's
+    pairs + per-vector centroid sims and compare."""
+    from pasta_pipeline_spark.operators.similarity import (
+        _nearest_cells,
+        dot,
+        ivf_dup_pairs,
+        semantic_dedup_diverse,
+        train_ivf_centroids_fp,
+    )
+    from pyspark.sql import functions as F
+
+    src = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__nrm"),
+    )
+    cent = train_ivf_centroids_fp(emb, n_cells=6, iterations=2)
+    cent = cent.select(
+        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    )
+    assigned = _nearest_cells(
+        src, cent, 1, "vec_id", "embedding", carry_norm=False, emit_csim=True
+    )
+    cs = {r.vec_id: r["__ccsim"] for r in assigned.collect()}
+    pairs = ivf_dup_pairs(emb, 0.3, dim=64, n_cells=6, iterations=2).collect()
+    want = set()
+    for p in pairs:
+        a_wins = (cs[p.id_a], p.id_a) < (cs[p.id_b], p.id_b)
+        want.add(p.id_b if a_wins else p.id_a)
+    out = semantic_dedup_diverse(emb, 0.3, dim=64, n_cells=6, iterations=2)
+    got = {r.vec_id for r in out.collect() if r.kept == 0}
+    assert got == want and len(want) > 0
+
+
+def test_cell_profile_pair_volume(spark, emb):
+    """ivf_cell_profile's gate_pairs sums to exactly the candidate
+    volume the n_probe=1 gate generates (threshold=-1 keeps every
+    cell-confined pair)."""
+    from pasta_pipeline_spark.operators.similarity import (
+        ivf_cell_profile,
+        ivf_dup_pairs,
+    )
+
+    prof = ivf_cell_profile(emb, dim=64, n_cells=6, iterations=2).collect()
+    total = sum(r.gate_pairs for r in prof)
+    assert sum(r.n_members for r in prof) == emb.count()
+    all_pairs = ivf_dup_pairs(emb, -1.0, dim=64, n_cells=6, iterations=2).count()
+    assert total == all_pairs and total > 0
+
+
+def test_hash_cluster_edges_component_equivalent(spark):
+    """hash_cluster_edges (clique->star + distinct-hash banding) must
+    yield EXACTLY the components and min-id survivors the full banded
+    pair frame yields — including hot identical-hash groups, the case
+    it exists for (sf10: 998 distinct hashes over 500k rows)."""
+    import numpy as np
+
+    from pasta_pipeline_spark.operators.multimodal import (
+        banded_hamming_pairs,
+        hash_cluster_edges,
+    )
+    from pasta_pipeline_spark.operators.text_dedup import duplicate_clusters
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # 40 hash values, heavy groups (up to 30 identical), 2 geometries,
+    # plus near-miss hashes 1-2 bits apart to exercise rep-rep edges
+    base_hashes = [int(rng.randint(0, 1 << 60)) for _ in range(40)]
+    mid = 0
+    for hi, h in enumerate(base_hashes):
+        geom = (8 + hi % 2, 8)
+        for _ in range(int(rng.randint(1, 30))):
+            rows.append((mid, geom[0], geom[1], h))
+            mid += 1
+        if hi % 3 == 0:  # a 1-bit neighbor group
+            rows.append((mid, geom[0], geom[1], h ^ 1))
+            mid += 1
+    df = spark.createDataFrame(
+        rows, "media_id long, width int, height int, dhash long"
+    )
+    ids = df.select(F.col("media_id").alias("doc_id"))
+
+    def clusters(pairs):
+        out = duplicate_clusters(
+            ids, pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        )
+        return sorted((r.doc_id, r.cluster_id, r.is_survivor) for r in out.collect())
+
+    full = clusters(
+        banded_hamming_pairs(df, ["width", "height"], "dhash", "media_id")
+    )
+    reduced = clusters(hash_cluster_edges(df, ["width", "height"], "dhash", "media_id"))
+    assert full == reduced and len(full) == len(rows)

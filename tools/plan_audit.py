@@ -71,6 +71,12 @@ SCALAR_CROSSJOIN_OK = {
     "cluster_gate_recall": "broadcast k-row centroid matrix for the "
     "audited gate's assignment scans + 1-row count scalars for the "
     "recall readout",
+    "ivf_cell_profile": "broadcast k-row centroid matrix (bounded "
+    "metadata) for the nearest-cell assignment scans",
+    "semantic_dedup_diverse": "broadcast k-row centroid matrix (bounded "
+    "metadata) for the nearest-cell assignment scans",
+    "ivf_threshold_sweep": "broadcast k-row centroid matrix (bounded "
+    "metadata) for the nearest-cell assignment scans",
     "crawl_budget": "1-row weight-total scalar for the apportionment",
     "unigram_nll": "1-row corpus token total for the unigram model",
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",

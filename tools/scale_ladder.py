@@ -133,6 +133,10 @@ QUERIES = [
     # r12 wave 32: the cluster-gated SemDedup and its recall audit
     "semantic_dedup_clustered",
     "cluster_gate_recall",
+    # r12 wave 33: gate observability + paper keep policy + sweep
+    "ivf_cell_profile",
+    "semantic_dedup_diverse",
+    "ivf_threshold_sweep",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -204,6 +208,9 @@ SF1_QUERIES = [
     "training_corpus",
     # r12 wave 32: the cluster-gated SemDedup over 10x vectors
     "semantic_dedup_clustered",
+    # r12 wave 33: the cluster-gated sweep (the banded sweep's
+    # bounded-volume answer) and the IVF observability row
+    "ivf_threshold_sweep",
 ]
 
 #: sf1 → sf10 tier (r10 verdict ask #2): DIRECT second-decade
@@ -231,6 +238,9 @@ SF10_QUERIES = [
     # r12 wave 32 (r11 verdict ask #1): the cluster-gated SemDedup's
     # second decade — the rung built to clear the r11 flag
     "semantic_dedup_clustered",
+    # r12 wave 33: the bounded-volume sweep next to the flagged
+    # banded one — same readout, cluster-gated pair population
+    "ivf_threshold_sweep",
 ]
 
 
@@ -449,7 +459,84 @@ def ensure_sf10(spark) -> None:
     )
 
 
+def sf10_only(out_path: str) -> None:
+    """Re-run ONLY the sf1→sf10 fresh-process tier and merge into an
+    existing artifact (r12: two sf10 rungs changed mid-round — the
+    media CC star-reduction fix and the new cluster-gated sweep — and
+    re-running the full 2-hour ladder to refresh an independent,
+    fresh-process-by-construction tier would measure nothing new in
+    the other tiers). Every rung still runs in brand-new JVMs via
+    fresh_query_time.py; the artifact records the regeneration."""
+    import subprocess
+
+    with open(out_path, encoding="utf-8") as f:
+        doc = json.load(f)
+
+    from pasta_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-ladder-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_sf10(spark)
+
+    def fresh_time(name: str, sf_dir: str, runs: int, timeout: int) -> float:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "fresh_query_time.py"),
+                name, sf_dir, str(runs),
+            ],
+            capture_output=True, text=True, timeout=timeout, check=True,
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["best_sec"])
+
+    sf10_report: dict = {}
+    flagged = [
+        f for f in doc.get("flagged", [])
+        if not f.startswith("sf10:") and not f.startswith("sf10-failed:")
+    ]
+    for name in SF10_QUERIES:
+        try:
+            t_sf1 = fresh_time(name, SF1_DIR, 2, 900)
+            t_sf10 = fresh_time(name, SF10_DIR, 2, 3600)
+            ratio = round(t_sf10 / t_sf1, 2) if t_sf1 > 0 else None
+            flag = bool(
+                ratio is not None
+                and t_sf10 >= MIN_BIG_SEC
+                and ratio > FLAG_FACTOR * DATA_RATIO
+            )
+            sf10_report[name] = {
+                "t_sf1_fresh": round(t_sf1, 3),
+                "t_sf10_fresh": round(t_sf10, 3),
+                "ratio": ratio,
+                "flag": flag,
+            }
+            if flag:
+                flagged.append(f"sf10:{name}")
+            print(
+                f"sf10 {name}: {t_sf1:.3f}s -> {t_sf10:.3f}s  ratio {ratio}"
+                f"{'  ** SUPER-LINEAR **' if flag else ''}",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            sf10_report[name] = {"error": str(exc)}
+            flagged.append(f"sf10-failed:{name}")
+    doc["queries_sf10"] = sf10_report
+    doc["flagged"] = flagged
+    doc.setdefault("notes", {})["sf10_regenerated"] = (
+        "sf10 tier re-run (fresh-process both rungs, one query per new "
+        "JVM) after mid-round fixes; the sf0.01/0.1 and sf1 tiers are "
+        "from the full-ladder run of the same round."
+    )
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps(doc))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf10-only":
+        sf10_only(sys.argv[2] if len(sys.argv) > 2 else "SCALELADDER.json")
+        return
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALELADDER.json"
 
     import __spark_entry__ as entry_mod
