@@ -49,7 +49,12 @@ IDLE_POLL_SEC = float(os.environ.get("SPARK_GRAFT_IDLE_POLL", "20"))
 #: decisively while tolerating the ~10% baseline drift the same box
 #: showed across rounds (budget 0.375 s vs the sagged 0.49 s reading).
 #: Re-pin the reference if the query or the fixture changes shape.
+#: The probe ALWAYS runs against the pinned sf0.1 fixture regardless of
+#: SPARK_GRAFT_SF_DIR (r12 advisor: the reference is an sf0.1 reading,
+#: so a bench run at any other scale factor must not compare its own
+#: sf's probe time against it — the gate compares like for like now).
 PROBE_QUERY = "pricing_summary"
+PROBE_SF_DIR = os.environ.get("SPARK_GRAFT_PROBE_SF_DIR", "/root/testdata/sf0.1")
 PROBE_REF_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "0.30"))
 PROBE_FACTOR = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "1.25"))
 PROBE_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_PROBE_ATTEMPTS", "10"))
@@ -185,6 +190,9 @@ BENCH_QUERIES_LLM = [
     "semantic_dedup_clustered",  # k-means cluster gate (r12: the bounded-pair-volume
                                  # SemDedup — pays Lloyd's training at sf0.1 to bound
                                  # the second decade; see SCALELADDER sf10 tier)
+    "semantic_dedup_2l",       # two-level (coarse-quantizer) assignment forced on
+                               # (r13: the n^1.25 answer to the n^1.5 third-decade
+                               # assignment term — see ivf_assign_profile)
 ]
 
 
@@ -206,7 +214,7 @@ def main() -> None:
 
     from pasta_pipeline_spark.operators.util import release_cached_deps
 
-    def run(name: str) -> list[float]:
+    def run(name: str, run_dir: str = None) -> list[float]:
         # N timed iterations: the first pays per-plan JIT/codegen and
         # page-cache warmup that a long-running cluster never sees per
         # query, so the MIN is the steady-state cost; the median shows
@@ -219,7 +227,7 @@ def main() -> None:
         dfs = []
         for _ in range(N_ITER):
             t0 = time.time()
-            df = qs[name](spark, sf_dir)
+            df = qs[name](spark, run_dir or sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             dfs.append(df)
@@ -244,8 +252,12 @@ def main() -> None:
     # throughput-stability gate (r11 verdict ask #2): after warmup —
     # so the probe measures the box, not first-call JIT — refuse to
     # proceed until the pinned probe's min-of-3 is within budget. The
-    # passing reading lands in the artifact (probe_sec).
-    probe_sec = wait_for_stable_throughput(lambda: min(run(PROBE_QUERY)))
+    # probe runs against the PINNED sf0.1 fixture whatever sf_dir is
+    # (the committed reference is an sf0.1 reading); the passing
+    # reading lands in the artifact (probe_sec).
+    probe_sec = wait_for_stable_throughput(
+        lambda: min(run(PROBE_QUERY, PROBE_SF_DIR))
+    )
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -344,6 +356,7 @@ def main() -> None:
                 "load_avg": load_avg,
                 "probe_sec": probe_sec,
                 "probe_ref_sec": PROBE_REF_SEC,
+                "probe_sf_dir": PROBE_SF_DIR,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -828,9 +828,14 @@ def auto_ivf_cells(
     asymptotic as the recall-first LSH banding recipe (NOTES #66's
     n·√(n/calibrated) verifies) but with a directly CONTROLLABLE
     knob and no per-vector banding cost growing with n. Unlike the
-    LSH recipe, pair volume is bounded by construction (occupancy
-    n/√n = √n per cell) rather than by band-collision statistics, so
-    a skewed corpus cannot blow it past the budget.
+    LSH recipe, pair volume is Σ|cell|²/2 — a quantity the cell
+    count bounds at ~n²/(2c) in the BALANCED/expected-occupancy case
+    (√n per cell at c = √n). k-means does NOT balance cells by
+    construction: a tightly clustered corpus can pile most vectors
+    into one cell and push the within-cell verify back toward n²/2,
+    which is exactly what :func:`ivf_cell_profile` exists to catch —
+    run it as the mandatory pre-flight skew check before trusting a
+    cell budget on a new corpus.
 
     At ``n <= calibrated_n`` resolves to ``base_cells`` exactly, which
     keeps the catalog oracles (replaying an unrolled fixed-cell
@@ -886,35 +891,50 @@ def _nearest_cells(
         "__csim"
     )
     slim = j.select(F.col(id_col), F.col("cell_id"), csim)
+    assigned = _argmax_cells(slim, n_probe, id_col, "cell_id", emit_csim)
+    return assigned.join(src.select(*payload), id_col)
+
+
+def _argmax_cells(
+    slim: DataFrame,
+    n_probe: int,
+    id_col: str,
+    cell_col: str,
+    emit_csim: bool = False,
+) -> DataFrame:
+    """The slim deterministic argmax both assignment shapes share: from
+    (id, cell, __csim) rows pick each id's ``n_probe`` best cells
+    (cosine desc, cell asc — a total order). n_probe=1 runs as a
+    map-side-combining max-of-struct (partial SortAggregate collapses
+    the cross frame's consecutive same-id runs before the exchange);
+    n_probe>1 takes the rank window."""
     extra = [F.col("__st.s").alias("__ccsim")] if emit_csim else []
     if n_probe == 1:
         st = F.max(
             F.struct(
                 F.col("__csim").alias("s"),
-                (-F.col("cell_id")).cast("long").alias("nc"),
+                (-F.col(cell_col)).cast("long").alias("nc"),
             )
         ).alias("__st")
-        assigned = (
+        return (
             slim.groupBy(id_col)
             .agg(st)
             .select(
                 F.col(id_col),
-                (-F.col("__st.nc")).cast("int").alias("cell_id"),
+                (-F.col("__st.nc")).cast("int").alias(cell_col),
                 *extra,
             )
         )
-    else:
-        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cell_id"))
-        assigned = (
-            slim.withColumn("__prn", F.row_number().over(w))
-            .where(F.col("__prn") <= n_probe)
-            .select(
-                F.col(id_col),
-                F.col("cell_id"),
-                *([F.col("__csim").alias("__ccsim")] if emit_csim else []),
-            )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc(cell_col))
+    return (
+        slim.withColumn("__prn", F.row_number().over(w))
+        .where(F.col("__prn") <= n_probe)
+        .select(
+            F.col(id_col),
+            F.col(cell_col),
+            *([F.col("__csim").alias("__ccsim")] if emit_csim else []),
         )
-    return assigned.join(src.select(*payload), id_col)
+    )
 
 
 def train_ivf_centroids_fp(
@@ -994,6 +1014,156 @@ def train_ivf_centroids_fp(
     return cent
 
 
+#: Cell count past which the FINAL full-corpus assignment defaults to
+#: the two-level (coarse-quantizer) shape: below it the flat n·cells
+#: cross frame is cheaper than a second argmax pass, and the oracle
+#: gate scales (cells = IVF_BASE_CELLS) stay on the flat path their
+#: DuckDB twins replay.
+IVF_TWO_LEVEL_MIN_CELLS = 64
+
+
+def auto_coarse_cells(n_cells: int) -> int:
+    """Coarse-quantizer size for a two-level assignment over
+    ``n_cells`` fine cells: √cells balances the two scoring passes
+    (n·coarse for the coarse argmax, n·cells/coarse expected for the
+    within-group fine argmax), dropping the full-corpus assignment
+    from n·cells cosines to ~2·n·√cells — with cells = √n that is
+    n^1.25 instead of n^1.5, the third-decade term named in NOTES
+    #75(a). Balance is expected-case (k-means does not balance group
+    occupancy by construction)."""
+    return max(2, int(round(math.sqrt(float(n_cells)))))
+
+
+def _two_level_structs(
+    centroids: DataFrame,
+    n_cells: int,
+    n_coarse: int | None,
+    coarse_iterations: int,
+    fp_scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two-level gate's metadata structures from the fine
+    centroid frame (cell_id, cv, __cnrm): coarse centroids trained
+    over the fine ones (deterministic fixed-point Lloyd's, lowest-
+    cell_id seeds), the fine-cell → coarse-group argmax map ``c2c``
+    (cell_id, coarse_id, cv, __cnrm — localCheckpointed, √n rows),
+    and ``used`` — the coarse rows (coarse_id, gv, __gnrm) that won at
+    least one fine cell (a vector routed to an empty group would
+    vanish in the member join). All frames are metadata scale."""
+    if n_coarse is None:
+        n_coarse = auto_coarse_cells(n_cells)
+    # rename the fine frame before training: the trainer's own output
+    # columns are (cell_id, cv), which would collide with the fine
+    # names inside its assignment crossJoin
+    coarse = train_ivf_centroids_fp(
+        centroids.select(
+            F.col("cell_id").alias("fine_id"), F.col("cv").alias("fv")
+        ),
+        n_cells=n_coarse,
+        iterations=coarse_iterations,
+        id_col="fine_id",
+        vec_col="fv",
+        fp_scale=fp_scale,
+    ).select(F.col("cell_id").alias("coarse_id"), F.col("cv").alias("gv"))
+    coarse = coarse.select(
+        "coarse_id", "gv", F.sqrt(dot(F.col("gv"), F.col("gv"))).alias("__gnrm")
+    )
+    gsim = (
+        dot(F.col("cv"), F.col("gv")) / (F.col("__cnrm") * F.col("__gnrm"))
+    ).alias("__csim")
+    c2c = _argmax_cells(
+        centroids.crossJoin(F.broadcast(coarse)).select(
+            F.col("cell_id"), F.col("coarse_id"), gsim
+        ),
+        1,
+        "cell_id",
+        "coarse_id",
+    ).join(centroids, "cell_id")
+    c2c = c2c.localCheckpoint(eager=True)  # √n rows; broadcast downstream
+    used = coarse.join(
+        c2c.select("coarse_id").distinct(), "coarse_id", "left_semi"
+    )
+    return c2c, used
+
+
+def _nearest_cells_two_level(
+    src: DataFrame,
+    centroids: DataFrame,
+    n_cells: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    carry_norm: bool,
+    emit_csim: bool = False,
+    n_coarse: int | None = None,
+    coarse_iterations: int = 2,
+    coarse_probe: int = 1,
+    fp_scale: int = 10_000_000,
+) -> DataFrame:
+    """Two-level (coarse-quantizer) variant of :func:`_nearest_cells`
+    — the FAISS IVF production shape for the assignment itself: train
+    √cells coarse centroids OVER the fine centroids (metadata-scale
+    Lloyd's, same deterministic fixed-point trainer), map each fine
+    cell to its nearest coarse group, then assign each vector in two
+    slim argmax passes — nearest coarse group first (n·√cells
+    cosines), nearest fine cell among that group's members second
+    (n·cells/√cells expected). Total scoring ~2·n·√cells vs the flat
+    n·cells — the bound on the third-decade assignment term (NOTES
+    #75(a): 89M cosines at sf10 flat, 2.8B at 2M vectors).
+
+    The approximation is the standard IVF one: a vector whose true
+    nearest fine centroid lives in a different coarse group gets its
+    group's best member instead; ``coarse_probe > 1`` scores the
+    members of the several nearest coarse groups to buy that boundary
+    back at coarse_probe× the fine-pass cost. Every step keeps the
+    determinism contract (lowest-id seeds, cosine-desc/cell-asc total
+    tie orders, fixed-point means), so an unrolled DuckDB twin
+    replays coarse training, the cell→group map, and both argmax
+    passes bit for bit.
+
+    ``centroids`` is the fine frame (cell_id, cv, __cnrm) — metadata
+    scale (√n rows), broadcast everywhere; ``src`` must carry
+    ``__nrm``. Coarse groups that win no fine cell are excluded from
+    the vector-level coarse argmax (their member list is empty, so a
+    vector sent there would vanish).
+    """
+    c2c, used = _two_level_structs(
+        centroids, n_cells, n_coarse, coarse_iterations, fp_scale
+    )
+    # pass 1: vector -> coarse group(s), slim (n·n_coarse cross frame)
+    vg = (
+        src.select(F.col(id_col), F.col(vec_col), F.col("__nrm"))
+        .crossJoin(F.broadcast(used))
+        .select(
+            F.col(id_col),
+            F.col("coarse_id"),
+            (
+                dot(F.col(vec_col), F.col("gv")) / (F.col("__nrm") * F.col("__gnrm"))
+            ).alias("__csim"),
+        )
+    )
+    v2g = _argmax_cells(vg, coarse_probe, id_col, "coarse_id")
+    # pass 2: vector -> fine cell among its group's members (expected
+    # cells/n_coarse candidates per vector; the vector rides a linear
+    # id join into the streamed broadcast expansion, and only slim
+    # (id, cell, csim) rows reach the argmax)
+    cand = (
+        v2g.join(src.select(F.col(id_col), F.col(vec_col), F.col("__nrm")), id_col)
+        .join(F.broadcast(c2c), "coarse_id")
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            (
+                dot(F.col(vec_col), F.col("cv")) / (F.col("__nrm") * F.col("__cnrm"))
+            ).alias("__csim"),
+        )
+    )
+    assigned = _argmax_cells(cand, n_probe, id_col, "cell_id", emit_csim)
+    payload = [F.col(id_col), F.col(vec_col)] + (
+        [F.col("__nrm")] if carry_norm else []
+    )
+    return assigned.join(src.select(*payload), id_col)
+
+
 def ivf_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -1005,6 +1175,9 @@ def ivf_dup_pairs(
     vec_col: str = "embedding",
     train_sample_mod: int | None = None,
     fp_scale: int = 10_000_000,
+    two_level: bool | None = None,
+    n_coarse: int | None = None,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs gated by Lloyd's-trained IVF
     cells instead of sign-LSH bands — the SemDedup paper's own gate
@@ -1015,10 +1188,12 @@ def ivf_dup_pairs(
     Why this exists next to the banded :func:`cosine_dup_pairs`
     (r11's flagged frontier, NOTES #66): at fixed recall the banding
     recipe's pair volume grows with band count and bucket occupancy —
-    statistics the corpus controls; a cluster gate bounds pair volume
-    by CONSTRUCTION at Σ|cell|²/2 with the cell count a direct knob
+    statistics the corpus controls; a cluster gate caps the candidate
+    set at Σ|cell|²/2 with the cell count a direct knob
     (:func:`auto_ivf_cells` resolves c = √n, putting assignment and
-    verify both at n^1.5). The trade is geometric recall (a near-dup
+    verify both at n^1.5 under balanced occupancy — k-means does not
+    guarantee balance, so audit a new corpus with
+    :func:`ivf_cell_profile` first). The trade is geometric recall (a near-dup
     pair straddling a cell boundary is missed) instead of statistical
     recall — measured, not assumed, via
     :func:`cluster_gate_recall_report`; ``n_probe > 1`` assigns each
@@ -1037,6 +1212,16 @@ def ivf_dup_pairs(
     ``train_sample_mod=None`` auto-trains on ~64·cells vectors above
     the calibration anchor (full corpus at gate scales), the
     deterministic ``id % mod == 0`` subset.
+
+    ``two_level=None`` auto-switches the FINAL full-corpus assignment
+    to the coarse-quantizer shape (:func:`_nearest_cells_two_level`)
+    once ``n_cells >= IVF_TWO_LEVEL_MIN_CELLS`` — sampled training
+    is already linear, so the flat n·cells assignment was the last
+    super-linear term (n^1.5 with cells = √n; two-level is ~n^1.25).
+    ``two_level=False`` forces flat (what the fixed-config oracles
+    replay); ``two_level=True`` forces the two-level path at any cell
+    count (what its own oracle replays at gate scale). ``coarse_probe``
+    buys back coarse-boundary recall at coarse_probe× the fine pass.
     """
     from pasta_pipeline_spark.operators.util import (
         attach_cached_deps,
@@ -1072,7 +1257,31 @@ def ivf_dup_pairs(
     cent = cent.select(
         "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
     )
-    assigned = _nearest_cells(src, cent, n_probe, id_col, vec_col, carry_norm=True)
+    if two_level is None:
+        two_level = n_cells >= IVF_TWO_LEVEL_MIN_CELLS
+        if two_level:
+            logging.getLogger(__name__).warning(
+                "ivf_dup_pairs: n_cells=%d >= %d — full-corpus assignment "
+                "auto-switched to the two-level coarse-quantizer shape "
+                "(~2·n·sqrt(cells) scoring vs flat n·cells); fixed-config "
+                "oracles replay the FLAT path only",
+                n_cells, IVF_TWO_LEVEL_MIN_CELLS,
+            )
+    if two_level:
+        assigned = _nearest_cells_two_level(
+            src,
+            cent,
+            n_cells,
+            n_probe,
+            id_col,
+            vec_col,
+            carry_norm=True,
+            n_coarse=n_coarse,
+            coarse_probe=coarse_probe,
+            fp_scale=fp_scale,
+        )
+    else:
+        assigned = _nearest_cells(src, cent, n_probe, id_col, vec_col, carry_norm=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         "cell_id",
@@ -1108,6 +1317,9 @@ def semantic_dedup_clustered(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool | None = None,
+    n_coarse: int | None = None,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """SemDedup with the paper's own cluster gate (Abbas et al. 2023,
     arXiv:2303.09540 §3: k-means the embeddings, dedup WITHIN each
@@ -1123,7 +1335,10 @@ def semantic_dedup_clustered(
     work with a controllable constant, vs the banded recipe's
     n·√(n/calibrated)·bands. Recall is geometric (cell-boundary
     misses); audit it with :func:`cluster_gate_recall_report` before
-    trusting a threshold.
+    trusting a threshold. ``two_level=None`` auto-switches the
+    full-corpus assignment to the coarse-quantizer shape past
+    ``IVF_TWO_LEVEL_MIN_CELLS`` fine cells (n^1.25 scoring instead of
+    the flat n^1.5 — the third-decade bound, NOTES #75(a)).
     """
     pairs = ivf_dup_pairs(
         embeddings,
@@ -1134,6 +1349,9 @@ def semantic_dedup_clustered(
         n_probe=n_probe,
         id_col=id_col,
         vec_col=vec_col,
+        two_level=two_level,
+        n_coarse=n_coarse,
+        coarse_probe=coarse_probe,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     from pasta_pipeline_spark.operators.util import attach_cached_deps
@@ -1149,6 +1367,68 @@ def semantic_dedup_clustered(
     return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))
 
 
+def semantic_dedup_auto(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor: int | None = None,
+    num_bands: int = 2,
+    n_probe: int = 1,
+) -> DataFrame:
+    """SemDedup front door — picks the gate the corpus size calls for
+    (the r12 verdict's ask #3: stop running the banded recipe at
+    scales where its band-collision pair volume is the known flag):
+
+    - ``n <= anchor`` (default :data:`LSH_CALIBRATED_N`): the banded
+      :func:`semantic_dedup` — at gate scale its measured recall is
+      the better of the two families (NOTES #70: sf0.01 LSH 0.424 vs
+      IVF 0.441 is a wash; sf1 LSH 0.158 vs IVF-n_probe-1 0.088) and
+      its pair volume is harmless below the calibration anchor.
+    - above the anchor: :func:`semantic_dedup_clustered` — pair volume
+      capped at Σ|cell|²/2 by the cell count (√n cells; audit skew
+      with :func:`ivf_cell_profile`), and past
+      :data:`IVF_TWO_LEVEL_MIN_CELLS` cells the assignment itself
+      auto-switches to the two-level n^1.25 shape. Measured sf10:
+      clustered 100.0s ratio 7.7 vs banded 115.3s ratio 14.49
+      (SCALELADDER_r12) — the banded recipe's flag is a price tag this
+      front door simply stops paying at scale.
+
+    Keep contract is IDENTICAL either way (smallest id of every gated
+    near-dup group survives; returns ``(id_col, kept 0/1)``); what
+    changes across the anchor is which locality gate proposes pairs —
+    the same growth-breadcrumb contract as :func:`auto_lsh_config`
+    (the switch is logged, and fixed-config oracles replay the
+    at-anchor path).
+
+    The dispatch count is one aggregate over the id column — metadata
+    scale, same class as the auto-calibration counts both branches
+    already pay.
+    """
+    if anchor is None:
+        anchor = LSH_CALIBRATED_N
+    n = embeddings.where(F.size(F.col(vec_col)) == dim).count()
+    if n <= anchor:
+        return semantic_dedup(
+            embeddings, threshold, dim=dim,
+            num_planes=None, num_bands=num_bands,
+            id_col=id_col, vec_col=vec_col,
+        )
+    logging.getLogger(__name__).warning(
+        "semantic_dedup_auto: n=%d > anchor %d — routing to the "
+        "cluster gate (banded band-collision volume is the known "
+        "super-linear term past the anchor; SCALELADDER sf10 banded "
+        "ratio 14.49 vs clustered 7.7)",
+        n, anchor,
+    )
+    return semantic_dedup_clustered(
+        embeddings, threshold, dim=dim,
+        n_cells=None, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def cluster_gate_recall_report(
     embeddings: DataFrame,
     threshold: float,
@@ -1160,6 +1440,9 @@ def cluster_gate_recall_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     recall_scale: int = 1_000_000,
+    two_level: bool | None = None,
+    n_coarse: int | None = None,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """Measured recall of the IVF cluster gate at ``threshold`` — the
     :func:`gate_recall_report` instrument pointed at
@@ -1222,6 +1505,9 @@ def cluster_gate_recall_report(
         n_probe=n_probe,
         id_col=id_col,
         vec_col=vec_col,
+        two_level=two_level,
+        n_coarse=n_coarse,
+        coarse_probe=coarse_probe,
     )
     sub_ids = sub.select(F.col(id_col))
     gated_in_sub = (
@@ -1368,6 +1654,113 @@ def ivf_cell_profile(
             )
             .cast("long")
             .alias("gate_pairs"),
+        )
+    )
+    return attach_cached_deps(out, [src])
+
+
+def ivf_assign_profile(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    n_coarse: int | None = None,
+    coarse_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment-cost profile of the IVF gate — the exact cosine
+    counts each assignment shape would pay on THIS corpus with THIS
+    trained geometry, made data (the :func:`ivf_cell_profile`
+    counterpart for the assignment term, NOTES #75(a)):
+
+    - ``cosines_flat`` = n·cells — what :func:`_nearest_cells` scores;
+    - ``cosines_coarse_pass`` = n·used_groups and
+      ``cosines_fine_pass`` = Σ_g assigned(g)·members(g) — the two
+      passes :func:`_nearest_cells_two_level` scores, summed in
+      ``cosines_two_level``.
+
+    The fine pass is computed from the REAL coarse assignment counts,
+    not the balanced expectation, so a skewed coarse map shows up here
+    the same way a hot cell shows up in the cell profile. One row.
+    """
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        ensure_parallelism,
+    )
+
+    src = ensure_parallelism(
+        embeddings.where(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+        )
+    ).persist()
+    if n_cells is None:
+        n_cells = auto_ivf_cells(src.count())
+    if n_coarse is None:
+        n_coarse = auto_coarse_cells(n_cells)
+    cent = train_ivf_centroids_fp(
+        src.select(id_col, vec_col),
+        n_cells=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cent = cent.select(
+        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    )
+    c2c, used = _two_level_structs(
+        cent, n_cells, n_coarse, coarse_iterations, fp_scale=10_000_000
+    )
+    vg = (
+        src.select(F.col(id_col), F.col(vec_col), F.col("__nrm"))
+        .crossJoin(F.broadcast(used))
+        .select(
+            F.col(id_col),
+            F.col("coarse_id"),
+            (
+                dot(F.col(vec_col), F.col("gv")) / (F.col("__nrm") * F.col("__gnrm"))
+            ).alias("__csim"),
+        )
+    )
+    v2g = _argmax_cells(vg, 1, id_col, "coarse_id")
+    members = c2c.groupBy("coarse_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__members")
+    )
+    per_group = (
+        v2g.groupBy("coarse_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__assigned"))
+        .join(F.broadcast(members), "coarse_id")
+        .agg(
+            F.sum(F.col("__assigned") * F.col("__members"))
+            .cast("long")
+            .alias("cosines_fine_pass")
+        )
+    )
+    n_vec = src.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_used = used.agg(
+        F.count(F.lit(1)).cast("long").alias("n_coarse_used")
+    )
+    out = (
+        n_vec.crossJoin(F.broadcast(n_used))
+        .crossJoin(F.broadcast(per_group))
+        .select(
+            "n_vectors",
+            F.lit(n_cells).cast("long").alias("n_cells"),
+            F.lit(n_coarse).cast("long").alias("n_coarse"),
+            "n_coarse_used",
+            (F.col("n_vectors") * F.lit(n_cells)).cast("long").alias("cosines_flat"),
+            (F.col("n_vectors") * F.col("n_coarse_used"))
+            .cast("long")
+            .alias("cosines_coarse_pass"),
+            "cosines_fine_pass",
+            (
+                F.col("n_vectors") * F.col("n_coarse_used")
+                + F.col("cosines_fine_pass")
+            )
+            .cast("long")
+            .alias("cosines_two_level"),
         )
     )
     return attach_cached_deps(out, [src])
@@ -2960,3 +3353,207 @@ def gate_recall_report(
     return attach_cached_deps(
         out, [src] + list(getattr(gated_raw, "_pasta_cached_deps", []))
     )
+
+
+#: Planted-twin target cosines — the SemDedup paper's operating regime
+#: (θ ≈ 0.9+), cycled by id so every target is represented. The sin
+#: values are precomputed in Python doubles and inlined as literals so
+#: a SQL twin replays the exact same arithmetic.
+PLANT_COSINES = (0.90, 0.92, 0.94, 0.96, 0.98)
+
+
+def plant_near_dups(
+    embeddings: DataFrame,
+    dim: int,
+    rate_mod: int = 4,
+    cosines: tuple[float, ...] = PLANT_COSINES,
+    id_offset: int = 10_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic planted-near-duplicate corpus builder — the
+    fixture tier that makes the SemDedup paper's θ ≈ 0.92 operating
+    regime MEASURABLE (NOTES #70/#75(b): the synthetic embedding
+    fixtures have no pairs above ~0.9, so every gate-recall audit
+    could only run at the loose θ=0.4 point).
+
+    For every base vector with ``id % rate_mod == 0`` a twin is
+    emitted at ``id + id_offset`` whose cosine to its base is EXACTLY
+    a chosen target: the twin is the base rotated by a global Givens
+    rotation — angle φ applied to every dimension pair (2k, 2k+1) —
+    and for ANY vector v, cos(v, R_φ v) = Σ_k cosφ·(v_{2k}²+v_{2k+1}²)
+    / |v|² = cosφ, because the cross terms cancel pairwise. So the
+    construction needs no RNG, no normalization, and no per-dimension
+    hashing: target cosines are exact (up to the final float32 cast),
+    |Rv| = |v|, and the whole transform is a closed-form expression
+    both engines replay bit for bit. The target cycles through
+    ``cosines`` by ``id % (rate_mod·len(cosines))`` so every regime
+    point is planted at every scale.
+
+    Geometry guarantees (why truth stays clean): R is an isometry, so
+    twin–twin cosines equal their bases' cosines (< the regime) and
+    base–other-twin cosines are within φ of the base–base angle;
+    recall audits over the planted corpus still use brute-force
+    subsample truth, so none of this is assumed — it just keeps the
+    regime's true-pair population dominated by the planted pairs.
+
+    Returns base ∪ twins with the input schema (id, vector, any other
+    columns carried from the base row). Twins cast back to the input
+    element type via float32 so the corpus stays homogeneous.
+    """
+    others = [
+        c for c in embeddings.columns if c not in (id_col, vec_col)
+    ]
+    sin_lits = [math.sqrt(1.0 - c * c) for c in cosines]
+    n_t = len(cosines)
+    pick = (F.col(id_col) % F.lit(rate_mod * n_t)) / F.lit(rate_mod)
+    c_arr = F.array(*[F.lit(float(c)) for c in cosines])
+    s_arr = F.array(*[F.lit(float(s)) for s in sin_lits])
+    cph = F.element_at(c_arr, pick.cast("int") + 1)
+    sph = F.element_at(s_arr, pick.cast("int") + 1)
+    v = F.col(vec_col)
+    # Givens on (2k, 2k+1), 0-based index i from transform's lambda:
+    # even i pairs with i+1, odd i pairs with i-1 (element_at 1-based)
+    rotated = F.transform(
+        v,
+        lambda x, i: F.when(
+            i % 2 == 0,
+            cph * x.cast("double")
+            - sph * F.element_at(v, i.cast("int") + 2).cast("double"),
+        )
+        .otherwise(
+            sph * F.element_at(v, i.cast("int")).cast("double")
+            + cph * x.cast("double")
+        )
+        .cast("float"),
+    )
+    twins = (
+        embeddings.where(
+            (F.col(id_col) % rate_mod == 0) & (F.size(v) == dim)
+        )
+        .select(
+            (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+            rotated.alias(vec_col),
+            *[F.col(c) for c in others],
+        )
+    )
+    return embeddings.select(id_col, vec_col, *others).unionByName(twins)
+
+
+def planted_gate_recall(
+    embeddings: DataFrame,
+    gate: str = "ivf",
+    gate_threshold: float = 0.895,
+    dim: int = 64,
+    rate_mod: int = 4,
+    cosines: tuple[float, ...] = PLANT_COSINES,
+    id_offset: int = 10_000_000,
+    n_cells: int | None = None,
+    iterations: int = 2,
+    n_probe: int = 1,
+    two_level: bool | None = None,
+    n_coarse: int | None = None,
+    coarse_probe: int = 1,
+    num_planes: int | None = None,
+    num_bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_scale: int = 1_000_000,
+) -> DataFrame:
+    """Gate recall in the SemDedup paper's OPERATING regime (θ ≈
+    0.9–0.98), measured on the planted-twin corpus — the audit NOTES
+    #70/#75(b) said was impossible on the raw fixtures (no true pairs
+    above ~0.9 exist there, so every earlier recall number was a
+    θ=0.4 extrapolation).
+
+    :func:`plant_near_dups` builds the corpus (one exact-cosine twin
+    per ``rate_mod``-th vector, targets cycling through ``cosines``),
+    the chosen gate runs over it at ``gate_threshold`` — pinned just
+    BELOW the lowest target so the gate's own exact-cosine filter
+    never excludes a planted pair on float32 wobble; misses are then
+    purely geometric (cell/band boundaries, what this audit measures)
+    — and recall is reported PER TARGET: (target_pc, n_planted,
+    n_gated, recall_sc), one row per planted cosine, recall_sc =
+    floor(n_gated/n_planted·1e6). Ground truth is the planted pair
+    set itself (exact by the Givens construction), so the audit is
+    full-population at ANY corpus size — no subsample variance, no
+    quadratic truth side.
+
+    ``gate``: ``"ivf"`` (:func:`ivf_dup_pairs` — flat or two-level
+    via the usual knobs) or ``"lsh"`` (:func:`cosine_dup_pairs`
+    banded).
+    """
+    planted = plant_near_dups(
+        embeddings,
+        dim=dim,
+        rate_mod=rate_mod,
+        cosines=cosines,
+        id_offset=id_offset,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    if gate == "ivf":
+        pairs = ivf_dup_pairs(
+            planted,
+            gate_threshold,
+            dim=dim,
+            n_cells=n_cells,
+            iterations=iterations,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            two_level=two_level,
+            n_coarse=n_coarse,
+            coarse_probe=coarse_probe,
+        )
+    elif gate == "lsh":
+        pairs = cosine_dup_pairs(
+            planted,
+            gate_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            use_lsh=True,
+            dim=dim,
+            num_planes=num_planes,
+            num_bands=num_bands,
+        )
+    else:
+        raise ValueError(f"unknown gate {gate!r}: expected 'ivf' or 'lsh'")
+    n_t = len(cosines)
+    pick = (F.col(id_col) % F.lit(rate_mod * n_t)) / F.lit(rate_mod)
+    t_arr = F.array(*[F.lit(int(round(c * 100))) for c in cosines])
+    truth = (
+        embeddings.where(
+            (F.col(id_col) % rate_mod == 0) & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            (F.col(id_col) + F.lit(id_offset)).alias("id_b"),
+            F.element_at(t_arr, pick.cast("int") + 1).alias("target_pc"),
+        )
+    )
+    hit = pairs.select("id_a", "id_b").withColumn("__hit", F.lit(1))
+    out = (
+        truth.join(hit, ["id_a", "id_b"], "left")
+        .groupBy("target_pc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_planted"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_gated"),
+        )
+        .select(
+            "target_pc",
+            "n_planted",
+            "n_gated",
+            F.floor(
+                F.col("n_gated").cast("double")
+                / F.col("n_planted").cast("double")
+                * recall_scale
+            )
+            .cast("long")
+            .alias("recall_sc"),
+        )
+        .orderBy("target_pc")
+    )
+    from pasta_pipeline_spark.operators.util import attach_cached_deps
+
+    return attach_cached_deps(out, getattr(pairs, "_pasta_cached_deps", []))

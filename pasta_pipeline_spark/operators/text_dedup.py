@@ -1619,6 +1619,242 @@ def minhash_error_oracle_sql(
     """
 
 
+def minhash_gate_recall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    max_n: int | None = 400,
+    recall_scale: int = 1_000_000,
+) -> DataFrame:
+    """Measured recall of the banded MinHash gate at ``threshold`` —
+    the subsample-bounded gate_recall_report contract promoted to the
+    token-set tier (r12 verdict ask #5; NOTES #71 pinned this at
+    fixture scale in pytest only, because the production signatures
+    use xxhash64 which DuckDB can't replay).
+
+    Signatures here run the md5 hash family of
+    :func:`minhash_error_report` (same 31-bit base hash, same
+    ``_md5_minhash_params`` permutation constants), so the WHOLE
+    audit — shingling, signatures, banding, truth, recall — replays
+    hash-exactly in SQL. The banding recipe is the production one
+    (``num_hashes`` slots in ``num_bands`` bands, collision = all
+    ``num_hashes/num_bands`` slots of some band agree); only the slot
+    hash family differs, and :func:`minhash_error_report` measures
+    that family's estimator error directly, so the two audits bracket
+    the production gate.
+
+    Ground truth is exact shingle Jaccard >= ``threshold`` on the
+    md5-ranked ``max_n`` subsample (the gate_recall_report trick —
+    bounds the inherently-quadratic truth side at any corpus size);
+    the gate itself runs over the FULL corpus exactly as production
+    would, and only pairs with both endpoints in the subsample are
+    counted. One row: ``(n_docs, n_true_pairs, n_gated_pairs,
+    recall_sc)``, recall_sc = floor(gated/true · recall_scale), NULL
+    when the subsample holds no true pair.
+    """
+    rows_per_band = num_hashes // num_bands
+    if rows_per_band * num_bands != num_hashes:
+        raise ValueError("num_bands must divide num_hashes")
+    sh = _shingle_table(docs, id_col, text_col, n, hashed=False)
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    xh = sh.select("doc", x.alias("x"))
+    params = _md5_minhash_params(num_hashes)
+    sigs = xh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(a).cast("long") * F.col("x") + F.lit(b).cast("long"),
+                    F.lit(_MERSENNE31).cast("long"),
+                )
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    # production banding over the FULL corpus: 16 slim (doc, band, key)
+    # rows per doc, equi-join on (band, key) — never an all-pairs frame
+    bandrows = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{j * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for j in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bandrows.alias("a")
+        .join(
+            bandrows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # md5-ranked subsample bounds the quadratic truth side
+    sub = docs.select(F.col(id_col).alias("doc"))
+    if max_n is not None:
+        sub = sub.orderBy(
+            F.md5(F.col("doc").cast("string")), F.col("doc").asc()
+        ).limit(max_n)
+    ssh = sh.join(sub, "doc", "left_semi")
+    sizes = ssh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    sa = ssh.select(F.col("doc").alias("doc_a"), "sh")
+    sb = ssh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh2"))
+    t_bp = int(round(threshold * 10000))
+    true_pairs = (
+        sa.join(
+            sb,
+            (F.col("sh") == F.col("sh2")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_common") * 10000
+            >= F.lit(t_bp) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    gated_true = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nd = sub.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tp = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    gp = gated_true.agg(F.count(F.lit(1)).cast("long").alias("n_gated_pairs"))
+    return (
+        nd.crossJoin(tp)
+        .crossJoin(gp)
+        .select(
+            "n_docs",
+            "n_true_pairs",
+            "n_gated_pairs",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.floor(
+                    F.col("n_gated_pairs").cast("double")
+                    / F.col("n_true_pairs").cast("double")
+                    * recall_scale
+                ).cast("long"),
+            ).alias("recall_sc"),
+        )
+    )
+
+
+def minhash_gate_recall_oracle_sql(
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    max_n: int = 400,
+    recall_scale: int = 1_000_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`minhash_gate_recall` — signatures from
+    the SAME permutation constants; the banding equi-join is replayed
+    as an OR-of-bands pair predicate (identical pair set)."""
+    params = _md5_minhash_params(num_hashes)
+    rows_per_band = num_hashes // num_bands
+    t_bp = int(round(threshold * 10000))
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_or = "\n            OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{j * rows_per_band + r} = b.mh{j * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for j in range(num_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                                   y -> y <> '') AS t
+      FROM {table}
+    ), sh AS (
+      SELECT DISTINCT {id_col},
+             CASE WHEN len(t) >= {n}
+                  THEN {" || ' ' || ".join(f"t[i+{j}]" for j in range(n))}
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT {id_col}, t,
+                   unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i
+            FROM toks)
+    ), x AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT & 2147483647 AS x
+      FROM sh
+    ), sig AS (
+      SELECT {id_col}, {sig_cols}
+      FROM x GROUP BY {id_col}
+    ), cand AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM sig a JOIN sig b ON a.{id_col} < b.{id_col}
+        AND ({band_or})
+    ), sub AS (
+      SELECT {id_col} FROM {table}
+      ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {max_n}
+    ), ssh AS (
+      SELECT sh.{id_col}, sh.s FROM sh JOIN sub USING ({id_col})
+    ), sizes AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_sh
+      FROM ssh GROUP BY {id_col}
+    ), true_pairs AS (
+      SELECT doc_a, doc_b
+      FROM (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM ssh a JOIN ssh b ON a.s = b.s AND a.{id_col} < b.{id_col}
+            GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.{id_col} = c.doc_a
+      JOIN sizes sb ON sb.{id_col} = c.doc_b
+      WHERE n_common * 10000 >= {t_bp} * (sa.n_sh + sb.n_sh - n_common)
+    ), gp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_gated_pairs
+      FROM true_pairs t
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    ), tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM true_pairs
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sub
+    )
+    SELECT n_docs, n_true_pairs, n_gated_pairs,
+           CASE WHEN n_true_pairs > 0 THEN
+             CAST(FLOOR(CAST(n_gated_pairs AS DOUBLE)
+                        / CAST(n_true_pairs AS DOUBLE)
+                        * {recall_scale}) AS BIGINT) END AS recall_sc
+    FROM nd CROSS JOIN tp CROSS JOIN gp
+    """
+
+
 def global_line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

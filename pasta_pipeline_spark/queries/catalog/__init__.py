@@ -43,3 +43,5 @@ from pasta_pipeline_spark.queries.catalog import t22_wave28  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t23_wave30  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t24_wave32  # noqa: E402,F401
 from pasta_pipeline_spark.queries.catalog import t25_wave33  # noqa: E402,F401
+from pasta_pipeline_spark.queries.catalog import t26_wave34  # noqa: E402,F401
+from pasta_pipeline_spark.queries.catalog import t27_wave35  # noqa: E402,F401

@@ -231,7 +231,7 @@ def _banded_planes_sql(dim: int, num_planes: int, num_bands: int) -> str:
     )
 
 
-def _banded_eb_sql(bucket_cap: int | None = None) -> str:
+def _banded_eb_sql(bucket_cap: int | None = None, src_table: str = "embeddings") -> str:
     """The banded-bucket CTE, optionally wrapped in the hot-bucket cap
     rank (similarity.cap_band_buckets' DuckDB twin: row_number over
     (band, bucket) ordered by md5 of the id's decimal rendering, id
@@ -240,12 +240,12 @@ def _banded_eb_sql(bucket_cap: int | None = None) -> str:
     end at any scale, binding or not."""
     from pasta_pipeline_spark.operators.similarity import bucket_cap_rank_sql
 
-    base = """
+    base = f"""
     eb0 AS (
       SELECT vec_id, embedding, band,
              CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
                            THEN 1::BIGINT << pidx ELSE 0 END) AS BIGINT) AS bucket
-      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding, band
+      FROM {src_table} CROSS JOIN planes GROUP BY vec_id, embedding, band
     )"""
     if bucket_cap is None:
         return base.replace("eb0 AS", "eb AS")

@@ -29,6 +29,7 @@ def _ivf_pairs_sql(
     threshold: float = 0.4,
     fp_scale: int = 10_000_000,
     carry_csim: bool = False,
+    src_table: str = "embeddings",
 ) -> str:
     """WITH-clause chain replaying similarity.ivf_dup_pairs bit for
     bit, ending in ``dup(id_a, id_b, sim)``:
@@ -51,7 +52,7 @@ def _ivf_pairs_sql(
         f"""src AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings WHERE len(embedding) = {dim}
+      FROM {src_table} WHERE len(embedding) = {dim}
     ),
     cent0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,

@@ -255,3 +255,135 @@ def test_hash_cluster_edges_component_equivalent(spark):
     )
     reduced = clusters(hash_cluster_edges(df, ["width", "height"], "dhash", "media_id"))
     assert full == reduced and len(full) == len(rows)
+
+
+# ---- two-level (coarse-quantizer) assignment, wave 34 (r13) ----
+
+
+def test_auto_coarse_cells_boundaries():
+    from pasta_pipeline_spark.operators.similarity import auto_coarse_cells
+
+    assert auto_coarse_cells(8) == 3       # round(sqrt(8))
+    assert auto_coarse_cells(447) == 21    # the sf10 shape
+    assert auto_coarse_cells(2) == 2       # floor of 2 — never a 1-group
+    assert auto_coarse_cells(1) == 2
+
+
+def test_two_level_single_group_equals_flat(spark, emb):
+    """n_coarse=1 puts every fine cell in one coarse group, so pass 2
+    scores ALL fine cells with the flat tie order — the two-level
+    assignment degenerates to the flat one EXACTLY (pair sets equal),
+    which pins both argmax passes and the member join against the
+    flat path's semantics."""
+    from pasta_pipeline_spark.operators.similarity import ivf_dup_pairs
+
+    flat = _pairs_set(
+        ivf_dup_pairs(emb, 0.3, dim=64, n_cells=6, iterations=2, two_level=False)
+    )
+    tl = _pairs_set(
+        ivf_dup_pairs(
+            emb, 0.3, dim=64, n_cells=6, iterations=2, two_level=True, n_coarse=1
+        )
+    )
+    assert tl == flat and len(flat) > 0
+
+
+def test_two_level_full_probe_equals_flat(spark, emb):
+    """coarse_probe == n_coarse probes every coarse group, so the fine
+    candidate set is again ALL cells — exact flat equivalence through
+    the multiprobe path."""
+    from pasta_pipeline_spark.operators.similarity import ivf_dup_pairs
+
+    flat = _pairs_set(
+        ivf_dup_pairs(emb, 0.3, dim=64, n_cells=6, iterations=2, two_level=False)
+    )
+    tl = _pairs_set(
+        ivf_dup_pairs(
+            emb, 0.3, dim=64, n_cells=6, iterations=2,
+            two_level=True, n_coarse=3, coarse_probe=3,
+        )
+    )
+    assert tl == flat
+
+
+def test_two_level_pairs_are_true_pairs(spark, emb):
+    """No false positives through the two-level route either: every
+    emitted pair clears the exact threshold."""
+    from pasta_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs,
+        ivf_dup_pairs,
+    )
+
+    got = _pairs_set(
+        ivf_dup_pairs(emb, 0.3, dim=64, n_cells=6, iterations=2, two_level=True)
+    )
+    want = _pairs_set(cosine_dup_pairs(emb, 0.3, use_lsh=False))
+    assert got <= want and len(got) > 0
+
+
+def test_assign_profile_consistency(spark, emb):
+    """The profile's counts satisfy their own identities: flat =
+    n·cells, two_level = coarse_pass + fine_pass, Σ assigned = n means
+    fine_pass <= n·cells."""
+    from pasta_pipeline_spark.operators.similarity import ivf_assign_profile
+
+    row = ivf_assign_profile(emb, dim=64, n_cells=8).collect()[0]
+    assert row.n_vectors == 500
+    assert row.cosines_flat == row.n_vectors * row.n_cells
+    assert row.cosines_coarse_pass == row.n_vectors * row.n_coarse_used
+    assert row.cosines_two_level == row.cosines_coarse_pass + row.cosines_fine_pass
+    assert 0 < row.cosines_fine_pass <= row.cosines_flat
+    assert row.n_coarse_used <= row.n_coarse
+
+
+def test_semantic_dedup_auto_below_anchor_is_banded(spark, emb):
+    """At gate scale the front door routes to the banded path —
+    output EXACTLY semantic_dedup's (same auto-calibrated config)."""
+    from pasta_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_auto,
+    )
+
+    want = {(r.vec_id, r.kept) for r in semantic_dedup(
+        emb, 0.4, dim=64, num_planes=None, num_bands=2
+    ).collect()}
+    got = {(r.vec_id, r.kept) for r in semantic_dedup_auto(
+        emb, 0.4, dim=64
+    ).collect()}
+    assert got == want and len(got) == emb.count()
+
+
+def test_semantic_dedup_auto_above_anchor_is_clustered(spark, emb):
+    """Past the anchor the front door routes to the cluster gate —
+    output EXACTLY semantic_dedup_clustered's (anchor forced below
+    the fixture so the dispatch itself is what's under test)."""
+    from pasta_pipeline_spark.operators.similarity import (
+        semantic_dedup_auto,
+        semantic_dedup_clustered,
+    )
+
+    want = {(r.vec_id, r.kept) for r in semantic_dedup_clustered(
+        emb, 0.4, dim=64, n_cells=None
+    ).collect()}
+    got = {(r.vec_id, r.kept) for r in semantic_dedup_auto(
+        emb, 0.4, dim=64, anchor=10
+    ).collect()}
+    assert got == want
+
+
+def test_two_level_keep_contract(spark, emb):
+    """semantic_dedup_clustered(two_level=True) keeps the same
+    smallest-id-survives law over ITS gate's pairs."""
+    from pasta_pipeline_spark.operators.similarity import (
+        ivf_dup_pairs,
+        semantic_dedup_clustered,
+    )
+
+    pairs = ivf_dup_pairs(emb, 0.3, dim=64, n_cells=6, iterations=2, two_level=True)
+    dropped_want = {r.id_b for r in pairs.collect()}
+    out = semantic_dedup_clustered(
+        emb, 0.3, dim=64, n_cells=6, iterations=2, two_level=True
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r.vec_id for r in rows if r.kept == 0} == dropped_want

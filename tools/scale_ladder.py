@@ -36,6 +36,42 @@ DATA_RATIO = 10.0
 FLAG_FACTOR = 1.3
 MIN_BIG_SEC = 1.0
 
+#: Contract-scoped expected flags (r12 verdict ask #3): queries whose
+#: super-linear growth is their CONTRACT's price tag, not a
+#: regression — the banded recipes keep every band-collision pair by
+#: construction (NOTES #66/#73), and their bounded siblings
+#: (semantic_dedup_clustered / ivf_threshold_sweep) plus the
+#: semantic_dedup_auto front door are measured unflagged beside them.
+#: A raised flag on these lands in the artifact's ``expected_flags``
+#: list with this annotation instead of ``flagged`` — recorded, never
+#: hidden; any OTHER query flagging is still a real signal.
+EXPECTED_FLAGS = {
+    "semantic_dedup": (
+        "banded-gate contract: keeps every band-collision pair at fixed "
+        "recall (NOTES #66) — gate-scale-only by contract; the default "
+        "path is semantic_dedup_auto (clustered above the anchor, sf10 "
+        "ratio 7.7 vs banded 14.49)"
+    ),
+    "dedup_threshold_sweep": (
+        "banded-sweep contract: profiles the banded gate's OWN pair "
+        "population, keeping every gated pair (NOTES #73) — the "
+        "at-scale planning instrument is ivf_threshold_sweep (sf10 "
+        "ratio 5.42 vs 15.75)"
+    ),
+}
+
+
+def _flag_dest(
+    tier_key: str, name: str, row: dict, flagged: list, expected: list
+) -> None:
+    """Route a raised flag: contract-scoped names are annotated into
+    ``expected`` (artifact's expected_flags); others into ``flagged``."""
+    if name in EXPECTED_FLAGS:
+        row["expected_flag"] = EXPECTED_FLAGS[name]
+        expected.append(tier_key)
+    else:
+        flagged.append(tier_key)
+
 #: bench.py's headline set + the dedup tail as registered catalog
 #: queries (standalone form — each tier pays its own scan here, which
 #: only makes the audit stricter) + the heaviest iterative/composed
@@ -137,6 +173,13 @@ QUERIES = [
     "ivf_cell_profile",
     "semantic_dedup_diverse",
     "ivf_threshold_sweep",
+    # r13 waves 34-36: the two-level assignment, its cost profile,
+    # the paper-regime recall audits, and the auto front door
+    "semantic_dedup_2l",
+    "ivf_assign_profile",
+    "planted_ivf_recall",
+    "minhash_gate_recall",
+    "semantic_dedup_auto",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
@@ -211,6 +254,11 @@ SF1_QUERIES = [
     # r12 wave 33: the cluster-gated sweep (the banded sweep's
     # bounded-volume answer) and the IVF observability row
     "ivf_threshold_sweep",
+    # r13: the two-level assignment + its exact cosine-count profile
+    # (the NOTES #75(a) third-decade measurement) + the front door
+    "semantic_dedup_2l",
+    "ivf_assign_profile",
+    "semantic_dedup_auto",
 ]
 
 #: sf1 → sf10 tier (r10 verdict ask #2): DIRECT second-decade
@@ -241,6 +289,19 @@ SF10_QUERIES = [
     # r12 wave 33: the bounded-volume sweep next to the flagged
     # banded one — same readout, cluster-gated pair population
     "ivf_threshold_sweep",
+    # r13 (r12 verdict asks #1/#3): the two-level assignment's second
+    # decade (the rung the n^1.25 shape was built for), the exact
+    # cosine-count profile at 200k vectors, and the front door's
+    # default path measured unflagged at scale
+    "semantic_dedup_2l",
+    "ivf_assign_profile",
+    "semantic_dedup_auto",
+    # r13 (r12 verdict ask #4): the remaining heavy tail's second
+    # decade — worst unmeasured sf1 ratios + both composed capstones
+    "rake_keyphrases",
+    "edit_distance_pairs",
+    "pretrain_pipeline",
+    "training_corpus",
 ]
 
 
@@ -495,6 +556,9 @@ def sf10_only(out_path: str) -> None:
         f for f in doc.get("flagged", [])
         if not f.startswith("sf10:") and not f.startswith("sf10-failed:")
     ]
+    expected = [
+        f for f in doc.get("expected_flags", []) if not f.startswith("sf10:")
+    ]
     for name in SF10_QUERIES:
         try:
             t_sf1 = fresh_time(name, SF1_DIR, 2, 900)
@@ -512,7 +576,9 @@ def sf10_only(out_path: str) -> None:
                 "flag": flag,
             }
             if flag:
-                flagged.append(f"sf10:{name}")
+                _flag_dest(
+                    f"sf10:{name}", name, sf10_report[name], flagged, expected
+                )
             print(
                 f"sf10 {name}: {t_sf1:.3f}s -> {t_sf10:.3f}s  ratio {ratio}"
                 f"{'  ** SUPER-LINEAR **' if flag else ''}",
@@ -523,6 +589,7 @@ def sf10_only(out_path: str) -> None:
             flagged.append(f"sf10-failed:{name}")
     doc["queries_sf10"] = sf10_report
     doc["flagged"] = flagged
+    doc["expected_flags"] = expected
     doc.setdefault("notes", {})["sf10_regenerated"] = (
         "sf10 tier re-run (fresh-process both rungs, one query per new "
         "JVM) after mid-round fixes; the sf0.01/0.1 and sf1 tiers are "
@@ -574,6 +641,7 @@ def main() -> None:
 
     report: dict = {}
     flagged: list[str] = []
+    expected: list[str] = []
     for name in QUERIES:
         t_small = run(name, SF_SMALL)
         t_big = run(name, SF_BIG)
@@ -590,7 +658,7 @@ def main() -> None:
             "flag": flag,
         }
         if flag:
-            flagged.append(name)
+            _flag_dest(name, name, report[name], flagged, expected)
         print(
             f"{name}: {t_small:.3f}s -> {t_big:.3f}s  ratio {ratio}"
             f"{'  ** SUPER-LINEAR **' if flag else ''}",
@@ -616,7 +684,7 @@ def main() -> None:
             "flag": flag,
         }
         if flag:
-            flagged.append(f"sf1:{name}")
+            _flag_dest(f"sf1:{name}", name, sf1_report[name], flagged, expected)
         print(
             f"sf1 {name}: {t_mid:.3f}s -> {t_big:.3f}s  ratio {ratio}"
             f"{'  ** SUPER-LINEAR **' if flag else ''}",
@@ -703,7 +771,9 @@ def main() -> None:
                 "flag": flag,
             }
             if flag:
-                flagged.append(f"sf10:{name}")
+                _flag_dest(
+                    f"sf10:{name}", name, sf10_report[name], flagged, expected
+                )
             print(
                 f"sf10 {name}: {t_sf1:.3f}s -> {t_sf10:.3f}s  ratio {ratio}"
                 f"{'  ** SUPER-LINEAR **' if flag else ''}",
@@ -737,6 +807,7 @@ def main() -> None:
         "queries": report,
         "queries_sf1": sf1_report,
         "flagged": flagged,
+        "expected_flags": expected,
     }
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
