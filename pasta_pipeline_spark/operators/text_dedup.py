@@ -1766,6 +1766,349 @@ def minhash_gate_recall(
     )
 
 
+#: Planted text-twin perturbation cycle: every m-th token replaced.
+#: With 3-gram shingles each replaced token corrupts <= 3 shingles, so
+#: expected Jaccard bands are roughly 0.28 / 0.49 / 0.65 / 0.78 —
+#: bracketing the dedup tier's theta=0.5 from both sides (truth is
+#: still computed EXACTLY; the bands only shape the population).
+PLANT_TEXT_MODS = (6, 10, 16, 24)
+
+
+def plant_near_dup_texts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_mod: int = 4,
+    drop_mods: tuple[int, ...] = PLANT_TEXT_MODS,
+    id_offset: int = 10_000_000,
+) -> DataFrame:
+    """Deterministic planted near-duplicate TEXT corpus — the token
+    tier's analog of similarity.plant_near_dups (wave 35): for every
+    base doc with ``id % rate_mod == 0`` and non-null text, a twin at
+    ``id + id_offset`` whose every ``m``-th token is replaced by a
+    globally-unique marker (``zq<twin_id>x<pos>`` — never matches any real
+    token or another twin's marker, so corrupted shingles simply leave
+    the intersection; no accidental cross-doc collisions). ``m``
+    cycles through ``drop_mods`` by ``id % (rate_mod·len(mods))``, so
+    the planted pair population spans Jaccard bands that bracket the
+    dedup threshold from both sides.
+
+    Unlike the embedding fixture there is no closed-form exact target
+    (shingle overlap depends on token multiplicity), and none is
+    needed: the recall audit computes exact Jaccard on every planted
+    pair anyway — the fixture only has to CREATE a controlled
+    near-dup population, deterministically, in both engines. Twin
+    text is rebuilt from the shingle pipeline's own tokenization
+    (lowercased, whitespace-split, single-space joined), which that
+    pipeline maps to the same token sequence.
+
+    Returns base ∪ twins with (id, text) plus untouched extra columns
+    from the base rows (twins carry the base row's values).
+    """
+    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    n_m = len(drop_mods)
+    # the base id rides under a private name: referencing id_col in
+    # the same select that re-aliases it resolves to the OUTPUT alias
+    # under Spark's lateral-column-alias precedence, not the input
+    pick = (F.col("__bid") % F.lit(rate_mod * n_m)) / F.lit(rate_mod)
+    m_arr = F.array(*[F.lit(int(m)) for m in drop_mods])
+    m_col = F.element_at(m_arr, pick.cast("int") + 1)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    marker = lambda i: F.concat(  # noqa: E731
+        F.lit("zq"),
+        (F.col("__bid") + F.lit(id_offset)).cast("string"),
+        F.lit("x"),
+        (i + 1).cast("string"),
+    )
+    twin_text = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when((i + 1) % m_col == 0, marker(i)).otherwise(t),
+        ),
+        " ",
+    )
+    twins = (
+        docs.where((F.col(id_col) % rate_mod == 0) & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__bid"),
+            F.col(text_col),
+            *[F.col(c) for c in others],
+        )
+        .select(
+            (F.col("__bid") + F.lit(id_offset)).alias(id_col),
+            twin_text.alias(text_col),
+            *[F.col(c) for c in others],
+        )
+    )
+    return docs.select(id_col, text_col, *others).unionByName(twins)
+
+
+def planted_minhash_recall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    rate_mod: int = 4,
+    drop_mods: tuple[int, ...] = PLANT_TEXT_MODS,
+    id_offset: int = 10_000_000,
+    recall_scale: int = 1_000_000,
+) -> DataFrame:
+    """Banded-MinHash gate recall over the planted text-twin corpus —
+    per perturbation band, with exact-Jaccard truth on EVERY planted
+    pair (full population, no subsample: planted pairs are linear in
+    the corpus, so the quadratic-truth bound of
+    :func:`minhash_gate_recall` isn't needed here).
+
+    One row per ``drop_mod``: ``(drop_mod, n_planted, n_true,
+    n_gated, recall_sc)`` — n_true = planted pairs whose exact shingle
+    Jaccard clears ``threshold`` (the m=6 band sits mostly BELOW θ=0.5
+    by construction, exercising the gate near its operating edge),
+    n_gated = those of them the banding catches, recall_sc =
+    floor(n_gated/n_true · recall_scale), NULL for a band with no true
+    pair. Signatures run the md5 family (same constants as
+    :func:`minhash_error_report`) so the WHOLE audit replays in SQL.
+    """
+    rows_per_band = num_hashes // num_bands
+    if rows_per_band * num_bands != num_hashes:
+        raise ValueError("num_bands must divide num_hashes")
+    planted = plant_near_dup_texts(
+        docs, id_col=id_col, text_col=text_col,
+        rate_mod=rate_mod, drop_mods=drop_mods, id_offset=id_offset,
+    )
+    sh = _shingle_table(planted, id_col, text_col, n, hashed=False)
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    params = _md5_minhash_params(num_hashes)
+    sigs = sh.select("doc", x.alias("x")).groupBy("doc").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(a).cast("long") * F.col("x") + F.lit(b).cast("long"),
+                    F.lit(_MERSENNE31).cast("long"),
+                )
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    # planted pair frame: (doc_a=base, doc_b=twin, drop_mod)
+    n_m = len(drop_mods)
+    pick = (F.col(id_col) % F.lit(rate_mod * n_m)) / F.lit(rate_mod)
+    m_arr = F.array(*[F.lit(int(m)) for m in drop_mods])
+    truth = docs.where(
+        (F.col(id_col) % rate_mod == 0) & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc_a"),
+        (F.col(id_col) + F.lit(id_offset)).alias("doc_b"),
+        F.element_at(m_arr, pick.cast("int") + 1).alias("drop_mod"),
+    )
+    # exact Jaccard on the planted pairs only — one shingle join per
+    # side against the pair frame (linear in planted pairs)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    t_bp = int(round(threshold * 10000))
+    # composite (doc_b, sh) equi-join: intersection rows stay linear
+    # in Σ shared shingles — never a per-pair shingle cross frame
+    common = (
+        sh.select(F.col("doc").alias("doc_a"), "sh")
+        .join(truth.select("doc_a", "doc_b"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = (
+        truth.join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+        .withColumn(
+            "is_true",
+            (
+                F.col("n_common") * 10000
+                >= F.lit(t_bp) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("int"),
+        )
+    )
+    # banding collision on the planted pairs: any band where all slots
+    # agree (slim — one sig join per side of the pair frame)
+    a_sig = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b_sig = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    band_hit = None
+    for j in range(num_bands):
+        cond = F.lit(True)
+        for r in range(rows_per_band):
+            k = j * rows_per_band + r
+            cond = cond & (F.col(f"a{k}") == F.col(f"b{k}"))
+        band_hit = cond if band_hit is None else (band_hit | cond)
+    gated = (
+        jac.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .withColumn("is_gated", band_hit.cast("int"))
+    )
+    return (
+        gated.groupBy("drop_mod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_planted"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum(F.col("is_true") * F.col("is_gated")).cast("long").alias("n_gated"),
+        )
+        .select(
+            "drop_mod",
+            "n_planted",
+            "n_true",
+            "n_gated",
+            F.when(
+                F.col("n_true") > 0,
+                F.floor(
+                    F.col("n_gated").cast("double")
+                    / F.col("n_true").cast("double")
+                    * recall_scale
+                ).cast("long"),
+            ).alias("recall_sc"),
+        )
+        .orderBy("drop_mod")
+    )
+
+
+def planted_minhash_recall_oracle_sql(
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    rate_mod: int = 4,
+    drop_mods: tuple[int, ...] = PLANT_TEXT_MODS,
+    id_offset: int = 10_000_000,
+    recall_scale: int = 1_000_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`planted_minhash_recall`: the text-twin
+    construction (same tokenization, same markers), md5-family
+    signatures, banding as an OR-of-bands predicate, exact-Jaccard
+    truth on the planted pairs, per-band recall."""
+    params = _md5_minhash_params(num_hashes)
+    rows_per_band = num_hashes // num_bands
+    t_bp = int(round(threshold * 10000))
+    n_m = len(drop_mods)
+    mod = rate_mod * n_m
+    marr = "[" + ", ".join(str(int(m)) for m in drop_mods) + "]"
+    pick = f"CAST(({id_col} % {mod}) // {rate_mod} + 1 AS INT)"
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_or = "\n              OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.mh{j * rows_per_band + r} = sb.mh{j * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for j in range(num_bands)
+    )
+    return f"""
+    WITH ptoks AS (
+      SELECT {id_col},
+             list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                         y -> y <> '') AS t,
+             ({marr})[{pick}] AS m
+      FROM {table}
+      WHERE {id_col} % {rate_mod} = 0 AND {text_col} IS NOT NULL
+    ), ptw AS (
+      SELECT bid + {id_offset} AS {id_col}, twin_text AS {text_col} FROM (
+        SELECT {id_col} AS bid,
+               array_to_string(list_transform(t, (x, p) ->
+                 CASE WHEN p % m = 0
+                      THEN 'zq' || CAST({id_col} + {id_offset} AS VARCHAR)
+                           || 'x' || CAST(p AS VARCHAR)
+                      ELSE x END), ' ') AS twin_text
+        FROM ptoks)
+    ), planted AS (
+      SELECT {id_col}, {text_col} FROM {table}
+      UNION ALL
+      SELECT {id_col}, {text_col} FROM ptw
+    ), toks AS (
+      SELECT {id_col}, list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                                   y -> y <> '') AS t
+      FROM planted
+    ), sh AS (
+      SELECT DISTINCT {id_col},
+             CASE WHEN len(t) >= {n}
+                  THEN {" || ' ' || ".join(f"t[i+{j}]" for j in range(n))}
+                  ELSE array_to_string(t, ' ') END AS s
+      FROM (SELECT {id_col}, t,
+                   unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i
+            FROM toks)
+    ), x AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT & 2147483647 AS x
+      FROM sh
+    ), sig AS (
+      SELECT {id_col}, {sig_cols}
+      FROM x GROUP BY {id_col}
+    ), truth AS (
+      SELECT {id_col} AS doc_a, {id_col} + {id_offset} AS doc_b,
+             CAST(({marr})[{pick}] AS INT) AS drop_mod
+      FROM {table}
+      WHERE {id_col} % {rate_mod} = 0 AND {text_col} IS NOT NULL
+    ), sizes AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY {id_col}
+    ), common AS (
+      SELECT t.doc_a, t.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM truth t
+      JOIN sh a ON a.{id_col} = t.doc_a
+      JOIN sh b ON b.{id_col} = t.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT t.doc_a, t.doc_b, t.drop_mod,
+             COALESCE(c.n_common, 0) AS n_common,
+             za.n_sh AS n_a, zb.n_sh AS n_b,
+             CASE WHEN COALESCE(c.n_common, 0) * 10000
+                       >= {t_bp} * (za.n_sh + zb.n_sh - COALESCE(c.n_common, 0))
+                  THEN 1 ELSE 0 END AS is_true
+      FROM truth t
+      LEFT JOIN common c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+      JOIN sizes za ON za.{id_col} = t.doc_a
+      JOIN sizes zb ON zb.{id_col} = t.doc_b
+    ), gated AS (
+      SELECT j.drop_mod, j.is_true,
+             CASE WHEN ({band_or}) THEN 1 ELSE 0 END AS is_gated
+      FROM jac j
+      JOIN sig sa ON sa.{id_col} = j.doc_a
+      JOIN sig sb ON sb.{id_col} = j.doc_b
+    )
+    SELECT drop_mod,
+           CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(SUM(is_true) AS BIGINT) AS n_true,
+           CAST(SUM(is_true * is_gated) AS BIGINT) AS n_gated,
+           CASE WHEN SUM(is_true) > 0 THEN
+             CAST(FLOOR(CAST(SUM(is_true * is_gated) AS DOUBLE)
+                        / CAST(SUM(is_true) AS DOUBLE)
+                        * {recall_scale}) AS BIGINT) END AS recall_sc
+    FROM gated
+    GROUP BY drop_mod
+    ORDER BY drop_mod
+    """
+
+
 def minhash_gate_recall_oracle_sql(
     n: int = 3,
     num_hashes: int = 64,

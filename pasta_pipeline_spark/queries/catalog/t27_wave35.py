@@ -343,3 +343,32 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.similarity import semantic_dedup_auto
 
     return semantic_dedup_auto(_t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64)
+
+
+def _planted_minhash_oracle() -> str:
+    from pasta_pipeline_spark.operators.text_dedup import (
+        planted_minhash_recall_oracle_sql,
+    )
+
+    return planted_minhash_recall_oracle_sql()
+
+
+@register(
+    "planted_minhash_recall",
+    _planted_minhash_oracle(),
+    doc="Banded-MinHash gate recall over a PLANTED text-twin corpus "
+    "(text_dedup.planted_minhash_recall) — the token tier's wave-35: "
+    "plant_near_dup_texts replaces every m-th token of every 4th doc "
+    "with a globally-unique marker (m cycles 6/10/16/24, spanning "
+    "Jaccard bands ~0.28-0.78 that bracket θ=0.5 from both sides), "
+    "and recall is reported per band against exact-Jaccard truth on "
+    "EVERY planted pair — full population, no subsample, so the gate "
+    "is exercised near its operating edge where the raw fixture has "
+    "almost no pairs. md5-family signatures (minhash_error_report's "
+    "constants) make the whole audit — twin construction, shingling, "
+    "signatures, 16-band banding, truth, recall — DuckDB-replayable.",
+)
+def q_planted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasta_pipeline_spark.operators.text_dedup import planted_minhash_recall
+
+    return planted_minhash_recall(_t(spark, sf_dir, "documents"))

@@ -184,3 +184,46 @@ def test_minhash_gate_recall_bad_bands_raises(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError):
         minhash_gate_recall(docs, num_hashes=64, num_bands=10)
+
+
+# ---- planted text twins (wave 37) ----
+
+
+def test_plant_near_dup_texts_shape(spark):
+    """One twin per 4th non-null-text doc; twin text carries its own
+    globally-unique markers (zq<twin_id>x<pos>) and nothing else
+    foreign — the fixture's uniqueness guarantee."""
+    from pyspark.sql import functions as F
+
+    from pasta_pipeline_spark.operators.text_dedup import plant_near_dup_texts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = plant_near_dup_texts(docs)
+    twins = planted.where("doc_id >= 10000000")
+    n_expected = docs.where(
+        (F.col("doc_id") % 4 == 0) & F.col("text").isNotNull()
+    ).count()
+    rows = twins.select("doc_id", "text").collect()
+    assert len(rows) == n_expected
+    for r in rows[:20]:
+        assert f"zq{r.doc_id}x" in r.text, r.doc_id
+
+
+def test_planted_minhash_recall_bands(spark):
+    """Per-band contracts at fixture scale: the m=6 band sits almost
+    entirely below θ=0.5 (the fixture brackets the threshold by
+    construction), and recall climbs the Broder curve with m —
+    measured sf0.001: m10 0.84, m16 0.94, m24 1.0; floors pinned a
+    band under the measurements so a banding regression fails loudly
+    while fixture drift doesn't."""
+    from pasta_pipeline_spark.operators.text_dedup import planted_minhash_recall
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = {r.drop_mod: r for r in planted_minhash_recall(docs).collect()}
+    assert set(rows) == {6, 10, 16, 24}
+    assert rows[6].n_true <= rows[6].n_planted // 4  # mostly below θ
+    for m in (10, 16, 24):
+        assert rows[m].n_true == rows[m].n_planted  # above θ by design
+    assert rows[10].recall_sc >= 600_000, rows[10]
+    assert rows[16].recall_sc >= 800_000, rows[16]
+    assert rows[24].recall_sc >= 950_000, rows[24]

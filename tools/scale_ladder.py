@@ -180,6 +180,7 @@ QUERIES = [
     "planted_ivf_recall",
     "minhash_gate_recall",
     "semantic_dedup_auto",
+    "planted_minhash_recall",
 ]
 
 #: sf0.1 → sf1 tier (r6 verdict #6): the expensive tail measured over
