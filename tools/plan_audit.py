@@ -77,6 +77,19 @@ SCALAR_CROSSJOIN_OK = {
     "metadata) for the nearest-cell assignment scans",
     "ivf_threshold_sweep": "broadcast k-row centroid matrix (bounded "
     "metadata) for the nearest-cell assignment scans",
+    "semantic_dedup_2l": "broadcast centroid metadata at BOTH levels "
+    "(k-row fine matrix + sqrt(k)-row coarse matrix + the fine->group "
+    "map) for the two slim argmax passes — all sqrt(n)-bounded",
+    "cluster_gate_recall_2l": "two-level centroid/coarse broadcasts + "
+    "1-row count scalars for the recall readout",
+    "ivf_assign_profile": "two-level centroid/coarse broadcasts + "
+    "1-row n/used-groups scalars combined into the one-row profile",
+    "planted_ivf_recall": "broadcast k-row centroid matrix for the "
+    "audited gate over the planted corpus + 1-row recall scalars",
+    "planted_ivf_recall_2l": "two-level centroid/coarse broadcasts "
+    "over the planted corpus + 1-row recall scalars",
+    "minhash_gate_recall": "1-row n_docs/n_true/n_gated aggregates "
+    "combined into the one-row recall readout",
     "crawl_budget": "1-row weight-total scalar for the apportionment",
     "unigram_nll": "1-row corpus token total for the unigram model",
     "shard_manifest": "1-row total N for equal-depth shard arithmetic",
