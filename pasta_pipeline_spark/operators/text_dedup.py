@@ -247,6 +247,7 @@ def edit_distance_pairs(
     max_dist: int = 15,
     n_chunks: int = 5,
     hot_df_cap: int = 1024,
+    block_cap: int | None = 256,
 ) -> DataFrame:
     """Character-level fuzzy matching (the short-field tier of the
     dedup ladder — titles, names, near-identical openings): all pairs
@@ -268,6 +269,21 @@ def edit_distance_pairs(
     complete algorithm exists. Every emitted pair is verified with the
     exact Levenshtein, so the checked contract — like the LSH tiers —
     is zero false positives.
+
+    ``block_cap`` (r13): the hot-block guard, the same deterministic
+    membership cap as the LSH tier's ``cap_band_buckets`` (md5-rank of
+    the id's decimal rendering, id tiebreak — oracle-replayable).
+    Zipf-common prefixes are this tier's scale killer: a generic
+    8-char opening ("customer") collects members linearly with the
+    corpus, and Σdf² goes quadratic (measured on the sf10 ladder
+    fixture: Σdf² 10.9M → 988M for 10× docs, 442 s fresh, ratio 61.9
+    — the one genuine new flag of the r13 ladder). Capping each
+    (slice, text) block at ``block_cap`` members bounds pair volume at
+    blocks·cap²/2 while keeping every block's presence; recall within
+    a hot block degrades deterministically (the md5-ranked members
+    stay), and pairs dropped from one block are still recalled
+    through any less-hot slice they share. ``None`` disables (the
+    pre-r13 complete-per-blocking contract).
     """
     from pasta_pipeline_spark.operators.util import ensure_parallelism
 
@@ -298,6 +314,15 @@ def edit_distance_pairs(
         "doc",
         F.concat(F.col("c.i").cast("string"), F.lit(":"), F.col("c.s")).alias("sh"),
     )
+    if block_cap is not None:
+        bw = Window.partitionBy("sh").orderBy(
+            F.md5(F.col("doc").cast("string")), F.col("doc").asc()
+        )
+        blocks = (
+            blocks.withColumn("__bkrn", F.row_number().over(bw))
+            .where(F.col("__bkrn") <= block_cap)
+            .drop("__bkrn")
+        )
     cand = _candidate_pairs(blocks, hot_df_cap).distinct()
     pa = src.select(F.col("doc").alias("doc_a"), F.col("pfx").alias("pa"))
     pb = src.select(F.col("doc").alias("doc_b"), F.col("pfx").alias("pb"))

@@ -785,34 +785,55 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "edit_distance_pairs",
-    """
+def _edit_distance_oracle(block_cap: int = 256) -> str:
+    from pasta_pipeline_spark.operators.similarity import bucket_cap_rank_sql
+
+    return f"""
     WITH src AS (SELECT doc_id AS doc, lower(substr(text, 1, 40)) AS pfx FROM documents),
-    blocks AS (
+    blocks0 AS (
       SELECT doc, CAST(i AS VARCHAR) || ':' || substr(pfx, i*8+1, 8) AS bk
       FROM src CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) g
       WHERE substr(pfx, i*8+1, 8) <> ''
+    ),
+    blocks AS (
+      SELECT doc, bk FROM (
+        SELECT doc, bk,
+               row_number() OVER (PARTITION BY bk
+                 ORDER BY {bucket_cap_rank_sql('doc')}) AS bkrn
+        FROM blocks0)
+      WHERE bkrn <= {block_cap}
     ),
     cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
              FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.doc < b.doc)
     SELECT c.doc_a, c.doc_b, levenshtein(sa.pfx, sb.pfx) AS dist
     FROM cand c JOIN src sa ON c.doc_a = sa.doc JOIN src sb ON c.doc_b = sb.doc
     WHERE levenshtein(sa.pfx, sb.pfx) <= 15
-    """,
+    """
+
+
+@register(
+    "edit_distance_pairs",
+    _edit_distance_oracle(),
     doc="Edit-distance fuzzy matching (character-level dedup tier) over the "
     "whole corpus — block-gated, no id cap, no cross join: candidates must "
     "share one of 5 fixed-position 8-char slices of the lowercased 40-char "
     "prefix (inverted-index generation, hot-block fallback), then exact "
     "Levenshtein verifies. Recall is pigeonhole-exact for <= 4 "
-    "substitutions; the oracle replays the identical blocking.",
+    "substitutions. r13: each (slice, text) block is capped at 256 "
+    "members by the deterministic md5-rank (cap_band_buckets' guard, "
+    "replayed by the oracle) — Zipf-common prefixes previously grew "
+    "blocks linearly with the corpus and Σdf² quadratically (sf10 "
+    "ladder: 442 s, ratio 61.9 before the cap; 81.8 s after) — the "
+    "capped candidate volume is blocks·cap²/2, linear in the corpus; "
+    "fixture recall cost 14% at sf1 (low-entropy worst case).",
 )
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasta_pipeline_spark.operators.text_dedup import edit_distance_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return edit_distance_pairs(
-        docs, "doc_id", "text", prefix_len=40, max_dist=15, n_chunks=5
+        docs, "doc_id", "text", prefix_len=40, max_dist=15, n_chunks=5,
+        block_cap=256,
     )
 
 

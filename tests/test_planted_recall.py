@@ -209,6 +209,40 @@ def test_plant_near_dup_texts_shape(spark):
         assert f"zq{r.doc_id}x" in r.text, r.doc_id
 
 
+def test_edit_distance_block_cap(spark):
+    """The r13 hot-block guard on the edit-distance tier: block_cap=1
+    keeps one member per block (no same-block pairs → empty result),
+    a binding cap yields a subset of the uncapped pairs, and the
+    capped membership replays hash-exactly in DuckDB (the
+    cap_band_buckets md5-rank contract)."""
+    import duckdb
+
+    from pasta_pipeline_spark.operators.text_dedup import edit_distance_pairs
+    from pasta_pipeline_spark.queries.catalog.t05_multimodal import (
+        _edit_distance_oracle,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert (
+        edit_distance_pairs(docs, "doc_id", "text", block_cap=1).count() == 0
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(docs, "doc_id", "text", block_cap=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(docs, "doc_id", "text", block_cap=5).collect()
+    }
+    assert capped <= full
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    duck = {tuple(r) for r in con.execute(_edit_distance_oracle(block_cap=5)).fetchall()}
+    assert capped == duck
+
+
 def test_planted_minhash_recall_bands(spark):
     """Per-band contracts at fixture scale: the m=6 band sits almost
     entirely below θ=0.5 (the fixture brackets the threshold by
