@@ -55,9 +55,26 @@ STOPWORD_GATE = ("the", "a", "and", "of", "to", "in", "that", "for", "is", "it")
 def gopher_rules(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document rule verdicts: ``(id, n_words, n_lines, r_*, pass_all)``."""
+    """Per-document rule verdicts: ``(id, n_words, n_lines, r_*, pass_all)``.
+
+    Three stacked projections, deliberately: the token/line arrays are
+    bound to real columns first, then the integer counts, then the
+    flags. Higher-order-function lambdas are interpreted and escape
+    Spark's subexpression elimination, so the old single-projection
+    form re-ran tokenize 4× and the line split 3× per row (and
+    ``CollapseProject`` keeps multi-referenced non-cheap aliases in
+    their own projection, so the staging survives optimization).
+    """
     c = F.col(text_col)
-    toks = tokenize_ws(c, lowercase=False)
+    toks = F.col("__gr_toks")
+    lines = F.col("__gr_lines")
+    staged = docs.select(
+        F.col(id_col),
+        c.alias("__gr_text"),
+        tokenize_ws(c, lowercase=False).alias("__gr_toks"),
+        F.split(c, "\n").alias("__gr_lines"),
+    )
+    ct = F.col("__gr_text")
     n_words = F.coalesce(F.size(toks), F.lit(0)).cast("long")
     n_word_chars = F.coalesce(
         F.aggregate(
@@ -67,7 +84,6 @@ def gopher_rules(
         ),
         F.lit(0),
     ).cast("long")
-    lines = F.split(c, "\n")
     n_lines = F.coalesce(F.size(lines), F.lit(0)).cast("long")
     n_bullet = F.coalesce(
         F.size(
@@ -86,7 +102,7 @@ def gopher_rules(
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))), F.lit(0)
     ).cast("long")
     n_symbols = (
-        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"(\.\.\.|…)"))
+        F.regexp_count(ct, F.lit("#")) + F.regexp_count(ct, F.lit(r"(\.\.\.|…)"))
     ).cast("long")
     n_stop_distinct = F.coalesce(
         F.size(
@@ -97,6 +113,25 @@ def gopher_rules(
         ),
         F.lit(0),
     ).cast("long")
+    counted = staged.select(
+        F.col(id_col),
+        n_words.alias("__gr_n_words"),
+        n_word_chars.alias("__gr_n_word_chars"),
+        n_lines.alias("__gr_n_lines"),
+        n_bullet.alias("__gr_n_bullet"),
+        n_ell_lines.alias("__gr_n_ell"),
+        n_alpha_words.alias("__gr_n_alpha_w"),
+        n_symbols.alias("__gr_n_symbols"),
+        n_stop_distinct.alias("__gr_n_stop"),
+    )
+    n_words = F.col("__gr_n_words")
+    n_word_chars = F.col("__gr_n_word_chars")
+    n_lines = F.col("__gr_n_lines")
+    n_bullet = F.col("__gr_n_bullet")
+    n_ell_lines = F.col("__gr_n_ell")
+    n_alpha_words = F.col("__gr_n_alpha_w")
+    n_symbols = F.col("__gr_n_symbols")
+    n_stop_distinct = F.col("__gr_n_stop")
 
     r_word_count = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
     r_mean_word_len = (n_word_chars >= MIN_MEAN_WORD_LEN * n_words) & (
@@ -120,7 +155,7 @@ def gopher_rules(
     pass_all = None
     for expr in flags.values():
         pass_all = expr if pass_all is None else (pass_all & expr)
-    return docs.select(
+    return counted.select(
         F.col(id_col),
         n_words.alias("n_words"),
         n_lines.alias("n_lines"),

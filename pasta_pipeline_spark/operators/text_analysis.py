@@ -61,17 +61,35 @@ def detect_language(text: Column | str) -> Column:
     2. else argmax of stopword-profile hit counts (ties break in
        profile order en > de > fr > es);
     3. no hits at all → 'und'.
+
+    The token array and the four hit counts are each bound ONCE via a
+    single-element ``transform`` (lambda-variable binding): higher-order
+    lambdas are interpreted and Spark's subexpression elimination does
+    not reach into them, so the naive inline form re-tokenized the text
+    ~9× per row (once per hit-count reference in the argmax CASE) —
+    visible as ~20 ``split`` nodes in the lang_id physical plan.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize_ws(c, lowercase=True)
     cyr = F.coalesce(F.length(F.regexp_extract(c, "([Ѐ-ӿ])", 1)), F.lit(0)) > 0
     cjk = F.coalesce(F.length(F.regexp_extract(c, "([一-鿿])", 1)), F.lit(0)) > 0
-    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    expr = F.when(cyr, F.lit("ru")).when(cjk, F.lit("zh")).when(best <= 0, F.lit("und"))
-    for lang in STOPWORDS:  # insertion order == tie priority
-        expr = expr.when(hits[lang] == best, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+
+    langs = list(STOPWORDS)  # insertion order == tie priority
+
+    def _pick(hits: Column) -> Column:
+        best = F.array_max(hits)
+        expr = F.when(best <= 0, F.lit("und"))
+        for i, lang in enumerate(langs):
+            expr = expr.when(F.element_at(hits, i + 1) == best, F.lit(lang))
+        return expr.otherwise(F.lit("und"))
+
+    def _decide(toks: Column) -> Column:
+        hits = F.array(*[stopword_hits(toks, lang) for lang in langs])
+        return F.element_at(F.transform(F.array(hits), _pick), 1)
+
+    decided = F.element_at(
+        F.transform(F.array(tokenize_ws(c, lowercase=True)), _decide), 1
+    )
+    return F.when(cyr, F.lit("ru")).when(cjk, F.lit("zh")).otherwise(decided)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -88,24 +106,53 @@ def quality_score(text: Column | str) -> Column:
     integer counts, so the double math is cross-engine exact.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize_ws(c, lowercase=True)
-    n_tok = F.size(toks)
-    n_nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
-    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-zА-Яа-я一-鿿]+", ""))
-    en_hits = stopword_hits(toks, "en")
 
-    length_c = F.least(n_tok.cast("double") / 64.0, F.lit(1.0))
-    alpha_c = F.when(n_nonspace > 0, n_alpha.cast("double") / n_nonspace.cast("double")).otherwise(
-        F.lit(0.0)
+    # The token array and the four integer counts are each bound ONCE
+    # via single-element ``transform`` lambdas (see detect_language):
+    # the inline form re-ran tokenize/regexp chains per reference —
+    # ~8 tokenize passes per row through the nested WHEN conditions.
+    def _score(s: Column) -> Column:
+        n_tok = s["n_tok"]
+        n_nonspace = s["n_nonspace"]
+        n_alpha = s["n_alpha"]
+        en_hits = s["en_hits"]
+        length_c = F.least(n_tok.cast("double") / 64.0, F.lit(1.0))
+        alpha_c = F.when(
+            n_nonspace > 0, n_alpha.cast("double") / n_nonspace.cast("double")
+        ).otherwise(F.lit(0.0))
+        stop_c = F.when(
+            n_tok > 0,
+            F.least(4.0 * en_hits.cast("double") / n_tok.cast("double"), F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        mean_len = F.when(
+            n_tok > 0, n_nonspace.cast("double") / n_tok.cast("double")
+        ).otherwise(F.lit(0.0))
+        len_c = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        return (length_c + alpha_c + stop_c + len_c) / F.lit(4.0)
+
+    def _counts(toks: Column) -> Column:
+        return F.element_at(
+            F.transform(
+                F.array(
+                    F.struct(
+                        F.size(toks).alias("n_tok"),
+                        F.length(F.regexp_replace(c, r"\s+", "")).alias("n_nonspace"),
+                        F.length(
+                            F.regexp_replace(c, r"[^A-Za-zА-Яа-я一-鿿]+", "")
+                        ).alias("n_alpha"),
+                        stopword_hits(toks, "en").alias("en_hits"),
+                    )
+                ),
+                _score,
+            ),
+            1,
+        )
+
+    score = F.element_at(
+        F.transform(F.array(tokenize_ws(c, lowercase=True)), _counts), 1
     )
-    stop_c = F.when(
-        n_tok > 0, F.least(4.0 * en_hits.cast("double") / n_tok.cast("double"), F.lit(1.0))
-    ).otherwise(F.lit(0.0))
-    mean_len = F.when(n_tok > 0, n_nonspace.cast("double") / n_tok.cast("double")).otherwise(
-        F.lit(0.0)
-    )
-    len_c = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = (length_c + alpha_c + stop_c + len_c) / F.lit(4.0)
     return F.when(c.isNull() | (F.trim(c) == ""), F.lit(0.0)).otherwise(score)
 
 
