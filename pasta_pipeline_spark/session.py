@@ -56,6 +56,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor 1m -> 64k: BYTES are a poor proxy for
+        # task cost on this engine's compute-dense shuffles (64-dim
+        # cosine folds, array-set intersections ride the pair frames),
+        # and the default 1 MiB floor coalesces every sub-MiB exchange
+        # to ONE task — the r13 stage profile showed single-task verify
+        # stages holding 25-45% of the pair tiers' wall. parallelismFirst
+        # (default on) still caps split width at the session parallelism,
+        # and at production scale post-shuffle partitions are hundreds of
+        # MB so the floor never binds — the knob only stops byte-based
+        # coalescing from serializing compute-heavy small shuffles.
+        # Order-fair interleaved A/B at sf0.1 (tools/conf_ab.py, min of
+        # 6): semantic_dedup 0.40x, semantic_dedup_2l 0.66x,
+        # prefix_jaccard_pairs 0.78x, pricing_summary 0.91x; null-test
+        # noise envelope 1.03-1.31. Override via SPARK_GRAFT_CONF.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
         # --- Shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # --- Scan parallelism: split files into <=128MB tasks ------------
@@ -75,6 +90,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Scale-dependent knobs stay parameterized (optimization-round
+    # rule): SPARK_GRAFT_CONF="key=value;key=value" applies LAST, so a
+    # cluster deploy (or a measurement run) can override any default
+    # above without code edits — the spark-submit --conf analog.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
