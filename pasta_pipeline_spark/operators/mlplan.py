@@ -125,12 +125,6 @@ def standardize_features(
     return j.select(*out_cols)
 
 
-def _z_fp() -> Column:
-    """Linear score at weight scale: (w·x) div FEAT_SCALE, over the
-    joined (features × broadcast weights) frame."""
-    return F.expr(f"(__w0 * x0 + __w1 * x1 + __w2 * x2) div {FEAT_SCALE}")
-
-
 _SOFTSIGN = (
     f"{W_SCALE // 2} + (__z * {W_SCALE // 2}) div ({W_SCALE} + abs(__z))"
 )
@@ -153,103 +147,86 @@ def logistic_gd_report(
     """
     if steps < 1:
         raise ValueError("steps must be >= 1")
-    from pasta_pipeline_spark.operators.util import attach_cached_deps
+    import math
 
     spark = feats.sparkSession
-    # the feature frame is scanned 2*steps+1 times (gradient + accuracy
-    # passes); persist it once so the standardization lineage (moments
-    # scan included) is not replayed per step — the caller releases via
-    # release_cached_deps (house pattern, see operators/graph.py)
+    # the feature frame is scanned steps+1 times (per-step gradient +
+    # final accuracy); persist it once so the standardization lineage
+    # (moments scan included) is not replayed per step
     feats = feats.persist()
 
-    def with_w(wdf: DataFrame) -> DataFrame:
-        j = feats.crossJoin(F.broadcast(wdf))
-        j = j.withColumn("__z", _z_fp())
+    def tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero division — Spark `div` / DuckDB `//`
+        # semantics (Python's // floors, which differs on negatives)
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def scored_under(w: list[int]) -> DataFrame:
+        # the step state rides as LITERALS instead of a broadcast-join
+        # of a localCheckpointed 1-row frame: full-batch GD's data flow
+        # is "one d+1-scalar gradient crosses per step" (module
+        # docstring), and the r13 driver bench showed the per-step
+        # eager-localCheckpoint + rebroadcast round trips dominating
+        # this query's wall (26 jobs for a 7-row output; worst bench
+        # regression 0.54x, anti-scaling 0.59). One collect per step is
+        # strictly less driver traffic than the checkpoint it replaces;
+        # the arithmetic tree below is unchanged (same div/softsign
+        # fixed-point ops, same decimal(38,0) order-free accumulators),
+        # so the trajectory is bit-identical and the DuckDB twin
+        # (unrolled CTE chain) still matches hash-exact.
+        j = feats.withColumn(
+            "__z",
+            F.expr(
+                f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2)"
+                f" div {FEAT_SCALE}"
+            ),
+        )
         return j.withColumn("__s", F.expr(_SOFTSIGN))
 
-    def acc_row(wdf: DataFrame, step: int) -> DataFrame:
-        scored = with_w(wdf)
-        correct = (
-            (F.col("__s") >= W_SCALE // 2) == (F.col("y") == 1)
-        ).cast("long")
-        agg = scored.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(correct).alias("__ok"),
-        )
-        return agg.crossJoin(F.broadcast(wdf)).select(
-            F.lit(step).cast("long").alias("step"),
-            "__w0",
-            "__w1",
-            "__w2",
-            F.floor(
-                F.col("__ok").cast("double")
-                / F.col("__n").cast("double")
-                * W_SCALE
-            )
-            .cast("long")
-            .alias("acc_sc"),
+    def correct_col() -> Column:
+        return ((F.col("__s") >= W_SCALE // 2) == (F.col("y") == 1)).cast(
+            "long"
         )
 
-    wdf = spark.range(1).select(
-        F.lit(0).cast("long").alias("__w0"),
-        F.lit(0).cast("long").alias("__w1"),
-        F.lit(0).cast("long").alias("__w2"),
-    )
-    out = None
+    def acc_sc(ok: int, n: int) -> int:
+        # mirrors F.floor(ok.cast(double) / n.cast(double) * W_SCALE):
+        # both engines (and Python) do the same correctly-rounded IEEE
+        # double divide/multiply on <2^53 integers
+        return int(math.floor(ok / n * W_SCALE))
+
+    w = [0, 0, 0]
+    rows: list[tuple[int, int, int, int, int]] = []
     for k in range(1, steps + 1):
         # one scan per step: the gradient of w_{k-1} AND its training
         # accuracy ride the same aggregate (the scan already evaluates
         # s(z) under w_{k-1}); only the FINAL weights need the extra
-        # accuracy pass below — steps+2 scans total, not 2*steps+1
-        scored = with_w(wdf).withColumn(
+        # accuracy pass below — steps+1 scans total
+        scored = scored_under(w).withColumn(
             "__r", F.lit(W_SCALE) * F.col("y") - F.col("__s")
         )
-        correct = (
-            (F.col("__s") >= W_SCALE // 2) == (F.col("y") == 1)
-        ).cast("long")
         agg = scored.agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(correct).alias("__ok"),
+            F.sum(correct_col()).alias("__ok"),
             F.sum((F.col("__r") * F.col("x0")).cast("decimal(38,0)")).alias("__g0"),
             F.sum((F.col("__r") * F.col("x1")).cast("decimal(38,0)")).alias("__g1"),
             F.sum((F.col("__r") * F.col("x2")).cast("decimal(38,0)")).alias("__g2"),
-        )
-        # localCheckpoint the 1-row step state (PageRank precedent):
-        # without it every union branch re-executes the whole chain of
-        # prior aggregates — O(steps^2) scans instead of steps+2
-        upd = agg.crossJoin(F.broadcast(wdf)).localCheckpoint(eager=True)
-        prev_row = upd.select(
-            F.lit(k - 1).cast("long").alias("step"),
-            "__w0",
-            "__w1",
-            "__w2",
-            F.floor(
-                F.col("__ok").cast("double")
-                / F.col("__n").cast("double")
-                * W_SCALE
-            )
-            .cast("long")
-            .alias("acc_sc"),
-        )
-        out = prev_row if out is None else out.unionByName(prev_row)
-        wdf = upd.select(
-            *[
-                F.expr(
-                    f"CAST(__w{j} + ({lr_num} * __g{j})"
-                    f" div (__n * {FEAT_SCALE} * {lr_den}) AS BIGINT)"
-                ).alias(f"__w{j}")
-                for j in range(3)
-            ]
-        )
-    out = out.unionByName(acc_row(wdf, steps))
-    result = out.select(
-        "step",
-        F.col("__w0").alias("w0_fp"),
-        F.col("__w1").alias("w1_fp"),
-        F.col("__w2").alias("w2_fp"),
-        "acc_sc",
+        ).collect()[0]
+        n, ok = int(agg["__n"]), int(agg["__ok"])
+        rows.append((k - 1, w[0], w[1], w[2], acc_sc(ok, n)))
+        w = [
+            w[j] + tdiv(lr_num * int(agg[f"__g{j}"]), n * FEAT_SCALE * lr_den)
+            for j in range(3)
+        ]
+    fin = (
+        scored_under(w)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(correct_col()).alias("__ok"))
+        .collect()[0]
+    )
+    rows.append((steps, w[0], w[1], w[2], acc_sc(int(fin["__ok"]), int(fin["__n"]))))
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows, "step long, w0_fp long, w1_fp long, w2_fp long, acc_sc long"
     ).orderBy("step")
-    return attach_cached_deps(result, [feats])
 
 
 def logistic_gd_oracle_sql(

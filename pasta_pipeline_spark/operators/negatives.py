@@ -132,7 +132,10 @@ def hard_negative_mining(
     ``jl_cand_cap=None`` (collision-ranked cap, then exact rerank of
     every survivor).
     """
-    from pasta_pipeline_spark.operators.util import attach_cached_deps
+    from pasta_pipeline_spark.operators.util import (
+        attach_cached_deps,
+        pair_verify_parallelism,
+    )
 
     src = (
         embeddings.where(F.size(F.col(vec_col)) == dim)
@@ -261,12 +264,20 @@ def hard_negative_mining(
             F.col("__jl").desc(), pair_md5, F.col("neg_id").asc()
         )
         cand = (
-            joined.select("anchor_id", "neg_id", "neg_label", coarse.alias("__jl"))
             # ONE exchange of the pair frame: hash-partitioning on
             # anchor_id alone satisfies both the dedup groupBy
             # clustering (same anchor ⇒ same partition) and the
-            # per-anchor window partitioning
-            .repartition(F.col("anchor_id"))
+            # per-anchor window partitioning. Explicit width
+            # (pair_verify_parallelism): the post-exchange stage ranks
+            # and reranks compute-dense pair rows whose byte volume is
+            # tiny — AQE's byte-based coalescing would serialize it
+            # (r13 stage profile: two ~900 ms single-task stages here).
+            pair_verify_parallelism(
+                joined.select(
+                    "anchor_id", "neg_id", "neg_label", coarse.alias("__jl")
+                ),
+                "anchor_id",
+            )
             .groupBy("anchor_id", "neg_id", "neg_label")
             .agg(F.max("__jl").alias("__jl"))
             .withColumn("__jrn", F.row_number().over(wj))
@@ -275,8 +286,7 @@ def hard_negative_mining(
         )
     else:
         cand = (
-            joined
-            .repartition(F.col("anchor_id"))
+            pair_verify_parallelism(joined, "anchor_id")
             # collision count doubles as the dedup (one row per pair)
             # and the candidate-quality key for the per-anchor cap
             .groupBy("anchor_id", "neg_id", "neg_label")

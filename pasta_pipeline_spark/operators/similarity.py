@@ -27,6 +27,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pasta_pipeline_spark.operators.util import localize_small
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two array<float|double>."""
@@ -221,7 +223,18 @@ def cap_band_buckets(
     window by Catalyst when callers project them away afterwards.
 
     ``bucket_cap=None`` disables the guard (exact banding).
+
+    The frame is hash-repartitioned on (band, bucket) with an EXPLICIT
+    width first (util.pair_verify_parallelism): the window needs that
+    clustering anyway, the downstream band join reuses it, and the
+    stage after this exchange is where every candidate pays the exact
+    verify (cosine fold / JL estimate) — compute-dense rows whose byte
+    volume is tiny, exactly the shape AQE's byte-based coalescing
+    serializes to one task (r13 stage profile; the r14 targeted fix).
     """
+    from pasta_pipeline_spark.operators.util import pair_verify_parallelism
+
+    banded = pair_verify_parallelism(banded, band_col, bucket_col)
     if bucket_cap is None:
         return banded
     w = Window.partitionBy(band_col, bucket_col).orderBy(
@@ -537,7 +550,7 @@ def train_ivf_centroids(
     recomputes per-cell dimension means via posexplode. Cells that
     lose every member keep their previous centroid.
 
-    The k×d centroid matrix is localCheckpointed per round — it is the
+    The k×d centroid matrix is localized driver-side per round — it is the
     algorithm's shared state (exactly as in MLlib KMeans) and stays a
     broadcast-sized DataFrame; all per-vector work is distributed. At
     100 TB, train on a deterministic sample (e.g. ``vec_id % m == 0``)
@@ -553,7 +566,8 @@ def train_ivf_centroids(
             (F.row_number().over(w) - 1).alias("cell_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-    ).localCheckpoint(eager=True)
+    )
+    cent = localize_small(cent)
     for _ in range(iterations):
         assigned = assign_ivf_cells(embeddings, cent, id_col, vec_col)
         means = (
@@ -572,8 +586,8 @@ def train_ivf_centroids(
             .select(
                 "cell_id", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv")
             )
-            .localCheckpoint(eager=True)
         )
+        cent = localize_small(cent)
     return cent
 
 
@@ -962,7 +976,7 @@ def train_ivf_centroids_fp(
     subset (the train_ivf_centroids docstring's 100 TB recipe, made a
     knob): centroid quality converges long before the full corpus is
     seen, and training cost drops from n·cells to (n/mod)·cells per
-    round. The k×d centroid state is localCheckpointed per round,
+    round. The k×d centroid state is localized driver-side per round,
     exactly as the avg-based trainer does.
     """
     src = embeddings.select(
@@ -980,8 +994,8 @@ def train_ivf_centroids_fp(
             (F.row_number().over(w) - 1).cast("int").alias("cell_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-        .localCheckpoint(eager=True)
     )
+    cent = localize_small(cent)
     with_cnrm = lambda c: c.select(  # noqa: E731
         "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
     )
@@ -1005,11 +1019,10 @@ def train_ivf_centroids_fp(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cv")
         )
-        cent = (
+        cent = localize_small(
             cent.alias("o")
             .join(new_cent.alias("n"), "cell_id", "left")
             .select("cell_id", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"))
-            .localCheckpoint(eager=True)
         )
     return cent
 
@@ -1045,7 +1058,7 @@ def _two_level_structs(
     centroid frame (cell_id, cv, __cnrm): coarse centroids trained
     over the fine ones (deterministic fixed-point Lloyd's, lowest-
     cell_id seeds), the fine-cell → coarse-group argmax map ``c2c``
-    (cell_id, coarse_id, cv, __cnrm — localCheckpointed, √n rows),
+    (cell_id, coarse_id, cv, __cnrm — driver-localized, √n rows),
     and ``used`` — the coarse rows (coarse_id, gv, __gnrm) that won at
     least one fine cell (a vector routed to an empty group would
     vanish in the member join). All frames are metadata scale."""
@@ -1078,7 +1091,7 @@ def _two_level_structs(
         "cell_id",
         "coarse_id",
     ).join(centroids, "cell_id")
-    c2c = c2c.localCheckpoint(eager=True)  # √n rows; broadcast downstream
+    c2c = localize_small(c2c)  # √n rows; broadcast downstream
     used = coarse.join(
         c2c.select("coarse_id").distinct(), "coarse_id", "left_semi"
     )
@@ -2130,16 +2143,16 @@ def train_pq_codebooks(
     All ``n_subspaces`` k-means problems train in the SAME scan —
     subspace is just a grouping column — so training cost doesn't grow
     with n_subspaces. The codebook (n_subspaces·n_codes rows) is the
-    broadcast-sized shared state, localCheckpointed per round exactly
+    broadcast-sized shared state, localized driver-side per round exactly
     like train_ivf_centroids; at 100 TB train on a deterministic
     sample (vec_id % s == 0) — codebook quality converges long before
     the corpus is seen. Returns (m, code, cv: array<double>)."""
     if dim % n_subspaces != 0:
         raise ValueError("dim must be divisible by n_subspaces")
     sub = dim // n_subspaces
-    cb = _pq_seed_codebooks(
-        embeddings, n_subspaces, sub, n_codes, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    cb = localize_small(
+        _pq_seed_codebooks(embeddings, n_subspaces, sub, n_codes, id_col, vec_col)
+    )
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     corpus = embeddings.select(F.col(id_col), vd.alias("v")).select(
         id_col, _pq_slices(F.col("v"), n_subspaces, sub).alias("m", "sv")
@@ -2164,11 +2177,10 @@ def train_pq_codebooks(
                 F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
             ).alias("cv")
         )
-        cb = (
+        cb = localize_small(
             cb.alias("o")
             .join(new_cb.alias("n"), ["m", "code"], "left")
             .select("m", "code", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"))
-            .localCheckpoint(eager=True)
         )
     return cb
 

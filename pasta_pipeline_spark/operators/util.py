@@ -90,6 +90,64 @@ def orderable_tiebreak(df: DataFrame, exclude: list[str]):
     return F.struct(*[F.col(c) for c in cols]) if cols else None
 
 
+def pair_verify_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit fixed-width hash repartition for the pair tiers'
+    compute-dense verify exchanges.
+
+    Why not AQE: the exchanges feeding an exact-verify stage (cosine
+    folds, array-set intersections) carry only a few hundred KB at
+    small scale — bytes badly understate per-row cost there, and AQE's
+    byte-based coalescing (minPartitionSize floor, 1 MiB default)
+    collapses them to ONE task, serializing 25-45% of the pair tiers'
+    wall (r13 stage profile). The r13 answer — a session-wide 64 KiB
+    floor — widened every tiny exchange in the engine and regressed the
+    driver bench portfolio (geomean 0.81x); this helper is the targeted
+    replacement: an explicit-N repartition on the verify keys, which
+    AQE's coalescer leaves alone (REPARTITION_BY_NUM origin), applied
+    ONLY at the verify exchanges.
+
+    Width: ``$SPARK_GRAFT_VERIFY_PARTS`` if set (cluster deploys size
+    it like shuffle.partitions), else the session default parallelism.
+    ``off`` disables (returns df unchanged) — the A/B control. At
+    production scale these exchanges carry hundreds of MB and the
+    deploy sets the env alongside shuffle.partitions; the default is
+    never a local[32]-only constant, it is "one task per core", the
+    same rule at every scale.
+    """
+    from pyspark.sql import functions as F
+
+    raw = os.environ.get("SPARK_GRAFT_VERIFY_PARTS", "")
+    if raw == "off":
+        return df
+    n = int(raw) if raw else df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def localize_small(df: DataFrame) -> DataFrame:
+    """Materialize a METADATA-SCALE frame (centroid matrices, cell→group
+    maps — bounded at k×d, already broadcast everywhere downstream) as a
+    driver-local relation.
+
+    Drop-in for ``df.localCheckpoint(eager=True)`` on such frames: the
+    collect is the same single blocking action the eager checkpoint
+    was — same driver memory footprint as the BroadcastExchange these
+    frames feed anyway — but downstream ``F.broadcast`` builds from the
+    local rows without launching a job, AQE has no checkpoint-RDD scan
+    stages to re-materialize per consumer, and the lineage cut the
+    checkpoint provided is preserved (a LocalRelation has no lineage).
+    The r13 driver bench showed the checkpoint-heavy iterative
+    operators (two-level IVF: 63 jobs) paying more in job round trips
+    than in compute at bench scale; at cluster scale the same round
+    trips are driver barriers on the critical path. Values are exact:
+    rows cross as binary-serialized IEEE doubles / longs, so the
+    oracle-replayed arithmetic is bit-identical.
+
+    Do NOT use on data-scale frames — only on state the algorithm
+    already holds driver-side (the broadcast build).
+    """
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input arrives with fewer
     partitions than the session's parallelism.

@@ -56,21 +56,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE coalescing floor 1m -> 64k: BYTES are a poor proxy for
-        # task cost on this engine's compute-dense shuffles (64-dim
-        # cosine folds, array-set intersections ride the pair frames),
-        # and the default 1 MiB floor coalesces every sub-MiB exchange
-        # to ONE task — the r13 stage profile showed single-task verify
-        # stages holding 25-45% of the pair tiers' wall. parallelismFirst
-        # (default on) still caps split width at the session parallelism,
-        # and at production scale post-shuffle partitions are hundreds of
-        # MB so the floor never binds — the knob only stops byte-based
-        # coalescing from serializing compute-heavy small shuffles.
-        # Order-fair interleaved A/B at sf0.1 (tools/conf_ab.py, min of
-        # 6): semantic_dedup 0.40x, semantic_dedup_2l 0.66x,
-        # prefix_jaccard_pairs 0.78x, pricing_summary 0.91x; null-test
-        # noise envelope 1.03-1.31. Override via SPARK_GRAFT_CONF.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
+        # AQE coalescing floor: back at the Spark default (1 MiB). The
+        # r13 session-wide 64 KiB floor split EVERY sub-MiB exchange to
+        # session parallelism, and the per-task instantiation of this
+        # engine's large interpreted projections cost more than the
+        # parallelism bought on most of the bench portfolio (driver
+        # ground truth: geomean 0.81x, 22/26 regressed, 8-core beating
+        # 32-core on six queries). The real finding under that change —
+        # byte-based coalescing serializes the compute-dense pair-tier
+        # VERIFY stages — is now fixed where it lives: an explicit
+        # fixed-width repartition at those exchanges only
+        # (operators/util.py pair_verify_parallelism), which AQE leaves
+        # alone, instead of a one-size session floor.
         # --- Shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # --- Scan parallelism: split files into <=128MB tasks ------------
