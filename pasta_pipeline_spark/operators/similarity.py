@@ -882,19 +882,27 @@ def _nearest_cells(
     engines pick the same cell). ``centroids`` is (cell_id, cv,
     __cnrm) — broadcast; ``src`` must carry ``__nrm``.
 
-    The argmax runs SLIM: only (id, cell_id, csim) enters the
-    aggregate — max over a struct falls back to SortAggregate (no
-    mutable hash buffer for struct types), so the n·cells cross frame
-    gets locally sorted, and carrying the 64-float vector through
-    that sort multiplied its byte volume ~12× (measured sf1: 24 s →
-    12 s fresh after slimming). The vector (+ norm) is re-attached by
-    ONE corpus-scale id join afterwards — n rows against n rows,
-    linear at any scale. n_probe=1 still collapses map-side (partial
-    SortAggregate combines the cross frame's consecutive same-id runs
-    to n rows before the exchange); n_probe>1 takes the rank window,
-    and callers must distinct their pair output (a pair sharing
-    several probed cells collides once per cell).
+    n_probe=1 (every catalog gate) runs as ONE Arrow map stage (guide
+    §4.2): the centroid matrix is metadata the algorithm already holds
+    driver-side (it was the broadcast build), so it rides the task
+    closure and each batch computes every cosine with vectorized
+    per-dim accumulation — the same sequential fold order as the
+    interpreted zip_with/aggregate tree, so scores are bit-identical
+    (see :func:`_seq_dots`), with the same max(struct(csim, -cell))
+    argmax semantics (:func:`_argmax_rows`; pytest-pinned). This
+    replaces a crossJoin + argmax exchange + corpus-scale id join-back
+    with zero exchanges, and swaps the per-row interpreted HOF fold
+    (the r13 profile's dominant per-task cost) for NumPy batch math.
+
+    n_probe>1 (multiprobe, test/tooling paths) keeps the JVM shape:
+    the slim (id, cell_id, csim) rank window — carrying the vector
+    through that sort multiplied its byte volume ~12× (measured sf1:
+    24 s → 12 s fresh after slimming), so the vector is re-attached by
+    one id join; callers must distinct their pair output (a pair
+    sharing several probed cells collides once per cell).
     """
+    if n_probe == 1:
+        return _assign_cells_arrow(src, centroids, id_col, vec_col, carry_norm, emit_csim)
     payload = [F.col(id_col), F.col(vec_col)] + (
         [F.col("__nrm")] if carry_norm else []
     )
@@ -907,6 +915,90 @@ def _nearest_cells(
     slim = j.select(F.col(id_col), F.col("cell_id"), csim)
     assigned = _argmax_cells(slim, n_probe, id_col, "cell_id", emit_csim)
     return assigned.join(src.select(*payload), id_col)
+
+
+def _assign_cells_arrow(
+    src: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    carry_norm: bool,
+    emit_csim: bool = False,
+) -> DataFrame:
+    """The n_probe=1 assignment as one mapInPandas stage — see
+    :func:`_nearest_cells`. The payload (vector + norm) passes THROUGH
+    the kernel, so no join re-attaches it and the stage adds zero
+    exchanges. Requires uniform vector length (every caller filters
+    ``size(vec) == dim`` upstream)."""
+    crows = sorted(
+        centroids.select("cell_id", "cv", "__cnrm").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    cells = [int(r["cell_id"]) for r in crows]
+    cvs = [[float(x) for x in r["cv"]] for r in crows]
+    cnrms = [float(r["__cnrm"]) for r in crows]
+    return _assign_cells_arrow_prepared(
+        src, cells, cvs, cnrms, id_col, vec_col, carry_norm, emit_csim
+    )
+
+
+def _assign_cells_arrow_prepared(
+    src: DataFrame,
+    cells: list[int],
+    cvs: list[list[float]],
+    cnrms: list[float],
+    id_col: str,
+    vec_col: str,
+    carry_norm: bool,
+    emit_csim: bool = False,
+) -> DataFrame:
+    """:func:`_assign_cells_arrow` over already-collected centroid
+    state (cells ASCENDING — the argmax tie order)."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(src.sparkSession)
+    idt = src.schema[id_col].dataType.simpleString()
+    vt = src.schema[vec_col].dataType.simpleString()
+    fields = [f"{id_col} {idt}", "cell_id int", f"{vec_col} {vt}"]
+    if carry_norm:
+        fields.append("__nrm double")
+    if emit_csim:
+        fields.append("__ccsim double")
+    schema = ", ".join(fields)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cvs)
+        cn = np.array(cnrms)
+        cid = np.array(cells, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            nr = pdf["__nrm"].to_numpy(dtype=np.float64)
+            with np.errstate(all="ignore"):
+                scores = [
+                    _seq_dots(V, C[c]) / (nr * cn[c]) for c in range(len(cells))
+                ]
+            best, bestpos = _argmax_rows(scores)
+            out = {
+                id_col: pdf[id_col].values,
+                "cell_id": cid[bestpos].astype("int32"),
+                vec_col: pdf[vec_col].values,
+            }
+            if carry_norm:
+                out["__nrm"] = nr
+            if emit_csim:
+                out["__ccsim"] = best
+            yield pd.DataFrame(out)
+
+    return src.select(F.col(id_col), F.col(vec_col), F.col("__nrm")).mapInPandas(
+        assign, schema
+    )
 
 
 def _argmax_cells(
@@ -951,6 +1043,7 @@ def _argmax_cells(
     )
 
 
+
 def train_ivf_centroids_fp(
     embeddings: DataFrame,
     n_cells: int = IVF_BASE_CELLS,
@@ -978,16 +1071,53 @@ def train_ivf_centroids_fp(
     seen, and training cost drops from n·cells to (n/mod)·cells per
     round. The k×d centroid state is localized driver-side per round,
     exactly as the avg-based trainer does.
+
+    (r14 measured-and-rejected: computing the means as ``dim``
+    element_at sums in one groupBy(cell) — one exchange instead of two
+    — ran 1.7x SLOWER than this posexplode shape at sf0.1: the 64
+    aggregate buffers blow the codegen budget and the update falls
+    back to interpreted eval. The narrow posexplode rows stay.)
     """
-    src = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        _train_ivf_rows(
+            embeddings, n_cells, iterations, id_col, vec_col, fp_scale, sample_mod
+        ),
+        "cell_id int, cv array<double>",
     )
+
+
+def _train_ivf_rows(
+    embeddings: DataFrame,
+    n_cells: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    fp_scale: int = 10_000_000,
+    sample_mod: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """:func:`train_ivf_centroids_fp` returning the centroid state as
+    PYTHON rows — the form every driver-side consumer (norms, coarse
+    quantizer, assignment-kernel closures) actually wants. On this
+    engine a single driver ACTION costs ~0.45 s of fixed overhead
+    (py4j + planning + job), so keeping the k×d state out of
+    DataFrames between rounds is the difference between ~1 and ~6
+    actions per training run."""
+    if "__nrm" in embeddings.columns:
+        # caller already carries the norm (the IVF operators' cached
+        # src) — reuse it instead of re-deriving the interpreted fold
+        # on every training scan (same expression over the same rows)
+        src = embeddings.select(F.col(id_col), F.col(vec_col), F.col("__nrm"))
+    else:
+        src = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+        )
     if sample_mod > 1:
         src = src.where(F.col(id_col) % sample_mod == 0)
     w = Window.orderBy(F.asc(id_col))
-    cent = (
+    seed = (
         src.orderBy(F.asc(id_col))
         .limit(n_cells)
         .select(
@@ -995,17 +1125,37 @@ def train_ivf_centroids_fp(
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
     )
-    cent = localize_small(cent)
-    with_cnrm = lambda c: c.select(  # noqa: E731
-        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    # centroid state lives DRIVER-SIDE between rounds (it is the
+    # broadcast build anyway): one collect per round — the kernel
+    # assignment plus the means aggregate — and the empty-cell
+    # coalesce, the norm computation, and the array re-assembly all
+    # happen on the collected rows instead of as LocalRelation plans
+    # (a Project-with-HOF over a LocalRelation does NOT constant-fold:
+    # it ran as a 32-task job whose per-task interpreted-projection
+    # instantiation cost ~300 ms — the r14 stage profile's top line)
+    cent_rows = sorted(
+        ((int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in seed.collect()),
+        key=lambda r: r[0],
     )
+
+    def _py_norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
     for _ in range(iterations):
-        assigned = _nearest_cells(
-            src, with_cnrm(cent), 1, id_col, vec_col, carry_norm=False
+        cells = [c for c, _ in cent_rows]
+        cvs = [v for _, v in cent_rows]
+        cnrms = [_py_norm(v) for v in cvs]
+        assigned = _assign_cells_arrow_prepared(
+            src, cells, cvs, cnrms, id_col, vec_col, carry_norm=False
         )
         fp = F.floor(F.col("v").cast("double") * fp_scale).cast("long")
         means = (
-            assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
             .groupBy("cell_id", "pos")
             .agg(
                 (
@@ -1013,18 +1163,36 @@ def train_ivf_centroids_fp(
                     / F.count(F.lit(1))
                 ).alias("m")
             )
-        )
-        new_cent = means.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cv")
-        )
-        cent = localize_small(
-            cent.alias("o")
-            .join(new_cent.alias("n"), "cell_id", "left")
-            .select("cell_id", F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"))
-        )
-    return cent
+        ).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell_id"]), {})[int(r["pos"])] = float(r["m"])
+        cent_rows = [
+            (
+                c,
+                [m[p] for p in sorted(m)] if (m := by_cell.get(c)) else old,
+            )
+            for c, old in cent_rows
+        ]
+    return cent_rows
+
+
+def _with_cnrm_rows(
+    cent_rows: list[tuple[int, list[float]]],
+) -> tuple[list[int], list[list[float]], list[float]]:
+    """(cells, cvs, cnrms) from trainer rows — norms via the exact
+    sequential fold, driver-side (a Project-with-HOF over a
+    LocalRelation does not constant-fold — it ran as a 32-task job)."""
+
+    def nrm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    cells = [c for c, _ in cent_rows]
+    cvs = [v for _, v in cent_rows]
+    return cells, cvs, [nrm(v) for v in cvs]
 
 
 #: Cell count past which the FINAL full-corpus assignment defaults to
@@ -1047,6 +1215,104 @@ def auto_coarse_cells(n_cells: int) -> int:
     return max(2, int(round(math.sqrt(float(n_cells)))))
 
 
+def _seq_norms(mat):
+    """Row norms of an n×d float64 matrix with the SEQUENTIAL per-dim
+    accumulation order: acc starts at 0.0 and adds one dimension's
+    square at a time, so every row's value is bit-identical to the
+    interpreted ``sqrt(aggregate(zip_with(v, v, *), 0.0, +))`` fold the
+    Spark/DuckDB twins evaluate (IEEE double add/mul are deterministic;
+    only the ORDER had to be pinned)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
+def _seq_dots(mat, vec):
+    """dot(row, vec) for every row, same sequential per-dim order."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * vec[j]
+    return acc
+
+
+def _argmax_rows(score_cols):
+    """Deterministic per-row argmax over score columns in ascending
+    cell order — ``max(struct(csim, -cell))`` semantics: strictly
+    greater wins, NaN outranks every number (Spark double ordering),
+    ties keep the earlier (smaller) cell. ``score_cols`` is a list of
+    n-length arrays, one per cell id 0..k-1. Returns (best, bestc)."""
+    import numpy as np
+
+    n = score_cols[0].shape[0]
+    best = np.zeros(n)
+    bestc = np.zeros(n, dtype=np.int64)
+    have = np.zeros(n, dtype=bool)
+    for c, s in enumerate(score_cols):
+        better = ~have | (s > best) | (np.isnan(s) & ~np.isnan(best))
+        best = np.where(better, s, best)
+        bestc = np.where(better, c, bestc)
+        have |= better
+    return best, bestc
+
+
+def _lloyd_fp_rows(
+    rows: list[tuple[int, list[float]]],
+    n_cells: int,
+    iterations: int,
+    fp_scale: int,
+) -> list[tuple[int, list[float]]]:
+    """Driver-side twin of :func:`train_ivf_centroids_fp` over already-
+    collected (id, vec) rows — the METADATA-SCALE fast path (coarse
+    quantizer training over the fine centroids: k×d input, the frame is
+    broadcast state anyway). Bit-identical arithmetic: lowest-id seeds,
+    sequential-fold cosines (per-dim vectorized accumulation keeps the
+    fold order, see :func:`_seq_norms`), the same strict-greater /
+    NaN-greatest / smallest-cell tie argmax as ``max(struct(csim,
+    -cell))``, and fixed-point means ``(double(Σ floor(v·fp)) /
+    fp_scale) / count`` with exact int64 sums. Cells that lose every
+    member keep their previous centroid. Equivalence to the distributed
+    trainer is pytest-pinned (tests/test_local_lloyd.py)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    n, d = V.shape
+    cents = [V[i].copy() for i in range(min(n_cells, n))]
+    nrm = _seq_norms(V)
+    for _ in range(iterations):
+        C = np.array(cents)
+        cnrm = _seq_norms(C)
+        with np.errstate(all="ignore"):
+            scores = [
+                _seq_dots(V, C[c]) / (nrm * cnrm[c]) for c in range(len(cents))
+            ]
+            _, bestc = _argmax_rows(scores)
+        vfp = np.floor(V * float(fp_scale)).astype(np.int64)
+        new = []
+        for c in range(len(cents)):
+            m = bestc == c
+            cnt = int(m.sum())
+            if cnt == 0:
+                new.append(cents[c])
+                continue
+            sums = vfp[m].sum(axis=0)
+            new.append(
+                np.array(
+                    [
+                        (float(int(s)) / float(fp_scale)) / float(cnt)
+                        for s in sums
+                    ]
+                )
+            )
+        cents = new
+    return [(c, [float(x) for x in cv]) for c, cv in enumerate(cents)]
+
+
 def _two_level_structs(
     centroids: DataFrame,
     n_cells: int,
@@ -1058,44 +1324,77 @@ def _two_level_structs(
     centroid frame (cell_id, cv, __cnrm): coarse centroids trained
     over the fine ones (deterministic fixed-point Lloyd's, lowest-
     cell_id seeds), the fine-cell → coarse-group argmax map ``c2c``
-    (cell_id, coarse_id, cv, __cnrm — driver-localized, √n rows),
-    and ``used`` — the coarse rows (coarse_id, gv, __gnrm) that won at
-    least one fine cell (a vector routed to an empty group would
-    vanish in the member join). All frames are metadata scale."""
+    (cell_id, coarse_id, cv, __cnrm), and ``used`` — the coarse rows
+    (coarse_id, gv, __gnrm) that won at least one fine cell (a vector
+    routed to an empty group would vanish in the member join).
+
+    Everything here is METADATA scale — k×d state that downstream
+    consumers broadcast — so the whole construction runs DRIVER-SIDE
+    (:func:`_lloyd_fp_rows`): the r13 profile showed the distributed
+    form spending ~6 s of pure job round trips training 3 coarse
+    centroids over 8 fine rows at sf0.1, and at any scale these
+    frames must fit the driver anyway (they are the broadcast build
+    side). Arithmetic is bit-identical to the distributed trainer
+    (pytest-pinned; the semantic_dedup_2l DuckDB twin replays the
+    whole chain hash-exact)."""
     if n_coarse is None:
         n_coarse = auto_coarse_cells(n_cells)
-    # rename the fine frame before training: the trainer's own output
-    # columns are (cell_id, cv), which would collide with the fine
-    # names inside its assignment crossJoin
-    coarse = train_ivf_centroids_fp(
-        centroids.select(
-            F.col("cell_id").alias("fine_id"), F.col("cv").alias("fv")
-        ),
-        n_cells=n_coarse,
-        iterations=coarse_iterations,
-        id_col="fine_id",
-        vec_col="fv",
-        fp_scale=fp_scale,
-    ).select(F.col("cell_id").alias("coarse_id"), F.col("cv").alias("gv"))
-    coarse = coarse.select(
-        "coarse_id", "gv", F.sqrt(dot(F.col("gv"), F.col("gv"))).alias("__gnrm")
+    fine = centroids.select("cell_id", "cv", "__cnrm").collect()
+    c2c_rows, used_rows = _two_level_structs_rows(
+        [int(r["cell_id"]) for r in fine],
+        [[float(x) for x in r["cv"]] for r in fine],
+        [float(r["__cnrm"]) for r in fine],
+        n_coarse,
+        coarse_iterations,
+        fp_scale,
     )
-    gsim = (
-        dot(F.col("cv"), F.col("gv")) / (F.col("__cnrm") * F.col("__gnrm"))
-    ).alias("__csim")
-    c2c = _argmax_cells(
-        centroids.crossJoin(F.broadcast(coarse)).select(
-            F.col("cell_id"), F.col("coarse_id"), gsim
-        ),
-        1,
-        "cell_id",
-        "coarse_id",
-    ).join(centroids, "cell_id")
-    c2c = localize_small(c2c)  # √n rows; broadcast downstream
-    used = coarse.join(
-        c2c.select("coarse_id").distinct(), "coarse_id", "left_semi"
+    # values are exact (binary IEEE doubles both ways through the
+    # collect/createDataFrame round trip), so the downstream broadcast
+    # joins see the identical map
+    spark = centroids.sparkSession
+    c2c = spark.createDataFrame(
+        c2c_rows, "cell_id int, coarse_id int, cv array<double>, __cnrm double"
+    )
+    used = spark.createDataFrame(
+        used_rows, "coarse_id int, gv array<double>, __gnrm double"
     )
     return c2c, used
+
+
+def _two_level_structs_rows(
+    fine_ids: list[int],
+    fine_vecs: list[list[float]],
+    fine_cnrm: list[float],
+    n_coarse: int,
+    coarse_iterations: int,
+    fp_scale: int,
+) -> tuple[list[tuple], list[tuple]]:
+    """Pure driver-side core of :func:`_two_level_structs`: returns
+    (c2c_rows, used_rows) as Python tuples, so the fused assignment
+    kernel consumes them with no DataFrame round trip (a collect of
+    even a LocalRelation costs ~0.45 s of fixed action overhead on
+    this engine)."""
+    import numpy as np
+
+    coarse = _lloyd_fp_rows(
+        list(zip(fine_ids, fine_vecs)), n_coarse, coarse_iterations, fp_scale
+    )
+    G = np.array([gv for _, gv in coarse], dtype=np.float64)
+    gnrm = _seq_norms(G)
+    Vf = np.array(fine_vecs, dtype=np.float64)
+    cn = np.array(fine_cnrm)
+    with np.errstate(all="ignore"):
+        scores = [
+            _seq_dots(Vf, G[g]) / (cn * gnrm[g]) for g in range(len(coarse))
+        ]
+        _, bestg = _argmax_rows(scores)
+    c2c_rows = [
+        (fine_ids[i], int(bestg[i]), fine_vecs[i], fine_cnrm[i])
+        for i in range(len(fine_ids))
+    ]
+    won = sorted(set(int(b) for b in bestg))
+    used_rows = [(g, coarse[g][1], float(gnrm[g])) for g in won]
+    return c2c_rows, used_rows
 
 
 def _nearest_cells_two_level(
@@ -1142,6 +1441,18 @@ def _nearest_cells_two_level(
     c2c, used = _two_level_structs(
         centroids, n_cells, n_coarse, coarse_iterations, fp_scale
     )
+    if n_probe == 1 and coarse_probe == 1:
+        # both passes fused into ONE Arrow map stage (guide §4.2): c2c
+        # and used are driver-local metadata, so each batch runs the
+        # coarse argmax then the within-group fine argmax with the
+        # bit-exact kernels (_seq_dots/_argmax_rows) and the payload
+        # passes through — zero exchanges and no interpreted per-row
+        # folds, vs 2 crossjoins + 2 argmax exchanges + 2 id joins.
+        # Multiprobe (n_probe/coarse_probe > 1 — tooling and recall
+        # tests) keeps the JVM window shape below.
+        return _assign_two_level_arrow(
+            src, c2c, used, id_col, vec_col, carry_norm, emit_csim
+        )
     # pass 1: vector -> coarse group(s), slim (n·n_coarse cross frame)
     vg = (
         src.select(F.col(id_col), F.col(vec_col), F.col("__nrm"))
@@ -1175,6 +1486,131 @@ def _nearest_cells_two_level(
         [F.col("__nrm")] if carry_norm else []
     )
     return assigned.join(src.select(*payload), id_col)
+
+
+def _assign_two_level_arrow(
+    src: DataFrame,
+    c2c: DataFrame,
+    used: DataFrame,
+    id_col: str,
+    vec_col: str,
+    carry_norm: bool,
+    emit_csim: bool = False,
+) -> DataFrame:
+    """The n_probe=1/coarse_probe=1 two-level assignment as one
+    mapInPandas stage — see :func:`_nearest_cells_two_level`. Same
+    deterministic contract: coarse argmax (csim desc, coarse asc, NaN
+    greatest), then fine argmax over that group's member cells (cell
+    asc ties). Requires uniform vector length (callers filter
+    ``size(vec) == dim``)."""
+    return _assign_two_level_arrow_prepared(
+        src,
+        [
+            (int(r["cell_id"]), int(r["coarse_id"]), [float(x) for x in r["cv"]], float(r["__cnrm"]))
+            for r in c2c.collect()
+        ],
+        [
+            (int(r["coarse_id"]), [float(x) for x in r["gv"]], float(r["__gnrm"]))
+            for r in used.collect()
+        ],
+        id_col,
+        vec_col,
+        carry_norm,
+        emit_csim,
+    )
+
+
+def _assign_two_level_arrow_prepared(
+    src: DataFrame,
+    c2c_rows: list[tuple],
+    used_rows: list[tuple],
+    id_col: str,
+    vec_col: str,
+    carry_norm: bool,
+    emit_csim: bool = False,
+) -> DataFrame:
+    """:func:`_assign_two_level_arrow` over already-collected metadata
+    rows (c2c: (cell, coarse, cv, cnrm); used: (coarse, gv, gnrm))."""
+    from pasta_pipeline_spark.operators.util import ensure_package_on_workers
+
+    ensure_package_on_workers(src.sparkSession)
+    urows = sorted(used_rows, key=lambda r: r[0])
+    groups = [int(r[0]) for r in urows]
+    gvs = [[float(x) for x in r[1]] for r in urows]
+    gnrms = [float(r[2]) for r in urows]
+    members: dict[int, list] = {g: [] for g in groups}
+    for r in sorted(c2c_rows, key=lambda r: r[0]):
+        members[int(r[1])].append(
+            (int(r[0]), [float(x) for x in r[2]], float(r[3]))
+        )
+    idt = src.schema[id_col].dataType.simpleString()
+    vt = src.schema[vec_col].dataType.simpleString()
+    fields = [f"{id_col} {idt}", "cell_id int", f"{vec_col} {vt}"]
+    if carry_norm:
+        fields.append("__nrm double")
+    if emit_csim:
+        fields.append("__ccsim double")
+    schema = ", ".join(fields)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.array(gvs)
+        gn = np.array(gnrms)
+        mem = {
+            gi: (
+                np.array([cv for _, cv, _ in members[g]]),
+                np.array([cn for _, _, cn in members[g]]),
+                np.array([cid for cid, _, _ in members[g]], dtype=np.int64),
+            )
+            for gi, g in enumerate(groups)
+        }
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            nr = pdf["__nrm"].to_numpy(dtype=np.float64)
+            with np.errstate(all="ignore"):
+                gscores = [
+                    _seq_dots(V, G[gi]) / (nr * gn[gi])
+                    for gi in range(len(groups))
+                ]
+            _, gpos = _argmax_rows(gscores)
+            cell_out = np.zeros(n, dtype=np.int64)
+            csim_out = np.zeros(n)
+            for gi in range(len(groups)):
+                m = gpos == gi
+                if not m.any():
+                    continue
+                Cm, cn_m, cid_m = mem[gi]
+                Vm = V[m]
+                nrm_m = nr[m]
+                with np.errstate(all="ignore"):
+                    fscores = [
+                        _seq_dots(Vm, Cm[c]) / (nrm_m * cn_m[c])
+                        for c in range(len(cid_m))
+                    ]
+                fbest, fpos = _argmax_rows(fscores)
+                cell_out[m] = cid_m[fpos]
+                csim_out[m] = fbest
+            out = {
+                id_col: pdf[id_col].values,
+                "cell_id": cell_out.astype("int32"),
+                vec_col: pdf[vec_col].values,
+            }
+            if carry_norm:
+                out["__nrm"] = nr
+            if emit_csim:
+                out["__ccsim"] = csim_out
+            yield pd.DataFrame(out)
+
+    return src.select(F.col(id_col), F.col(vec_col), F.col("__nrm")).mapInPandas(
+        assign, schema
+    )
 
 
 def ivf_dup_pairs(
@@ -1238,15 +1674,24 @@ def ivf_dup_pairs(
     """
     from pasta_pipeline_spark.operators.util import (
         attach_cached_deps,
-        ensure_parallelism,
+        pair_verify_parallelism,
     )
 
-    src = ensure_parallelism(
+    # ONE explicit hash exchange on the id, cached: every downstream
+    # groupBy(id) argmax (trainer + assignment passes) and id join-back
+    # reuses the cached partitioning with NO further exchange (guide
+    # §2.4 — operations keyed the same way share one exchange). The
+    # old round-robin ensure_parallelism bought scan parallelism but
+    # left every argmax/join to re-shuffle the corpus; explicit width
+    # keeps AQE's byte-based coalescing from serializing the
+    # compute-dense cosine stages (r14 targeted fix).
+    src = pair_verify_parallelism(
         embeddings.where(F.size(F.col(vec_col)) == dim).select(
             F.col(id_col),
             F.col(vec_col),
             F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
-        )
+        ),
+        id_col,
     ).persist()
     n = None
     if n_cells is None:
@@ -1258,18 +1703,16 @@ def ivf_dup_pairs(
         train_sample_mod = (
             1 if n <= LSH_CALIBRATED_N else max(1, n // (64 * n_cells))
         )
-    cent = train_ivf_centroids_fp(
-        src.select(id_col, vec_col),
-        n_cells=n_cells,
-        iterations=iterations,
-        id_col=id_col,
-        vec_col=vec_col,
-        fp_scale=fp_scale,
-        sample_mod=train_sample_mod,
+    # centroid state stays in PYTHON rows end to end (training, norms,
+    # coarse structs, assignment-kernel closures): on this engine a
+    # single driver action costs ~0.45 s fixed, so every avoided
+    # DataFrame round trip of k×d metadata is real wall time. The
+    # multiprobe paths (n_probe/coarse_probe > 1 — tooling and recall
+    # tests) still build the frames the JVM window shape needs.
+    cent_rows = _train_ivf_rows(
+        src, n_cells, iterations, id_col, vec_col, fp_scale, train_sample_mod
     )
-    cent = cent.select(
-        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
-    )
+    cells, cvs, cnrms = _with_cnrm_rows(cent_rows)
     if two_level is None:
         two_level = n_cells >= IVF_TWO_LEVEL_MIN_CELLS
         if two_level:
@@ -1280,21 +1723,51 @@ def ivf_dup_pairs(
                 "oracles replay the FLAT path only",
                 n_cells, IVF_TWO_LEVEL_MIN_CELLS,
             )
+    cent_df = lambda: src.sparkSession.createDataFrame(  # noqa: E731
+        list(zip(cells, cvs, cnrms)),
+        "cell_id int, cv array<double>, __cnrm double",
+    )
     if two_level:
-        assigned = _nearest_cells_two_level(
-            src,
-            cent,
-            n_cells,
-            n_probe,
-            id_col,
-            vec_col,
-            carry_norm=True,
-            n_coarse=n_coarse,
-            coarse_probe=coarse_probe,
-            fp_scale=fp_scale,
+        if n_probe == 1 and coarse_probe == 1:
+            c2c_rows, used_rows = _two_level_structs_rows(
+                cells,
+                cvs,
+                cnrms,
+                n_coarse if n_coarse is not None else auto_coarse_cells(n_cells),
+                2,
+                fp_scale,
+            )
+            assigned = _assign_two_level_arrow_prepared(
+                src, c2c_rows, used_rows, id_col, vec_col, carry_norm=True
+            )
+        else:
+            assigned = _nearest_cells_two_level(
+                src,
+                cent_df(),
+                n_cells,
+                n_probe,
+                id_col,
+                vec_col,
+                carry_norm=True,
+                n_coarse=n_coarse,
+                coarse_probe=coarse_probe,
+                fp_scale=fp_scale,
+            )
+    elif n_probe == 1:
+        assigned = _assign_cells_arrow_prepared(
+            src, cells, cvs, cnrms, id_col, vec_col, carry_norm=True
         )
     else:
-        assigned = _nearest_cells(src, cent, n_probe, id_col, vec_col, carry_norm=True)
+        assigned = _nearest_cells(
+            src, cent_df(), n_probe, id_col, vec_col, carry_norm=True
+        )
+    # pin the pair-verify exchange: the within-cell join's stage pays a
+    # 64-dim cosine per candidate row — compute-dense, byte-light, the
+    # exact shape AQE's byte-based coalescing serializes to one task
+    # (r13 stage profile: a 1.77 s single-task verify over a 548 KB
+    # shuffle). Both pair sides derive from this one frame, so the
+    # explicit exchange is shared.
+    assigned = pair_verify_parallelism(assigned, "cell_id")
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         "cell_id",
@@ -1631,29 +2104,33 @@ def ivf_cell_profile(
     """
     from pasta_pipeline_spark.operators.util import (
         attach_cached_deps,
-        ensure_parallelism,
+        pair_verify_parallelism,
     )
 
-    src = ensure_parallelism(
+    # ONE explicit hash exchange on the id, cached: every downstream
+    # groupBy(id) argmax (trainer + assignment passes) and id join-back
+    # reuses the cached partitioning with NO further exchange (guide
+    # §2.4 — operations keyed the same way share one exchange). The
+    # old round-robin ensure_parallelism bought scan parallelism but
+    # left every argmax/join to re-shuffle the corpus; explicit width
+    # keeps AQE's byte-based coalescing from serializing the
+    # compute-dense cosine stages (r14 targeted fix).
+    src = pair_verify_parallelism(
         embeddings.where(F.size(F.col(vec_col)) == dim).select(
             F.col(id_col),
             F.col(vec_col),
             F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
-        )
+        ),
+        id_col,
     ).persist()
     if n_cells is None:
         n_cells = auto_ivf_cells(src.count())
-    cent = train_ivf_centroids_fp(
-        src.select(id_col, vec_col),
-        n_cells=n_cells,
-        iterations=iterations,
-        id_col=id_col,
-        vec_col=vec_col,
+    cells, cvs, cnrms = _with_cnrm_rows(
+        _train_ivf_rows(src, n_cells, iterations, id_col, vec_col)
     )
-    cent = cent.select(
-        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    assigned = _assign_cells_arrow_prepared(
+        src, cells, cvs, cnrms, id_col, vec_col, carry_norm=False
     )
-    assigned = _nearest_cells(src, cent, 1, id_col, vec_col, carry_norm=False)
     out = (
         assigned.groupBy("cell_id")
         .agg(
@@ -1699,32 +2176,41 @@ def ivf_assign_profile(
     """
     from pasta_pipeline_spark.operators.util import (
         attach_cached_deps,
-        ensure_parallelism,
+        pair_verify_parallelism,
     )
 
-    src = ensure_parallelism(
+    # ONE explicit hash exchange on the id, cached: every downstream
+    # groupBy(id) argmax (trainer + assignment passes) and id join-back
+    # reuses the cached partitioning with NO further exchange (guide
+    # §2.4 — operations keyed the same way share one exchange). The
+    # old round-robin ensure_parallelism bought scan parallelism but
+    # left every argmax/join to re-shuffle the corpus; explicit width
+    # keeps AQE's byte-based coalescing from serializing the
+    # compute-dense cosine stages (r14 targeted fix).
+    src = pair_verify_parallelism(
         embeddings.where(F.size(F.col(vec_col)) == dim).select(
             F.col(id_col),
             F.col(vec_col),
             F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
-        )
+        ),
+        id_col,
     ).persist()
     if n_cells is None:
         n_cells = auto_ivf_cells(src.count())
     if n_coarse is None:
         n_coarse = auto_coarse_cells(n_cells)
-    cent = train_ivf_centroids_fp(
-        src.select(id_col, vec_col),
-        n_cells=n_cells,
-        iterations=iterations,
-        id_col=id_col,
-        vec_col=vec_col,
+    cells, cvs, cnrms = _with_cnrm_rows(
+        _train_ivf_rows(src, n_cells, iterations, id_col, vec_col)
     )
-    cent = cent.select(
-        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    c2c_rows, used_rows = _two_level_structs_rows(
+        cells, cvs, cnrms, n_coarse, coarse_iterations, 10_000_000
     )
-    c2c, used = _two_level_structs(
-        cent, n_cells, n_coarse, coarse_iterations, fp_scale=10_000_000
+    spark = src.sparkSession
+    c2c = spark.createDataFrame(
+        c2c_rows, "cell_id int, coarse_id int, cv array<double>, __cnrm double"
+    )
+    used = spark.createDataFrame(
+        used_rows, "coarse_id int, gv array<double>, __gnrm double"
     )
     vg = (
         src.select(F.col(id_col), F.col(vec_col), F.col("__nrm"))
@@ -1808,31 +2294,36 @@ def semantic_dedup_diverse(
     """
     from pasta_pipeline_spark.operators.util import (
         attach_cached_deps,
-        ensure_parallelism,
+        pair_verify_parallelism,
     )
 
-    src = ensure_parallelism(
+    # ONE explicit hash exchange on the id, cached: every downstream
+    # groupBy(id) argmax (trainer + assignment passes) and id join-back
+    # reuses the cached partitioning with NO further exchange (guide
+    # §2.4 — operations keyed the same way share one exchange). The
+    # old round-robin ensure_parallelism bought scan parallelism but
+    # left every argmax/join to re-shuffle the corpus; explicit width
+    # keeps AQE's byte-based coalescing from serializing the
+    # compute-dense cosine stages (r14 targeted fix).
+    src = pair_verify_parallelism(
         embeddings.where(F.size(F.col(vec_col)) == dim).select(
             F.col(id_col),
             F.col(vec_col),
             F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
-        )
+        ),
+        id_col,
     ).persist()
     if n_cells is None:
         n_cells = auto_ivf_cells(src.count())
-    cent = train_ivf_centroids_fp(
-        src.select(id_col, vec_col),
-        n_cells=n_cells,
-        iterations=iterations,
-        id_col=id_col,
-        vec_col=vec_col,
+    cells, cvs, cnrms = _with_cnrm_rows(
+        _train_ivf_rows(src, n_cells, iterations, id_col, vec_col)
     )
-    cent = cent.select(
-        "cell_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("__cnrm")
+    assigned = _assign_cells_arrow_prepared(
+        src, cells, cvs, cnrms, id_col, vec_col, carry_norm=True, emit_csim=True
     )
-    assigned = _nearest_cells(
-        src, cent, 1, id_col, vec_col, carry_norm=True, emit_csim=True
-    )
+    # pin the pair-verify exchange (see ivf_dup_pairs): both pair sides
+    # share this one explicit-width exchange
+    assigned = pair_verify_parallelism(assigned, "cell_id")
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         "cell_id",
