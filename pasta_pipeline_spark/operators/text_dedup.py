@@ -567,8 +567,16 @@ def minhash_lsh_pairs(
     # size is actually small.
     sets = sh.groupBy("doc").agg(F.sort_array(F.collect_list("sh")).alias("shs"))
     n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
+    from pasta_pipeline_spark.operators.util import pair_verify_parallelism
+
+    # pin the verify exchange (r14, guide §2.5): the stage after this
+    # join pays a per-candidate array_intersect over full shingle sets
+    # — compute-dense rows whose byte volume is small enough that AQE's
+    # byte-based coalescing serializes them to 1-3 tasks once the 1 MiB
+    # floor is back (the r14 stage profile's top line for this tier)
     jac = (
-        cand.join(
+        pair_verify_parallelism(cand, "doc_a")
+        .join(
             sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("__sa")),
             "doc_a",
         )
@@ -1158,10 +1166,17 @@ def prefix_jaccard_pairs(
     # conservative integer threshold: T_floor/1e6 <= t always
     t_floor = int(math.floor(threshold * 1_000_000))
 
+    from pasta_pipeline_spark.operators.util import pair_verify_parallelism
+
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # pin the per-doc ordering exchange (r14, guide §2.5): the stage
+    # after it ranks every (doc, shingle, df) row through a window —
+    # compute-dense, ~85 KB/task at sf0.1, which AQE's byte-based
+    # coalescing squeezes to ~3 tasks once the 1 MiB floor is back;
+    # the downstream sizes join reuses the same clustering
     ordered = (
-        sh.join(dfreq, "sh")
+        pair_verify_parallelism(sh.join(dfreq, "sh"), "doc")
         .withColumn(
             "pos",
             F.row_number().over(
@@ -1223,8 +1238,12 @@ def prefix_jaccard_pairs(
     # same exact intersection counting in-row)
     sets = sh.groupBy("doc").agg(F.sort_array(F.collect_list("sh")).alias("shs"))
     n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
+    from pasta_pipeline_spark.operators.util import pair_verify_parallelism
+
+    # pin the verify exchange — same rationale as minhash_lsh_pairs
     jac = (
-        cand.join(
+        pair_verify_parallelism(cand, "doc_a")
+        .join(
             sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("__sa")),
             "doc_a",
         )
