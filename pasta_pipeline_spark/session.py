@@ -88,9 +88,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     # Scale-dependent knobs stay parameterized (optimization-round
-    # rule): SPARK_GRAFT_CONF="key=value;key=value" applies LAST, so a
-    # cluster deploy (or a measurement run) can override any default
-    # above without code edits — the spark-submit --conf analog.
+    # rule): SPARK_GRAFT_CONF="key=value;key=value" overrides the
+    # defaults above without code edits — the spark-submit --conf
+    # analog. Precedence: defaults < SPARK_GRAFT_CONF env < extra_conf
+    # (programmatic callers like tools/stage_profile.py win on purpose:
+    # they set instrumentation confs the measurement needs). Note all
+    # of these only apply when THIS call creates the session —
+    # getOrCreate returns any pre-existing session's config untouched.
     env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
     for pair in env_conf.split(";"):
         if "=" in pair:

@@ -42,6 +42,11 @@ def main() -> None:
         release_cached_deps(df)
 
     n_iter = int(os.environ.get("PROFILE_N_ITER", "3"))
+    # NOTE: `sec` is the min over all iterations while the job/stage/
+    # task census covers only the LAST iteration (the `before` snapshot
+    # is re-taken per iteration) — the counts describe steady state,
+    # the seconds describe the best case; they can come from different
+    # iterations (r13 advisor).
     print(f"{'query':34s} {'sec':>7s} {'jobs':>5s} {'stages':>7s} {'tasks':>7s}")
     for name in names:
         secs = []

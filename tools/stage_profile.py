@@ -76,10 +76,15 @@ def main() -> None:
                 if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
                     from datetime import datetime
 
-                    fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
-                    t1 = datetime.strptime(s["firstTaskLaunchedTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
-                    t2 = datetime.strptime(s["completionTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
-                    dur = (t2 - t1).total_seconds() * 1000
+                    try:
+                        t1 = datetime.strptime(s["firstTaskLaunchedTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+                        t2 = datetime.strptime(s["completionTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+                        dur = (t2 - t1).total_seconds() * 1000
+                    except ValueError:
+                        # unexpected REST timestamp format: keep the
+                        # stage row with dur=0 instead of aborting the
+                        # whole profile (r13 advisor)
+                        dur = 0
                 total_stage_ms += dur
                 rows.append(
                     (
